@@ -1,0 +1,77 @@
+"""Vector math as Catalyst higher-order-function expressions.
+
+The reference computes distances inside faiss at float32
+(``vsu/base/VectorSearchBase.py:74-75`` serializes vectors as float32
+bytes) and cosine/softmax scores in torch
+(``vsu/text/_classes.py:33-41``, ``vsu/image/_classes.py:28-34``).
+
+Here every operation is a built-in higher-order function
+(``zip_with`` + ``aggregate`` + ``transform``) over
+``array<double>`` columns, so the whole expression stays JVM-side
+inside whole-stage codegen — no Python in the hot path. Summation is
+in array order, which makes results bit-reproducible and lets the
+DuckDB oracles match at full precision.
+
+At 100 TB these expressions are narrow (no shuffle): a distance
+column over a scanned partition is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _as_double(col: Column | str) -> Column:
+    col = F.col(col) if isinstance(col, str) else col
+    return col.cast("array<double>")
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
+    """Elementwise dot product of two array columns (double precision)."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_squared(a: Column | str, b: Column | str) -> Column:
+    """Squared euclidean distance between two array columns."""
+    return F.aggregate(
+        F.zip_with(_as_double(a), _as_double(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_distance(a: Column | str, b: Column | str) -> Column:
+    """Euclidean distance; matches the reference's faiss-L2 ordering
+    (``vsu/base/VectorSearchBase.py:193-201``)."""
+    return F.sqrt(l2_squared(a, b))
+
+
+def l2_norm(a: Column | str) -> Column:
+    """Euclidean norm of an array column."""
+    col = _as_double(a)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(col, col, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def normalize(a: Column | str) -> Column:
+    """L2-normalize an array column (reference: CLIP encoders normalize
+    at encode time, ``vsu/image/_classes.py:43,52``; E5 zero-shot
+    normalizes at score time, ``vsu/text/_classes.py:33-35``)."""
+    col = _as_double(a)
+    return F.transform(col, lambda x: x / l2_norm(col))
+
+
+def cosine_similarity(a: Column | str, b: Column | str) -> Column:
+    """Cosine similarity; the reference's zero-shot score is this ×100
+    (``vsu/text/_classes.py:36``)."""
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

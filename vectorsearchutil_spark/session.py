@@ -1,0 +1,62 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]``; the configs below are chosen so the
+same logical plans would behave on a 1000-executor cluster reading
+100 TB: AQE on (runtime coalescing + skew-join handling), broadcast
+threshold generous enough that dimension tables (region/nation/
+customer at test SF, label tables always) broadcast instead of
+shuffling, and Arrow enabled for the pandas-UDF embedder path.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Defaults applied to every session this engine creates. Each one is
+#: plan-shaping, not machine-tuning, so they transfer to a real cluster.
+ENGINE_CONF: dict[str, str] = {
+    # Let the optimizer re-plan at runtime: coalesce tiny shuffle
+    # partitions, split skewed ones, demote to broadcast when a side
+    # turns out small. Essential at 100 TB where static planning lies.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Dimension tables and label/query tables are broadcast-joined;
+    # 64 MB covers every dim side we produce while keeping fact-fact
+    # joins as shuffle joins.
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Arrow transfer for every pandas_udf / mapInPandas operator
+    # (embedders, multimodal decode). Batch size plays the role of the
+    # reference's `sp` chunking knob (VectorSearchBase.py:157-161).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    # Target ~128 MB input splits; at 100 TB this yields ~800k tasks,
+    # the sane granularity for a 1000-executor cluster.
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    "spark.ui.enabled": "false",
+}
+
+
+def get_spark(app_name: str = "vectorsearchutil-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real deployment the caller's cluster manager wins (we only set the
+    master when none is configured).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    for key, value in ENGINE_CONF.items():
+        builder = builder.config(key, value)
+    return builder.getOrCreate()

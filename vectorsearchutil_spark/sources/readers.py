@@ -1,0 +1,57 @@
+"""Source connectors.
+
+The reference reads CSVs via pandas (``vsu/sample/main.py:9,13``),
+SQLite tables (``VectorSearchBase.py:66-69``) and image files by path
+(``vsu/image/_classes.py:40,74``). Here: Parquet/CSV through Spark's
+vectorized readers (predicate pushdown + column pruning for free) and
+``binaryFile`` for bulk media ingest (see operators/multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: The driver-generated benchmark tables (/root/repo/TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one test table. A plain parquet scan: filters/projection
+    applied by callers reach the scan via Catalyst pushdown."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def load_csv(spark: SparkSession, path: str, **options) -> DataFrame:
+    """CSV scan (reference A20, ``vsu/sample/main.py:8-15``)."""
+    opts = {"header": "true", "inferSchema": "true"}
+    opts.update({k: str(v) for k, v in options.items()})
+    return spark.read.options(**opts).csv(path)
+
+
+def load_binary_files(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Bulk media ingest: path/modificationTime/length/content(binary).
+
+    Replaces the reference's per-row ``Image.open(path)``
+    (``vsu/image/_classes.py:40``) with a distributed scan; at 100 TB
+    the binary payloads stay partition-local and flow straight into
+    Arrow-batched decode UDFs.
+    """
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)

@@ -1,0 +1,238 @@
+"""VectorStore — reference-API-parity facade over a DataFrame store.
+
+Reproduces ``vsu.base.VectorSearchBase``'s surface
+(``set_data / query / query_with_info / set_zeroshot_labels /
+do_zeroshot / MLP_Classifier / MLP_Regressor / reset_db``,
+``vsu/base/VectorSearchBase.py:96-256``) with Spark semantics:
+
+* the store is one DataFrame (optionally Parquet-persisted) — the
+  reference's SQLite ``data`` table, ``vss`` index and pandas mirror
+  collapse into it (the vector column IS the index payload; exact kNN
+  subsumes ANN on correctness);
+* ingest is one distributed job instead of a per-row transaction
+  loop; first-wins dedup on ``target`` matches
+  ``VectorSearchBase.py:79-87,124``;
+* ids are assigned by ``row_number`` over ingest order (the
+  reference's ``last_insert_rowid`` monotonic ids, :89).
+
+At scale the store would be written bucketed by ``hash(target)`` so
+the append-path anti-join is shuffle-free; on local parquet we rely on
+AQE + broadcast (the new batch is typically the small side).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from vectorsearchutil_spark.embedders import embed_udf, embedding_dim
+from vectorsearchutil_spark.operators.knn import knn
+
+#: Fixed logical schema (reference save_columns, VectorSearchBase.py:21)
+SAVE_COLUMNS = ["target", "option1", "option2", "option3", "option4", "option5"]
+
+STORE_SCHEMA = StructType(
+    [StructField("id", LongType())]
+    + [StructField(c, StringType()) for c in SAVE_COLUMNS]
+    + [StructField("vector", ArrayType(FloatType()))]
+)
+
+
+class VectorStore:
+    """Spark-native replacement for ``VectorSearchBase`` subclasses.
+
+    ``embedder`` picks a registered encoder (default: the
+    deterministic ``hash64`` stub) instead of subclassing
+    (``vsu/text/_classes.py``, ``vsu/image/_classes.py``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        embedder: str = "hash64",
+        path: str | None = None,
+    ):
+        self.spark = spark
+        self.embedder = embedder
+        self.vec_size = embedding_dim(embedder)
+        self.path = path
+        self._df: DataFrame | None = None
+        self.zeroshot_labels: list[str] = []
+        self._labels_df: DataFrame | None = None
+        if path is not None:
+            try:
+                self._df = spark.read.parquet(path)
+            except Exception:
+                self._df = None
+
+    # -- store state -------------------------------------------------
+
+    @property
+    def data(self) -> DataFrame:
+        """The queryable store (reference mirror, VectorSearchBase.py:64-72)."""
+        if self._df is None:
+            return self.spark.createDataFrame([], STORE_SCHEMA)
+        return self._df
+
+    def count(self) -> int:
+        return self.data.count()
+
+    def reset_db(self) -> None:
+        """Drop everything (reference reset_db, VectorSearchBase.py:96-99)."""
+        self._df = None
+
+    def _persist(self, df: DataFrame) -> DataFrame:
+        if self.path is not None:
+            df.write.mode("overwrite").parquet(self.path)
+            return self.spark.read.parquet(self.path)
+        return df.cache()
+
+    # -- ingest (A1/A2) ------------------------------------------------
+
+    def set_data(self, data: DataFrame, append: bool = False) -> None:
+        """Replace-or-append ingest (reference set_data,
+        VectorSearchBase.py:101-133).
+
+        Semantics pinned to the reference: requires ``target``
+        (silent no-op otherwise, :104-105); computes ``vector`` when
+        missing; null-fills absent option columns (:119-121); projects
+        extra columns away (:124-126); dedup on ``target`` is
+        first-wins in ingest order (:124) and append never overwrites
+        existing targets (:79-87).
+        """
+        if "target" not in data.columns:
+            return
+        # ingest-order marker: monotonically_increasing_id is
+        # monotone in (partition, position), preserving input order of
+        # a driver-created DataFrame — the analog of pandas row order.
+        df = data.withColumn("_ord", F.monotonically_increasing_id())
+        if "vector" not in df.columns:
+            df = df.withColumn("vector", embed_udf(self.embedder)(F.col("target")))
+        for c in SAVE_COLUMNS:
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(None).cast("string"))
+        df = df.select(*SAVE_COLUMNS, "vector", "_ord")
+        # first-wins dedup within the batch
+        win = Window.partitionBy("target").orderBy("_ord")
+        df = (
+            df.withColumn("_rn", F.row_number().over(win))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if append and self._df is not None:
+            existing = self.data
+            # insert-if-absent: left anti vs existing targets
+            # (reference insert_data guard, VectorSearchBase.py:79-87)
+            fresh = df.join(
+                F.broadcast(existing.select("target")), "target", "left_anti"
+            )
+            start = existing.agg(F.coalesce(F.max("id"), F.lit(0))).first()[0]
+            fresh = fresh.withColumn(
+                "id", F.row_number().over(Window.orderBy("_ord")) + F.lit(start)
+            )
+            merged = existing.unionByName(
+                fresh.select("id", *SAVE_COLUMNS, "vector")
+            )
+            self._df = self._persist(merged)
+        else:
+            df = df.withColumn("id", F.row_number().over(Window.orderBy("_ord")))
+            self._df = self._persist(df.select("id", *SAVE_COLUMNS, "vector"))
+
+    # -- queries (A5/A6/A7) -------------------------------------------
+
+    def query(self, q: str | Sequence[float], k: int = 5) -> DataFrame | None:
+        """kNN by text (embedded) or by raw vector.
+
+        Returns None on an empty store (reference guard,
+        VectorSearchBase.py:209-210). Result: id, save_columns,
+        distance — ascending L2, ties by id.
+        """
+        if self._df is None or self.data.rdd.isEmpty():
+            return None
+        if isinstance(q, str):
+            qdf = self.spark.createDataFrame([(q,)], ["target"])
+            qvec = qdf.select(
+                embed_udf(self.embedder)(F.col("target")).alias("v")
+            ).first()[0]
+        else:
+            qvec = [float(x) for x in q]
+        out = knn(self.data, qvec, k=k, vector_col="vector", id_col="id")
+        return out.select("id", *SAVE_COLUMNS, "distance")
+
+    def query_with_info(self, q: str | Sequence[float], k: int = 5) -> DataFrame | None:
+        """A7: like query() but drops all-null columns
+        (VectorSearchBase.py:215-217). Data-dependent projection —
+        one aggregate pass over the k-row result, then a select."""
+        res = self.query(q, k)
+        if res is None:
+            return None
+        counts = res.agg(
+            *[F.count(F.col(c)).alias(c) for c in res.columns]
+        ).first()
+        keep = [c for c in res.columns if counts[c] > 0]
+        return res.select(*keep)
+
+    # -- zero-shot (A8/A9/A19) ----------------------------------------
+
+    def set_zeroshot_labels(self, labels: Sequence[str]) -> None:
+        """A19: register the label dimension table
+        (VectorSearchBase.py:135-139)."""
+        self.zeroshot_labels = list(labels)
+        rows = [(i, lab) for i, lab in enumerate(labels)]
+        ldf = self.spark.createDataFrame(rows, ["label_idx", "label"])
+        ldf = ldf.withColumn(
+            "label_vec", embed_udf(self.embedder)(F.col("label"))
+        )
+        self._labels_df = ldf.cache()
+
+    def do_zeroshot(self, variant: str = "e5") -> DataFrame | None:
+        """A8/A9: classify every stored row against the label set.
+
+        Returns store columns + per-label scores + ``zeroshot_pred``.
+        ``variant='e5'`` = cosine×100 (vsu/text/_classes.py:29-44);
+        ``variant='clip'`` = softmax(100·cos) (vsu/image/_classes.py:21-36).
+        Argmax tie-break = lowest label index (:40/:32).
+        """
+        if self._labels_df is None or self._df is None:
+            return None
+        from vectorsearchutil_spark.operators.zeroshot import zeroshot
+
+        return zeroshot(
+            self.data,
+            self._labels_df,
+            vector_col="vector",
+            id_col="id",
+            softmax=(variant == "clip"),
+        )
+
+    # -- ML ops (A15/A16) ----------------------------------------------
+
+    def MLP_Classifier(self, y_label: str, hidden_layer_sizes=(100,)):
+        """A15 (VectorSearchBase.py:219-234): sklearn MLP trained on
+        the driver (the store's vectors fit — the reference trains
+        in-process too), distributed inference via pandas_udf."""
+        from vectorsearchutil_spark.operators.mlops import mlp_classifier
+
+        return mlp_classifier(
+            self.data, y_col=y_label, vector_col="vector",
+            hidden_layer_sizes=hidden_layer_sizes,
+        )
+
+    def MLP_Regressor(self, y_label: str, hidden_layer_sizes=(100,)):
+        """A16 (VectorSearchBase.py:236-256)."""
+        from vectorsearchutil_spark.operators.mlops import mlp_regressor
+
+        return mlp_regressor(
+            self.data, y_col=y_label, vector_col="vector",
+            hidden_layer_sizes=hidden_layer_sizes,
+        )
