@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectorsearchutil_spark.operators.knn import knn, knn_batch
+from vectorsearchutil_spark.operators.zeroshot import zeroshot, zeroshot_scores
 from vectorsearchutil_spark.sources.readers import load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -131,4 +132,543 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = knn(emb, qv, k=10, vector_col="embedding", id_col="vec_id", metric="cosine")
     return out.select(
         "vec_id", "label", F.round(F.col("distance"), 4).alias("score")
+    )
+
+
+# --------------------------------------------------------------------------
+# Zero-shot classification — reference A8/A9
+# (vsu/text/_classes.py:29-44, vsu/image/_classes.py:21-36)
+# --------------------------------------------------------------------------
+
+def _label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label 'embeddings' = per-class centroids of the embeddings
+    table (rounded to 6dp so Spark/DuckDB agree bitwise downstream).
+    Stands in for encoder-produced label vectors (A19)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(
+            F.col("label").alias("label_idx"),
+            F.col("label").alias("label_name"),
+            F.transform("s", lambda x: x["v"]).alias("label_vec"),
+        )
+    )
+
+
+_CENTROIDS_CTE = """
+centroids AS (
+  SELECT label, list(v ORDER BY i) AS cvec
+  FROM (
+    SELECT label, i, ROUND(AVG(embedding[i]::DOUBLE), 6) AS v
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+)
+"""
+
+_ZEROSHOT_ORACLE = f"""
+WITH {_CENTROIDS_CTE},
+scored AS (
+  SELECT e.vec_id,
+         e.label AS true_label,
+         c.label AS pred_label,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) * 100 AS score,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) DESC,
+                    c.label ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+)
+SELECT vec_id, true_label, pred_label, ROUND(score, 4) AS score
+FROM scored WHERE rn = 1
+"""
+
+
+@query("zeroshot_cosine", _ZEROSHOT_ORACLE)
+def zeroshot_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5-style zero-shot: cosine x100 against broadcast label
+    centroids, argmax with lowest-index tie-break
+    (vsu/text/_classes.py:36,40). Big side never shuffles."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = _label_centroids(spark, sf_dir)
+    out = zeroshot(
+        emb.select(F.col("vec_id"), F.col("label").alias("true_label"),
+                   F.col("embedding")),
+        labels,
+        vector_col="embedding",
+        id_col="vec_id",
+        label_col="label_name",
+    )
+    return out.select(
+        "vec_id",
+        "true_label",
+        F.col("zeroshot_pred").alias("pred_label"),
+        F.round(F.col("score"), 4).alias("score"),
+    )
+
+
+_ZEROSHOT_SOFTMAX_ORACLE = f"""
+WITH {_CENTROIDS_CTE},
+scored AS (
+  SELECT e.vec_id,
+         c.label AS pred_label,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) * 100 AS score
+  FROM embeddings e CROSS JOIN centroids c
+),
+withmax AS (
+  SELECT vec_id, pred_label, score,
+         EXP(score - MAX(score) OVER (PARTITION BY vec_id)) AS e,
+         ROW_NUMBER() OVER (
+           PARTITION BY vec_id ORDER BY score DESC, pred_label ASC
+         ) AS rn
+  FROM scored
+),
+sm AS (
+  SELECT vec_id, pred_label, rn,
+         e / SUM(e) OVER (PARTITION BY vec_id) AS prob
+  FROM withmax
+)
+SELECT vec_id, pred_label, ROUND(prob, 6) AS prob
+FROM sm WHERE rn = 1
+"""
+
+
+@query("zeroshot_softmax", _ZEROSHOT_SOFTMAX_ORACLE)
+def zeroshot_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-style zero-shot: softmax over 100*cos before argmax
+    (vsu/image/_classes.py:28-34) — same argmax, probability scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = _label_centroids(spark, sf_dir)
+    out = zeroshot(
+        emb.select("vec_id", "embedding"),
+        labels,
+        vector_col="embedding",
+        id_col="vec_id",
+        label_col="label_name",
+        softmax=True,
+    )
+    return out.select(
+        "vec_id",
+        F.col("zeroshot_pred").alias("pred_label"),
+        F.round(F.col("prob"), 6).alias("prob"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational suite — SURVEY.md §2 Table B [ext]: joins / aggregation /
+# windows / set ops over the TPC-H-ish star. All stock DataFrame ops;
+# Catalyst supplies pushdown, pruning, broadcast selection, partial aggs.
+# --------------------------------------------------------------------------
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("tpch_q1_pricing_summary", _Q1_ORACLE)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: filtered scan + hash aggregate. The shipdate
+    predicate and 7-column projection push into the parquet scan;
+    partial aggregation makes the shuffle carry 6 groups, not 600k
+    rows — the pattern that survives 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_Q3_ORACLE = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       o.o_orderpriority AS orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-03-15'
+  AND l.l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, l.l_orderkey ASC
+LIMIT 10
+"""
+
+
+@query("tpch_q3_shipping_priority", _Q3_ORACLE)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim-filtered multi-join + agg + top-k.
+    customer (small, filtered) broadcasts into orders⋈lineitem;
+    orderBy+limit compiles to TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .filter(
+            (F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp"))
+            & (F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp"))
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+    )
+
+
+_Q5_ORACLE = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN region r   ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+"""
+
+
+@query("tpch_q5_local_supplier", _Q5_ORACLE)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join. region/nation/supplier/customer are
+    dims → broadcast; only orders⋈lineitem is a fact-fact shuffle
+    join on orderkey. This join tree is the 100 TB-safe shape: one
+    shuffle, everything else map-side."""
+    t = {n: load_table(spark, sf_dir, n)
+         for n in ("customer", "orders", "lineitem", "supplier", "nation", "region")}
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(t["supplier"]),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+_TOPN_ORACLE = """
+SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
+
+
+@query("orders_topn_per_customer", _TOPN_ORACLE)
+def orders_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the window-ranking pattern
+    (same shape as batched kNN's per-query top-k)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(win).cast("int"))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+_CUMSUM_ORACLE = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (
+         PARTITION BY o_custkey
+         ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS running_total
+FROM orders
+"""
+
+
+@query("orders_running_total", _CUMSUM_ORACLE)
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer over order date — rowsBetween
+    frame window."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(win), 2).alias("running_total"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_revenue
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+"""
+
+
+@query("orders_rollup", _ROLLUP_ORACLE)
+def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate via ROLLUP — subtotals + grand total in
+    one pass (Catalyst expands to grouping sets with partial aggs)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            "n_orders",
+            "total_revenue",
+        )
+    )
+
+
+_INTERSECT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("setop_intersect", _INTERSECT_ORACLE)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with both fulfilled and open orders — INTERSECT."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.intersect(op)
+
+
+_EXCEPT_ORACLE = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("setop_except", _EXCEPT_ORACLE)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with fulfilled but no open orders — EXCEPT."""
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    op = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f.subtract(op)
+
+
+# --------------------------------------------------------------------------
+# Events: JSON extraction, sessionization, windowed aggregation —
+# SURVEY.md §2 Table B [ext] scalar-function + streaming-adjacent ops.
+# --------------------------------------------------------------------------
+
+_JSON_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("events_json_extract", _JSON_ORACLE)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction (get_json_object) + aggregate — stays
+    fully JVM-side; no Python UDF for semi-structured props."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.round(F.avg(k), 4).alias("avg_k"),
+    )
+
+
+_SESSION_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sessions AS (
+  SELECT user_id, event_id,
+         SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT session_id) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id
+"""
+
+
+@query("events_sessionize", _SESSION_ORACLE)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running
+    sum — the batch form of session_window; one shuffle on user_id
+    reused by both windows and the final aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    marked = e.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = marked.withColumn("session_id", F.sum("new_session").over(cum))
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+_TUMBLE_ORACLE = """
+SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_window", _TUMBLE_ORACLE)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling-window aggregate — the batch twin of the
+    Structured Streaming windowed agg in streaming/windows.py."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("double").cast("bigint").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_MOVAVG_ORACLE = """
+SELECT event_id,
+       ROUND(AVG(value) OVER (
+         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+       ), 4) AS moving_avg
+FROM events
+"""
+
+
+@query("events_moving_avg", _MOVAVG_ORACLE)
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-row moving average per user — bounded rowsBetween frame."""
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return e.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
     )

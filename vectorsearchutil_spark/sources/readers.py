@@ -28,7 +28,24 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. A plain parquet scan: filters/projection
-    applied by callers reach the scan via Catalyst pushdown."""
+    applied by callers reach the scan via Catalyst pushdown.
+
+    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark
+    does not read natively — we read it as raw nanos
+    (``nanosAsLong``) and floor-truncate to microseconds, matching
+    DuckDB's ns→µs truncation so oracles agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from pyspark.sql import functions as F
+
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
