@@ -1,0 +1,296 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Five strategies, from exact to approximate, all as declarative
+DataFrame plans (north-star scope; the reference itself only
+implements exact first-wins dedup on ``target``,
+``vsu/base/VectorSearchBase.py:79-87,124`` — reproduced in
+``VectorStore.set_data``):
+
+* **exact** — hash-groupBy on content. One shuffle on a 32-byte key.
+* **n-gram Jaccard** — inverted shingle index self-join. Exact
+  near-dup but the join fans out on frequent shingles; at 100 TB use
+  ``max_df`` to drop stop-shingles (standard practice) or MinHash.
+* **MinHash + LSH** — constant-size signatures, banded bucketing;
+  only bucket-mates are compared. The scale path: shuffle volume is
+  O(docs × bands), independent of document length.
+* **SimHash** — 16-bit fingerprints, band join with *complete* recall
+  for hamming ≤ 3 (pigeonhole over 4 bands of 4 bits).
+* **embedding cosine** — semantic near-dup over a vector column;
+  brute-force pair join at test SF, LSH-bucketed variant for scale
+  (operators/similarity.py).
+
+Hashes derive from md5 only, so every strategy is reproducible in the
+DuckDB oracles bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearchutil_spark.functions.text import (
+    minhash_value,
+    shingles,
+    simhash_votes,
+    tokens,
+)
+from vectorsearchutil_spark.functions.vector import cosine_similarity
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: (text_hash, n_docs,
+    keep_id=min id). Keep-first mirrors the reference's first-wins rule."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def _shingle_table(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    sh = df.select(
+        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    )
+    if max_df is not None:
+        # drop stop-shingles: frequent shingles blow up the self-join
+        # quadratically at scale and carry no dedup signal.
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        sh = sh.join(freq.filter(F.col("df") <= max_df), "shingle")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram-shingle Jaccard near-dup pairs (id_a < id_b,
+    jaccard ≥ threshold).
+
+    Plan: explode distinct shingles → self equi-join on shingle
+    (inverted index — only docs sharing a shingle are compared) →
+    count intersections → join per-doc set sizes → filter.
+    """
+    sh = _shingle_table(df, text_col, id_col, n, max_df).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    shingle → minhash (num_hashes md5 families) → band (groups of
+    band_size signature values hashed together) → bucket join →
+    exact-Jaccard verify on the candidates only.
+
+    At scale this is THE dedup plan: signatures are constant-size per
+    doc, the bucket join only compares plausible pairs, and the
+    expensive exact verify runs on a tiny candidate set. Recall for
+    s≥0.9 pairs with 16/4 defaults: 1-(1-s⁴)⁴ ≈ 0.99.
+    """
+    assert num_hashes % band_size == 0
+    n_bands = num_hashes // band_size
+    sh = _shingle_table(df, text_col, id_col, n, None).cache()
+    # signature: one min-aggregate per hash family — a single groupBy.
+    sig = sh.groupBy(id_col).agg(
+        *[
+            F.min(minhash_value(i, F.col("shingle"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    # bands: hash band_size consecutive signature values together.
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
+            )
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    banded = sig.select(id_col, *band_cols)
+    # candidates: docs sharing any band bucket.
+    stacked = banded.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(":", F.lit(str(b)), F.col(f"band{b}"))
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left = stacked.select(F.col(id_col).alias("id_a"), "bucket")
+    right = stacked.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on candidates only.
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["id_a", "id_b"])
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+SIMHASH_BITS = 32
+_SIMHASH_BANDS = 8  # 8 bands of 4 bits: complete recall for hamming ≤ 7
+
+
+def simhash_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-weighted 32-bit SimHash per document."""
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    votes = tf.select(
+        id_col, *simhash_votes(F.col("tok"), F.col("w"), SIMHASH_BITS)
+    )
+    summed = votes.groupBy(id_col).agg(
+        *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
+    )
+    hash_expr: Column = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        ),
+        range(SIMHASH_BITS),
+        F.lit(0).cast("long"),
+    )
+    return summed.select(F.col(id_col), hash_expr.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
+
+    Band join with complete recall: 8 bands of 4 bits — ≤7 differing
+    bits leave ≥1 band identical (pigeonhole), so joining on
+    (band_idx, band_bits) finds every qualifying pair (hamming ≤ 7)
+    without the O(n²) compare. Verification computes true hamming on
+    candidates.
+    """
+    assert max_hamming < _SIMHASH_BANDS
+    sh = simhash_table(df, text_col, id_col)
+    bands = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(b)),
+                        F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(15)),
+                    )
+                    for b in range(_SIMHASH_BANDS)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    left = bands.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sim_a"), "bucket"
+    )
+    right = bands.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b")).cast("long")
+            ).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Semantic near-dup pairs: cosine ≥ threshold, brute-force pair
+    join. Correct baseline at any SF; the LSH-bucketed variant in
+    operators/similarity.py is the 100 TB path (this one is O(n²))."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators for training-data pipelines (north-star
+scope): token statistics, quality scoring, heuristic language ID,
+content fingerprinting, corpus token histograms.
+
+Everything is built-in-function expressions over whitespace tokens —
+no Python UDF in any hot path — so each operator is one narrow
+pass + (at most) one aggregate shuffle, and each is reproducible in
+the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearchutil_spark.functions.text import (
+    distinct_tokens,
+    doc_fingerprint,
+    tokens,
+)
+
+#: Tiny per-language stopword lists for the heuristic language ID.
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "zu", "ist"],
+    "en": ["the", "a", "of", "and", "to", "is"],
+    "es": ["el", "la", "de", "y", "que", "es"],
+    "fr": ["le", "la", "de", "et", "les", "est"],
+    "zh": ["de", "le", "shi", "bu", "wo", "zai"],
+}
+
+#: Stopwords for the quality score (generic English function words).
+QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "is", "in", "on"]
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc token counts: n_tokens, n_unique, avg_token_len."""
+    toks = tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards length (saturating
+    at 100 tokens) and penalizes stopword-heavy text. The standard
+    cheap pre-filter before expensive model-based scoring."""
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = n_stop / n_tokens
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(
+            F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1.0 - stop_ratio), 4
+        ).alias("quality_score"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic language ID: count distinct marker-word hits per
+    language, argmax with alphabetical tie-break; 'und' (undetermined)
+    when nothing matches.
+
+    Plan: explode distinct tokens ⋈ broadcast(marker table) → count →
+    per-doc argmax — the zero-shot-classification plan shape with a
+    word table instead of label vectors.
+    """
+    from pyspark.sql import Window
+
+    markers = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
+    mdf = df.sparkSession.createDataFrame(markers, ["cand_lang", "tok"])
+    toks = df.select(
+        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+    )
+    hits = (
+        toks.join(F.broadcast(mdf), "tok")
+        .groupBy(id_col, "cand_lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("hits").desc(), F.col("cand_lang").asc()
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cand_lang", "hits")
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
+            F.coalesce("hits", F.lit(0)).cast("int").alias("marker_hits"),
+        )
+    )
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-insensitive md5 fingerprint of each doc's token set."""
+    return df.select(
+        F.col(id_col), doc_fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+
+
+def top_tokens(
+    df: DataFrame, text_col: str = "text", k: int = 20
+) -> DataFrame:
+    """Corpus token histogram, top-k by frequency (tie → token asc).
+    Partial aggregation keeps the shuffle at vocabulary size."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("token").asc())
+        .limit(k)
+    )

@@ -672,3 +672,293 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup family — north-star LLM-pipeline operators (BASELINE.json);
+# exact first-wins dedup is the reference's own semantics
+# (vsu/base/VectorSearchBase.py:79-87,124), the rest generalize it.
+# --------------------------------------------------------------------------
+
+from vectorsearchutil_spark.operators import dedup as _dd  # noqa: E402
+
+_DOCS_TOKS_CTE = """
+doctoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+)
+"""
+
+_SHINGLES_CTE = f"""
+{_DOCS_TOKS_CTE},
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+  FROM doctoks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || '_' || toks[i+1] || '_' || toks[i+2] AS shingle
+  FROM sh0
+)
+"""
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS keep_id
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("dedup_exact", _EXACT_DEDUP_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: hash-groupBy on content, keep-first (min
+    id) — one shuffle on a 32-byte key regardless of doc length."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.exact_dedup_groups(docs)
+
+
+_NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+"""
+
+
+@query("dedup_ngram_jaccard", _NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard near-dup pairs (≥0.8) via
+    inverted shingle index — only docs sharing a shingle compared."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+
+
+_MINHASH_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, s.i, MIN(md5(s.i || ':' || shingle)) AS h
+  FROM sh, range(0, 16) s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_idx,
+         md5(string_agg(h, '|' ORDER BY i)) AS band_val
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       ROUND(inter * 1.0 / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+FROM inter i
+JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+"""
+
+
+@query("dedup_minhash_lsh", _MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16)+LSH(4 bands) candidate generation + exact-Jaccard
+    verify — the constant-signature-size dedup plan for 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.minhash_lsh_pairs(docs, n=3, num_hashes=16, band_size=4, threshold=0.8)
+
+
+_SIMHASH_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS w
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM doctoks)
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id, j.j,
+         SUM(w * CASE WHEN ascii(substr(md5(tok), j.j + 1, 1)) % 2 = 1
+                      THEN 1 ELSE -1 END) AS s
+  FROM tf, range(0, 32) j(j)
+  GROUP BY doc_id, j.j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT)
+           AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+
+
+@query("dedup_simhash", _SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-weighted SimHash-32 near-dup pairs (hamming ≤ 2) via
+    8×4-bit band join — complete recall by pigeonhole, no O(n²)
+    compare."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.simhash_pairs(docs, max_hamming=2)
+
+
+_EMB_NEARDUP_ORACLE = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+"""
+
+
+@query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs (cosine ≥ 0.35) — brute-force baseline;
+    the LSH-bucketed scale path lives in operators/similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _dd.embedding_neardup_pairs(emb, threshold=0.35)
+
+
+# --------------------------------------------------------------------------
+# Text analysis — north-star operators over `documents`.
+# --------------------------------------------------------------------------
+
+from vectorsearchutil_spark.operators import textanalysis as _ta  # noqa: E402
+
+_TOKEN_STATS_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM doctoks)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(COUNT(DISTINCT tok) AS INT) AS n_unique,
+       ROUND(SUM(length(tok)) * 1.0 / COUNT(*), 4) AS avg_token_len
+FROM toks GROUP BY doc_id
+"""
+
+
+@query("text_token_stats", _TOKEN_STATS_ORACLE)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token statistics — one narrow pass, no explode shuffle
+    (counts come from array expressions)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.token_stats(docs)
+
+
+_QUALITY_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+toks AS (SELECT doc_id, unnest(toks) AS tok FROM doctoks),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN tok IN ('the','a','of','and','to','is','in','on')
+                  THEN 1 ELSE 0 END) AS n_stop
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+       ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4)
+         AS quality_score
+FROM agg
+"""
+
+
+@query("text_quality_score", _QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality pre-filter: length (saturating) × (1 −
+    stopword ratio)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.quality_score(docs)
+
+
+_LANGID_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+toks AS (SELECT DISTINCT doc_id, unnest(toks) AS tok FROM doctoks),
+markers(cand_lang, tok) AS (VALUES
+  ('de','der'),('de','die'),('de','das'),('de','und'),('de','zu'),('de','ist'),
+  ('en','the'),('en','a'),('en','of'),('en','and'),('en','to'),('en','is'),
+  ('es','el'),('es','la'),('es','de'),('es','y'),('es','que'),('es','es'),
+  ('fr','le'),('fr','la'),('fr','de'),('fr','et'),('fr','les'),('fr','est'),
+  ('zh','de'),('zh','le'),('zh','shi'),('zh','bu'),('zh','wo'),('zh','zai')
+),
+hits AS (
+  SELECT t.doc_id, m.cand_lang, COUNT(*) AS hits
+  FROM toks t JOIN markers m ON t.tok = m.tok
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT doc_id, cand_lang, hits,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY hits DESC, cand_lang ASC
+         ) AS rn
+  FROM hits
+)
+SELECT d.doc_id,
+       COALESCE(b.cand_lang, 'und') AS pred_lang,
+       CAST(COALESCE(b.hits, 0) AS INT) AS marker_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+@query("text_langid", _LANGID_ORACLE)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-word hits, argmax per doc
+    (zero-shot plan shape with a broadcast word table)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.language_id(docs)
+
+
+_FINGERPRINT_ORACLE = """
+SELECT doc_id,
+       md5(array_to_string(
+         list_sort(list_distinct(list_filter(string_split(text, ' '),
+                                             x -> x != ''))), ' '))
+         AS fingerprint
+FROM documents
+"""
+
+
+@query("text_fingerprint", _FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint of each doc's token set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.fingerprints(docs)
+
+
+_TOP_TOKENS_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+toks AS (SELECT unnest(toks) AS token FROM doctoks)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+FROM toks GROUP BY token
+ORDER BY freq DESC, token ASC
+LIMIT 20
+"""
+
+
+@query("text_top_tokens", _TOP_TOKENS_ORACLE)
+def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary histogram, top-20 (partial aggs keep the
+    shuffle at vocabulary size, not corpus size)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.top_tokens(docs, k=20)
