@@ -1,0 +1,68 @@
+import pyspark.sql.functions as F
+import pytest
+
+from vectorsearchutil_spark.operators import dedup as dd
+from vectorsearchutil_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+        (3, "completely different words entirely unrelated text here"),
+        (4, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (5, "one two"),                                        # too short for shingles
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_groups(docs):
+    groups = dd.exact_dedup_groups(docs).collect()
+    dup = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup) == 1
+    assert dup[0]["n_docs"] == 2
+    assert dup[0]["keep_id"] == 1  # first wins
+
+
+def test_ngram_jaccard_finds_near_and_exact(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0
+    assert (1, 2) in pairs and 0.5 <= pairs[(1, 2)] < 1.0
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_is_subset_of_exact_with_planted_dups(docs):
+    exact = {(r["id_a"], r["id_b"])
+             for r in dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    approx = {(r["id_a"], r["id_b"])
+              for r in dd.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert approx <= exact
+    assert (1, 4) in approx  # exact dups always collide in every band
+
+
+def test_simhash_exact_dup_hamming_zero(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dd.simhash_pairs(docs, max_hamming=2).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0]),   # nearly parallel to 1
+        (3, [0.0, 1.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    pairs = dd.embedding_neardup_pairs(df, threshold=0.95).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+
+def test_ngram_max_df_drops_stop_shingles(spark):
+    # a shingle shared by everything carries no signal; max_df must cut it
+    rows = [(i, f"common shingle here unique{i} tail{i} words{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    all_pairs = dd.ngram_jaccard_pairs(df, threshold=0.01).count()
+    capped = dd.ngram_jaccard_pairs(df, threshold=0.01, max_df=3).count()
+    assert capped < all_pairs

@@ -1,0 +1,44 @@
+import pyspark.sql.functions as F
+import pytest
+
+from vectorsearchutil_spark.operators.mlops import mlp_classifier, mlp_regressor
+from vectorsearchutil_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_classifier_scores_all_rows(emb):
+    fit = mlp_classifier(emb, y_col="label", vector_col="embedding", id_col="vec_id")
+    assert fit.metric_name == "accuracy"
+    assert 0.0 <= fit.metric_value <= 1.0
+    scored = fit.scored
+    assert scored.count() == emb.count()
+    row = scored.first()
+    assert "prediction" in scored.columns
+    assert len(row["proba"]) == 10  # one probability per class
+    assert abs(sum(row["proba"]) - 1.0) < 1e-6
+
+
+def test_regressor_scores_all_rows(emb):
+    fit = mlp_regressor(emb, y_col="label", vector_col="embedding", id_col="vec_id")
+    assert fit.metric_name == "r2"
+    scored = fit.scored
+    assert scored.count() == emb.count()
+    assert all(r["prediction"] is not None for r in scored.select("prediction").collect())
+
+
+def test_regressor_learns_linear_signal(spark):
+    # y = first component: a signal the MLP must capture (sanity that
+    # the numpy fallback actually optimizes)
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    X = rng.randn(400, 8)
+    y = X[:, 0] * 3.0 + 1.0
+    rows = [(i, [float(v) for v in X[i]], float(y[i])) for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "vector", "y"])
+    fit = mlp_regressor(df, y_col="y", vector_col="vector", id_col="id")
+    assert fit.metric_value > 0.8

@@ -1,0 +1,65 @@
+import pyspark.sql.functions as F
+import pytest
+
+from vectorsearchutil_spark.operators.knn import knn_batch
+from vectorsearchutil_spark.operators.similarity import (
+    build_ivf_index,
+    ivf_search,
+    knn_batch_matrix,
+    neardup_pairs_matrix,
+)
+from vectorsearchutil_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+@pytest.fixture(scope="module")
+def queries5(emb):
+    return emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+
+
+def test_matrix_knn_matches_expression_knn(emb, queries5):
+    expr = knn_batch(emb, queries5, k=5, vector_col="embedding", id_col="vec_id")
+    mat = knn_batch_matrix(emb, queries5, k=5, vector_col="embedding", id_col="vec_id")
+    a = {(r["query_id"], r["rank"]): r["vec_id"] for r in expr.collect()}
+    b = {(r["query_id"], r["rank"]): r["vec_id"] for r in mat.collect()}
+    assert a == b
+
+
+def test_neardup_matrix_symmetric_and_thresholded(emb):
+    pairs = neardup_pairs_matrix(emb, threshold=0.4).collect()
+    assert len(pairs) > 0
+    for p in pairs:
+        assert p["id_a"] < p["id_b"]
+        assert p["cosine"] >= 0.4
+
+
+def test_ivf_recall_against_exact(spark, emb, queries5):
+    # centroids: one per label class
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("s", lambda x: x["v"]).alias("centroid_vec"))
+    )
+    indexed = build_ivf_index(emb, cents, vector_col="embedding", id_col="vec_id")
+    assert indexed.count() == emb.count()  # every vector in exactly one list
+    approx = ivf_search(indexed, cents, queries5, k=5, n_probe=5,
+                        vector_col="embedding", id_col="vec_id")
+    exact = knn_batch(emb, queries5, k=5, vector_col="embedding", id_col="vec_id")
+    a = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    recall = len(a & e) / len(e)
+    # near-random vectors scatter neighbors across lists; probing half
+    # the lists must recover at least half the true neighbors
+    assert recall >= 0.5
+    # self-match always found: a query's own vector is in a probed list
+    assert all((q, q) in a for q in range(5))

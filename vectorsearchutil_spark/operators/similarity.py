@@ -1,0 +1,258 @@
+"""Similarity search over embedding columns — the scale paths.
+
+Three tiers (north-star "similarity search" scope; the reference's
+faiss index, ``vsu/base/VectorSearchBase.py:54-59``, is the
+single-node analog of tier 2/3):
+
+1. **exact, expression-based** (operators/knn.py) — per-row
+   higher-order-function distances; right when queries are few and
+   the corpus is scanned once.
+2. **exact, matrix-based** (this module) — broadcast one side as a
+   numpy matrix, Arrow-batch the other through ``mapInPandas``, and
+   let BLAS do blocked dot products. 10-100× over per-pair
+   expressions; the broadcast side must fit in executor memory
+   (a 10M×64-float32 matrix is 2.5 GB — fine; beyond that, block
+   both sides).
+3. **approximate** — IVF-style partition pruning: assign vectors to
+   their nearest centroid (one narrow pass), then search only the
+   ``n_probe`` closest partitions per query. At 100 TB this is the
+   plan: the centroid assignment becomes the Parquet partition key,
+   and partition pruning turns each query into a sub-scan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from vectorsearchutil_spark.functions.vector import l2_distance
+
+
+def _collect_matrix(
+    df: DataFrame, id_col: str, vector_col: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """Collect (ids, row-major float64 matrix) for the broadcast side."""
+    rows = df.select(id_col, vector_col).collect()
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([r[1] for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def neardup_pairs_matrix(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine ≥ threshold — exact,
+    matrix-based brute force.
+
+    Plan: broadcast the (normalized) corpus matrix; each Arrow batch
+    of corpus rows computes ``batch @ corpus.T`` with BLAS and emits
+    qualifying pairs. One narrow pass, no shuffle at all; output is
+    the (small) qualifying pair set.
+    """
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vector_col)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    normed = mat / norms[:, None]
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(normed)
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        all_ids = b_ids.value
+        all_mat = b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf[vector_col]), dtype=np.float64)
+            qn = np.linalg.norm(q, axis=1)
+            qn[qn == 0.0] = 1.0
+            sims = (q / qn[:, None]) @ all_mat.T
+            qa = pdf[id_col].to_numpy(dtype=np.int64)
+            ai, bj = np.nonzero(sims >= threshold)
+            id_a = qa[ai]
+            id_b = all_ids[bj]
+            keep = id_a < id_b
+            yield pd.DataFrame(
+                {
+                    "id_a": id_a[keep],
+                    "id_b": id_b[keep],
+                    "cosine": sims[ai[keep], bj[keep]],
+                }
+            )
+
+    return (
+        df.select(id_col, vector_col)
+        .mapInPandas(compute, out_schema)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def knn_batch_matrix(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "query_vector",
+    metric: str = "l2",
+) -> DataFrame:
+    """Batched exact kNN, matrix form: broadcast the query matrix,
+    stream the corpus through BLAS, keep per-batch top-k, reduce with
+    a window. Same result contract as operators.knn.knn_batch.
+
+    The corpus (the 100 TB side) never shuffles and is read once; the
+    final window sees ≤ k rows per (query, batch)."""
+    spark = corpus.sparkSession
+    q_ids, q_mat = _collect_matrix(queries, query_id_col, query_vector_col)
+    b_qids = spark.sparkContext.broadcast(q_ids)
+    b_qmat = spark.sparkContext.broadcast(q_mat)
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("distance", DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids = b_qids.value
+        qmat = b_qmat.value
+        for pdf in batches:
+            c = np.array(list(pdf[vector_col]), dtype=np.float64)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            if metric == "l2":
+                # ||q||² - 2q·c + ||c||², computed blocked
+                d2 = (
+                    (qmat * qmat).sum(axis=1)[:, None]
+                    - 2.0 * (qmat @ c.T)
+                    + (c * c).sum(axis=1)[None, :]
+                )
+                scores = np.sqrt(np.maximum(d2, 0.0))
+                take = min(k, scores.shape[1])
+                part = np.argpartition(scores, take - 1, axis=1)[:, :take]
+            else:
+                qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+                cn = np.linalg.norm(c, axis=1, keepdims=True)
+                scores = -((qmat / qn) @ (c / cn).T)  # negate → ascending
+                take = min(k, scores.shape[1])
+                part = np.argpartition(scores, take - 1, axis=1)[:, :take]
+            rows = {query_id_col: [], id_col: [], "distance": []}
+            for qi in range(len(qids)):
+                for cj in part[qi]:
+                    rows[query_id_col].append(qids[qi])
+                    rows[id_col].append(cids[cj])
+                    rows["distance"].append(
+                        scores[qi, cj] if metric == "l2" else -scores[qi, cj]
+                    )
+            yield pd.DataFrame(rows)
+
+    from pyspark.sql import Window
+
+    asc = metric == "l2"
+    candidates = corpus.select(id_col, vector_col).mapInPandas(compute, out_schema)
+    order = [
+        F.col("distance").asc() if asc else F.col("distance").desc(),
+        F.col(id_col).asc(),
+    ]
+    win = Window.partitionBy(query_id_col).orderBy(*order)
+    return (
+        candidates.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def build_ivf_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (IVF list id).
+
+    One pass: corpus ⨯ broadcast(centroids) → min distance → list id.
+    At 100 TB the result is written partitioned by ``centroid_id`` so
+    queries prune partitions (the Spark analog of faiss IVF lists —
+    reference index at vsu/base/VectorSearchBase.py:54-59).
+    """
+    from pyspark.sql import Window
+
+    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", l2_distance(F.col(vector_col), F.col(centroid_vec_col))
+    )
+    win = Window.partitionBy(id_col).orderBy(
+        F.col("_d").asc(), F.col(centroid_id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(df["*"], F.col(centroid_id_col))
+    )
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+    query_id_col: str = "query_id",
+    query_vector_col: str = "query_vector",
+) -> DataFrame:
+    """Approximate kNN: per query, search only the n_probe nearest
+    IVF lists. Recall < 1 by design; the win is scanning
+    n_probe/n_lists of the data (partition pruning at scale)."""
+    from pyspark.sql import Window
+
+    # which lists does each query probe? (tiny: queries × centroids)
+    probe_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", l2_distance(F.col(query_vector_col), F.col(centroid_vec_col))
+    )
+    pwin = Window.partitionBy(query_id_col).orderBy(
+        F.col("_d").asc(), F.col(centroid_id_col).asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(pwin))
+        .filter(F.col("_rn") <= n_probe)
+        .select(query_id_col, query_vector_col, centroid_id_col)
+    )
+    # search only rows in probed lists: equi-join on list id prunes
+    # the corpus before any distance is computed.
+    cand = indexed.join(F.broadcast(probes), centroid_id_col)
+    scored = cand.withColumn(
+        "distance", l2_distance(F.col(vector_col), F.col(query_vector_col))
+    )
+    win = Window.partitionBy(query_id_col).orderBy(
+        F.col("distance").asc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "distance", "rank")
+    )

