@@ -1,0 +1,66 @@
+"""Physical-plan assertions: the scale posture is a property of the
+plan, not a hope — filters reach the scan, dims broadcast, top-k never
+global-sorts, fact joins never go cartesian."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from vectorsearchutil_spark import queries as Q
+from vectorsearchutil_spark.plans.explain import (
+    assert_no_cartesian,
+    formatted_plan,
+    has_broadcast_join,
+    pushed_filters,
+)
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    df = Q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed  # predicate reaches parquet
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    df = Q.QUERIES["tpch_q1_pricing_summary"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # lineitem has 11 columns; the scan must not read join keys we
+    # never use
+    assert "l_partkey" not in plan
+    assert "l_suppkey" not in plan
+
+
+def test_q3_broadcasts_customer(spark, sf_dir):
+    df = Q.QUERIES["tpch_q3_shipping_priority"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_q5_single_fact_shuffle(spark, sf_dir):
+    df = Q.QUERIES["tpch_q5_local_supplier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    # orders⋈lineitem is the only sort-merge/shuffled-hash join; all
+    # dims broadcast
+    non_broadcast_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert non_broadcast_joins <= 1
+
+
+def test_knn_single_is_take_ordered(spark, sf_dir):
+    df = Q.QUERIES["knn_single"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # distributed top-k
+    assert "Exchange" not in plan  # no shuffle at all
+
+
+def test_dedup_exact_prunes_columns(spark, sf_dir):
+    df = Q.QUERIES["dedup_exact"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # only doc_id + text needed; lang/source/n_chars must be pruned
+    assert "n_chars" not in plan
+
+
+def test_zeroshot_broadcasts_labels(spark, sf_dir):
+    df = Q.QUERIES["zeroshot_cosine"](spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" in formatted_plan(df) or has_broadcast_join(df)

@@ -26,13 +26,16 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
-def shingles(text: Column | str, n: int = 3, sep: str = "_") -> Column:
-    """Distinct word n-gram shingles as joined strings.
+def shingles_of_tokens(toks: Column, n: int = 3, sep: str = "_") -> Column:
+    """Distinct word n-gram shingles from an already-materialized
+    token-array COLUMN (not an expression!).
 
-    Built with transform-over-index so the whole thing is one codegen
-    expression: shingle_i = toks[i] ++ sep ++ ... ++ toks[i+n-1].
+    CRITICAL perf note: ``toks`` must be a plain column reference.
+    Passing the tokenization expression directly would re-evaluate
+    split+filter once per array element inside the transform lambda —
+    O(tokens²) per document (measured 5× slowdown on the shingle
+    stage). Callers project tokens first, then call this.
     """
-    toks = tokens(text)
     # guard: sequence(0, -1) would produce a DESCENDING sequence, so
     # short documents must map to an explicitly empty shingle set.
     idx = F.when(
@@ -47,26 +50,42 @@ def shingles(text: Column | str, n: int = 3, sep: str = "_") -> Column:
     return F.array_distinct(grams)
 
 
+def shingles(text: Column | str, n: int = 3, sep: str = "_") -> Column:
+    """Distinct word n-gram shingles straight from a text column.
+    Convenience form for small inputs/tests; hot paths should project
+    ``tokens()`` first and use ``shingles_of_tokens`` (see its note).
+    """
+    return shingles_of_tokens(tokens(text), n, sep)
+
+
 def doc_fingerprint(text: Column | str) -> Column:
     """Order-insensitive content fingerprint: md5 of the sorted
     distinct token set. Equal fingerprints ⇔ equal token sets."""
     return F.md5(F.array_join(F.array_sort(distinct_tokens(text)), " "))
 
 
-def minhash_value(seed: int, item: Column) -> Column:
-    """One MinHash family member: h_seed(item) = md5('seed:item').
+def minhash_base_hashes(item: Column) -> tuple[Column, Column]:
+    """Two independent 48-bit integer hashes from ONE md5 of the item
+    (hex digits 1-12 and 17-28).
 
-    Min over a set of these hex strings is a valid min-hash (any
-    total order over a uniform hash works); identical in SQL:
-    ``min(md5(seed || ':' || item))``.
+    MinHash family member i is then ``h1 + i·h2`` (classic double
+    hashing): i ≤ 15 keeps values < 2^53, no overflow, and the
+    arithmetic is bit-identical in any SQL engine via
+    ``('0x' || substr(md5(s), 1, 12))::BIGINT``. One md5 per item
+    instead of one per (item, family) — 16× fewer hashes.
     """
-    return F.md5(F.concat(F.lit(f"{seed}:"), item))
+    h = F.md5(item)
+    h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(h, 17, 12), 16, 10).cast("long")
+    return h1, h2
 
 
-def simhash_votes(token_col: Column, weight_col: Column, bits: int = 32) -> list[Column]:
+def simhash_votes(hash_col: Column, weight_col: Column, bits: int = 32) -> list[Column]:
     """Per-token weighted ±w votes for a ``bits``-wide SimHash.
 
-    Bit j of a token = parity of hex digit j of md5(token) — cheap,
+    ``hash_col`` must be the md5 hex of the token, computed ONCE by
+    the caller (32 projections of the same md5 would otherwise hash
+    32× per row). Bit j of a token = parity of hex digit j — cheap,
     deterministic, and expressible in any SQL dialect via
     ``ascii(substr(md5(tok), j+1, 1)) % 2``. Votes are weighted by
     term frequency (standard SimHash), which is what discriminates
@@ -74,8 +93,7 @@ def simhash_votes(token_col: Column, weight_col: Column, bits: int = 32) -> list
     Returns ``bits`` vote columns (±weight) to be summed per document.
     """
     votes = []
-    h = F.md5(token_col)
     for j in range(bits):
-        bit = F.ascii(F.substring(h, j + 1, 1)) % 2
+        bit = F.ascii(F.substring(hash_col, j + 1, 1)) % 2
         votes.append((weight_col * (bit * 2 - 1)).alias(f"v{j}"))
     return votes

@@ -31,8 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from vectorsearchutil_spark.functions.text import (
-    minhash_value,
-    shingles,
+    minhash_base_hashes,
+    shingles_of_tokens,
     simhash_votes,
     tokens,
 )
@@ -56,8 +56,14 @@ def exact_dedup_groups(
 def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None
 ) -> DataFrame:
-    sh = df.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("shingle")
+    # two-step projection: materialize the token array per row FIRST,
+    # then shingle it — see shingles_of_tokens perf note.
+    sh = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle"),
+        )
     )
     if max_df is not None:
         # drop stop-shingles: frequent shingles blow up the self-join
@@ -129,10 +135,13 @@ def minhash_lsh_pairs(
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
     sh = _shingle_table(df, text_col, id_col, n, None).cache()
-    # signature: one min-aggregate per hash family — a single groupBy.
-    sig = sh.groupBy(id_col).agg(
+    # signature: one md5 per shingle, num_hashes derived members via
+    # double hashing, one min-aggregate per member — a single groupBy.
+    h1, h2 = minhash_base_hashes(F.col("shingle"))
+    hashed = sh.withColumn("_h1", h1).withColumn("_h2", h2)
+    sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(minhash_value(i, F.col("shingle"))).alias(f"h{i}")
+            F.min(F.col("_h1") + i * F.col("_h2")).alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
@@ -166,16 +175,18 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only.
+    # exact verify on candidates ONLY: expand each candidate pair to
+    # its left doc's shingles, then probe the right doc — cost is
+    # O(|candidates| × shingles/doc), never the full inverted-index
+    # pair fan-out (that's what LSH bought us).
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col(id_col).alias("id_a"), "shingle")
     b = sh.select(F.col(id_col).alias("id_b"), "shingle")
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
-        .join(cand, ["id_a", "id_b"])
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
@@ -192,22 +203,34 @@ def minhash_lsh_pairs(
 
 
 SIMHASH_BITS = 32
-_SIMHASH_BANDS = 8  # 8 bands of 4 bits: complete recall for hamming ≤ 7
+#: (bit_offset, width) per band. 3 bands → complete recall for
+#: hamming ≤ 2 (pigeonhole), and ~2^11-way buckets keep the candidate
+#: join sparse — narrow 4-bit bands would collapse into ~hundred
+#: buckets and regrow the O(n²) pair set LSH exists to avoid.
+_SIMHASH_BAND_LAYOUT = [(0, 11), (11, 11), (22, 10)]
 
 
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """TF-weighted 32-bit SimHash per document."""
-    tf = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .groupBy(id_col, "tok")
-        .agg(F.count(F.lit(1)).alias("w"))
+    """TF-weighted 32-bit SimHash per document.
+
+    Summing ±1 per token *occurrence* equals the tf-weighted vote sum
+    over distinct tokens, so no (doc, token) pre-aggregation is
+    needed: explode occurrences, md5 each once, project 32 codegen'd
+    ±1 vote columns, and reduce with ONE partial-agg groupBy — the
+    shuffle carries 32 ints per (doc × partition), not tokenized
+    rows. (An array-aggregate formulation with zero shuffles was
+    measured slower: higher-order-function lambdas evaluate
+    interpreted, outside whole-stage codegen.)
+    """
+    occ = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.md5(F.col("tok")))  # hash once, slice 32×
+    votes = occ.select(
+        id_col, *simhash_votes(F.col("h"), F.lit(1), SIMHASH_BITS)
     )
-    votes = tf.select(
-        id_col, *simhash_votes(F.col("tok"), F.col("w"), SIMHASH_BITS)
-    )
-    summed = votes.groupBy(id_col).agg(
+    svals = votes.groupBy(id_col).agg(
         *[F.sum(f"v{j}").alias(f"s{j}") for j in range(SIMHASH_BITS)]
     )
     hash_expr: Column = reduce(
@@ -218,7 +241,7 @@ def simhash_table(
         range(SIMHASH_BITS),
         F.lit(0).cast("long"),
     )
-    return summed.select(F.col(id_col), hash_expr.alias("simhash"))
+    return svals.select(F.col(id_col), hash_expr.alias("simhash"))
 
 
 def simhash_pairs(
@@ -229,13 +252,12 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs with SimHash hamming distance ≤ max_hamming.
 
-    Band join with complete recall: 8 bands of 4 bits — ≤7 differing
-    bits leave ≥1 band identical (pigeonhole), so joining on
-    (band_idx, band_bits) finds every qualifying pair (hamming ≤ 7)
-    without the O(n²) compare. Verification computes true hamming on
-    candidates.
+    Band join with complete recall: 3 wide bands — ≤2 differing bits
+    leave ≥1 band identical (pigeonhole), so joining on
+    (band_idx, band_bits) finds every qualifying pair without the
+    O(n²) compare. Verification computes true hamming on candidates.
     """
-    assert max_hamming < _SIMHASH_BANDS
+    assert max_hamming < len(_SIMHASH_BAND_LAYOUT)
     sh = simhash_table(df, text_col, id_col)
     bands = sh.select(
         id_col,
@@ -246,9 +268,11 @@ def simhash_pairs(
                     F.concat_ws(
                         ":",
                         F.lit(str(b)),
-                        F.shiftright(F.col("simhash"), b * 4).bitwiseAND(F.lit(15)),
+                        F.shiftright(F.col("simhash"), off).bitwiseAND(
+                            F.lit(2**width - 1)
+                        ),
                     )
-                    for b in range(_SIMHASH_BANDS)
+                    for b, (off, width) in enumerate(_SIMHASH_BAND_LAYOUT)
                 ]
             )
         ).alias("bucket"),
@@ -259,12 +283,10 @@ def simhash_pairs(
     right = bands.select(
         F.col(id_col).alias("id_b"), F.col("simhash").alias("sim_b"), "bucket"
     )
-    cand = (
-        left.join(right, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sim_a", "sim_b")
-        .distinct()
-    )
+    # hamming filter BEFORE the distinct: the bit_count predicate is
+    # a free map-side filter, so the dedup shuffle only carries the
+    # few qualifying pairs instead of every bucket collision.
+    cand = left.join(right, "bucket").filter(F.col("id_a") < F.col("id_b"))
     return (
         cand.withColumn(
             "hamming",
@@ -274,6 +296,7 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+        .distinct()
     )
 
 

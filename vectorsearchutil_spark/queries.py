@@ -747,14 +747,20 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
 sig AS (
-  SELECT doc_id, s.i, MIN(md5(s.i || ':' || shingle)) AS h
-  FROM sh, range(0, 16) s(i)
+  SELECT doc_id, s.i, MIN(h1 + s.i * h2) AS h
+  FROM hashed, range(0, 16) s(i)
   GROUP BY doc_id, s.i
 ),
 bands AS (
   SELECT doc_id, i // 4 AS band_idx,
-         md5(string_agg(h, '|' ORDER BY i)) AS band_val
+         md5(string_agg(h::VARCHAR, '|' ORDER BY i)) AS band_val
   FROM sig GROUP BY doc_id, i // 4
 ),
 cand AS (
@@ -1135,4 +1141,208 @@ def mlp_regressor_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return fit.scored.select(
         "vec_id", F.round(F.col("prediction"), 3).alias("prediction")
+    )
+
+
+# --------------------------------------------------------------------------
+# Store ingest semantics as oracle-checked queries — reference A1/A2/A7
+# (VectorSearchBase.py:77-133, 215-217).
+# --------------------------------------------------------------------------
+
+_INGEST_APPEND_ORACLE = """
+WITH existing AS (
+  SELECT text AS target, source AS option1 FROM documents WHERE doc_id < 250
+),
+incoming AS (
+  SELECT text AS target, 'NEW' AS option1 FROM documents WHERE doc_id >= 200
+)
+SELECT target, option1 FROM existing
+UNION ALL
+SELECT i.target, i.option1
+FROM incoming i
+WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.target = i.target)
+"""
+
+
+@query("store_ingest_append", _INGEST_APPEND_ORACLE)
+def store_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 append semantics: insert-if-absent via left-anti join —
+    overlapping targets keep the existing row, never overwritten
+    (VectorSearchBase.py:79-87; demonstrated vsu/sample/main.py:31-54).
+    The anti-join broadcasts the existing-target set; at scale the
+    store is bucketed by hash(target) making this shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") < 250).select(
+        F.col("text").alias("target"), F.col("source").alias("option1")
+    )
+    incoming = docs.filter(F.col("doc_id") >= 200).select(
+        F.col("text").alias("target"), F.lit("NEW").alias("option1")
+    )
+    fresh = incoming.join(
+        F.broadcast(existing.select("target")), "target", "left_anti"
+    )
+    return existing.unionByName(fresh)
+
+
+_QUERY_WITH_INFO_ORACLE = """
+WITH store AS (
+  SELECT vec_id AS id,
+         CAST(vec_id AS VARCHAR) AS target,
+         CAST(label AS VARCHAR) AS option1,
+         NULL::VARCHAR AS option2,
+         embedding
+  FROM embeddings
+),
+q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 2)
+SELECT s.id, s.target, s.option1,
+       ROUND(list_distance(s.embedding::DOUBLE[], q.qv), 4) AS distance
+FROM store s, q
+ORDER BY list_distance(s.embedding::DOUBLE[], q.qv) ASC, s.id ASC
+LIMIT 5
+"""
+
+
+@query("store_query_with_info", _QUERY_WITH_INFO_ORACLE)
+def store_query_with_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: kNN result with all-null columns dropped (the reference's
+    dropna(how='all', axis=1), VectorSearchBase.py:215-217). option2
+    is entirely null in the store, so the data-dependent projection
+    must remove it — the oracle simply never selects it."""
+    from vectorsearchutil_spark.operators.projection import (
+        prune_all_null_columns,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    store = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("vec_id").cast("string").alias("target"),
+        F.col("label").cast("string").alias("option1"),
+        F.lit(None).cast("string").alias("option2"),
+        F.col("embedding").alias("vector"),
+    )
+    qv = emb.filter(F.col("vec_id") == 2).first()["embedding"]
+    res = knn(store, qv, k=5, vector_col="vector", id_col="id").select(
+        "id", "target", "option1", "option2",
+        F.round(F.col("distance"), 4).alias("distance"),
+    )
+    return prune_all_null_columns(res)
+
+
+# --------------------------------------------------------------------------
+# More relational shapes: semi/anti joins, distinct counts, sliding windows.
+# --------------------------------------------------------------------------
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_mktsegment FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+@query("customers_semi_join", _SEMI_ORACLE)
+def customers_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join: customers having any order > 300k — existence
+    check without duplicating customer rows."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_semi"
+    ).select("c_custkey", "c_mktsegment")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_acctbal FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+"""
+
+
+@query("customers_anti_join", _ANTI_ORACLE)
+def customers_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join: customers with no order above 300k — the
+    dedup/insert-if-absent primitive (A2) in relational form."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 300000
+    )
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+_DISTINCT_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("orders_distinct_customers", _DISTINCT_ORACLE)
+def orders_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_distinct per group (expands to a two-phase aggregate;
+    approx_count_distinct is the one-pass alternative at scale)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+_SLIDING_ORACLE = """
+WITH buckets AS (
+  SELECT CAST(FLOOR(epoch(ts) / 600) * 600 AS BIGINT) AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT CAST(FLOOR(epoch(ts) / 600) * 600 - 600 AS BIGINT) AS window_start, value
+  FROM events
+)
+SELECT window_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 3) AS sum_value
+FROM buckets GROUP BY window_start
+"""
+
+
+@query("events_sliding_window", _SLIDING_ORACLE)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-minute windows sliding every 10 — each event lands in two
+    windows (the overlap form of F.window)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "20 minutes", "10 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 3).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("double").cast("bigint").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+_PART_STATS_ORACLE = """
+SELECT p_brand,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       MIN(p_size) AS min_size,
+       MAX(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+@query("part_brand_stats", _PART_STATS_ORACLE)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain grouped aggregate over part."""
+    p = load_table(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
     )

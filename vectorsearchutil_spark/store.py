@@ -176,11 +176,11 @@ class VectorStore:
         res = self.query(q, k)
         if res is None:
             return None
-        counts = res.agg(
-            *[F.count(F.col(c)).alias(c) for c in res.columns]
-        ).first()
-        keep = [c for c in res.columns if counts[c] > 0]
-        return res.select(*keep)
+        from vectorsearchutil_spark.operators.projection import (
+            prune_all_null_columns,
+        )
+
+        return prune_all_null_columns(res)
 
     # -- zero-shot (A8/A9/A19) ----------------------------------------
 
