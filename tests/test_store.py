@@ -93,3 +93,38 @@ def test_zeroshot_softmax_probs(store, spark):
     out = store.do_zeroshot(variant="clip")
     for r in out.collect():
         assert 0.0 <= r["prob"] <= 1.0
+
+
+def test_parquet_persistence_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "store.parquet")
+    vs = VectorStore(spark, path=path)
+    vs.set_data(_df(spark, [("a", "1"), ("b", "2")]))
+    # a fresh store object on the same path sees the data
+    vs2 = VectorStore(spark, path=path)
+    assert vs2.count() == 2
+    res = vs2.query("a", k=1)
+    assert res.first()["target"] == "a"
+    # append persists too
+    vs2.set_data(_df(spark, [("c", "3")]), append=True)
+    assert VectorStore(spark, path=path).count() == 3
+
+
+def test_no_label_tower_disables_zeroshot(spark):
+    # A10 (vsu/image/_classes.py:69-70): embedders without a text
+    # tower return None from do_zeroshot
+    from vectorsearchutil_spark.embedders import register_embedder
+    import pandas as pd
+
+    if "notower" not in __import__(
+        "vectorsearchutil_spark.embedders", fromlist=["embedder_names"]
+    ).embedder_names():
+        @register_embedder("notower", 4, supports_zeroshot=False)
+        def _factory():
+            def encode(s: pd.Series) -> pd.Series:
+                return s.map(lambda t: [1.0, 0.0, 0.0, 0.0])
+            return encode
+
+    vs = VectorStore(spark, embedder="notower")
+    vs.set_data(_df(spark, [("a", "1")]))
+    vs.set_zeroshot_labels(["x", "y"])
+    assert vs.do_zeroshot() is None

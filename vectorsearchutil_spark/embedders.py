@@ -29,18 +29,21 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, FloatType
 
-_REGISTRY: dict[str, tuple[int, Callable[[], Callable[[pd.Series], pd.Series]]]] = {}
+_REGISTRY: dict[str, tuple[int, Callable[[], Callable[[pd.Series], pd.Series]], bool]] = {}
 
 
-def register_embedder(name: str, dim: int):
+def register_embedder(name: str, dim: int, supports_zeroshot: bool = True):
     """Register ``fn() -> (pd.Series[str] -> pd.Series[list[float]])``.
 
     The outer call is the per-executor model init (reference
     ``init_model``); the inner callable encodes one Arrow batch.
+    ``supports_zeroshot=False`` marks embedders with no text/label
+    tower — the reference's EfficientNet disables zero-shot outright
+    (A10, ``vsu/image/_classes.py:69-70``).
     """
 
     def deco(factory):
-        _REGISTRY[name] = (dim, factory)
+        _REGISTRY[name] = (dim, factory, supports_zeroshot)
         return factory
 
     return deco
@@ -54,6 +57,10 @@ def embedding_dim(name: str) -> int:
     return _REGISTRY[name][0]
 
 
+def supports_zeroshot(name: str) -> bool:
+    return _REGISTRY[name][2]
+
+
 def embed_udf(name: str):
     """Build the iterator pandas_udf for a registered embedder.
 
@@ -61,7 +68,7 @@ def embed_udf(name: str):
     at 100 TB an executor core processes thousands of Arrow batches
     per model load.
     """
-    dim, factory = _REGISTRY[name]
+    dim, factory, _ = _REGISTRY[name]
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:

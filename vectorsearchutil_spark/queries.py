@@ -1346,3 +1346,96 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("p_size").alias("min_size"),
         F.max("p_size").alias("max_size"),
     )
+
+
+# --------------------------------------------------------------------------
+# Batch session_window + the embedder-UDF path, oracle-checked.
+# --------------------------------------------------------------------------
+
+_SESSION_WINDOW_ORACLE = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                OR LAG(ts) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sid
+  FROM marked
+)
+SELECT user_id,
+       CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+
+@query("events_session_window_batch", _SESSION_WINDOW_ORACLE)
+def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in BATCH mode (30-min gap) — same
+    semantics as the lag-based islands (events_sessionize) and the
+    streaming session operator, via the built-in gap-merge."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("s"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.col("s.start").cast("double")).cast("bigint")
+            .alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def _hash64_component_sql(j: int) -> str:
+    """DuckDB expression replicating one hash64 embedder component
+    (pre-normalization): int(md5('j:text')[:8], 16) / 2^31 - 1."""
+    return (
+        f"(('0x' || substr(md5('{j}:' || text), 1, 8))::BIGINT"
+        f" / 2147483648.0 - 1.0)"
+    )
+
+
+_EMBED_ORACLE = f"""
+WITH comps AS (
+  SELECT doc_id,
+         {_hash64_component_sql(0)} AS v0,
+         {_hash64_component_sql(31)} AS v31,
+         sqrt((SELECT SUM(POW(('0x' || substr(md5(t.i || ':' || d.text), 1, 8))::BIGINT
+                             / 2147483648.0 - 1.0, 2))
+               FROM range(0, 64) t(i))) AS nrm
+  FROM documents d
+)
+SELECT doc_id,
+       64 AS emb_dim,
+       ROUND(((v0 / nrm)::FLOAT)::DOUBLE, 6) AS e0,
+       ROUND(((v31 / nrm)::FLOAT)::DOUBLE, 6) AS e31
+FROM comps
+"""
+
+
+@query("embed_documents_hash64", _EMBED_ORACLE)
+def embed_documents_hash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedder-UDF surface end-to-end: documents.text through
+    the registered hash64 iterator pandas UDF (per-task init, Arrow
+    batches — reference A3's batched __trans_vec_main), checked
+    component-wise against a SQL re-derivation of the same md5 math."""
+    from vectorsearchutil_spark.embedders import embed_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = docs.select(
+        "doc_id", embed_udf("hash64")(F.col("text")).alias("emb")
+    )
+    return emb.select(
+        "doc_id",
+        F.size("emb").alias("emb_dim"),
+        F.round(F.element_at("emb", 1).cast("double"), 6).alias("e0"),
+        F.round(F.element_at("emb", 32).cast("double"), 6).alias("e31"),
+    )

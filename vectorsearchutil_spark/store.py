@@ -93,8 +93,24 @@ class VectorStore:
 
     def _persist(self, df: DataFrame) -> DataFrame:
         if self.path is not None:
-            df.write.mode("overwrite").parquet(self.path)
-            return self.spark.read.parquet(self.path)
+            # the append path unions the DataFrame being overwritten;
+            # Spark reads lazily DURING the overwrite and would clobber
+            # its own input. Stage first, then rewrite the final path
+            # from the staged copy. (With Delta/Iceberg this would be
+            # a single ACID MERGE/append.)
+            staging = self.path.rstrip("/") + "__staging"
+            df.write.mode("overwrite").parquet(staging)
+            staged = self.spark.read.parquet(staging)
+            staged.write.mode("overwrite").parquet(self.path)
+            out = self.spark.read.parquet(self.path)
+            out.count()  # materialize before staging is removed
+            try:
+                import shutil
+
+                shutil.rmtree(staging, ignore_errors=True)
+            except OSError:
+                pass
+            return out
         return df.cache()
 
     # -- ingest (A1/A2) ------------------------------------------------
@@ -203,6 +219,12 @@ class VectorStore:
         ``variant='clip'`` = softmax(100·cos) (vsu/image/_classes.py:21-36).
         Argmax tie-break = lowest label index (:40/:32).
         """
+        from vectorsearchutil_spark.embedders import supports_zeroshot
+
+        if not supports_zeroshot(self.embedder):
+            # A10: embedders without a label tower disable zero-shot
+            # (vsu/image/_classes.py:69-70)
+            return None
         if self._labels_df is None or self._df is None:
             return None
         from vectorsearchutil_spark.operators.zeroshot import zeroshot
