@@ -1439,3 +1439,167 @@ def embed_documents_hash64(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("emb", 1).cast("double"), 6).alias("e0"),
         F.round(F.element_at("emb", 32).cast("double"), 6).alias("e31"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join, range join, cube, pivot — timeseries/OLAP operator shapes.
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+ranked AS (
+  SELECT p.event_id,
+         p.user_id,
+         v.event_id AS view_event_id,
+         v.ts AS view_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.event_id ORDER BY v.ts DESC, v.event_id DESC
+         ) AS rn
+  FROM p LEFT JOIN v
+    ON p.user_id = v.user_id AND v.ts <= p.ts
+)
+SELECT event_id, user_id, view_event_id,
+       CAST(FLOOR(COALESCE(epoch(view_ts), -1)) AS BIGINT) AS view_ts_floor
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("events_asof_join", _ASOF_ORACLE)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent
+    prior (or simultaneous) view. Union-and-carry plan — ONE shuffle
+    on user_id, no per-key fan-out (operators/asofjoin.py)."""
+    from vectorsearchutil_spark.operators.asofjoin import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases, views, key="user_id",
+        right_payload=["event_id"], suffix="_v",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_v").alias("view_event_id"),
+        F.floor(F.coalesce(F.col("ts_v").cast("double"), F.lit(-1.0)))
+        .cast("bigint").alias("view_ts_floor"),
+    )
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_linenumber) AS BIGINT) AS n_lines_60d
+FROM orders o
+LEFT JOIN lineitem l
+  ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate < o.o_orderdate + INTERVAL 60 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@query("orders_range_join", _RANGE_JOIN_ORACLE)
+def orders_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi+band join: lineitems shipped within 60 days of their
+    order date. The equi key carries the shuffle; the band predicate
+    is a post-join filter — never a cartesian."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    joined = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") >= F.col("o_orderdate"))
+        & (F.col("l_shipdate") < F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left",
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count("l_linenumber").alias("n_lines_60d")
+    )
+
+
+_CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("orders_cube", _CUBE_ORACLE)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations in one pass."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "n_orders",
+        )
+    )
+
+
+_PIVOT_ORACLE = """
+WITH centroids AS (
+  SELECT label, list(v ORDER BY i) AS cvec
+  FROM (
+    SELECT label, i, ROUND(AVG(embedding[i]::DOUBLE), 6) AS v
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+  )
+  GROUP BY label
+),
+scored AS (
+  SELECT e.vec_id, c.label,
+         list_cosine_similarity(e.embedding::DOUBLE[], c.cvec) * 100 AS score
+  FROM embeddings e CROSS JOIN centroids c
+  WHERE e.vec_id < 20
+)
+SELECT vec_id,
+       ROUND(MAX(CASE WHEN label = 0 THEN score END), 4) AS l0,
+       ROUND(MAX(CASE WHEN label = 1 THEN score END), 4) AS l1,
+       ROUND(MAX(CASE WHEN label = 2 THEN score END), 4) AS l2,
+       ROUND(MAX(CASE WHEN label = 3 THEN score END), 4) AS l3,
+       ROUND(MAX(CASE WHEN label = 4 THEN score END), 4) AS l4,
+       ROUND(MAX(CASE WHEN label = 5 THEN score END), 4) AS l5,
+       ROUND(MAX(CASE WHEN label = 6 THEN score END), 4) AS l6,
+       ROUND(MAX(CASE WHEN label = 7 THEN score END), 4) AS l7,
+       ROUND(MAX(CASE WHEN label = 8 THEN score END), 4) AS l8,
+       ROUND(MAX(CASE WHEN label = 9 THEN score END), 4) AS l9
+FROM scored GROUP BY vec_id
+"""
+
+
+@query("zeroshot_scores_pivot", _PIVOT_ORACLE)
+def zeroshot_scores_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's zero-shot score MATRIX (A8 returns (scores,
+    pred), vsu/text/_classes.py:44) as a pivot: one row per vector,
+    one column per label."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    labels = _label_centroids(spark, sf_dir)
+    scored = zeroshot_scores(
+        emb.select("vec_id", "embedding"),
+        labels,
+        vector_col="embedding",
+        id_col="vec_id",
+        label_col="label_name",
+    )
+    pivoted = (
+        scored.groupBy("vec_id")
+        .pivot("label_idx", list(range(10)))
+        .agg(F.round(F.max("score"), 4))
+    )
+    renames = {str(i): f"l{i}" for i in range(10)}
+    return pivoted.withColumnsRenamed(renames)
