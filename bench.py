@@ -23,13 +23,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: scan+agg, multi-join, window, dedup exact/approx/semantic, text).
 HEADLINE = [
     "knn_batch",
+    "knn_batch_matrix",
+    "ann_ivf_search",
     "zeroshot_cosine",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier",
     "orders_topn_per_customer",
+    "orders_range_join",
     "events_sessionize",
     "events_json_extract",
+    "events_asof_join",
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -38,6 +42,7 @@ HEADLINE = [
     "text_quality_score",
     "text_langid",
     "text_top_tokens",
+    "multimodal_decode_meta",
 ]
 
 

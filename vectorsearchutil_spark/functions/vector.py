@@ -73,5 +73,6 @@ def normalize(a: Column | str) -> Column:
 
 def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; the reference's zero-shot score is this ×100
-    (``vsu/text/_classes.py:36``)."""
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    (``vsu/text/_classes.py:36``). Zero-norm input → NULL (ANSI mode
+    would otherwise raise on the division)."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
