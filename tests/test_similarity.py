@@ -63,3 +63,32 @@ def test_ivf_recall_against_exact(spark, emb, queries5):
     assert recall >= 0.5
     # self-match always found: a query's own vector is in a probed list
     assert all((q, q) in a for q in range(5))
+
+
+def test_ivf_partitioned_storage_prunes(spark, emb, tmp_path):
+    """The 100 TB IVF layout: index written partitioned by list id →
+    a probe-limited read shows PartitionFilters in the scan (only the
+    probed lists are read)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    cents = (
+        emb.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                   .alias("pos", "v"))
+        .groupBy("label", "pos").agg(F.avg("v").alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(F.col("label").alias("centroid_id"),
+                F.transform("s", lambda x: x["v"]).alias("centroid_vec"))
+    )
+    indexed = build_ivf_index(emb, cents, vector_col="embedding", id_col="vec_id")
+    path = str(tmp_path / "ivf")
+    indexed.write.partitionBy("centroid_id").parquet(path)
+
+    probed = spark.read.parquet(path).filter(F.col("centroid_id").isin([1, 3]))
+    plan = formatted_plan(probed)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+    # only the probed lists' rows come back
+    got = set(r["centroid_id"] for r in probed.select("centroid_id").distinct().collect())
+    assert got <= {1, 3}

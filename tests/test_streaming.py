@@ -64,3 +64,49 @@ def test_streaming_dedup(spark, sf_dir):
     n_events = load_table(spark, sf_dir, "events").count()
     assert got.count() == n_events  # event_id already unique → no drops
     assert got.select("event_id").distinct().count() == n_events
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late rows beyond the watermark must not reopen closed windows:
+    feed a batch, advance the watermark, then feed a very late row —
+    the late row's window must not appear in append-mode output."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "src")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:30", 1.0), (2, "2024-01-01 10:11:00", 2.0),
+         (3, "2024-01-01 12:00:00", 3.0)],  # advances watermark far ahead
+        ["event_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    base.write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(base.schema).parquet(src)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (agg.writeStream.format("memory").queryName("t_late")
+         .outputMode("append").trigger(processingTime="1 second").start())
+    try:
+        q.processAllAvailable()
+        # very late row for the (closed) 10:00 window
+        late = spark.createDataFrame(
+            [(9, "2024-01-01 10:00:45", 99.0)], ["event_id", "ts", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        late.write.mode("append").parquet(src)
+        q.processAllAvailable()
+        # force one more batch so closed windows flush
+        tick = spark.createDataFrame(
+            [(10, "2024-01-01 13:00:00", 0.0)], ["event_id", "ts", "value"]
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        tick.write.mode("append").parquet(src)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = {str(r["ws"]): r["n"] for r in spark.table("t_late").collect()}
+    # the 10:00 window closed with exactly 1 row; the late row (id=9)
+    # must NOT have been counted
+    ten = [v for k, v in rows.items() if "10:00:00" in k]
+    assert ten == [1]
