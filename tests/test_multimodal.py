@@ -42,3 +42,26 @@ def test_real_decode_is_stubbed(media):
         pass
     with pytest.raises(NotImplementedError):
         decode_image_pixels(media)
+
+
+def test_video_frame_sampling(spark):
+    import hashlib
+
+    from vectorsearchutil_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_video,
+    )
+
+    docs = spark.createDataFrame([(1, "abcdefghij")], ["doc_id", "text"])
+    # n_frames = 10 % 30 + 2 = 12; every 3rd → frames 0,3,6,9
+    frames = frame_sample(synthesize_video(docs), every_k=3).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 3, 6, 9]
+    expected0 = hashlib.md5(b"abcdefghij:0").hexdigest()
+    assert frames[0]["frame_hash"] == expected0
+
+
+def test_video_corrupt_skipped(spark):
+    from vectorsearchutil_spark.operators.multimodal import frame_sample
+
+    df = spark.createDataFrame([(1, bytearray(b"JUNK"))], ["doc_id", "video"])
+    assert frame_sample(df).count() == 0

@@ -30,6 +30,7 @@ from pyspark.sql.types import (
     BinaryType,
     IntegerType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -106,3 +107,69 @@ def decode_image_pixels(df: DataFrame, content_col: str = "content") -> DataFram
             "metadata or install pillow"
         ) from e
     raise NotImplementedError("real decode path not implemented yet")
+
+
+VIDEO_MAGIC = b"VID1"
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hash", StringType()),
+    ]
+)
+
+
+def synthesize_video(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake 'video': VIDEO_MAGIC + u16be frame count +
+    n 16-byte frames (frame i = md5 digest of 'text:i'), assembled
+    JVM-side. Frame count derives from text length so oracles can
+    recompute every sampled frame."""
+    n = F.length(F.col(text_col))
+    n_frames = (n % 30 + 2).cast("int")
+    frames_hex = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), n_frames - 1),
+            lambda i: F.upper(
+                F.md5(F.concat(F.col(text_col), F.lit(":"), i.cast("string")))
+            ),
+        ),
+        "",
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit(VIDEO_MAGIC.hex().upper()),
+            F.lpad(F.hex(n_frames), 4, "0"),
+            frames_hex,
+        )
+    )
+    return df.withColumn("video", content)
+
+
+def frame_sample(
+    df: DataFrame, content_col: str = "video", every_k: int = 3
+) -> DataFrame:
+    """Sample every k-th frame from binary video payloads — the
+    frame-sampling stage of a multimodal pipeline as Arrow-batched
+    mapInPandas (one output row per sampled frame). Real codecs are
+    not installed; frames here are fixed-width synthetic blocks, but
+    the batching/explode shape is exactly the production plumbing."""
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hash": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf[content_col]):
+                b = bytes(blob)
+                if b[:4] != VIDEO_MAGIC or len(b) < 6:
+                    continue
+                (n_frames,) = struct.unpack(">H", b[4:6])
+                for i in range(0, n_frames, every_k):
+                    frame = b[6 + 16 * i : 6 + 16 * (i + 1)]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hash"].append(frame.hex())
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", content_col).mapInPandas(sample, FRAME_SCHEMA)

@@ -135,3 +135,42 @@ def top_tokens(
         .orderBy(F.col("freq").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+#: GPT-style byte-pair pre-tokenization shape, simplified to the
+#: ASCII-safe subset expressible identically in Java and RE2 regex.
+BPE_PATTERN = " ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+"
+
+
+def bpe_token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting with a BPE-ish regex pre-tokenizer (the
+    length-estimation pass of LLM data pipelines): word pieces keep
+    their leading space, digits and punctuation split out."""
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+) -> DataFrame:
+    """Rolling-hash document fingerprint: minimum md5 over all
+    character k-grams (one winnowing window spanning the doc) —
+    robust to token reordering at the character level, O(len·k) per
+    doc, no shuffle."""
+    text = F.col(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text) - (k - 1), F.lit(1))),
+        lambda i: F.md5(F.substring(text, i, k)),
+    )
+    return df.select(
+        F.col(id_col), F.array_min(grams).alias("rolling_fp")
+    )

@@ -1603,3 +1603,73 @@ def zeroshot_scores_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     renames = {str(i): f"l{i}" for i in range(10)}
     return pivoted.withColumnsRenamed(renames)
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting, rolling-hash fingerprints, video frame
+# sampling — remaining north-star text/multimodal items.
+# --------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+')) AS INT)
+         AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+'))) AS INT)
+         AS n_unique_bpe
+FROM documents
+"""
+
+
+@query("text_bpe_token_stats", _BPE_ORACLE)
+def text_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex token counting (LLM-pipeline length estimation)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.bpe_token_stats(docs)
+
+
+_ROLLING_FP_ORACLE = """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(range(1, greatest(length(text) - 7, 1) + 1)) AS i
+  FROM documents
+)
+SELECT doc_id, MIN(md5(substr(text, i, 8))) AS rolling_fp
+FROM pos GROUP BY doc_id
+"""
+
+
+@query("text_rolling_fingerprint", _ROLLING_FP_ORACLE)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint: min md5 over character 8-grams."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.rolling_fingerprints(docs, k=8)
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH frames AS (
+  SELECT doc_id, text,
+         length(text) % 30 + 2 AS n_frames,
+         unnest(range(0, length(text) % 30 + 2)) AS i
+  FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       md5(text || ':' || i) AS frame_hash
+FROM frames
+WHERE i % 3 = 0
+"""
+
+
+@query("multimodal_frame_sample", _FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-column plumbing: synthesize binary multi-frame payloads
+    JVM-side, then sample every 3rd frame via Arrow-batched
+    mapInPandas — one output row per sampled frame, hash-verified
+    against a SQL re-derivation of the frame bytes."""
+    from vectorsearchutil_spark.operators.multimodal import (
+        frame_sample,
+        synthesize_video,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(synthesize_video(docs), every_k=3)
