@@ -256,3 +256,63 @@ def ivf_search(
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "distance", "rank")
     )
+
+
+# ---------------------------------------------------------------- cosine LSH
+
+
+def _lsh_plane(plane: int, dim: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane component j of plane p:
+    uniform in [-1,1) from md5('p:j') — reproducible in any engine as
+    ``('0x' || substr(md5(p||':'||j), 1, 8))::BIGINT / 2^31 - 1``."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for j in range(dim)
+    ]
+
+
+def cosine_lsh_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    threshold: float = 0.3,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine near-dup via random-hyperplane LSH.
+
+    Each vector gets an n_planes-bit signature (sign of v·plane);
+    vectors sharing the full signature bucket are candidates; exact
+    cosine verifies. Collision probability per plane is
+    1 - θ/π — high-similarity pairs collide on all planes with good
+    probability while the corpus spreads over 2^n buckets.
+
+    This is the shuffle-light 100 TB path for pair mining: signature
+    is a narrow projection, the only shuffle is the bucket join keyed
+    by an n-bit integer.
+    """
+    from vectorsearchutil_spark.functions.vector import cosine_similarity, dot as vdot
+
+    planes = [_lsh_plane(p, dim) for p in range(n_planes)]
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        bit = (vdot(F.col(vector_col), lit_plane) > 0).cast("long")
+        sig = sig + bit * F.lit(2**p).cast("long")
+    signed = df.select(
+        F.col(id_col), F.col(vector_col), sig.alias("bucket")
+    )
+    a = signed.select(
+        F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"), "bucket"
+    )
+    b = signed.select(
+        F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"), "bucket"
+    )
+    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )

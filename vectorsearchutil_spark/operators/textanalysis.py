@@ -79,38 +79,46 @@ def language_id(
     language, argmax with alphabetical tie-break; 'und' (undetermined)
     when nothing matches.
 
-    Plan: explode distinct tokens ⋈ broadcast(marker table) → count →
-    per-doc argmax — the zero-shot-classification plan shape with a
-    word table instead of label vectors.
+    Plan: the marker lists are tiny compile-time constants, so the
+    whole operator is ONE narrow projection — per language,
+    ``size(array_intersect(doc_tokens, markers))``; argmax over a
+    struct array (hits desc, language asc on ties). Zero shuffles,
+    zero joins: at 100 TB this runs at scan speed. (The broadcast-
+    join formulation is only needed when the marker table is dynamic.)
     """
-    from pyspark.sql import Window
-
-    markers = [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws]
-    mdf = df.sparkSession.createDataFrame(markers, ["cand_lang", "tok"])
+    langs = sorted(LANG_MARKERS)  # alphabetical → tie-break = lowest idx
     toks = df.select(
-        F.col(id_col), F.explode(distinct_tokens(F.col(text_col))).alias("tok")
+        F.col(id_col), distinct_tokens(F.col(text_col)).alias("_toks")
     )
-    hits = (
-        toks.join(F.broadcast(mdf), "tok")
-        .groupBy(id_col, "cand_lang")
-        .agg(F.count(F.lit(1)).alias("hits"))
+    scored = toks.select(
+        F.col(id_col),
+        F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            F.col("_toks"),
+                            F.array(*[F.lit(w) for w in LANG_MARKERS[lang]]),
+                        )
+                    ).alias("hits"),
+                    F.lit(-i).alias("negidx"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        ).alias("_scores"),
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("hits").desc(), F.col("cand_lang").asc()
+    best = scored.select(
+        F.col(id_col),
+        F.array_max("_scores").alias("_best"),
     )
-    best = (
-        hits.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "cand_lang", "hits")
-    )
-    return (
-        df.select(id_col)
-        .join(best, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("cand_lang", F.lit("und")).alias("pred_lang"),
-            F.coalesce("hits", F.lit(0)).cast("int").alias("marker_hits"),
-        )
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return best.select(
+        F.col(id_col),
+        F.when(F.col("_best.hits") > 0,
+               F.element_at(lang_arr, -F.col("_best.negidx") + 1))
+        .otherwise(F.lit("und"))
+        .alias("pred_lang"),
+        F.col("_best.hits").cast("int").alias("marker_hits"),
     )
 
 

@@ -1673,3 +1673,111 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(synthesize_video(docs), every_k=3)
+
+
+# --------------------------------------------------------------------------
+# Cosine LSH — random-hyperplane bucketing; oracle replicates the same
+# md5-derived hyperplanes, so even the approximate result is exact-checked.
+# --------------------------------------------------------------------------
+
+_COSINE_LSH_ORACLE = """
+WITH planes AS (
+  SELECT p.p, j.j,
+         ('0x' || substr(md5(p.p || ':' || j.j), 1, 8))::BIGINT
+           / 2147483648.0 - 1.0 AS w
+  FROM range(0, 8) p(p), range(0, 64) j(j)
+),
+comps AS (
+  SELECT e.vec_id, pl.p,
+         SUM(e.embedding[pl.j + 1]::DOUBLE * pl.w) AS d
+  FROM embeddings e, planes pl
+  GROUP BY e.vec_id, pl.p
+),
+sigs AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN d > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT)
+           AS bucket
+  FROM comps GROUP BY vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cand AS (
+  SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+  FROM sigs sa JOIN sigs sb
+    ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+FROM cand c
+JOIN e ea ON c.id_a = ea.vec_id
+JOIN e eb ON c.id_b = eb.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
+"""
+
+
+@query("dedup_embedding_lsh", _COSINE_LSH_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane cosine LSH near-dup: 8-bit signatures →
+    bucket join → exact-cosine verify. The shuffle-light pair-mining
+    path; hyperplanes are md5-derived so the oracle replicates the
+    bucketing bit-for-bit."""
+    from vectorsearchutil_spark.operators.similarity import cosine_lsh_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_lsh_pairs(emb, n_planes=8, threshold=0.3, dim=64)
+
+
+# --------------------------------------------------------------------------
+# Iterative k-means — oracle generated by unrolling the same Lloyd's
+# iterations in SQL (assignment subquery + elementwise-avg recompute).
+# --------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    ctes = [
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv "
+        f"FROM embeddings WHERE vec_id < {k})"
+    ]
+    for i in range(iterations):
+        ctes.append(
+            f"a{i} AS (\n"
+            f"  SELECT e.vec_id, e.embedding,\n"
+            f"         (SELECT c.cid FROM c{i} c\n"
+            f"          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC,"
+            f" c.cid ASC LIMIT 1) AS cid\n"
+            f"  FROM embeddings e\n"
+            f")"
+        )
+        ctes.append(
+            f"c{i + 1} AS (\n"
+            f"  SELECT cid, list(v ORDER BY pos) AS cv FROM (\n"
+            f"    SELECT a.cid, t.i AS pos,"
+            f" ROUND(AVG(a.embedding[t.i]::DOUBLE), 6) AS v\n"
+            f"    FROM a{i} a, range(1, 65) t(i) GROUP BY a.cid, t.i\n"
+            f"  ) GROUP BY cid\n"
+            f")"
+        )
+    final = iterations
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.vec_id,
+       (SELECT c.cid FROM c{final} c
+        ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cid ASC
+        LIMIT 1) AS cluster,
+       ROUND((SELECT MIN(list_distance(e.embedding::DOUBLE[], c.cv))
+              FROM c{final} c), 4) AS distance
+FROM embeddings e
+"""
+    )
+
+
+@query("kmeans_clusters", _kmeans_oracle())
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative Lloyd's k-means (k=8, 3 iterations), deterministic
+    init + tie-breaks + per-iteration 6dp centroid rounding — the
+    iterative-algorithm pattern, still fully oracle-checked."""
+    from vectorsearchutil_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans(
+        emb, k=8, iterations=3, vector_col="embedding", id_col="vec_id"
+    )
+    return assignments
