@@ -52,3 +52,27 @@ def test_top_tokens(docs):
     # ties broken by token ascending
     freqs = [r["freq"] for r in top]
     assert freqs == sorted(freqs, reverse=True)
+
+
+def test_chunking_covers_all_tokens(spark):
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = ta.chunk_documents(docs, chunk_tokens=20, stride=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # 25 tokens → chunks at 0,10,20 (sizes 20,15,5)
+    assert sorted(r["n_chunk_tokens"] for r in by_doc[1]) == [5, 15, 20]
+    assert [r["n_chunk_tokens"] for r in by_doc[2]] == [2]
+    assert 3 not in by_doc  # empty doc → no chunks
+
+
+def test_normalize_idempotent(spark):
+    docs = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!! 42 "), (2, "hello world 42")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r["clean_hash"] for r in ta.normalize_text(docs).collect()}
+    assert out[1] == out[2]  # normalization collapses to identical content

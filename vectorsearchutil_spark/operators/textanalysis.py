@@ -182,3 +182,61 @@ def rolling_fingerprints(
     return df.select(
         F.col(id_col), F.array_min(grams).alias("rolling_fp")
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Text cleaning for training pipelines: lowercase, strip
+    non-alphanumerics, collapse whitespace, trim. One narrow
+    projection; emits a content hash + length for cheap downstream
+    equality checks."""
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(clean).alias("clean_hash"),
+        F.length(clean).alias("clean_len"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Sliding-window document chunking — the pre-embedding stage of
+    an LLM pipeline: windows of ``chunk_tokens`` tokens every
+    ``stride`` tokens (trailing partial windows kept). One explode,
+    no shuffle; output rows carry the chunk hash + size so the 100 TB
+    case doesn't duplicate text bytes downstream."""
+    base = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
+    n = F.size("_toks")
+    n_chunks = F.when(n > 0, F.ceil(n / F.lit(stride)).cast("int")).otherwise(
+        F.lit(0)
+    )
+    chunks = base.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(
+            F.when(
+                n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("chunk_idx"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_idx") * stride + 1, chunk_tokens
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
+        F.size(piece).alias("n_chunk_tokens"),
+    )

@@ -1781,3 +1781,78 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, k=8, iterations=3, vector_col="embedding", id_col="vec_id"
     )
     return assignments
+
+
+# --------------------------------------------------------------------------
+# Text normalization, chunking, exact quantiles.
+# --------------------------------------------------------------------------
+
+_NORMALIZE_ORACLE = """
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                             ' +', ' ', 'g')) AS clean
+  FROM documents
+)
+SELECT doc_id, md5(clean) AS clean_hash,
+       CAST(length(clean) AS INT) AS clean_len
+FROM cleaned
+"""
+
+
+@query("text_normalize", _NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaning pass: lowercase, strip non-alphanumerics, collapse
+    whitespace — hash-verified."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.normalize_text(docs)
+
+
+_CHUNK_ORACLE = """
+WITH doctoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT))) AS chunk_idx
+  FROM doctoks
+)
+SELECT doc_id,
+       CAST(chunk_idx AS INT) AS chunk_idx,
+       md5(array_to_string(toks[chunk_idx * 10 + 1 : chunk_idx * 10 + 20], ' '))
+         AS chunk_hash,
+       CAST(len(toks[chunk_idx * 10 + 1 : chunk_idx * 10 + 20]) AS INT)
+         AS n_chunk_tokens
+FROM idx
+"""
+
+
+@query("text_chunking", _CHUNK_ORACLE)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (20-token windows, stride 10) — the
+    pre-embedding stage of an LLM data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _ta.chunk_documents(docs, chunk_tokens=20, stride=10)
+
+
+_QUANTILES_ORACLE = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_quantity::DOUBLE, 0.5), 4) AS p50,
+       ROUND(quantile_cont(l_quantity::DOUBLE, 0.9), 4) AS p90,
+       ROUND(quantile_cont(l_quantity::DOUBLE, 0.99), 4) AS p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("lineitem_quantiles", _QUANTILES_ORACLE)
+def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`); at 100 TB swap for approx_percentile with
+    a bounded error budget."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
+    )
