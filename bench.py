@@ -39,9 +39,12 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "text_quality_score",
     "text_langid",
     "text_top_tokens",
+    "text_chunking",
+    "kmeans_clusters",
     "multimodal_decode_meta",
 ]
 

@@ -13,7 +13,7 @@ these helpers cover the two shapes AQE can't fix by itself:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
