@@ -26,10 +26,26 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Register a query (and optionally its DuckDB oracle SQL)."""
+    """Register a query (and optionally its DuckDB oracle SQL).
+
+    Every registered callable first ships this package to executor
+    Python workers (addPyFile) so pickled-by-reference UDFs resolve
+    even when the harness imported us from a foreign cwd with a bare
+    default SparkSession.
+    """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from vectorsearchutil_spark.session import (
+                ensure_package_on_executors,
+            )
+
+            ensure_package_on_executors(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        QUERIES[name] = wrapped
         if oracle is not None:
             ORACLES[name] = oracle
         return fn

@@ -61,3 +61,40 @@ def get_spark(app_name: str = "vectorsearchutil-spark", master: str | None = Non
     for key, value in ENGINE_CONF.items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+def ensure_package_on_executors(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Functions defined in this package (embedder factories, model
+    classes) are pickled BY REFERENCE to the module name, so workers
+    must be able to import ``vectorsearchutil_spark`` — which fails
+    when the driver process imported us via a sys.path tweak from a
+    different cwd (executor workers inherit neither). Zipping the
+    package once per SparkContext and registering it with
+    ``addPyFile`` makes every task self-contained, exactly as it
+    would be on a real cluster deploy.
+    """
+    sc = spark.sparkContext
+    marker = "_vectorsearchutil_spark_shipped"
+    if getattr(sc, marker, False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    zip_path = os.path.join(
+        tempfile.mkdtemp(prefix="vsu_spark_pkg_"), "vectorsearchutil_spark.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                rel = os.path.join(
+                    "vectorsearchutil_spark", os.path.relpath(full, pkg_dir)
+                )
+                zf.write(full, rel)
+    sc.addPyFile(zip_path)
+    setattr(sc, marker, True)
