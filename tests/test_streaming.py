@@ -110,3 +110,63 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # must NOT have been counted
     ten = [v for k, v in rows.items() if "10:00:00" in k]
     assert ten == [1]
+
+
+def test_stateful_profiles_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches AND
+    query restarts (checkpointed) — a user's profile after batch 2
+    includes batch 1's events."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.streaming.stateful import (
+        streaming_user_profiles,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    schema_df = spark.createDataFrame(
+        [(1, 10, "2024-01-01 10:00:00", 1.0)],
+        ["event_id", "user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    schema_df.write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+
+    def run_once(qname):
+        # memory sink can't recover from checkpoints; foreachBatch +
+        # parquet is the durable-sink shape for update-mode state.
+        stream = spark.readStream.schema(schema_df.schema).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_user_profiles(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        latest = {}
+        for r in spark.read.parquet(out).collect():
+            cur = latest.get(r["user_id"])
+            if cur is None or r["n_events"] > cur["n_events"]:
+                latest[r["user_id"]] = r
+        return latest
+
+    first = run_once("t_profiles_1")
+    assert first[10]["n_events"] == 1
+
+    batch2 = spark.createDataFrame(
+        [(2, 10, "2024-01-01 10:05:00", 4.0),
+         (3, 20, "2024-01-01 10:06:00", 9.0)],
+        ["event_id", "user_id", "ts", "value"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    batch2.write.mode("append").parquet(src)
+
+    second = run_once("t_profiles_2")
+    assert second[10]["n_events"] == 2        # state carried across restart
+    assert second[10]["sum_value"] == 5.0     # 1.0 + 4.0
+    assert second[20]["n_events"] == 1

