@@ -170,3 +170,45 @@ def test_stateful_profiles_accumulate_across_restarts(spark, tmp_path):
     assert second[10]["n_events"] == 2        # state carried across restart
     assert second[10]["sum_value"] == 5.0     # 1.0 + 4.0
     assert second[20]["n_events"] == 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """Stream-stream interval join (watermarked both sides) produces
+    the same pairs as the equivalent batch join."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.streaming.joins import (
+        stream_stream_interval_join,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    p_s = stream.filter(F.col("event_type") == "purchase")
+    v_s = stream.filter(F.col("event_type") == "view")
+    got = _run_stream(
+        spark,
+        stream_stream_interval_join(p_s, v_s),
+        "t_ssjoin",
+        mode="append",
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("p_ts"),
+    )
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"), F.col("ts").alias("v_ts"),
+    )
+    batch = p.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    got_pairs = {(r["purchase_id"], r["view_id"]) for r in got.collect()}
+    batch_pairs = {(r["purchase_id"], r["view_id"]) for r in batch.collect()}
+    assert len(batch_pairs) > 0
+    # availableNow processes everything in-watermark; the streaming
+    # result must be exactly the batch result here (no late data)
+    assert got_pairs == batch_pairs

@@ -277,42 +277,56 @@ def cosine_lsh_pairs(
     df: DataFrame,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
-    n_planes: int = 8,
+    n_planes: int = 6,
+    n_tables: int = 4,
     threshold: float = 0.3,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate cosine near-dup via random-hyperplane LSH.
+    """Approximate cosine near-dup via multi-table random-hyperplane
+    LSH.
 
-    Each vector gets an n_planes-bit signature (sign of v·plane);
-    vectors sharing the full signature bucket are candidates; exact
-    cosine verifies. Collision probability per plane is
-    1 - θ/π — high-similarity pairs collide on all planes with good
-    probability while the corpus spreads over 2^n buckets.
+    Each of ``n_tables`` independent tables gives every vector an
+    ``n_planes``-bit signature (sign of v·plane); vectors sharing a
+    full signature in ANY table are candidates; exact cosine verifies.
+    Per-plane collision probability for angle θ is 1-θ/π = p, so pair
+    recall is 1-(1-p^n_planes)^n_tables — the standard knob: more
+    tables → recall, more planes → precision.
 
-    This is the shuffle-light 100 TB path for pair mining: signature
-    is a narrow projection, the only shuffle is the bucket join keyed
-    by an n-bit integer.
+    The shuffle-light 100 TB pair-mining path: signatures are one
+    narrow projection; the only shuffles are the (table, bucket) join
+    over small keys and the candidate distinct.
     """
     from vectorsearchutil_spark.functions.vector import cosine_similarity, dot as vdot
 
-    planes = [_lsh_plane(p, dim) for p in range(n_planes)]
-    sig = F.lit(0).cast("long")
-    for p, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(v) for v in plane])
-        bit = (vdot(F.col(vector_col), lit_plane) > 0).cast("long")
-        sig = sig + bit * F.lit(2**p).cast("long")
+    # plane p (global index) is shared with the SQL oracle via the
+    # md5("p:j") derivation.
+    buckets = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for j in range(n_planes):
+            plane = _lsh_plane(t * n_planes + j, dim)
+            lit_plane = F.array(*[F.lit(v) for v in plane])
+            bit = (vdot(F.col(vector_col), lit_plane) > 0).cast("long")
+            sig = sig + bit * F.lit(2**j).cast("long")
+        buckets.append(F.concat_ws(":", F.lit(str(t)), sig))
     signed = df.select(
-        F.col(id_col), F.col(vector_col), sig.alias("bucket")
+        F.col(id_col),
+        F.explode(F.array(*buckets)).alias("bucket"),
     )
-    a = signed.select(
-        F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"), "bucket"
+    a = signed.select(F.col(id_col).alias("id_a"), "bucket")
+    b = signed.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()  # a pair may collide in several tables
     )
-    b = signed.select(
-        F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"), "bucket"
-    )
-    cand = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
     return (
-        cand.withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", cosine_similarity(F.col("va"), F.col("vb")))
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )

@@ -1701,7 +1701,7 @@ WITH planes AS (
   SELECT p.p, j.j,
          ('0x' || substr(md5(p.p || ':' || j.j), 1, 8))::BIGINT
            / 2147483648.0 - 1.0 AS w
-  FROM range(0, 8) p(p), range(0, 64) j(j)
+  FROM range(0, 24) p(p), range(0, 64) j(j)
 ),
 comps AS (
   SELECT e.vec_id, pl.p,
@@ -1710,17 +1710,17 @@ comps AS (
   GROUP BY e.vec_id, pl.p
 ),
 sigs AS (
-  SELECT vec_id,
-         CAST(SUM(CASE WHEN d > 0 THEN 1::BIGINT << p ELSE 0 END) AS BIGINT)
-           AS bucket
-  FROM comps GROUP BY vec_id
+  SELECT vec_id, p // 6 AS tbl,
+         CAST(SUM(CASE WHEN d > 0 THEN 1::BIGINT << (p % 6) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM comps GROUP BY vec_id, p // 6
 ),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cand AS (
-  SELECT sa.vec_id AS id_a, sb.vec_id AS id_b
+  SELECT DISTINCT sa.vec_id AS id_a, sb.vec_id AS id_b
   FROM sigs sa JOIN sigs sb
-    ON sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
-)
+    ON sa.tbl = sb.tbl AND sa.bucket = sb.bucket AND sa.vec_id < sb.vec_id
+),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT c.id_a, c.id_b,
        ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
 FROM cand c
@@ -1732,14 +1732,14 @@ WHERE list_cosine_similarity(ea.v, eb.v) >= 0.3
 
 @query("dedup_embedding_lsh", _COSINE_LSH_ORACLE)
 def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane cosine LSH near-dup: 8-bit signatures →
-    bucket join → exact-cosine verify. The shuffle-light pair-mining
-    path; hyperplanes are md5-derived so the oracle replicates the
-    bucketing bit-for-bit."""
+    """Multi-table random-hyperplane cosine LSH near-dup: 4 tables x
+    6-bit signatures -> bucket join -> exact-cosine verify. Recall
+    1-(1-p^6)^4 per pair; hyperplanes are md5-derived so the oracle
+    replicates the bucketing bit-for-bit."""
     from vectorsearchutil_spark.operators.similarity import cosine_lsh_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_lsh_pairs(emb, n_planes=8, threshold=0.3, dim=64)
+    return cosine_lsh_pairs(emb, n_planes=6, n_tables=4, threshold=0.3, dim=64)
 
 
 # --------------------------------------------------------------------------
@@ -1871,4 +1871,53 @@ def lineitem_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("l_quantity", F.lit(0.9)), 4).alias("p90"),
         F.round(F.percentile("l_quantity", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q18 shape — aggregate-subquery semi-join (large-volume orders).
+# --------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(SUM(l.l_quantity), 2) AS total_qty
+FROM customer c
+JOIN orders o   ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(l_quantity) > 250
+)
+GROUP BY c.c_custkey, o.o_orderkey, o.o_orderdate
+"""
+
+
+@query("tpch_q18_large_orders", _Q18_ORACLE)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: aggregate-HAVING subquery driving a semi-join.
+    The inner aggregate reduces lineitem to qualifying orderkeys
+    (tiny) which broadcast into the outer join — the decompose-then-
+    semi-join rewrite that avoids re-aggregating the big fact twice."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "total_qty",
+        )
     )
