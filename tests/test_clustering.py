@@ -20,3 +20,41 @@ def test_kmeans_inertia_decreases(spark, sf_dir):
         return a.agg(F.sum(F.col("distance") ** 2)).first()[0]
 
     assert inertia(3) <= inertia(1) + 1e-6  # Lloyd's never increases inertia
+
+
+def test_kmeans_centroids_feed_ivf(spark, sf_dir):
+    """End-to-end ANN pipeline: learned k-means centroids become the
+    IVF lists; probing more lists monotonically improves recall."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.operators.knn import knn_batch
+    from vectorsearchutil_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    _, centroids = kmeans(emb, k=8, iterations=2)
+    cents = centroids.select(
+        F.col("cid").alias("centroid_id"), F.col("cv").alias("centroid_vec")
+    )
+    indexed = build_ivf_index(emb, cents, vector_col="embedding",
+                              id_col="vec_id").cache()
+    assert indexed.count() == emb.count()
+
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
+    )
+    exact = {(r["query_id"], r["vec_id"]) for r in
+             knn_batch(emb, qs, k=5, vector_col="embedding",
+                       id_col="vec_id").collect()}
+
+    def recall(n_probe):
+        got = {(r["query_id"], r["vec_id"]) for r in
+               ivf_search(indexed, cents, qs, k=5, n_probe=n_probe,
+                          vector_col="embedding", id_col="vec_id").collect()}
+        return len(got & exact) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r2 <= r8
+    assert r8 == 1.0  # probing every list == exact search

@@ -78,22 +78,3 @@ def minhash_base_hashes(item: Column) -> tuple[Column, Column]:
     h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 17, 12), 16, 10).cast("long")
     return h1, h2
-
-
-def simhash_votes(hash_col: Column, weight_col: Column, bits: int = 32) -> list[Column]:
-    """Per-token weighted ±w votes for a ``bits``-wide SimHash.
-
-    ``hash_col`` must be the md5 hex of the token, computed ONCE by
-    the caller (32 projections of the same md5 would otherwise hash
-    32× per row). Bit j of a token = parity of hex digit j — cheap,
-    deterministic, and expressible in any SQL dialect via
-    ``ascii(substr(md5(tok), j+1, 1)) % 2``. Votes are weighted by
-    term frequency (standard SimHash), which is what discriminates
-    documents drawn from a shared vocabulary.
-    Returns ``bits`` vote columns (±weight) to be summed per document.
-    """
-    votes = []
-    for j in range(bits):
-        bit = F.ascii(F.substring(hash_col, j + 1, 1)) % 2
-        votes.append((weight_col * (bit * 2 - 1)).alias(f"v{j}"))
-    return votes
