@@ -1921,3 +1921,76 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_qty",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14/Q17 shapes — conditional-aggregate ratio and correlated
+# per-group average filter.
+# --------------------------------------------------------------------------
+
+_Q14_ORACLE = """
+SELECT ROUND(
+         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l.l_shipdate <  TIMESTAMP '1997-02-01'
+"""
+
+
+@query("tpch_q14_promo_revenue", _Q14_ORACLE)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a dim join —
+    part broadcasts, lineitem's shipdate window pushes to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-02-01").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
+                "promo_revenue_pct"
+            )
+        )
+    )
+
+
+_Q17_ORACLE = """
+WITH part_avg AS (
+  SELECT l_partkey, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN part_avg a ON l.l_partkey = a.l_partkey
+WHERE p.p_brand = 'Brand#1'
+  AND l.l_quantity < 0.5 * a.avg_qty
+"""
+
+
+@query("tpch_q17_small_quantity", _Q17_ORACLE)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated per-group average rewritten as an
+    aggregate-then-join (decorrelation — the rewrite Catalyst can't
+    always do for you, expressed explicitly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    part_avg = li.groupBy("l_partkey").agg(F.avg("l_quantity").alias("avg_qty"))
+    return (
+        li.join(
+            F.broadcast(p.filter(F.col("p_brand") == "Brand#1")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
