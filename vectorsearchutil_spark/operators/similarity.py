@@ -296,22 +296,36 @@ def cosine_lsh_pairs(
     narrow projection; the only shuffles are the (table, bucket) join
     over small keys and the candidate distinct.
     """
-    from vectorsearchutil_spark.functions.vector import cosine_similarity, dot as vdot
+    from pyspark.sql.types import ArrayType, StringType
+
+    from vectorsearchutil_spark.functions.vector import cosine_similarity
 
     # plane p (global index) is shared with the SQL oracle via the
-    # md5("p:j") derivation.
-    buckets = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for j in range(n_planes):
-            plane = _lsh_plane(t * n_planes + j, dim)
-            lit_plane = F.array(*[F.lit(v) for v in plane])
-            bit = (vdot(F.col(vector_col), lit_plane) > 0).cast("long")
-            sig = sig + bit * F.lit(2**j).cast("long")
-        buckets.append(F.concat_ws(":", F.lit(str(t)), sig))
+    # md5("p:j") derivation. All n_tables·n_planes dot products run as
+    # ONE BLAS matmul per Arrow batch — per-row higher-order-function
+    # dots were measured 4× slower at 24 planes.
+    planes_mat = np.array(
+        [_lsh_plane(p, dim) for p in range(n_tables * n_planes)],
+        dtype=np.float64,
+    )
+    b_planes = df.sparkSession.sparkContext.broadcast(planes_mat)
+    weights = np.array([2**j for j in range(n_planes)], dtype=np.int64)
+
+    @F.pandas_udf(ArrayType(StringType()))
+    def bucket_udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        P = b_planes.value
+        for batch in batches:
+            X = np.array(list(batch), dtype=np.float64)
+            bits = (X @ P.T) > 0  # (rows, n_tables*n_planes)
+            out = []
+            for row in bits:
+                sigs = row.reshape(n_tables, n_planes) @ weights
+                out.append([f"{t}:{int(s)}" for t, s in enumerate(sigs)])
+            yield pd.Series(out)
+
     signed = df.select(
         F.col(id_col),
-        F.explode(F.array(*buckets)).alias("bucket"),
+        F.explode(bucket_udf(F.col(vector_col))).alias("bucket"),
     )
     a = signed.select(F.col(id_col).alias("id_a"), "bucket")
     b = signed.select(F.col(id_col).alias("id_b"), "bucket")
