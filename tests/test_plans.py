@@ -64,3 +64,52 @@ def test_dedup_exact_prunes_columns(spark, sf_dir):
 def test_zeroshot_broadcasts_labels(spark, sf_dir):
     df = Q.QUERIES["zeroshot_cosine"](spark, sf_dir)
     assert "BroadcastNestedLoopJoin" in formatted_plan(df) or has_broadcast_join(df)
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = Q.QUERIES["tpch_q6_forecast_revenue"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed
+    assert "l_discount" in pushed
+    assert "l_quantity" in pushed
+    # 4-column projection: returnflag/linestatus never leave the scan
+    assert "l_returnflag" not in formatted_plan(df)
+
+
+def test_q4_semi_join_not_cartesian(spark, sf_dir):
+    df = Q.QUERIES["tpch_q4_order_priority"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "LeftSemi" in plan  # EXISTS became a semi-join
+
+
+def test_q7_single_fact_shuffle(spark, sf_dir):
+    df = Q.QUERIES["tpch_q7_volume_shipping"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    non_broadcast_joins = plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    )
+    assert non_broadcast_joins <= 1  # only orders⋈lineitem shuffles
+
+
+def test_q10_take_ordered_top20(spark, sf_dir):
+    df = Q.QUERIES["tpch_q10_returned_items"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan  # limit 20 never global-sorts
+    assert_no_cartesian(df)
+
+
+def test_q19_brand_filter_reaches_part_scan(spark, sf_dir):
+    df = Q.QUERIES["tpch_q19_disjunctive"](spark, sf_dir)
+    pushed = " ".join(pushed_filters(df))
+    # Catalyst extracts brand IN (...) from the disjunction and pushes
+    # it below the join into the part scan
+    assert "p_brand" in pushed
+
+
+def test_q22_anti_join(spark, sf_dir):
+    df = Q.QUERIES["tpch_q22_dormant_customers"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan  # NOT EXISTS became an anti-join
+    assert_no_cartesian(df)
