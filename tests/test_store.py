@@ -128,3 +128,58 @@ def test_no_label_tower_disables_zeroshot(spark):
     vs.set_data(_df(spark, [("a", "1")]))
     vs.set_zeroshot_labels(["x", "y"])
     assert vs.do_zeroshot() is None
+
+
+# -- bucketed-table mode: the 100 TB ingest posture -------------------
+
+
+@pytest.fixture()
+def bucketed_store(spark):
+    spark.sql("DROP TABLE IF EXISTS vs_bucketed")
+    vs = VectorStore(spark, table="vs_bucketed", num_buckets=4)
+    yield vs
+    spark.sql("DROP TABLE IF EXISTS vs_bucketed")
+
+
+def test_bucketed_append_semantics(bucketed_store, spark):
+    vs = bucketed_store
+    vs.set_data(_df(spark, [("a", "orig"), ("b", "y")]))
+    vs.set_data(_df(spark, [("a", "NEW"), ("c", "z")]), append=True)
+    rows = {r["target"]: r["option1"] for r in vs.data.collect()}
+    assert rows == {"a": "orig", "b": "y", "c": "z"}
+    ids = {r["target"]: r["id"] for r in vs.data.collect()}
+    assert sorted(ids.values()) == [1, 2, 3]
+    # survives a fresh handle (persisted, not cached)
+    vs2 = VectorStore(spark, table="vs_bucketed")
+    assert vs2.count() == 3
+
+
+def test_bucketed_append_no_exchange_on_store_side(bucketed_store, spark):
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    vs = bucketed_store
+    vs.set_data(_df(spark, [(f"t{i}", "x") for i in range(50)]))
+    incoming = _df(spark, [("t1", "x"), ("new1", "x")])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        anti = incoming.join(vs.data.select("target"), "target", "left_anti")
+        plan = formatted_plan(anti)
+        # bucketed scan is pre-partitioned by target: exactly one
+        # Exchange total, on the incoming side — the store never
+        # reshuffles
+        import re
+
+        assert "Bucketed: true" in plan
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_bucketed_reset_drops_table(bucketed_store, spark):
+    vs = bucketed_store
+    vs.set_data(_df(spark, [("a", "1")]))
+    vs.reset_db()
+    assert not spark.catalog.tableExists("vs_bucketed")
+    assert vs.query("a") is None

@@ -15,9 +15,17 @@ do_zeroshot / MLP_Classifier / MLP_Regressor / reset_db``,
 * ids are assigned by ``row_number`` over ingest order (the
   reference's ``last_insert_rowid`` monotonic ids, :89).
 
-At scale the store would be written bucketed by ``hash(target)`` so
-the append-path anti-join is shuffle-free; on local parquet we rely on
-AQE + broadcast (the new batch is typically the small side).
+Persistence modes:
+
+* ``path=`` — plain Parquet; append rewrites via a staged copy and
+  the anti-join broadcasts the existing targets (fine for small
+  local stores).
+* ``table=`` — **bucketed managed table** (bucketBy hash(target)):
+  the 100 TB posture. Append writes ONLY the fresh rows
+  (``mode("append")`` into the bucketed table — no store rewrite,
+  no staging copy), and the insert-if-absent anti-join reads the
+  store bucket-aligned: the Exchange lands on the small incoming
+  batch, never on the store.
 """
 
 from __future__ import annotations
@@ -61,11 +69,17 @@ class VectorStore:
         spark: SparkSession,
         embedder: str = "hash64",
         path: str | None = None,
+        table: str | None = None,
+        num_buckets: int = 16,
     ):
+        if path is not None and table is not None:
+            raise ValueError("pass either path= or table=, not both")
         self.spark = spark
         self.embedder = embedder
         self.vec_size = embedding_dim(embedder)
         self.path = path
+        self.table = table
+        self.num_buckets = num_buckets
         self._df: DataFrame | None = None
         self.zeroshot_labels: list[str] = []
         self._labels_df: DataFrame | None = None
@@ -74,6 +88,8 @@ class VectorStore:
                 self._df = spark.read.parquet(path)
             except Exception:
                 self._df = None
+        elif table is not None and spark.catalog.tableExists(table):
+            self._df = spark.table(table)
 
     # -- store state -------------------------------------------------
 
@@ -90,8 +106,18 @@ class VectorStore:
     def reset_db(self) -> None:
         """Drop everything (reference reset_db, VectorSearchBase.py:96-99)."""
         self._df = None
+        if self.table is not None:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
 
     def _persist(self, df: DataFrame) -> DataFrame:
+        if self.table is not None:
+            (
+                df.write.mode("overwrite")
+                .bucketBy(self.num_buckets, "target")
+                .sortBy("target")
+                .saveAsTable(self.table)
+            )
+            return self.spark.table(self.table)
         if self.path is not None:
             # the append path unions the DataFrame being overwritten;
             # Spark reads lazily DURING the overwrite and would clobber
@@ -149,17 +175,32 @@ class VectorStore:
             existing = self.data
             # insert-if-absent: left anti vs existing targets
             # (reference insert_data guard, VectorSearchBase.py:79-87)
-            fresh = df.join(
-                F.broadcast(existing.select("target")), "target", "left_anti"
-            )
+            if self.table is not None:
+                # bucketed mode: no broadcast hint — the store scan is
+                # already hash-partitioned by target, so the anti-join
+                # shuffles only the incoming batch
+                fresh = df.join(existing.select("target"), "target", "left_anti")
+            else:
+                fresh = df.join(
+                    F.broadcast(existing.select("target")), "target", "left_anti"
+                )
             start = existing.agg(F.coalesce(F.max("id"), F.lit(0))).first()[0]
             fresh = fresh.withColumn(
                 "id", F.row_number().over(Window.orderBy("_ord")) + F.lit(start)
-            )
-            merged = existing.unionByName(
-                fresh.select("id", *SAVE_COLUMNS, "vector")
-            )
-            self._df = self._persist(merged)
+            ).select("id", *SAVE_COLUMNS, "vector")
+            if self.table is not None:
+                # incremental append: write ONLY the fresh rows into
+                # the bucketed table — at 100 TB the store is never
+                # rewritten, and there is no staging double-write
+                (
+                    fresh.write.mode("append")
+                    .bucketBy(self.num_buckets, "target")
+                    .sortBy("target")
+                    .saveAsTable(self.table)
+                )
+                self._df = self.spark.table(self.table)
+            else:
+                self._df = self._persist(existing.unionByName(fresh))
         else:
             df = df.withColumn("id", F.row_number().over(Window.orderBy("_ord")))
             self._df = self._persist(df.select("id", *SAVE_COLUMNS, "vector"))
