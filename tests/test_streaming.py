@@ -212,3 +212,33 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     # availableNow processes everything in-watermark; the streaming
     # result must be exactly the batch result here (no late data)
     assert got_pairs == batch_pairs
+
+
+def test_stream_static_enrich_matches_batch(spark, sf_dir):
+    """Stream-static dimension join (stateless, dim broadcast per
+    micro-batch) enriches exactly like the batch join."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.streaming.joins import stream_static_enrich
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    stream = read_events_stream(spark, sf_dir)
+    got = _run_stream(
+        spark,
+        stream_static_enrich(stream, dim).select(
+            "event_id", "user_id", "c_mktsegment"
+        ),
+        "t_senrich",
+        mode="append",
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    batch = e.join(dim, e.user_id == dim.c_custkey).select(
+        "event_id", "user_id", "c_mktsegment"
+    )
+    got_rows = {tuple(r) for r in got.collect()}
+    batch_rows = {tuple(r) for r in batch.collect()}
+    assert len(batch_rows) > 0
+    assert got_rows == batch_rows

@@ -2294,3 +2294,39 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-static dimension enrichment — batch twin of
+# streaming.joins.stream_static_enrich (the streaming form is tested
+# availableNow ≡ batch in tests/test_streaming.py).
+# --------------------------------------------------------------------------
+
+_ENRICH_ORACLE = """
+SELECT c.c_mktsegment,
+       COUNT(*) AS events,
+       ROUND(SUM(e.value), 2) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+@query("events_enrich_dim", _ENRICH_ORACLE)
+def events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event stream enriched with the customer dimension, rolled up
+    by market segment. The dim broadcasts (map-side hash join — the
+    same plan the per-micro-batch streaming form gets), so the fact
+    never shuffles for the join; only the 5-group aggregate moves."""
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

@@ -48,3 +48,22 @@ def stream_stream_interval_join(
         & (F.col("v_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {interval}")),
         "inner",
     ).select("purchase_id", "view_id", "user_id", "p_ts", "v_ts")
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    stream_key: str = "user_id",
+    dim_key: str = "c_custkey",
+) -> DataFrame:
+    """Stream-static dimension join: enrich each event with the
+    static dimension row for its user.
+
+    The static side is re-resolved and broadcast per micro-batch —
+    no streaming state, no watermark required (stream-static inner
+    joins are stateless by construction). On a 100 TB/day stream the
+    dimension stays a map-side hash table; only the stream moves.
+    """
+    return stream.join(
+        F.broadcast(dim), stream[stream_key] == dim[dim_key], "inner"
+    )
