@@ -19,7 +19,7 @@ the exact form since its contract is oracle-checkable determinism.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vectorsearchutil_spark.functions.vector import l2_distance
@@ -41,15 +41,39 @@ def _recompute_centroids(
     )
 
 
-def _assign(df: DataFrame, centroids: DataFrame, vector_col: str, id_col: str) -> DataFrame:
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_d", l2_distance(F.col(vector_col), F.col("cv"))
+def _assign(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vector_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assign each row to its nearest centroid.
+
+    The k centroids travel as ONE broadcast row holding an
+    array<struct(cid, cv)>; argmin is array_min over (distance, cid)
+    structs (struct ordering is lexicographic, so ties break to the
+    lowest cid). Fully narrow: no per-centroid row expansion, no
+    window shuffle — the corpus is scanned once per iteration and
+    never moves. Data-driven (not literal-inlined) centroids keep
+    the generated code small and stable across iterations."""
+    spark = df.sparkSession
+    cents_row = spark.createDataFrame(
+        [([(int(c), [float(x) for x in v]) for c, v in sorted(cents)],)],
+        "cents array<struct<cid:int,cv:array<double>>>",
     )
-    win = Window.partitionBy(id_col).orderBy(F.col("_d").asc(), F.col("cid").asc())
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                l2_distance(F.col(vector_col), c["cv"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        scored.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(df["*"], "cid", "_d")
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn("_b", best)
+        .select(df["*"], F.col("_b.cid").alias("cid"), F.col("_b.d").alias("_d"))
     )
 
 
@@ -62,21 +86,30 @@ def kmeans(
     dim: int = 64,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iterations`` Lloyd's steps; returns (assignments,
-    centroids). Assignments: (id, cid, distance to its centroid)."""
-    centroids = (
+    centroids). Assignments: (id, cid, distance to its centroid).
+
+    Centroids are collected to the driver after every update (k×dim
+    doubles — trivial) and re-inlined as literals: this truncates the
+    iterative lineage, so iteration N is ONE pass over the corpus
+    instead of re-executing every earlier iteration inside the
+    broadcast subtree (the classic iterative-plan blowup). The 6dp
+    centroid rounding round-trips exactly through Python floats, so
+    results are bit-identical to the lineage-chained form."""
+    init = (
         df.orderBy(id_col)
         .limit(k)
-        .select(
-            F.row_number().over(Window.orderBy(id_col)).alias("cid"),
-            F.col(vector_col).cast("array<double>").alias("cv"),
-        )
-        .withColumn("cid", F.col("cid") - 1)
+        .select(F.col(vector_col).cast("array<double>").alias("cv"))
+        .collect()
     )
-    assigned = None
+    cents = [(i, list(r["cv"])) for i, r in enumerate(init)]
     for _ in range(iterations):
-        assigned = _assign(df, centroids, vector_col, id_col)
-        centroids = _recompute_centroids(assigned, vector_col, dim)
-    final = _assign(df, centroids, vector_col, id_col)
+        assigned = _assign(df, cents, vector_col, id_col)
+        rows = _recompute_centroids(assigned, vector_col, dim).collect()
+        cents = sorted((r["cid"], list(r["cv"])) for r in rows)
+    final = _assign(df, cents, vector_col, id_col)
+    centroids = df.sparkSession.createDataFrame(
+        [(int(c), list(v)) for c, v in cents], "cid int, cv array<double>"
+    )
     return (
         final.select(
             F.col(id_col),

@@ -327,14 +327,12 @@ def cosine_lsh_pairs(
         F.col(id_col),
         F.explode(bucket_udf(F.col(vector_col))).alias("bucket"),
     )
-    a = signed.select(F.col(id_col).alias("id_a"), "bucket")
-    b = signed.select(F.col(id_col).alias("id_b"), "bucket")
-    cand = (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()  # a pair may collide in several tables
-    )
+    # grouped in-bucket pair expansion (bucket_pairs): the
+    # Arrow-batched signature UDF runs ONCE over the corpus — a
+    # self-join would push every row through the Python worker twice
+    from vectorsearchutil_spark.operators.dedup import bucket_pairs
+
+    cand = bucket_pairs(signed, id_col)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
     return (

@@ -818,7 +818,7 @@ tf AS (
 ),
 votes AS (
   SELECT doc_id, j.j,
-         SUM(w * CASE WHEN ascii(substr(md5(tok), j.j + 1, 1)) % 2 = 1
+         SUM(w * CASE WHEN (('0x' || substr(md5(tok), 1, 8))::BIGINT >> j.j) & 1 = 1
                       THEN 1 ELSE -1 END) AS s
   FROM tf, range(0, 32) j(j)
   GROUP BY doc_id, j.j
