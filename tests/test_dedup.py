@@ -66,3 +66,29 @@ def test_ngram_max_df_drops_stop_shingles(spark):
     all_pairs = dd.ngram_jaccard_pairs(df, threshold=0.01).count()
     capped = dd.ngram_jaccard_pairs(df, threshold=0.01, max_df=3).count()
     assert capped < all_pairs
+
+
+def test_connected_components_chain_and_islands(spark):
+    from vectorsearchutil_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # pair {10,11}, and a disjoint pair {20,21}
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20)], ["id_a", "id_b"]
+    )
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20),
+    }
+
+
+def test_connected_components_empty(spark):
+    from vectorsearchutil_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(pairs).count() == 0

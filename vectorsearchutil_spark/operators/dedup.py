@@ -368,3 +368,65 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: (node,
+    component) where component = the minimum node id reachable from
+    ``node``. The final stage of a dedup pipeline — pairs become
+    clusters, clusters elect one canonical survivor.
+
+    Min-label propagation: every node starts labelled min(self,
+    min neighbor); each round pushes labels across edges and takes
+    the min; converges in O(component diameter) rounds (near-dup
+    clusters are shallow — a handful of rounds in practice). Edges
+    and labels are localCheckpoint-ed each round so iteration N is
+    one join, not a replay of rounds 1..N-1. At extreme scale the
+    alternating large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce") cuts rounds to
+    O(log² n); min-propagation keeps the oracle-checkable exact
+    fixpoint with the same output.
+    """
+    edges = (
+        pairs.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .union(
+            pairs.select(
+                F.col(dst).cast("long").alias("a"),
+                F.col(src).cast("long").alias("b"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()  # materialized once, reused every round
+    )
+    labels = edges.groupBy("a").agg(F.min("b").alias("nbr")).select(
+        F.col("a").alias("node"), F.least("a", "nbr").alias("comp")
+    )
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.a == labels.node).select(
+            F.col("b").alias("node"), F.col("comp")
+        )
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(
+                labels.select("node", F.col("comp").alias("_old")), "node"
+            )
+            .filter(F.col("comp") < F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select("node", F.col("comp").alias("component"))

@@ -2330,3 +2330,86 @@ def events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dedup endgame: pairs → connected components → canonical survivors.
+# The stage a training-data pipeline actually ships: near-dup PAIRS
+# are diagnostics; clusters electing one survivor are the output.
+# --------------------------------------------------------------------------
+
+_CC_EDGES_CTE = f"""
+{_SHINGLES_CTE},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+),
+e AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+r AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM r JOIN e ON r.b = e.a
+),
+comp AS (
+  SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+  FROM r GROUP BY a
+)
+"""
+
+_CC_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_CTE}
+SELECT doc_id, component FROM comp
+"""
+
+
+@query("dedup_connected_components", _CC_ORACLE)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: 3-gram Jaccard ≥0.8 pairs as edges →
+    min-label-propagation connected components (component = min
+    reachable doc_id). Oracle: recursive CTE transitive closure."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return _dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+
+
+_CANONICAL_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_CTE}
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (
+  SELECT doc_id FROM comp WHERE doc_id != component
+)
+"""
+
+
+@query("dedup_canonical_docs", _CANONICAL_ORACLE)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deduplicated corpus: drop every cluster member except the
+    canonical minimum-id survivor (exact dups have Jaccard 1.0, so
+    they're covered too). Anti-join of the corpus against non-
+    canonical members — the non-canonical set is tiny, so at scale
+    it broadcasts and the corpus never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    cc = _dd.connected_components(pairs)
+    losers = cc.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+        "doc_id", "lang", "n_chars"
+    )
