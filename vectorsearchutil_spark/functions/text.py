@@ -26,9 +26,11 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
-def shingles_of_tokens(toks: Column, n: int = 3, sep: str = "_") -> Column:
-    """Distinct word n-gram shingles from an already-materialized
-    token-array COLUMN (not an expression!).
+def shingles_of_tokens(
+    toks: Column, n: int = 3, sep: str = "_", distinct: bool = True
+) -> Column:
+    """Word n-gram shingles (distinct by default) from an already-
+    materialized token-array COLUMN (not an expression!).
 
     CRITICAL perf note: ``toks`` must be a plain column reference.
     Passing the tokenization expression directly would re-evaluate
@@ -47,7 +49,7 @@ def shingles_of_tokens(toks: Column, n: int = 3, sep: str = "_") -> Column:
             sep, *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(grams) if distinct else grams
 
 
 def shingles(text: Column | str, n: int = 3, sep: str = "_") -> Column:

@@ -13,11 +13,14 @@ implements exact first-wins dedup on ``target``,
 * **MinHash + LSH** — constant-size signatures, banded bucketing;
   only bucket-mates are compared. The scale path: shuffle volume is
   O(docs × bands), independent of document length.
-* **SimHash** — 16-bit fingerprints, band join with *complete* recall
-  for hamming ≤ 3 (pigeonhole over 4 bands of 4 bits).
+* **SimHash** — TF-weighted 32-bit fingerprints, banded grouping with
+  *complete* recall for hamming ≤ 2 (pigeonhole over 3 wide bands).
 * **embedding cosine** — semantic near-dup over a vector column;
   brute-force pair join at test SF, LSH-bucketed variant for scale
   (operators/similarity.py).
+
+Plus the endgame: ``connected_components`` turns any pair list into
+clusters so the pipeline can keep one canonical survivor per cluster.
 
 Hashes derive from md5 only, so every strategy is reproducible in the
 DuckDB oracles bit-for-bit.

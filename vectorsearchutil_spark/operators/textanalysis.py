@@ -240,3 +240,40 @@ def chunk_documents(
         F.md5(F.array_join(piece, " ")).alias("chunk_hash"),
         F.size(piece).alias("n_chunk_tokens"),
     )
+
+
+def repetition_ratio(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> "DataFrame":
+    """Per-document n-gram repetition ratio — the Gopher-style
+    quality signal (1 − distinct/total shingles): boilerplate and
+    template spam score high, natural prose low.
+
+    One narrow projection + one groupBy on the doc id; documents
+    shorter than ``n`` tokens produce no shingles and drop out, same
+    as the SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.functions.text import (
+        shingles_of_tokens,
+        tokens,
+    )
+
+    sh = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        F.col(id_col),
+        F.explode(
+            shingles_of_tokens(F.col("_toks"), n, distinct=False)
+        ).alias("shingle"),
+    )
+    return sh.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count_distinct(F.col("shingle")).alias("n_distinct"),
+        F.round(
+            1.0 - F.count_distinct(F.col("shingle")) / F.count(F.lit(1)), 4
+        ).alias("repetition_ratio"),
+    )

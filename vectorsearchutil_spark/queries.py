@@ -2413,3 +2413,134 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8 (market share) and Q15 (top supplier by revenue) shapes.
+# --------------------------------------------------------------------------
+
+_Q8_ORACLE = """
+SELECT l_year,
+       ROUND(SUM(CASE WHEN cust_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n.n_name AS cust_nation
+  FROM lineitem l
+  JOIN orders o   ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n   ON c.c_nationkey = n.n_nationkey
+  JOIN part p     ON l.l_partkey = p.p_partkey
+  WHERE p.p_type = 'ECONOMY'
+) allnations
+GROUP BY l_year
+"""
+
+
+@query("tpch_q8_market_share", _Q8_ORACLE)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a part segment's revenue
+    per year — conditional-sum ratio over a 5-way join. All dims
+    broadcast; the part p_type filter shrinks the probe before the
+    fact join; one orders⋈lineitem shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("l_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
+                / F.sum(vol),
+                4,
+            ).alias("mkt_share")
+        )
+    )
+
+
+_Q15_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+@query("tpch_q15_top_supplier", _Q15_ORACLE)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the revenue 'view' is computed once and used
+    twice (per-supplier revenue + its global max) — the reuse is
+    explicit via a single aggregated DataFrame joined against its own
+    1-row max, so the fact scan+agg never runs twice. Revenue is
+    rounded BEFORE the max comparison on both sides, keeping the
+    equality engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("total_revenue")
+        )
+        .localCheckpoint()  # computed once, used for both the join and the max
+    )
+    top = revenue.agg(F.max("total_revenue").alias("_max"))
+    return (
+        revenue.join(F.broadcast(top), F.col("total_revenue") == F.col("_max"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+  FROM doctoks
+),
+allsh AS (
+  SELECT doc_id, toks[i] || '_' || toks[i+1] || '_' || toks[i+2] AS shingle
+  FROM sh0
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(COUNT(DISTINCT shingle) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT shingle) * 1.0 / COUNT(*), 4)
+         AS repetition_ratio
+FROM allsh GROUP BY doc_id
+"""
+
+
+@query("text_repetition_ratio", _REPETITION_ORACLE)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style duplicate-3-gram quality signal per document —
+    narrow shingle projection + one groupBy(doc_id)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        repetition_ratio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_ratio(docs, n=3)
