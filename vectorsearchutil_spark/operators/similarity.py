@@ -192,23 +192,38 @@ def build_ivf_index(
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (IVF list id).
 
-    One pass: corpus ⨯ broadcast(centroids) → min distance → list id.
+    The centroid set travels as ONE broadcast row holding an
+    array<struct(cid, cv)>; the assignment is array_min over
+    (distance, cid) structs — lexicographic struct ordering breaks
+    ties to the lowest centroid id. Fully narrow: no per-centroid
+    row expansion and no window shuffle, so the corpus never moves.
     At 100 TB the result is written partitioned by ``centroid_id`` so
     queries prune partitions (the Spark analog of faiss IVF lists —
     reference index at vsu/base/VectorSearchBase.py:54-59).
     """
-    from pyspark.sql import Window
-
-    scored = df.crossJoin(F.broadcast(centroids)).withColumn(
-        "_d", l2_distance(F.col(vector_col), F.col(centroid_vec_col))
+    cents_row = centroids.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(centroid_id_col).alias("cid"),
+                    F.col(centroid_vec_col).alias("cv"),
+                )
+            )
+        ).alias("_cents")
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("_d").asc(), F.col(centroid_id_col).asc()
+    best = F.array_min(
+        F.transform(
+            F.col("_cents"),
+            lambda c: F.struct(
+                l2_distance(F.col(vector_col), c["cv"]).alias("d"),
+                c["cid"].alias("cid"),
+            ),
+        )
     )
     return (
-        scored.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(df["*"], F.col(centroid_id_col))
+        df.crossJoin(F.broadcast(cents_row))
+        .withColumn("_b", best)
+        .select(df["*"], F.col("_b.cid").alias(centroid_id_col))
     )
 
 
