@@ -73,21 +73,63 @@ def zeroshot(
 
     Mirrors the reference's ``data["zeroshot_pred"]`` materialization
     (``vsu/text/_classes.py:43``).
+
+    The label set travels as ONE broadcast row holding an
+    array<struct(idx, label, vec)>; per data row the scores are a
+    transform() over that array and the argmax is array_min over
+    (-score, idx) structs — lexicographic struct ordering reproduces
+    the reference's first-max / lowest-index tie-break
+    (vsu/text/_classes.py:40). Fully narrow: no per-label row
+    expansion, no window shuffle, no join-back — the corpus is
+    scanned once and never moves (the shape that survives 100 TB).
     """
-    scored = zeroshot_scores(
-        data, labels, vector_col, id_col, label_col, label_idx_col,
-        label_vec_col, softmax,
+    labels_row = labels.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(label_idx_col).alias("idx"),
+                    F.col(label_col).alias("label"),
+                    F.col(label_vec_col).alias("cv"),
+                )
+            )
+        ).alias("_labels")
     )
-    win = Window.partitionBy(id_col).orderBy(
-        F.col("score").desc(), F.col(label_idx_col).asc()
+    scores_arr = F.transform(
+        F.col("_labels"),
+        lambda lab: F.struct(
+            (
+                cosine_similarity(F.col(vector_col), lab["cv"]) * 100.0
+            ).alias("score"),
+            lab["idx"].alias("idx"),
+            lab["label"].alias("label"),
+        ),
     )
-    best = (
-        scored.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(
-            F.col(id_col),
-            F.col(label_col).alias("zeroshot_pred"),
-            *(["score", "prob"] if softmax else ["score"]),
+    best = F.array_min(
+        F.transform(
+            F.col("_s"),
+            lambda x: F.struct(
+                (-x["score"]).alias("negscore"),
+                x["idx"].alias("idx"),
+                x["label"].alias("label"),
+            ),
         )
     )
-    return data.join(best, id_col, "left")
+    out = (
+        data.crossJoin(F.broadcast(labels_row))
+        .withColumn("_s", scores_arr)
+        .withColumn("_b", best)
+    )
+    score = (-F.col("_b.negscore")).alias("score")
+    pred = F.col("_b.label").alias("zeroshot_pred")
+    if softmax:
+        # stabilized softmax of the winning label: exp(max-max)=1 over
+        # the sum of exp(s-max) in label-index order
+        sumexp = F.aggregate(
+            F.col("_s"),
+            F.lit(0.0),
+            lambda acc, x: acc + F.exp(x["score"] + F.col("_b.negscore")),
+        )
+        return out.select(
+            *data.columns, pred, score, (F.lit(1.0) / sumexp).alias("prob")
+        )
+    return out.select(*data.columns, pred, score)
