@@ -113,3 +113,13 @@ def test_q22_anti_join(spark, sf_dir):
     plan = formatted_plan(df)
     assert "LeftAnti" in plan  # NOT EXISTS became an anti-join
     assert_no_cartesian(df)
+
+
+def test_knn_batch_window_group_limit(spark, sf_dir):
+    # Spark's WindowGroupLimit must prune to top-k map-side (Partial)
+    # BEFORE the exchange — the property that keeps batched kNN's
+    # shuffle at k×queries rows instead of corpus×queries
+    df = Q.QUERIES["knn_batch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan.split("Exchange")[1]  # partial below shuffle
