@@ -2544,3 +2544,65 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return repetition_ratio(docs, n=3)
+
+
+# --------------------------------------------------------------------------
+# Window-function coverage: ntile bucketing and first/last frames.
+# --------------------------------------------------------------------------
+
+_NTILE_ORACLE = """
+SELECT c_custkey,
+       CAST(NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS INT)
+         AS decile
+FROM customer
+"""
+
+
+@query("customers_acctbal_deciles", _NTILE_ORACLE)
+def customers_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles via ntile — the analytics bucketing
+    window. Single unpartitioned window: fine at dimension scale;
+    for a 100 TB fact you'd ntile within partitions or use
+    approx quantile cutoffs instead of a global sort."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return c.select(
+        "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
+    )
+
+
+_FIRST_LAST_ORACLE = """
+SELECT DISTINCT user_id,
+       FIRST_VALUE(event_type) OVER w AS first_event,
+       LAST_VALUE(event_type)  OVER w AS last_event,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_events
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY ts ASC, event_id ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+)
+"""
+
+
+@query("events_first_last_per_user", _FIRST_LAST_ORACLE)
+def events_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user via an explicit unbounded frame —
+    the frame form that makes last_value correct (the default frame
+    stops at CURRENT ROW). One shuffle on user_id."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+        F.count(F.lit(1)).over(w).alias("n_events"),
+    ).distinct()
