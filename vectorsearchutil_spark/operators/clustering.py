@@ -101,18 +101,22 @@ def kmeans(
     broadcast subtree (the classic iterative-plan blowup). The 6dp
     centroid rounding round-trips exactly through Python floats, so
     results are bit-identical to the lineage-chained form."""
+    # narrow working set, cached across the iteration jobs — each
+    # Lloyd's round re-reads (id, vector) only, from memory (at
+    # 100 TB: persist MEMORY_AND_DISK or checkpoint, same idea)
+    work = df.select(id_col, vector_col).cache()
     init = (
-        df.orderBy(id_col)
+        work.orderBy(id_col)
         .limit(k)
         .select(F.col(vector_col).cast("array<double>").alias("cv"))
         .collect()
     )
     cents = [(i, list(r["cv"])) for i, r in enumerate(init)]
     for _ in range(iterations):
-        assigned = _assign(df, cents, vector_col, id_col)
+        assigned = _assign(work, cents, vector_col, id_col)
         rows = _recompute_centroids(assigned, vector_col, dim).collect()
         cents = sorted((r["cid"], list(r["cv"])) for r in rows)
-    final = _assign(df, cents, vector_col, id_col)
+    final = _assign(work, cents, vector_col, id_col)
     centroids = df.sparkSession.createDataFrame(
         [(int(c), list(v)) for c, v in cents], "cid int, cv array<double>"
     )
