@@ -2606,3 +2606,32 @@ def events_first_last_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type").over(w).alias("last_event"),
         F.count(F.lit(1)).over(w).alias("n_events"),
     ).distinct()
+
+
+_GROUPING_SETS_ORACLE = """
+SELECT event_type,
+       CAST(user_id AS BIGINT) AS user_id,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (user_id), ())
+"""
+
+
+@query("events_grouping_sets", _GROUPING_SETS_ORACLE)
+def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the third of the multi-aggregate trio
+    (rollup/cube are separate entries): per-type totals, per-user
+    totals, and the grand total in ONE pass with partial aggregation,
+    instead of three scans unioned."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupingSets(
+            [["event_type"], ["user_id"], []], "event_type", "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select("event_type", "user_id", "n", "total_value")
+    )
