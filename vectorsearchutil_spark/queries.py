@@ -2635,3 +2635,31 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "user_id", "n", "total_value")
     )
+
+
+_HASH_SPLIT_ORACLE = """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT
+                 % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM documents
+"""
+
+
+@query("documents_hash_split", _HASH_SPLIT_ORACLE)
+def documents_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/val split by id hash — the stable
+    sampling primitive a training pipeline needs (same row lands in
+    the same split on every run, any engine, any partitioning;
+    RNG-based sample() can guarantee none of those). Pure narrow
+    projection — no shuffle, no state."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 90, "train").otherwise("val").alias("split"),
+    )
