@@ -242,3 +242,49 @@ def test_stream_static_enrich_matches_batch(spark, sf_dir):
     batch_rows = {tuple(r) for r in batch.collect()}
     assert len(batch_rows) > 0
     assert got_rows == batch_rows
+
+
+def test_idempotent_sink_exactly_once_on_replay(spark, sf_dir, tmp_path):
+    """Re-delivering a batch to the idempotent sink must not
+    duplicate rows — the replay overwrites its own batch partition."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.streaming.sinks import idempotent_parquet_sink
+
+    out = str(tmp_path / "landing")
+    sink = idempotent_parquet_sink(out)
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .limit(100)
+        .select("event_id", "user_id", "value")
+    )
+    sink(batch, 7)
+    first = spark.read.parquet(out).count()
+    sink(batch, 7)  # crash-restart replay of the same batch id
+    replay = spark.read.parquet(out).count()
+    assert first == 100
+    assert replay == 100  # idempotent: no duplication
+    sink(batch, 8)  # a NEW batch appends its own partition
+    assert spark.read.parquet(out).count() == 200
+
+
+def test_idempotent_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
+    """availableNow stream through the idempotent sink lands exactly
+    the source rows."""
+    from vectorsearchutil_spark.streaming.sinks import idempotent_parquet_sink
+
+    out = str(tmp_path / "landing2")
+    stream = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(idempotent_parquet_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_src = load_table(spark, sf_dir, "events").count()
+    got = spark.read.parquet(out)
+    assert got.count() == n_src
+    assert got.select("event_id").distinct().count() == n_src

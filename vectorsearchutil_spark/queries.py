@@ -2663,3 +2663,30 @@ def documents_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.when(bucket < 90, "train").otherwise("val").alias("split"),
     )
+
+
+_GROUP_PCT_ORACLE = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("orders_percentiles_by_priority", _GROUP_PCT_ORACLE)
+def orders_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (interpolated, quantile_cont
+    semantics — Spark's `percentile`, not approx_percentile). Exact
+    grouped percentiles need the group's values together: one shuffle
+    on the group key. At 100 TB you'd reach for approx_percentile
+    (t-digest-style mergeable sketch, partial-agg map-side) and
+    accept the error bound — kept exact here so the oracle can pin
+    values."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+    )
