@@ -92,3 +92,15 @@ def test_connected_components_empty(spark):
 
     pairs = spark.createDataFrame([], "id_a long, id_b long")
     assert connected_components(pairs).count() == 0
+
+
+def test_bucket_pairs_max_bucket_cap(spark):
+    from vectorsearchutil_spark.operators.dedup import bucket_pairs
+
+    rows = [(i, "mega") for i in range(10)] + [(100, "tiny"), (101, "tiny")]
+    buckets = spark.createDataFrame(rows, ["doc_id", "bucket"])
+    full = bucket_pairs(buckets, "doc_id")
+    capped = bucket_pairs(buckets, "doc_id", max_bucket=5)
+    assert full.count() == 45 + 1  # C(10,2) + the tiny pair
+    got = {tuple(r) for r in capped.collect()}
+    assert got == {(100, 101)}  # mega-bucket dropped, tiny kept

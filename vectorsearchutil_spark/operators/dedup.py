@@ -115,19 +115,34 @@ def ngram_jaccard_pairs(
 
 
 def bucket_pairs(
-    buckets: DataFrame, id_col: str, bucket_col: str = "bucket"
+    buckets: DataFrame,
+    id_col: str,
+    bucket_col: str = "bucket",
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) sharing a bucket.
 
     Grouped in-bucket expansion instead of a bucket self-join: the
     upstream signature pipeline is computed ONCE (a self-join would
     recompute it for both sides — Catalyst does not reuse the
-    exchange across the alias boundary)."""
-    return (
+    exchange across the alias boundary).
+
+    ``max_bucket`` is the skew guard for scale: a bucket of b members
+    emits b² candidate structs, so one degenerate bucket (empty docs,
+    boilerplate) can dominate the stage. Capped buckets are DROPPED —
+    the standard LSH trade (a bucket that large carries no
+    discriminative signal; its members still pair up in their other,
+    sparser bands/tables). Default None = exact completeness,
+    matching the oracles."""
+    grouped = (
         buckets.groupBy(bucket_col)
         .agg(F.collect_list(F.col(id_col)).alias("m"))
         .filter(F.size("m") > 1)
-        .select(
+    )
+    if max_bucket is not None:
+        grouped = grouped.filter(F.size("m") <= max_bucket)
+    return (
+        grouped.select(
             F.explode(
                 F.expr(
                     "filter(flatten(transform(m, x -> transform(m, y -> "
