@@ -46,6 +46,9 @@ HEADLINE = [
     "text_chunking",
     "kmeans_clusters",
     "multimodal_decode_meta",
+    "tpch_q6_forecast_revenue",
+    "dedup_connected_components",
+    "documents_hash_split",
 ]
 
 
