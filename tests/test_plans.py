@@ -123,3 +123,29 @@ def test_knn_batch_window_group_limit(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan.split("Exchange")[1]  # partial below shuffle
+
+
+def test_q16_anti_join_and_distinct_count(spark, sf_dir):
+    df = Q.QUERIES["tpch_q16_supplier_counts"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan  # NOT IN became an anti-join
+    assert_no_cartesian(df)
+
+
+def test_q21_single_fact_scan_per_pass(spark, sf_dir):
+    # the decorrelated rewrite must not expand into three correlated
+    # joins against lineitem: the qualifying-line join and the
+    # per-order aggregate are the only lineitem consumers
+    import re
+
+    df = Q.QUERIES["tpch_q21_waiting_supplier"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    # numbered plan nodes count each scan once (the formatted text
+    # repeats every scan in the details section)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 5
+
+
+def test_q12_shipdate_pushdown(spark, sf_dir):
+    df = Q.QUERIES["tpch_q12_priority_lines"](spark, sf_dir)
+    assert "l_shipdate" in " ".join(pushed_filters(df))
