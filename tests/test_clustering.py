@@ -12,6 +12,21 @@ def test_kmeans_partitions_all_rows(spark, sf_dir):
     assert assignments.select("cluster").distinct().count() <= 5
 
 
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    # ADVICE r1: a cluster that loses every member must not vanish.
+    # Duplicate init vectors force cluster 1 empty in iteration 1 (all
+    # ties break to cid 0); its retained centroid then wins rows back.
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 0.0])]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assignments, centroids = kmeans(
+        df, k=2, iterations=2, vector_col="embedding", id_col="vec_id", dim=2
+    )
+    assert centroids.count() == 2  # k never shrinks
+    clusters = {r["vec_id"]: r["cluster"] for r in assignments.collect()}
+    # after iter2 the retained [0,0] centroid reclaims the origin rows
+    assert clusters[0] == 1 and clusters[1] == 1 and clusters[2] == 0
+
+
 def test_kmeans_inertia_decreases(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").cache()
 

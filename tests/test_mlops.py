@@ -22,6 +22,35 @@ def test_classifier_scores_all_rows(emb):
     assert abs(sum(row["proba"]) - 1.0) < 1e-6
 
 
+def test_classifier_string_labels(emb):
+    # ADVICE r1: sklearn's fit accepts string labels — so must we.
+    # Predictions come back in the original (string) label domain.
+    named = emb.withColumn("label", F.concat(F.lit("cls_"), F.col("label")))
+    fit = mlp_classifier(named, y_col="label", vector_col="embedding", id_col="vec_id")
+    preds = {r["prediction"] for r in fit.scored.select("prediction").collect()}
+    assert preds <= {f"cls_{i}" for i in range(10)}
+    assert len(fit.scored.first()["proba"]) == 10
+
+
+def test_classifier_noncontiguous_int_labels(emb):
+    # labels {100, 107} must not size a 108-way output layer
+    shifted = emb.withColumn(
+        "label", (F.col("label") % 2) * 7 + 100
+    )
+    fit = mlp_classifier(shifted, y_col="label", vector_col="embedding", id_col="vec_id")
+    preds = {r["prediction"] for r in fit.scored.select("prediction").collect()}
+    assert preds <= {100, 107}
+    assert len(fit.scored.first()["proba"]) == 2
+
+
+def test_classifier_rejects_single_class(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0], 5) for i in range(10)], ["id", "vector", "y"]
+    )
+    with pytest.raises(ValueError, match="class"):
+        mlp_classifier(df, y_col="y", vector_col="vector", id_col="id")
+
+
 def test_regressor_scores_all_rows(emb):
     fit = mlp_regressor(emb, y_col="label", vector_col="embedding", id_col="vec_id")
     assert fit.metric_name == "r2"

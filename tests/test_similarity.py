@@ -31,6 +31,23 @@ def test_matrix_knn_matches_expression_knn(emb, queries5):
     assert a == b
 
 
+def test_matrix_knn_tie_break_deterministic(spark):
+    # ADVICE r1: ties straddling the per-batch top-k cutoff must
+    # resolve to the lowest ids regardless of partitioning. 40 corpus
+    # rows all equidistant from the query, spread over 8 partitions —
+    # every partitioning must return ids 0..4.
+    rows = [(i, [1.0, 0.0]) for i in range(40)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"]).repartition(8)
+    q = spark.createDataFrame([(0, [0.0, 0.0])], ["query_id", "query_vector"])
+    for parts in (1, 8):
+        out = knn_batch_matrix(
+            corpus.repartition(parts), q, k=5,
+            vector_col="embedding", id_col="vec_id",
+        )
+        got = sorted(r["vec_id"] for r in out.collect())
+        assert got == [0, 1, 2, 3, 4], f"parts={parts}: {got}"
+
+
 def test_neardup_matrix_symmetric_and_thresholded(emb):
     pairs = neardup_pairs_matrix(emb, threshold=0.4).collect()
     assert len(pairs) > 0

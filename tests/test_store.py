@@ -109,6 +109,36 @@ def test_parquet_persistence_roundtrip(spark, tmp_path):
     assert VectorStore(spark, path=path).count() == 3
 
 
+def test_crash_mid_swap_recovers(spark, tmp_path):
+    # ADVICE r1: append must never leave the store unrecoverable.
+    # Simulate every crash point of _persist's staged swap and check
+    # a fresh open heals to a complete version.
+    import os
+    import shutil
+
+    path = str(tmp_path / "store.parquet")
+    vs = VectorStore(spark, path=path)
+    vs.set_data(_df(spark, [("a", "1"), ("b", "2")]))
+
+    # crash point 1: staging fully written, live dir renamed away
+    # (the gap between the two renames)
+    shutil.copytree(path, path + "__staging")
+    os.rename(path, path + "__old")
+    vs2 = VectorStore(spark, path=path)
+    assert vs2.count() == 2
+    assert not os.path.exists(path + "__staging")
+    assert not os.path.exists(path + "__old")
+
+    # crash point 2: staging incomplete (no _SUCCESS), live renamed —
+    # must roll back to __old, not adopt the torn staging copy
+    shutil.copytree(path, path + "__staging")
+    os.remove(os.path.join(path + "__staging", "_SUCCESS"))
+    os.rename(path, path + "__old")
+    vs3 = VectorStore(spark, path=path)
+    assert vs3.count() == 2
+    assert not os.path.exists(path + "__staging")
+
+
 def test_no_label_tower_disables_zeroshot(spark):
     # A10 (vsu/image/_classes.py:69-70): embedders without a text
     # tower return None from do_zeroshot

@@ -266,6 +266,12 @@ def test_idempotent_sink_exactly_once_on_replay(spark, sf_dir, tmp_path):
     assert replay == 100  # idempotent: no duplication
     sink(batch, 8)  # a NEW batch appends its own partition
     assert spark.read.parquet(out).count() == 200
+    # ADVICE r1: the sink must not leak dynamic mode into the session
+    # (it uses the per-write datasource option instead)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        .upper() == "STATIC"
+    )
 
 
 def test_idempotent_sink_streaming_end_to_end(spark, sf_dir, tmp_path):

@@ -93,6 +93,9 @@ def kmeans(
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iterations`` Lloyd's steps; returns (assignments,
     centroids). Assignments: (id, cid, distance to its centroid).
+    Always returns exactly ``k`` centroids: a cluster that goes empty
+    during an iteration retains its previous centroid (it can win
+    rows back later; no silent shrink).
 
     Centroids are collected to the driver after every update (k×dim
     doubles — trivial) and re-inlined as literals: this truncates the
@@ -115,7 +118,11 @@ def kmeans(
     for _ in range(iterations):
         assigned = _assign(work, cents, vector_col, id_col)
         rows = _recompute_centroids(assigned, vector_col, dim).collect()
-        cents = sorted((r["cid"], list(r["cv"])) for r in rows)
+        # a cluster that lost every member keeps its previous centroid
+        # (deterministic, k never shrinks); the recompute groupBy only
+        # emits cids with members, so merge over the prior set
+        new = {r["cid"]: list(r["cv"]) for r in rows}
+        cents = sorted((c, new.get(c, v)) for c, v in cents)
     final = _assign(work, cents, vector_col, id_col)
     centroids = df.sparkSession.createDataFrame(
         [(int(c), list(v)) for c, v in cents], "cid int, cv array<double>"

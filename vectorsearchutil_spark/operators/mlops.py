@@ -53,16 +53,30 @@ def mlp_classifier(
     75/25 split (seed 810 per reference :225), train MLP on the
     75%, report held-out accuracy, score every row (the reference
     returns predictions for all rows, :234).
+
+    Labels may be strings or arbitrary (non-contiguous, negative)
+    numbers — like the reference's sklearn path. They are indexed to
+    0..k-1 by sorted order (the StringIndexer analog, deterministic),
+    and ``prediction`` is returned in the ORIGINAL label domain.
     """
     from pyspark.ml.classification import MultilayerPerceptronClassifier
     from pyspark.ml.evaluation import MulticlassClassificationEvaluator
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     dim = len(data.select(vector_col).first()[0])
-    n_classes = data.agg(F.max(F.col(y_col))).first()[0] + 1
+    labels = [r[0] for r in data.select(y_col).distinct().orderBy(y_col).collect()]
+    if any(lab is None for lab in labels):
+        raise ValueError(f"label column {y_col!r} contains nulls")
+    n_classes = len(labels)
+    if n_classes < 2:
+        raise ValueError(f"label column {y_col!r} has {n_classes} class(es)")
+    label_to_idx = F.create_map(
+        *[F.lit(x) for i, lab in enumerate(labels) for x in (lab, i)]
+    )
+    idx_to_label = F.array(*[F.lit(lab) for lab in labels])
     feat = data.withColumn(
         "features", array_to_vector(F.col(vector_col).cast("array<double>"))
-    ).withColumn("_y", F.col(y_col).cast("double"))
+    ).withColumn("_y", label_to_idx[F.col(y_col)].cast("double"))
     train, test = feat.randomSplit([0.75, 0.25], seed=seed)
     train = train.cache()
     clf = MultilayerPerceptronClassifier(
@@ -81,6 +95,10 @@ def mlp_classifier(
     scored = (
         model.transform(feat)
         .withColumn("proba", vector_to_array(F.col("probability")))
+        .withColumn(
+            "prediction",
+            F.element_at(idx_to_label, F.col("prediction").cast("int") + 1),
+        )
         .drop("features", "_y", "rawPrediction", "probability")
     )
     return FitResult(model, "accuracy", float(acc), scored)

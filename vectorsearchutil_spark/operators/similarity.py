@@ -118,7 +118,11 @@ def knn_batch_matrix(
 ) -> DataFrame:
     """Batched exact kNN, matrix form: broadcast the query matrix,
     stream the corpus through BLAS, keep per-batch top-k, reduce with
-    a window. Same result contract as operators.knn.knn_batch.
+    a window. Same result contract as operators.knn.knn_batch —
+    ascending distance, ties by ascending id — and deterministic
+    across partitionings: batch-local selection uses the same
+    (distance, id) total order as the final window, so the per-batch
+    top-k provably contains the global top-k.
 
     The corpus (the 100 TB side) never shuffles and is read once; the
     final window sees ≤ k rows per (query, batch)."""
@@ -135,6 +139,19 @@ def knn_batch_matrix(
         ]
     )
 
+    def _topk_by_dist_then_id(
+        srow: np.ndarray, cids: np.ndarray, take: int
+    ) -> np.ndarray:
+        # batch-local top-k under the GLOBAL (distance, id) total
+        # order: argpartition for the cheap cutoff, then widen to every
+        # row tied at the cutoff and lexsort (distance, id). Without
+        # the widening, ties straddling the cutoff are kept
+        # arbitrarily and the result depends on partitioning.
+        part = np.argpartition(srow, take - 1)[:take]
+        kth = srow[part].max()
+        cand = np.nonzero(srow <= kth)[0]
+        return cand[np.lexsort((cids[cand], srow[cand]))[:take]]
+
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids = b_qids.value
         qmat = b_qmat.value
@@ -149,17 +166,14 @@ def knn_batch_matrix(
                     + (c * c).sum(axis=1)[None, :]
                 )
                 scores = np.sqrt(np.maximum(d2, 0.0))
-                take = min(k, scores.shape[1])
-                part = np.argpartition(scores, take - 1, axis=1)[:, :take]
             else:
                 qn = np.linalg.norm(qmat, axis=1, keepdims=True)
                 cn = np.linalg.norm(c, axis=1, keepdims=True)
                 scores = -((qmat / qn) @ (c / cn).T)  # negate → ascending
-                take = min(k, scores.shape[1])
-                part = np.argpartition(scores, take - 1, axis=1)[:, :take]
+            take = min(k, scores.shape[1])
             rows = {query_id_col: [], id_col: [], "distance": []}
             for qi in range(len(qids)):
-                for cj in part[qi]:
+                for cj in _topk_by_dist_then_id(scores[qi], cids, take):
                     rows[query_id_col].append(qids[qi])
                     rows[id_col].append(cids[cj])
                     rows["distance"].append(

@@ -1763,12 +1763,22 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
             f")"
         )
         ctes.append(
-            f"c{i + 1} AS (\n"
+            f"n{i + 1} AS (\n"
             f"  SELECT cid, list(v ORDER BY pos) AS cv FROM (\n"
             f"    SELECT a.cid, t.i AS pos,"
             f" ROUND(AVG(a.embedding[t.i]::DOUBLE), 6) AS v\n"
             f"    FROM a{i} a, range(1, 65) t(i) GROUP BY a.cid, t.i\n"
             f"  ) GROUP BY cid\n"
+            f")"
+        )
+        # empty clusters keep their previous centroid (matches
+        # operators/clustering.py — k never shrinks)
+        ctes.append(
+            f"c{i + 1} AS (\n"
+            f"  SELECT * FROM n{i + 1}\n"
+            f"  UNION ALL\n"
+            f"  SELECT p.cid, p.cv FROM c{i} p\n"
+            f"  WHERE p.cid NOT IN (SELECT cid FROM n{i + 1})\n"
             f")"
         )
     final = iterations

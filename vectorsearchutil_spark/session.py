@@ -39,6 +39,12 @@ ENGINE_CONF: dict[str, str] = {
         "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
     ),
     "spark.sql.session.timeZone": "UTC",
+    # Parquet TIMESTAMP(NANOS) columns (the driver's events.ts) are
+    # unreadable without this legacy flag, and Spark offers no per-read
+    # option for it — so it is a DECLARED engine default, not a hidden
+    # read side effect. Effect is limited to nanos columns, which would
+    # otherwise throw "Illegal Parquet type".
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",

@@ -36,6 +36,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     DuckDB's ns→µs truncation so oracles agree.
     """
     if name == "events":
+        # ensure the declared engine default (session.ENGINE_CONF) on
+        # sessions built elsewhere — Spark has no per-read option for
+        # nanos, and without it TIMESTAMP(NANOS) scans throw outright
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 

@@ -84,12 +84,38 @@ class VectorStore:
         self.zeroshot_labels: list[str] = []
         self._labels_df: DataFrame | None = None
         if path is not None:
+            self._recover_path(path)
             try:
                 self._df = spark.read.parquet(path)
             except Exception:
                 self._df = None
         elif table is not None and spark.catalog.tableExists(table):
             self._df = spark.table(table)
+
+    @staticmethod
+    def _recover_path(path: str) -> None:
+        """Heal a store interrupted mid-swap (see _persist).
+
+        The swap order guarantees at least one complete copy exists at
+        every crash point: live dir, ``__old`` (previous version), or
+        ``__staging`` with a ``_SUCCESS`` marker (new version).
+        """
+        import os
+        import shutil
+
+        base = path.rstrip("/")
+        staging, old = base + "__staging", base + "__old"
+        if os.path.exists(base):
+            # swap completed (or never started) — drop leftovers
+            shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(old, ignore_errors=True)
+            return
+        if os.path.exists(os.path.join(staging, "_SUCCESS")):
+            os.rename(staging, base)  # new version fully written
+            shutil.rmtree(old, ignore_errors=True)
+        elif os.path.exists(old):
+            os.rename(old, base)  # roll back to previous version
+            shutil.rmtree(staging, ignore_errors=True)
 
     # -- store state -------------------------------------------------
 
@@ -121,22 +147,29 @@ class VectorStore:
         if self.path is not None:
             # the append path unions the DataFrame being overwritten;
             # Spark reads lazily DURING the overwrite and would clobber
-            # its own input. Stage first, then rewrite the final path
-            # from the staged copy. (With Delta/Iceberg this would be
-            # a single ACID MERGE/append.)
-            staging = self.path.rstrip("/") + "__staging"
-            df.write.mode("overwrite").parquet(staging)
-            staged = self.spark.read.parquet(staging)
-            staged.write.mode("overwrite").parquet(self.path)
-            out = self.spark.read.parquet(self.path)
-            out.count()  # materialize before staging is removed
-            try:
-                import shutil
+            # its own input. Write the new version ONCE to a staging
+            # dir, verify it, then swap it into place with renames —
+            # the previous version survives on disk until the swap
+            # completes, so no crash point loses the store, and each
+            # append writes the data exactly once instead of twice.
+            # (Local-FS rename; with Delta/Iceberg this would be a
+            # single ACID MERGE/append — the bucketed table= mode is
+            # the cluster-scale posture.)
+            import os
+            import shutil
 
-                shutil.rmtree(staging, ignore_errors=True)
-            except OSError:
-                pass
-            return out
+            base = self.path.rstrip("/")
+            staging = base + "__staging"
+            df.write.mode("overwrite").parquet(staging)
+            # verify the staged write is readable before touching live
+            self.spark.read.parquet(staging).count()
+            old = base + "__old"
+            shutil.rmtree(old, ignore_errors=True)
+            if os.path.exists(base):
+                os.rename(base, old)
+            os.rename(staging, base)
+            shutil.rmtree(old, ignore_errors=True)
+            return self.spark.read.parquet(base)
         return df.cache()
 
     # -- ingest (A1/A2) ------------------------------------------------

@@ -41,6 +41,8 @@ EVENTS_RAW_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table (file source; in production this would
     be Kafka/Kinesis with the same downstream plan)."""
+    # ensure the declared engine default (session.ENGINE_CONF) on
+    # sessions built elsewhere — config-only in Spark, see session.py
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # the file stream source requires a directory: stream the SF dir
     # with a glob narrowing it to the events table.
