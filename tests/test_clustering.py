@@ -12,6 +12,20 @@ def test_kmeans_partitions_all_rows(spark, sf_dir):
     assert assignments.select("cluster").distinct().count() <= 5
 
 
+def test_kmeans_strategies_agree(spark, sf_dir):
+    # driver and distributed Lloyd's must produce identical
+    # assignments and centroids (same float64 math + HALF_UP rounding)
+    emb = load_table(spark, sf_dir, "embeddings")
+    a_drv, c_drv = kmeans(emb, k=5, iterations=2, strategy="driver")
+    a_dst, c_dst = kmeans(emb, k=5, iterations=2, strategy="distributed")
+    assert {tuple(r) for r in a_drv.collect()} == {
+        tuple(r) for r in a_dst.collect()
+    }
+    assert {(r["cid"], tuple(r["cv"])) for r in c_drv.collect()} == {
+        (r["cid"], tuple(r["cv"])) for r in c_dst.collect()
+    }
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     # ADVICE r1: a cluster that loses every member must not vanish.
     # Duplicate init vectors force cluster 1 empty in iteration 1 (all

@@ -83,6 +83,67 @@ def _assign(
     )
 
 
+def _round_half_up(values, decimals: int) -> list[float]:
+    """Round like Spark's ``F.round`` (BigDecimal HALF_UP over the
+    shortest decimal repr of the double) — ``np.round`` is half-even
+    and ``floor(x*f+0.5)`` double-rounds, both diverge on ties."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-decimals)
+    return [
+        float(Decimal(repr(float(v))).quantize(q, rounding=ROUND_HALF_UP))
+        for v in values
+    ]
+
+
+def _kmeans_driver(
+    work: DataFrame,
+    k: int,
+    iterations: int,
+    vector_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Driver-side Lloyd's for small inputs — bit-identical math to
+    the distributed path (float64 L2, argmin ties to lowest cid, 6dp
+    HALF_UP centroid rounding, empty cluster keeps its centroid)."""
+    import numpy as np
+
+    rows = work.orderBy(id_col).collect()
+    ids = [r[0] for r in rows]
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    cents = [X[i].tolist() for i in range(min(k, len(ids)))]
+
+    def assign(C: np.ndarray) -> np.ndarray:
+        # ||x-c||² argmin; ties → first (lowest cid), matching the
+        # distributed array_min struct ordering
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d2.argmin(axis=1)
+
+    for _ in range(iterations):
+        C = np.array(cents, dtype=np.float64)
+        a = assign(C)
+        for c in range(len(cents)):
+            members = X[a == c]
+            if len(members):
+                cents[c] = _round_half_up(members.mean(axis=0), 6)
+    C = np.array(cents, dtype=np.float64)
+    a = assign(C)
+    dist = np.sqrt(((X - C[a]) ** 2).sum(axis=1))
+    spark = work.sparkSession
+    assignments = spark.createDataFrame(
+        [
+            (int(i), int(c), float(d))
+            for i, c, d in zip(ids, a.tolist(), _round_half_up(dist, 4))
+        ],
+        f"{id_col} long, cluster int, distance double",
+    )
+    centroids = spark.createDataFrame(
+        [(int(c), list(map(float, v))) for c, v in enumerate(cents)],
+        "cid int, cv array<double>",
+    )
+    return assignments, centroids
+
+
 def kmeans(
     df: DataFrame,
     k: int = 8,
@@ -90,6 +151,8 @@ def kmeans(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     dim: int = 64,
+    strategy: str = "auto",
+    driver_max_cells: int = 5_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iterations`` Lloyd's steps; returns (assignments,
     centroids). Assignments: (id, cid, distance to its centroid).
@@ -103,11 +166,26 @@ def kmeans(
     instead of re-executing every earlier iteration inside the
     broadcast subtree (the classic iterative-plan blowup). The 6dp
     centroid rounding round-trips exactly through Python floats, so
-    results are bit-identical to the lineage-chained form."""
-    # narrow working set, cached across the iteration jobs — each
-    # Lloyd's round re-reads (id, vector) only, from memory (at
-    # 100 TB: persist MEMORY_AND_DISK or checkpoint, same idea)
-    work = df.select(id_col, vector_col).cache()
+    results are bit-identical to the lineage-chained form.
+
+    ``strategy`` is size-gated physical strategy selection (the
+    broadcast-join analogy): when the working set is at most
+    ``driver_max_cells`` float64 cells (default 5M ≈ 40 MB) the
+    Lloyd's loop runs on the driver in numpy — identical math, none
+    of the per-iteration job/shuffle overhead. Above the gate (any
+    real corpus) the distributed plan runs. ``strategy=`` forces
+    either path ('driver' / 'distributed')."""
+    # narrow working set — each Lloyd's round re-reads (id, vector)
+    # only (at 100 TB: persist MEMORY_AND_DISK or checkpoint)
+    work = df.select(id_col, vector_col)
+    if strategy == "auto":
+        strategy = (
+            "driver" if work.count() * dim <= driver_max_cells
+            else "distributed"
+        )
+    if strategy == "driver":
+        return _kmeans_driver(work, k, iterations, vector_col, id_col)
+    work = work.cache()
     init = (
         work.orderBy(id_col)
         .limit(k)

@@ -388,11 +388,42 @@ def embedding_neardup_pairs(
     )
 
 
+def _cc_driver(edges: DataFrame) -> DataFrame:
+    """Union-find on the driver — the exact min-label fixpoint in one
+    pass, for edge sets below the driver gate."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in edges.select("a", "b").toLocalIterator():
+        a, b = row[0], row[1]
+        for n in (a, b):
+            if n not in parent:
+                parent[n] = n
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # min id becomes the root → root IS the component label
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    out = [(n, find(n)) for n in sorted(parent)]
+    return edges.sparkSession.createDataFrame(
+        out, "node long, component long"
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
     max_iter: int = 25,
+    strategy: str = "auto",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair list: (node,
     component) where component = the minimum node id reachable from
@@ -409,6 +440,13 @@ def connected_components(
     "Connected Components in MapReduce") cuts rounds to
     O(log² n); min-propagation keeps the oracle-checkable exact
     fixpoint with the same output.
+
+    ``strategy`` is size-gated physical strategy selection: an edge
+    set of at most ``driver_max_edges`` (default 2M ≈ 32 MB) runs
+    union-find on the driver — the same fixpoint in one pass, none of
+    the per-round join/checkpoint jobs. Larger edge sets (deep 100 TB
+    near-dup graphs) take the distributed propagation. ``strategy=``
+    forces either path ('driver' / 'distributed').
     """
     edges = (
         pairs.select(
@@ -424,6 +462,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()  # materialized once, reused every round
     )
+    if strategy == "auto":
+        strategy = (
+            "driver" if edges.count() <= driver_max_edges else "distributed"
+        )
+    if strategy == "driver":
+        return _cc_driver(edges)
     labels = edges.groupBy("a").agg(F.min("b").alias("nbr")).select(
         F.col("a").alias("node"), F.least("a", "nbr").alias("comp")
     )

@@ -302,6 +302,51 @@ def _lsh_plane(plane: int, dim: int) -> list[float]:
     ]
 
 
+def _verify_pairs_matrix(
+    df: DataFrame,
+    cand: DataFrame,
+    vector_col: str,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-cosine verification of candidate pairs against a
+    broadcast normalized corpus matrix: per Arrow batch of (id_a,
+    id_b) pairs, two vectorized row lookups and one row-wise dot —
+    no vector joins, no interpreted per-pair array math."""
+    spark = df.sparkSession
+    ids, mat = _collect_matrix(df, id_col, vector_col)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat / norms[:, None])
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        index = {int(i): j for j, i in enumerate(b_ids.value)}
+        normed = b_mat.value
+        for pdf in batches:
+            ia = pdf["id_a"].map(index).to_numpy(dtype=np.int64)
+            ib = pdf["id_b"].map(index).to_numpy(dtype=np.int64)
+            cos = (normed[ia] * normed[ib]).sum(axis=1)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy()[keep],
+                    "id_b": pdf["id_b"].to_numpy()[keep],
+                    "cosine": cos[keep],
+                }
+            )
+
+    return cand.mapInPandas(compute, out_schema)
+
+
 def cosine_lsh_pairs(
     df: DataFrame,
     vector_col: str = "embedding",
@@ -310,6 +355,8 @@ def cosine_lsh_pairs(
     n_tables: int = 4,
     threshold: float = 0.3,
     dim: int = 64,
+    verify: str = "auto",
+    matrix_max_cells: int = 50_000_000,
 ) -> DataFrame:
     """Approximate cosine near-dup via multi-table random-hyperplane
     LSH.
@@ -362,6 +409,20 @@ def cosine_lsh_pairs(
     from vectorsearchutil_spark.operators.dedup import bucket_pairs
 
     cand = bucket_pairs(signed, id_col)
+    # exact-cosine verify, size-gated (broadcast-join analogy): when
+    # the corpus matrix fits comfortably in executor memory (default
+    # 50M cells = 400 MB float64), verify against the broadcast
+    # matrix — no vector joins, BLAS instead of interpreted per-pair
+    # array math. Larger corpora take the join path.
+    if verify == "auto":
+        verify = (
+            "matrix" if df.count() * dim <= matrix_max_cells else "join"
+        )
+    if verify == "matrix":
+        out = _verify_pairs_matrix(df, cand, vector_col, id_col, threshold)
+        return out.select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        )
     va = df.select(F.col(id_col).alias("id_a"), F.col(vector_col).alias("va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vector_col).alias("vb"))
     return (
