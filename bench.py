@@ -49,6 +49,8 @@ HEADLINE = [
     "tpch_q6_forecast_revenue",
     "dedup_connected_components",
     "documents_hash_split",
+    "knn_filtered",
+    "docs_filter_pipeline",
 ]
 
 

@@ -66,6 +66,31 @@ def knn(
     return ranked.orderBy(*order).limit(k)
 
 
+def knn_filtered(
+    corpus: DataFrame,
+    query_vector: Sequence[float],
+    predicate: Column,
+    k: int = 5,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    metric: str = "l2",
+) -> DataFrame:
+    """Filtered vector search: top-k among rows satisfying a metadata
+    predicate (pre-filter semantics — every result row satisfies it,
+    unlike post-filtering a plain top-k which can return < k rows).
+
+    The predicate sits below the distance projection, so Catalyst
+    pushes it into the parquet scan (``PushedFilters``) — at 100 TB a
+    selective filter prunes row groups before any distance is
+    computed, which is the whole point of storing filterable metadata
+    next to vectors.
+    """
+    return knn(
+        corpus.filter(predicate), query_vector, k=k,
+        vector_col=vector_col, id_col=id_col, metric=metric,
+    )
+
+
 def knn_batch(
     corpus: DataFrame,
     queries: DataFrame,

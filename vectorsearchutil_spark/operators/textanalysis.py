@@ -242,6 +242,69 @@ def chunk_documents(
     )
 
 
+#: filter_pipeline rule bounds (C4/Gopher-style cheap pre-filters).
+FILTER_RULES = {
+    "min_tokens": 20,
+    "max_tokens": 100_000,
+    "min_mean_tok_len": 3.0,
+    "max_mean_tok_len": 10.0,
+    "max_token_len": 20,
+    "min_uniq_ratio": 0.2,
+    "min_stop_ratio": 0.01,
+}
+
+
+def filter_pipeline(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4/Gopher-style document filter: every rule evaluated in one
+    narrow projection, emitting per-doc signals, a ``keep`` flag, and
+    the FIRST failing rule as ``reject_reason`` (NULL when kept).
+
+    Keeping rejected rows with their reason — rather than filtering —
+    is the production shape: the reject histogram is the pipeline's
+    tuning dashboard, and the keep filter is one trivial predicate
+    downstream. Rules (fixed evaluation order): token-count bounds,
+    mean-token-length bounds, longest-token cap, distinct-token
+    ratio floor (repetition guard), stopword-fraction floor
+    (word-soup guard).
+    """
+    r = FILTER_RULES
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    total_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mean_len = F.try_divide(total_len, n_tokens)
+    max_len = F.array_max(F.transform(toks, lambda t: F.length(t)))
+    uniq_ratio = F.try_divide(F.size(F.array_distinct(toks)), n_tokens)
+    stop_arr = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    stop_ratio = F.try_divide(
+        F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))),
+        n_tokens,
+    )
+    reason = (
+        F.when(n_tokens < r["min_tokens"], F.lit("too_short"))
+        .when(n_tokens > r["max_tokens"], F.lit("too_long"))
+        .when(mean_len < r["min_mean_tok_len"], F.lit("mean_tok_short"))
+        .when(mean_len > r["max_mean_tok_len"], F.lit("mean_tok_long"))
+        .when(max_len > r["max_token_len"], F.lit("token_too_long"))
+        .when(uniq_ratio < r["min_uniq_ratio"], F.lit("repetitive"))
+        .when(stop_ratio < r["min_stop_ratio"], F.lit("no_stopwords"))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(mean_len, 4).alias("mean_tok_len"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        reason.isNull().alias("keep"),
+        reason.alias("reject_reason"),
+    )
+
+
 def repetition_ratio(
     df: "DataFrame",
     text_col: str = "text",

@@ -2938,3 +2938,274 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
     )
+
+
+# --------------------------------------------------------------------------
+# Round 2: filtered vector search, embedding transforms, deterministic
+# sampling, stats suite, document filter pipeline.
+# --------------------------------------------------------------------------
+
+_KNN_FILTERED_ORACLE = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+)
+SELECT e.vec_id,
+       e.label,
+       ROUND(list_distance(e.embedding::DOUBLE[], q.qv), 4) AS distance
+FROM embeddings e, q
+WHERE e.label IN (1, 2, 3)
+ORDER BY list_distance(e.embedding::DOUBLE[], q.qv) ASC, e.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("knn_filtered", _KNN_FILTERED_ORACLE)
+def knn_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search: top-10 L2 neighbours among rows whose
+    label passes a metadata predicate (pre-filter semantics — the
+    predicate reaches the parquet scan below the distance projection,
+    so at 100 TB row groups prune before any distance is computed)."""
+    from vectorsearchutil_spark.operators.knn import knn_filtered
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = knn_filtered(
+        emb, qv, F.col("label").isin(1, 2, 3), k=10,
+        vector_col="embedding", id_col="vec_id",
+    )
+    return out.select(
+        "vec_id", "label", F.round(F.col("distance"), 4).alias("distance")
+    )
+
+
+_EMB_NORMALIZE_ORACLE = """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_aggregate(
+           list_transform(embedding::DOUBLE[], x -> x * x), 'sum'
+         )) AS norm,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(norm, 6) AS norm,
+       list_transform(v, x -> ROUND(x / norm, 4) + 0.0) AS unit_vec
+FROM n
+"""
+
+
+@query("embedding_normalize", _EMB_NORMALIZE_ORACLE)
+def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unit-L2 normalization as a narrow projection (dot ≡ cosine
+    downstream). The norm is materialized as its own column BEFORE the
+    transform lambda references it — lambda bodies are not CSE'd."""
+    from vectorsearchutil_spark.operators.embeddings import normalize_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = normalize_vectors(emb, vector_col="embedding")
+    return out.select(
+        "vec_id",
+        F.round(F.col("norm"), 6).alias("norm"),
+        # + 0.0 canonicalizes IEEE -0.0 (both sides do this)
+        F.transform(
+            F.col("unit_vec"), lambda x: F.round(x, 4) + F.lit(0.0)
+        ).alias("unit_vec"),
+    )
+
+
+_EMB_QUANTIZE_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       list_transform(
+         v,
+         x -> CAST(least(127, greatest(-127, ROUND(x / scale, 0))) AS INT)
+       ) AS q8
+FROM s
+"""
+
+
+@query("embedding_quantize_int8", _EMB_QUANTIZE_ORACLE)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the faiss SQ8 idea as
+    a declarative transform): 4x smaller vectors for the 100 TB
+    landing zone, exact reconstruction contract q*scale."""
+    from vectorsearchutil_spark.operators.embeddings import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, vector_col="embedding")
+    return out.select(
+        "vec_id", F.round(F.col("scale"), 6).alias("scale"), "q8"
+    )
+
+
+_HASH_SAMPLE_ORACLE = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5('s42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < 0.3
+"""
+
+
+@query("documents_hash_sample", _HASH_SAMPLE_ORACLE)
+def documents_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 30% Bernoulli sample by key hash: a pure filter —
+    reproducible across engines/partitionings (df.sample is not),
+    pushdown-friendly, shuffle-free."""
+    from vectorsearchutil_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.3, key_col="doc_id", seed="s42").select(
+        "doc_id", "lang", "source"
+    )
+
+
+_STRAT_SAMPLE_ORACLE = """
+SELECT o_orderkey, o_orderpriority
+FROM orders
+WHERE ('0x' || substr(md5('s7:' || CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0
+      < CASE o_orderpriority
+          WHEN '1-URGENT' THEN 0.5
+          WHEN '2-HIGH' THEN 0.2
+          ELSE 0.05
+        END
+"""
+
+
+@query("orders_stratified_sample", _STRAT_SAMPLE_ORACLE)
+def orders_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (downsample dominant strata,
+    keep rare ones): rate lookup is a literal map, so the whole sample
+    is one narrow filter — no join, no shuffle."""
+    from vectorsearchutil_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    out = stratified_hash_sample(
+        orders,
+        rates={"1-URGENT": 0.5, "2-HIGH": 0.2},
+        stratum_col="o_orderpriority",
+        key_col="o_orderkey",
+        seed="s7",
+        default_rate=0.05,
+    )
+    return out.select("o_orderkey", "o_orderpriority")
+
+
+_HISTOGRAM_ORACLE = """
+SELECT CAST(least(floor(value / 25.0), 19) AS INT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(value), 2) AS lo,
+       ROUND(MAX(value), 2) AS hi
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_value_histogram", _HISTOGRAM_ORACLE)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram (20 buckets of width 25,
+    clamped): single partial-aggregated groupBy on a computed bucket
+    key — the one-pass histogram shape that scales to any row count."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
+    return (
+        e.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
+        )
+    )
+
+
+_STATS_SUITE_ORACLE = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       ROUND(stddev_samp(l_extendedprice), 2) AS std_price,
+       ROUND(avg(l_extendedprice), 2) AS avg_price
+FROM lineitem
+"""
+
+
+@query("lineitem_stats_suite", _STATS_SUITE_ORACLE)
+def lineitem_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric profiling aggregates (Pearson corr / covariance /
+    stddev) in ONE partial-aggregated pass — the schema-profiling
+    step before training-data feature selection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+            "corr_qty_price"
+        ),
+        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
+            "corr_price_disc"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    )
+
+
+_FILTER_PIPELINE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                        'sum') / len(toks) AS mean_tok_len,
+         list_max(list_transform(toks, x -> length(x))) AS max_tok_len,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','is','in','on'], x)))
+           * 1.0 / len(toks) AS stop_ratio
+  FROM t
+),
+flagged AS (
+  SELECT doc_id, n_tokens, mean_tok_len, uniq_ratio, stop_ratio,
+         CASE
+           WHEN n_tokens < 20 THEN 'too_short'
+           WHEN n_tokens > 100000 THEN 'too_long'
+           WHEN mean_tok_len < 3.0 THEN 'mean_tok_short'
+           WHEN mean_tok_len > 10.0 THEN 'mean_tok_long'
+           WHEN max_tok_len > 20 THEN 'token_too_long'
+           WHEN uniq_ratio < 0.2 THEN 'repetitive'
+           WHEN stop_ratio < 0.01 THEN 'no_stopwords'
+         END AS reject_reason
+  FROM sig
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       ROUND(mean_tok_len, 4) AS mean_tok_len,
+       ROUND(uniq_ratio, 4) AS uniq_ratio,
+       ROUND(stop_ratio, 4) AS stop_ratio,
+       reject_reason IS NULL AS keep,
+       reject_reason
+FROM flagged
+"""
+
+
+@query("docs_filter_pipeline", _FILTER_PIPELINE_ORACLE)
+def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style quality filter: all rules in one narrow
+    projection, emitting keep + first-failing-rule reason per doc
+    (the reject histogram is the pipeline's tuning dashboard)."""
+    from vectorsearchutil_spark.operators.textanalysis import filter_pipeline
+
+    docs = load_table(spark, sf_dir, "documents")
+    return filter_pipeline(docs)
