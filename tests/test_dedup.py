@@ -68,6 +68,35 @@ def test_ngram_max_df_drops_stop_shingles(spark):
     assert capped < all_pairs
 
 
+def test_simhash64_complete_recall_vs_bruteforce(docs):
+    # the 4x16-bit band join must find EVERY pair with hamming <= 3
+    # (pigeonhole) — verify against an exhaustive python comparison
+    from vectorsearchutil_spark.operators.dedup import (
+        simhash64_pairs,
+        simhash64_table,
+    )
+
+    sigs = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in simhash64_table(docs).collect()
+    }
+    ids = sorted(sigs)
+    expected = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if h <= 3:
+                expected.add((a, b, h))
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in simhash64_pairs(docs, max_hamming=3).collect()
+    }
+    assert got == expected
+    assert expected  # planted dups guarantee at least one pair
+
+
 def test_connected_components_chain_and_islands(spark):
     from vectorsearchutil_spark.operators.dedup import connected_components
 

@@ -369,6 +369,134 @@ def simhash_pairs(
     )
 
 
+SIMHASH64_BITS = 64
+
+
+def simhash64_table(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """TF-weighted 64-bit SimHash per document, as two 32-bit words
+    ``(sim_lo, sim_hi)``.
+
+    Same vote-packing plan as the 32-bit ``simhash_table`` (16-bit
+    lanes, 4 per long, one partial-agg groupBy) but with 64 bit
+    positions drawn from the FIRST 16 md5 hex chars: word0 = chars
+    1-8 (bits 0..31), word1 = chars 9-16 (bits 32..63). Keeping two
+    32-bit words avoids signed-64 overflow on both engines and lets
+    bands slice words without crossing a boundary. DuckDB derivation:
+    ``('0x' || substr(md5(tok), 1, 8))::BIGINT`` / ``substr(..., 9, 8)``.
+
+    vs 32-bit: doubling the fingerprint halves the random-collision
+    rate per band bit, and the 4×16-bit band layout (65536-way
+    buckets) cuts random bucket collisions ~32× vs the 3×11-bit
+    layout while extending complete recall to hamming ≤ 3.
+    """
+    occ = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .withColumn("_h", F.md5(F.col("tok")))
+        .withColumn(
+            "hv0", F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
+        )
+        .withColumn(
+            "hv1", F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long")
+        )
+    )
+
+    def bit(j: int) -> Column:
+        word = F.col("hv0") if j < 32 else F.col("hv1")
+        return F.shiftright(word, j % 32).bitwiseAND(F.lit(1))
+
+    packed_cols = []
+    for g in range(SIMHASH64_BITS // 4):
+        expr: Column = F.lit(0).cast("long")
+        for lane in range(4):
+            j = g * 4 + lane
+            expr = expr + bit(j) * F.lit(2 ** (16 * lane)).cast("long")
+        packed_cols.append(expr.alias(f"p{g}"))
+    packed = occ.select(id_col, *packed_cols).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"p{g}").alias(f"ps{g}") for g in range(SIMHASH64_BITS // 4)],
+    )
+
+    def s(j: int) -> Column:
+        lane = (
+            F.shiftright(F.col(f"ps{j // 4}"), 16 * (j % 4))
+            .bitwiseAND(F.lit(0xFFFF))
+        )
+        return lane * 2 - F.col("_n")
+
+    def word(bits: range) -> Column:
+        return reduce(
+            lambda acc, j: acc
+            + F.when(s(j) > 0, F.lit(2 ** (j % 32)).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+            bits,
+            F.lit(0).cast("long"),
+        )
+
+    return packed.select(
+        F.col(id_col),
+        word(range(0, 32)).alias("sim_lo"),
+        word(range(32, 64)).alias("sim_hi"),
+    )
+
+
+def simhash64_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with 64-bit SimHash hamming ≤ max_hamming.
+
+    4 bands of 16 bits (two per word): ≤3 differing bits leave ≥1
+    band identical (pigeonhole), so the (band_idx, band_bits) group
+    finds every qualifying pair; 65536-way buckets keep candidate
+    sets sparse at scale. Same grouped in-bucket expansion as the
+    32-bit variant; hamming = popcount over both words.
+    """
+    assert max_hamming < 4
+    sh = simhash64_table(df, text_col, id_col)
+    band_exprs = []
+    for b in range(4):
+        w = F.col("sim_lo") if b < 2 else F.col("sim_hi")
+        bits = F.shiftright(w, 16 * (b % 2)).bitwiseAND(F.lit(0xFFFF))
+        band_exprs.append(F.lit(b * 2**20).cast("long") + bits)
+    bands = sh.select(
+        id_col, "sim_lo", "sim_hi",
+        F.explode(F.array(*band_exprs)).alias("bucket"),
+    )
+    grouped = (
+        bands.groupBy("bucket")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col(id_col).alias("id"),
+                    F.col("sim_lo").alias("lo"),
+                    F.col("sim_hi").alias("hi"),
+                )
+            ).alias("m")
+        )
+        .filter(F.size("m") > 1)
+    )
+    pair_expr = F.expr(
+        f"""
+        filter(
+          flatten(transform(m, x -> transform(m, y ->
+            struct(x.id AS id_a, y.id AS id_b,
+                   CAST(bit_count(x.lo ^ y.lo) + bit_count(x.hi ^ y.hi)
+                        AS INT) AS hamming)))),
+          p -> p.id_a < p.id_b AND p.hamming <= {int(max_hamming)})
+        """
+    )
+    return (
+        grouped.select(F.explode(pair_expr).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
+        .distinct()
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vector_col: str = "embedding",

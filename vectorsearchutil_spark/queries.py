@@ -3209,3 +3209,47 @@ def docs_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return filter_pipeline(docs)
+
+
+_SIMHASH64_ORACLE = f"""
+WITH {_DOCS_TOKS_CTE},
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS w
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM doctoks)
+  GROUP BY 1, 2
+),
+votes AS (
+  SELECT doc_id, j.j,
+         SUM(w * CASE WHEN (
+               CASE WHEN j.j < 32
+                 THEN ('0x' || substr(md5(tok), 1, 8))::BIGINT >> j.j
+                 ELSE ('0x' || substr(md5(tok), 9, 8))::BIGINT >> (j.j - 32)
+               END) & 1 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM tf, range(0, 64) j(j)
+  GROUP BY doc_id, j.j
+),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 AND j < 32 THEN 1::BIGINT << j
+                       ELSE 0 END) AS BIGINT) AS sim_lo,
+         CAST(SUM(CASE WHEN s > 0 AND j >= 32 THEN 1::BIGINT << (j - 32)
+                       ELSE 0 END) AS BIGINT) AS sim_hi
+  FROM votes GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+            + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+      + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+"""
+
+
+@query("dedup_simhash64", _SIMHASH64_ORACLE)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit TF-weighted SimHash near-dup pairs (hamming <= 3) via
+    4x16-bit band join — complete recall by pigeonhole, 65536-way
+    buckets keep random collisions ~32x below the 32-bit layout."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.simhash64_pairs(docs, max_hamming=3)
