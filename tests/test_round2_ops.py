@@ -133,3 +133,44 @@ def test_filter_pipeline_reasons(spark):
     assert out[4]["reject_reason"] == "repetitive"
     assert out[5]["reject_reason"] == "no_stopwords"
     assert not out[4]["keep"]
+
+
+def test_mmr_diversifies_over_plain_topk(spark):
+    from vectorsearchutil_spark.operators.similarity import mmr_rerank
+
+    # candidates: d1 and d2 nearly identical and most relevant,
+    # d3 orthogonal-ish but still relevant. Plain top-2 = {1, 2};
+    # MMR must pick d3 second (d2's redundancy penalty dominates).
+    rows = [
+        (0, 1, 0.99, [1.0, 0.0]),
+        (0, 2, 0.98, [0.999, 0.01]),
+        (0, 3, 0.60, [0.0, 1.0]),
+    ]
+    cands = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel double, embedding array<double>"
+    )
+    out = mmr_rerank(cands, k=2, lam=0.5).collect()
+    picked = {r["mmr_rank"]: r["vec_id"] for r in out}
+    assert picked == {1: 1, 2: 3}
+
+
+def test_mmr_rank1_is_most_relevant_and_deterministic(spark, emb):
+    from vectorsearchutil_spark.operators.knn import knn_batch
+    from vectorsearchutil_spark.operators.similarity import mmr_rerank
+
+    qs = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    cands = (
+        knn_batch(emb, qs, k=8, vector_col="embedding", id_col="vec_id",
+                  metric="cosine")
+        .select("query_id", "vec_id", F.round("distance", 6).alias("rel"))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    a = {(r["query_id"], r["mmr_rank"]): r["vec_id"]
+         for r in mmr_rerank(cands, k=4).collect()}
+    b = {(r["query_id"], r["mmr_rank"]): r["vec_id"]
+         for r in mmr_rerank(cands.repartition(7), k=4).collect()}
+    assert a == b  # partitioning-independent
+    assert a[(0, 1)] == 0 and a[(1, 1)] == 1  # self is most relevant

@@ -287,6 +287,88 @@ def ivf_search(
     )
 
 
+# ------------------------------------------------------------------- MMR
+
+
+def mmr_rerank(
+    candidates: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_id_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel",
+    vector_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance diversified top-k re-ranking.
+
+    Greedy: pick the most query-relevant candidate first, then
+    repeatedly the candidate maximizing
+    ``lam·rel(d) − (1−lam)·max_{s∈selected} cos(d, s)``.
+
+    The scale shape: candidate generation is the distributed kNN
+    (small top-N per query by construction); the inherently
+    sequential greedy loop runs per query inside ``applyInPandas`` —
+    queries re-rank in parallel, each group is N rows. Determinism
+    for the oracle: ``rel`` arrives rounded (6dp), pairwise cosines
+    are rounded to 6dp with HALF_UP (matching SQL ROUND), scores are
+    exact float64 ops on rounded inputs, ties break to the lowest id.
+    """
+    from pyspark.sql.types import IntegerType
+
+    from vectorsearchutil_spark.operators.clustering import _round_half_up
+
+    out_schema = StructType(
+        [
+            StructField(query_id_col, LongType()),
+            StructField(id_col, LongType()),
+            StructField("mmr_rank", IntegerType()),
+            StructField("mmr_score", DoubleType()),
+        ]
+    )
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        X = np.array(list(pdf[vector_col]), dtype=np.float64)
+        norms = np.linalg.norm(X, axis=1)
+        norms[norms == 0.0] = 1.0
+        normed = X / norms[:, None]
+        sims = normed @ normed.T
+        sims = np.array(
+            _round_half_up(sims.ravel(), 6), dtype=np.float64
+        ).reshape(sims.shape)
+        n = len(ids)
+        selected: list[int] = []
+        scores: list[float] = []
+        remaining = list(range(n))
+        while remaining and len(selected) < k:
+            if not selected:
+                cand_scores = rel[remaining]
+            else:
+                max_sim = sims[np.ix_(remaining, selected)].max(axis=1)
+                cand_scores = lam * rel[remaining] - (1 - lam) * max_sim
+            best = int(np.argmax(cand_scores))  # ids sorted → ties → lowest id
+            selected.append(remaining[best])
+            scores.append(float(cand_scores[best]))
+            remaining.pop(best)
+        qid = int(pdf[query_id_col].iloc[0])
+        return pd.DataFrame(
+            {
+                query_id_col: [qid] * len(selected),
+                id_col: ids[selected],
+                "mmr_rank": np.arange(1, len(selected) + 1, dtype=np.int32),
+                "mmr_score": scores,
+            }
+        )
+
+    return (
+        candidates.select(query_id_col, id_col, rel_col, vector_col)
+        .groupBy(query_id_col)
+        .applyInPandas(rerank, out_schema)
+    )
+
+
 # ---------------------------------------------------------------- cosine LSH
 
 

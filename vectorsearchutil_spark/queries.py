@@ -3253,3 +3253,257 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets keep random collisions ~32x below the 32-bit layout."""
     docs = load_table(spark, sf_dir, "documents")
     return _dd.simhash64_pairs(docs, max_hamming=3)
+
+
+_IVF_RECALL_ORACLE = f"""
+WITH {_CENTROIDS_CTE},
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                    c.label ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+),
+lists AS (
+  SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT q.query_id, q.qv, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(q.qv::DOUBLE[], c.cvec) ASC, c.label ASC
+         ) AS rn
+  FROM q CROSS JOIN centroids c
+),
+pr AS (SELECT query_id, qv, centroid_id FROM probes WHERE rn <= 3),
+ivf_ranked AS (
+  SELECT p.query_id, l.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.query_id
+           ORDER BY list_distance(l.embedding::DOUBLE[], p.qv::DOUBLE[]) ASC,
+                    l.vec_id ASC
+         ) AS rank
+  FROM lists l JOIN pr p ON l.centroid_id = p.centroid_id
+),
+ivf_top AS (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= 5),
+exact_ranked AS (
+  SELECT q.query_id, e.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[]) ASC,
+                    e.vec_id ASC
+         ) AS rank
+  FROM embeddings e CROSS JOIN q
+),
+exact_top AS (SELECT query_id, vec_id FROM exact_ranked WHERE rank <= 5)
+SELECT x.query_id,
+       CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+       ROUND(COUNT(i.vec_id) / 5.0, 4) AS recall_at_5
+FROM exact_top x
+LEFT JOIN ivf_top i
+  ON x.query_id = i.query_id AND x.vec_id = i.vec_id
+GROUP BY x.query_id
+"""
+
+
+@query("ann_ivf_recall", _IVF_RECALL_ORACLE)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN evaluation as a query: per-query recall@5 of IVF(n_probe=3)
+    against exact brute force — the retrieval-quality dashboard a
+    vector pipeline ships next to its index build."""
+    from vectorsearchutil_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label_idx").alias("centroid_id"),
+        F.col("label_vec").alias("centroid_vec"),
+    )
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    indexed = build_ivf_index(emb, cents, vector_col="embedding", id_col="vec_id")
+    ivf = ivf_search(
+        indexed, cents, qs, k=5, n_probe=3,
+        vector_col="embedding", id_col="vec_id",
+    ).select("query_id", F.col("vec_id").alias("ivf_id"))
+    exact = knn_batch(
+        emb, qs, k=5, vector_col="embedding", id_col="vec_id", metric="l2"
+    ).select("query_id", "vec_id")
+    return (
+        exact.join(
+            ivf,
+            (exact.query_id == ivf.query_id)
+            & (exact.vec_id == ivf.ivf_id),
+            "left",
+        )
+        .groupBy(exact.query_id)
+        .agg(
+            F.count("ivf_id").alias("n_hit"),
+            F.round(F.count("ivf_id") / 5.0, 4).alias("recall_at_5"),
+        )
+    )
+
+
+_CLUSTER_STATS_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+labeled AS (
+  SELECT d.doc_id, d.source,
+         COALESCE(c.component, d.doc_id) AS component,
+         c.component IS NOT NULL AS in_cluster
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN in_cluster THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_docs,
+       CAST(COUNT(DISTINCT component) AS BIGINT) AS n_groups,
+       ROUND(COUNT(DISTINCT component) * 1.0 / COUNT(*), 4) AS survivor_ratio
+FROM labeled
+GROUP BY source
+"""
+
+
+@query("dedup_cluster_stats_by_source", _CLUSTER_STATS_ORACLE)
+def dedup_cluster_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline composition: near-dup clusters joined back to
+    document metadata and rolled up per source — docs, docs in
+    near-dup clusters, surviving groups, survivor ratio. The health
+    dashboard a 100 TB dedup run reports per data source."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = _dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "source",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+        F.col("component").isNotNull().alias("in_cluster"),
+    )
+    return labeled.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("in_cluster").cast("long")).alias("n_dup_docs"),
+        F.count_distinct("component").alias("n_groups"),
+        F.round(
+            F.count_distinct("component") / F.count(F.lit(1)), 4
+        ).alias("survivor_ratio"),
+    )
+
+
+def _mmr_oracle(k: int = 5, n_cand: int = 10, lam: float = 0.5) -> str:
+    ctes = [
+        """q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+)""",
+        """scored AS (
+  SELECT q.query_id, e.vec_id,
+         ROUND(list_cosine_similarity(e.embedding::DOUBLE[], q.qv), 6) AS rel,
+         e.embedding::DOUBLE[] AS v,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN q
+)""",
+        f"cands AS (SELECT query_id, vec_id, rel, v FROM scored WHERE rn <= {n_cand})",
+        """ps AS (
+  SELECT a.query_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.v, b.v), 6) AS s
+  FROM cands a JOIN cands b ON a.query_id = b.query_id
+)""",
+        """sel1 AS (
+  SELECT query_id, vec_id, 1 AS mmr_rank, rel AS mmr
+  FROM (
+    SELECT query_id, vec_id, rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY query_id ORDER BY rel DESC, vec_id ASC
+           ) AS rn2
+    FROM cands
+  ) WHERE rn2 = 1
+)""",
+    ]
+    for i in range(2, k + 1):
+        prev = f"sel{i - 1}"
+        ctes.append(
+            f"""step{i} AS (
+  SELECT query_id, vec_id, mmr FROM (
+    SELECT g.query_id, g.vec_id, g.mmr,
+           ROW_NUMBER() OVER (
+             PARTITION BY g.query_id ORDER BY g.mmr DESC, g.vec_id ASC
+           ) AS rn3
+    FROM (
+      SELECT c.query_id, c.vec_id,
+             {lam} * c.rel - {1 - lam} * MAX(p.s) AS mmr
+      FROM cands c
+      JOIN ps p ON p.query_id = c.query_id AND p.id_a = c.vec_id
+      JOIN {prev} s ON s.query_id = p.query_id AND s.vec_id = p.id_b
+      WHERE NOT EXISTS (
+        SELECT 1 FROM {prev} z
+        WHERE z.query_id = c.query_id AND z.vec_id = c.vec_id
+      )
+      GROUP BY c.query_id, c.vec_id, c.rel
+    ) g
+  ) WHERE rn3 = 1
+)"""
+        )
+        ctes.append(
+            f"""sel{i} AS (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT query_id, vec_id, {i} AS mmr_rank, mmr FROM step{i}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, vec_id, mmr_rank, ROUND(mmr, 4) AS mmr_score
+FROM sel{k}
+"""
+    )
+
+
+@query("knn_mmr_rerank", _mmr_oracle())
+def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified retrieval: cosine top-10 candidates per query
+    (distributed), then greedy maximal-marginal-relevance re-rank to
+    5 (lambda=0.5) per query group via applyInPandas. Oracle: the
+    greedy selection unrolled as k SQL steps."""
+    from vectorsearchutil_spark.operators.similarity import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    cands = (
+        knn_batch(
+            emb, qs, k=10, vector_col="embedding", id_col="vec_id",
+            metric="cosine",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("distance"), 6).alias("rel"),
+        )
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+    )
+    out = mmr_rerank(
+        cands, k=5, lam=0.5,
+        query_id_col="query_id", id_col="vec_id",
+        rel_col="rel", vector_col="embedding",
+    )
+    return out.select(
+        "query_id", "vec_id", "mmr_rank",
+        F.round(F.col("mmr_score"), 4).alias("mmr_score"),
+    )
