@@ -3507,3 +3507,114 @@ def knn_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "vec_id", "mmr_rank",
         F.round(F.col("mmr_score"), 4).alias("mmr_score"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH v AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+),
+p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+),
+ranked AS (
+  SELECT v.event_id,
+         v.user_id,
+         p.event_id AS purchase_event_id,
+         p.ts AS purchase_ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY v.event_id ORDER BY p.ts ASC, p.event_id ASC
+         ) AS rn
+  FROM v LEFT JOIN p
+    ON v.user_id = p.user_id AND p.ts >= v.ts
+)
+SELECT event_id, user_id, purchase_event_id,
+       CAST(FLOOR(COALESCE(epoch(purchase_ts), -1)) AS BIGINT)
+         AS purchase_ts_floor
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("events_asof_join_forward", _ASOF_FWD_ORACLE)
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each view matched to the user's NEXT (or
+    simultaneous) purchase — the time-to-convert primitive. Same
+    union-and-carry plan as the backward join, descending scan, ONE
+    shuffle on user_id."""
+    from vectorsearchutil_spark.operators.asofjoin import asof_join_forward
+
+    e = load_table(spark, sf_dir, "events")
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join_forward(
+        views, purchases, key="user_id",
+        right_payload=["event_id"], suffix="_p",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_p").alias("purchase_event_id"),
+        F.coalesce(
+            F.floor(F.unix_timestamp(F.col("ts_p"))), F.lit(-1)
+        ).alias("purchase_ts_floor"),
+    )
+
+
+_FUNNEL_ORACLE = """
+WITH fv AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+fc AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN fv ON e.user_id = fv.user_id AND e.ts >= fv.t1
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN fc ON e.user_id = fc.user_id AND e.ts >= fc.t2
+  WHERE e.event_type = 'purchase' GROUP BY 1
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n_click_after_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n_purchase_after_click
+"""
+
+
+@query("events_funnel", _FUNNEL_ORACLE)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: each stage
+    is the earliest qualifying event at-or-after the previous stage.
+    Cascading min-aggregate joins; every stage table is per-user
+    (small) and broadcasts, so the event table is scanned three times
+    but never shuffled."""
+    e = load_table(spark, sf_dir, "events")
+    fv = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    fc = (
+        e.filter(F.col("event_type") == "click")
+        .join(F.broadcast(fv), "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(fc), "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        fv.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(fc.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(
+            fp.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
+        )
+    )
