@@ -294,3 +294,34 @@ def test_idempotent_sink_streaming_end_to_end(spark, sf_dir, tmp_path):
     got = spark.read.parquet(out)
     assert got.count() == n_src
     assert got.select("event_id").distinct().count() == n_src
+
+
+def test_stream_ingest_to_store_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming documents into the VectorStore (foreachBatch over
+    set_data(append=True)) lands exactly the batch-ingest result:
+    same targets, first-wins dedup intact, replays absorbed."""
+    from vectorsearchutil_spark.store import VectorStore
+    from vectorsearchutil_spark.streaming.ingest import (
+        read_documents_stream,
+        stream_ingest,
+    )
+
+    store = VectorStore(spark, path=str(tmp_path / "store.parquet"))
+    stream = read_documents_stream(spark, sf_dir)
+    q = stream_ingest(stream, store, str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = docs.select("text").distinct().count()
+    assert store.count() == n_distinct
+    # store is queryable right after streaming ingest
+    some_text = docs.first()["text"]
+    res = store.query(some_text, k=1)
+    assert res.first()["target"] == some_text
+    # re-running the same stream (fresh checkpoint = full replay) adds
+    # nothing: insert-if-absent absorbs re-delivery
+    q2 = stream_ingest(
+        read_documents_stream(spark, sf_dir), store, str(tmp_path / "ckpt2")
+    )
+    q2.awaitTermination(180)
+    assert store.count() == n_distinct
