@@ -149,3 +149,38 @@ def test_q21_single_fact_scan_per_pass(spark, sf_dir):
 def test_q12_shipdate_pushdown(spark, sf_dir):
     df = Q.QUERIES["tpch_q12_priority_lines"](spark, sf_dir)
     assert "l_shipdate" in " ".join(pushed_filters(df))
+
+
+def test_hash_sample_is_pure_filter_no_shuffle(spark, sf_dir):
+    df = Q.QUERIES["documents_hash_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan  # deterministic sample = narrow filter
+    assert "text" not in plan  # unused wide column pruned from scan
+
+
+def test_stratified_sample_no_join_no_shuffle(spark, sf_dir):
+    df = Q.QUERIES["orders_stratified_sample"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan  # literal rate map, not a rate-table join
+    assert "Join" not in plan
+
+
+def test_histogram_single_shuffle_partial_agg(spark, sf_dir):
+    df = Q.QUERIES["events_value_histogram"](spark, sf_dir)
+    plan = formatted_plan(df)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_funnel_stages_broadcast(spark, sf_dir):
+    df = Q.QUERIES["events_funnel"](spark, sf_dir)
+    assert_no_cartesian(df)  # the 1-row crossJoins are broadcast-NL
+    assert has_broadcast_join(df)
+
+
+def test_filter_pipeline_narrow_projection(spark, sf_dir):
+    df = Q.QUERIES["docs_filter_pipeline"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan  # all rules in one pass, no shuffle

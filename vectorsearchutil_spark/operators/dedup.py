@@ -545,6 +545,72 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
     )
 
 
+def _cc_alternating(edges: DataFrame, max_iter: int = 50) -> DataFrame:
+    """Alternating large-star/small-star connected components
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    converges in O(log² n) rounds vs O(diameter) for min-label
+    propagation — the path for deep near-dup chains at extreme scale.
+
+    ``edges`` comes in symmetric (both directions); the loop
+    maintains a canonical parent set (node > parent) and alternates:
+
+    * large-star: every node links its LARGER neighbors to the
+      minimum of its neighborhood (incl. itself);
+    * small-star: every node links its smaller-or-equal neighbors
+      (and itself) to their minimum.
+
+    Fixpoint = a star forest: each node points at its component
+    minimum directly.
+    """
+    # canonical parent pairs (a > b)
+    e = (
+        edges.filter(F.col("a") > F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        # --- large-star over the symmetric view
+        sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m = (
+            sym.groupBy("a")
+            .agg(F.min("b").alias("_mb"))
+            .select("a", F.least("a", "_mb").alias("m"))
+        )
+        large = (
+            sym.filter(F.col("b") > F.col("a"))
+            .join(m, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        # --- small-star over the oriented (a > b) view
+        m2 = large.groupBy("a").agg(F.min("b").alias("m"))
+        joined = large.join(m2, "a")
+        small = (
+            joined.select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(joined.select("a", F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # fixpoint: the canonical parent set stopped changing
+        changed = (
+            small.exceptAll(e).limit(1).count()
+            + e.exceptAll(small).limit(1).count()
+        )
+        e = small
+        if changed == 0:
+            break
+    # star forest: node → component for every non-root; roots label
+    # themselves
+    roots = e.select(F.col("b").alias("node")).distinct().join(
+        e.select(F.col("a").alias("node")).distinct(), "node", "left_anti"
+    )
+    return e.select(F.col("a").alias("node"), F.col("b").alias("component")).union(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "id_a",
@@ -574,7 +640,9 @@ def connected_components(
     union-find on the driver — the same fixpoint in one pass, none of
     the per-round join/checkpoint jobs. Larger edge sets (deep 100 TB
     near-dup graphs) take the distributed propagation. ``strategy=``
-    forces either path ('driver' / 'distributed').
+    forces a path: 'driver' / 'distributed' (min-label propagation,
+    O(diameter) rounds) / 'alternating' (large-star/small-star,
+    O(log² n) rounds — prefer for deep-chain graphs).
     """
     edges = (
         pairs.select(
@@ -596,6 +664,8 @@ def connected_components(
         )
     if strategy == "driver":
         return _cc_driver(edges)
+    if strategy == "alternating":
+        return _cc_alternating(edges, max_iter=max_iter)
     labels = edges.groupBy("a").agg(F.min("b").alias("nbr")).select(
         F.col("a").alias("node"), F.least("a", "nbr").alias("comp")
     )

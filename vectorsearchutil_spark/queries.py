@@ -3618,3 +3618,49 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             fp.agg(F.count(F.lit(1)).alias("n_purchase_after_click"))
         )
     )
+
+
+_RETENTION_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events GROUP BY 1
+),
+activity AS (
+  SELECT DISTINCT e.user_id, c.cohort_day,
+         date_diff('day', c.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+  FROM events e JOIN cohorts c ON e.user_id = c.user_id
+)
+SELECT CAST(cohort_day AS VARCHAR) AS cohort_day,
+       CAST(day_offset AS INT) AS day_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM activity
+WHERE day_offset <= 7
+GROUP BY cohort_day, day_offset
+"""
+
+
+@query("events_retention_cohorts", _RETENTION_ORACLE)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted
+    per day-offset (0..7). Cohort table is per-user (small) and
+    broadcasts back onto the event scan; one distinct + one aggregate
+    shuffle regardless of event volume."""
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    activity = (
+        e.join(F.broadcast(cohorts), "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")).alias(
+                "day_offset"
+            ),
+        )
+        .filter(F.col("day_offset") <= 7)
+        .distinct()
+    )
+    return activity.groupBy(
+        F.col("cohort_day").cast("string").alias("cohort_day"),
+        F.col("day_offset").cast("int").alias("day_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_users"))
