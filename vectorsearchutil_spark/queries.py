@@ -3664,3 +3664,113 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cohort_day").cast("string").alias("cohort_day"),
         F.col("day_offset").cast("int").alias("day_offset"),
     ).agg(F.count(F.lit(1)).alias("n_users"))
+
+
+_GAPFILL_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(MIN(date_trunc('hour', ts)) AS TIMESTAMP) AS t0,
+         CAST(MAX(date_trunc('hour', ts)) AS TIMESTAMP) AS t1
+  FROM events WHERE event_type = 'purchase'
+),
+grid AS (
+  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_start
+  FROM bounds
+),
+actual AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         ROUND(SUM(value), 2) AS total_value
+  FROM events WHERE event_type = 'purchase'
+  GROUP BY 1
+)
+SELECT CAST(g.hour_start AS VARCHAR) AS hour_start,
+       COALESCE(a.n, 0) AS n,
+       COALESCE(a.total_value, 0.0) AS total_value
+FROM grid g LEFT JOIN actual a ON g.hour_start = a.hour_start
+"""
+
+
+@query("events_hourly_gapfill", _GAPFILL_ORACLE)
+def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series with gap-fill: the time grid is generated
+    with `sequence()` from one aggregated bounds row (no driver loop),
+    then left-joined onto the hourly aggregate — empty hours appear
+    as zeros. The grid side is tiny and broadcasts; the event scan
+    aggregates once."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    actual = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    grid = (
+        e.agg(
+            F.date_trunc("hour", F.min("ts")).alias("t0"),
+            F.date_trunc("hour", F.max("ts")).alias("t1"),
+        )
+        .select(
+            F.explode(
+                F.sequence("t0", "t1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_start")
+        )
+    )
+    return (
+        grid.join(actual, "hour_start", "left")
+        .select(
+            F.col("hour_start").cast("string").alias("hour_start"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.coalesce(F.col("total_value"), F.lit(0.0)).alias("total_value"),
+        )
+    )
+
+
+_SEQ_PATTERN_ORACLE = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(seq) AS INT) AS n_events,
+       regexp_matches(seq, 'v[^p]*p') AS viewed_then_purchased,
+       CAST(length(seq) - length(replace(seq, 'e', '')) AS INT) AS n_errors
+FROM seqs
+"""
+
+
+@query("events_sequence_pattern", _SEQ_PATTERN_ORACLE)
+def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence pattern matching: order each user's
+    events into a compact symbol string (one aggregate shuffle), then
+    regex-match behavioural patterns ('view then later purchase') as
+    narrow expressions — the sequence-mining shape that avoids
+    per-pattern self-joins."""
+    e = load_table(spark, sf_dir, "events")
+    seqs = (
+        e.select(
+            "user_id",
+            F.struct(F.col("ts"), F.col("event_id"))
+            .alias("_ord"),
+            F.substring("event_type", 1, 1).alias("sym"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.transform(F.array_sort(F.collect_list(F.struct("_ord", "sym"))), lambda x: x["sym"])
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        F.col("seq").rlike("v[^p]*p").alias("viewed_then_purchased"),
+        (
+            F.length("seq")
+            - F.length(F.regexp_replace("seq", "e", ""))
+        ).cast("int").alias("n_errors"),
+    )
