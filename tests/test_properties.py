@@ -85,3 +85,48 @@ def test_first_wins_dedup_matches_pandas(spark, rows):
     )
     got = {r["target"]: int(r["option1"]) for r in vs.data.collect()}
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(finite, min_size=4, max_size=4), min_size=1, max_size=20
+    )
+)
+def test_quantize_int8_reconstruction_property(spark, vecs):
+    """For any finite vectors: q8 in [-127,127], and |q*scale - v|
+    <= scale/2 per component (symmetric quantization contract)."""
+    from vectorsearchutil_spark.operators.embeddings import quantize_int8
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding"],
+    )
+    rows = quantize_int8(df).collect()
+    for r in rows:
+        v = vecs[r["vec_id"]]
+        scale = r["scale"]
+        if scale is None:  # all-zero vector
+            assert all(q == 0 for q in r["q8"])
+            continue
+        for x, q in zip(v, r["q8"]):
+            assert -127 <= q <= 127
+            assert abs(q * scale - x) <= scale / 2 + 1e-9
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**9), min_size=1,
+             max_size=200, unique=True),
+    st.floats(min_value=0.1, max_value=0.9),
+)
+def test_hash_sample_rate_monotone_and_nested(spark, keys, rate):
+    """Hash samples are NESTED: the rate-r sample is a subset of any
+    rate-r' sample with r' >= r (same seed) — the property that makes
+    deterministic sampling usable for reproducible down-scaling."""
+    from vectorsearchutil_spark.operators.sampling import hash_sample
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    small = {r["k"] for r in hash_sample(df, rate, "k").collect()}
+    big = {r["k"] for r in hash_sample(df, min(1.0, rate + 0.3), "k").collect()}
+    assert small <= big

@@ -213,3 +213,21 @@ def test_bucketed_reset_drops_table(bucketed_store, spark):
     vs.reset_db()
     assert not spark.catalog.tableExists("vs_bucketed")
     assert vs.query("a") is None
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    import glob
+
+    path = str(tmp_path / "store.parquet")
+    vs = VectorStore(spark, path=path)
+    # many tiny appends fragment the store
+    for i in range(4):
+        vs.set_data(
+            _df(spark, [(f"t{i}a", "x"), (f"t{i}b", "y")]), append=(i > 0)
+        )
+    before = vs.data.collect()
+    vs.compact(target_files=1)
+    files = glob.glob(f"{path}/part-*.parquet")
+    assert len(files) == 1
+    after = VectorStore(spark, path=path).data.collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))

@@ -172,6 +172,21 @@ class VectorStore:
             return self.spark.read.parquet(base)
         return df.cache()
 
+    def compact(self, target_files: int = 1) -> None:
+        """Rewrite the path-mode store into ``target_files`` files.
+
+        Streaming/micro-batch appends accumulate small files (each
+        append rewrites, but a long-lived store fed by many tiny
+        batches still fragments); at scale small files dominate scan
+        planning cost. Uses the same staged atomic swap as appends,
+        so a crash mid-compaction never loses the store. No-op for
+        table mode (bucketed layout fixes file count by bucket) and
+        for empty stores.
+        """
+        if self.path is None or self._df is None:
+            return
+        self._df = self._persist(self.data.coalesce(target_files))
+
     # -- ingest (A1/A2) ------------------------------------------------
 
     def set_data(self, data: DataFrame, append: bool = False) -> None:
