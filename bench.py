@@ -51,6 +51,8 @@ HEADLINE = [
     "documents_hash_split",
     "knn_filtered",
     "docs_filter_pipeline",
+    "dedup_simhash64",
+    "knn_mmr_rerank",
 ]
 
 

@@ -3774,3 +3774,93 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.length(F.regexp_replace("seq", "e", ""))
         ).cast("int").alias("n_errors"),
     )
+
+
+_KNN_QUANTIZED_ORACLE = """
+WITH s AS (
+  SELECT vec_id, label,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+dq AS (
+  SELECT vec_id, label,
+         list_transform(
+           v,
+           x -> CAST(least(127, greatest(-127, ROUND(x / scale, 0))) AS INT)
+                * scale
+         ) AS rv
+  FROM s
+),
+q AS (SELECT rv AS qv FROM dq WHERE vec_id = 0)
+SELECT d.vec_id, d.label,
+       ROUND(list_distance(d.rv, q.qv), 4) AS distance
+FROM dq d, q
+ORDER BY list_distance(d.rv, q.qv) ASC, d.vec_id ASC
+LIMIT 10
+"""
+
+
+@query("knn_quantized", _KNN_QUANTIZED_ORACLE)
+def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search over the int8-quantized store: dequantize (q*scale) on
+    the fly, exact L2 top-10 — the 4x-smaller-scan search mode whose
+    ranking error is bounded by the per-vector quantization step.
+    Same TakeOrderedAndProject plan as knn_single."""
+    from vectorsearchutil_spark.operators.embeddings import quantize_int8
+    from vectorsearchutil_spark.operators.knn import knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dq = quantize_int8(emb, vector_col="embedding").withColumn(
+        "rv",
+        F.transform(F.col("q8"), lambda x: x * F.col("scale")),
+    )
+    qv = dq.filter(F.col("vec_id") == 0).select("rv").first()[0]
+    out = knn(dq, qv, k=10, vector_col="rv", id_col="vec_id")
+    return out.select(
+        "vec_id", "label", F.round(F.col("distance"), 4).alias("distance")
+    )
+
+
+_LEAKAGE_SAFE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+keyed AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS split_key
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+)
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4))::BIGINT
+                 % 100 < 90
+            THEN 'train' ELSE 'val' END AS split
+FROM keyed
+"""
+
+
+@query("documents_leakage_safe_split", _LEAKAGE_SAFE_SPLIT_ORACLE)
+def documents_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val split hashed on the near-dup CLUSTER id, not the doc
+    id: every member of a near-dup cluster lands in the same fold, so
+    no training example leaks an eval twin — the split a dedup-aware
+    training pipeline actually needs."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = _dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    keyed = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).alias("split_key"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col("split_key").cast("string")), 1, 4), 16, 10
+        ).cast("long")
+        % 100
+    )
+    return keyed.select(
+        "doc_id",
+        F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val")).alias(
+            "split"
+        ),
+    )
