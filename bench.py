@@ -53,6 +53,7 @@ HEADLINE = [
     "docs_filter_pipeline",
     "dedup_simhash64",
     "knn_mmr_rerank",
+    "tpch_q2_min_cost_supplier",
 ]
 
 

@@ -3776,6 +3776,218 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# TPC-H q2/q11/q20 shapes — the testdata has no partsupp table, so the
+# observed (l_partkey, l_suppkey) pairs in lineitem serve as the
+# part-supplier bridge; the join/decorrelation structure of each query
+# is preserved.
+# --------------------------------------------------------------------------
+
+_Q2_ORACLE = """
+WITH supply AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+eligible AS (
+  SELECT sp.l_partkey AS partkey, sp.l_suppkey, sp.unit_cost,
+         s.s_acctbal, s.s_name, n.n_name
+  FROM supply sp
+  JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = 'EUROPE'
+),
+best AS (
+  SELECT partkey, MIN(unit_cost) AS min_cost
+  FROM eligible GROUP BY partkey
+)
+SELECT ROUND(e.s_acctbal, 2) AS s_acctbal, e.s_name, e.n_name,
+       p.p_partkey, p.p_brand, ROUND(e.unit_cost, 4) AS unit_cost
+FROM eligible e
+JOIN best b ON e.partkey = b.partkey AND e.unit_cost = b.min_cost
+JOIN part p ON p.p_partkey = e.partkey
+WHERE p.p_type = 'LARGE' AND p.p_size <= 25
+ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2_min_cost_supplier", _Q2_ORACLE)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the EUROPE supplier(s) with the
+    minimum unit cost. The correlated MIN subquery decorrelates into
+    one aggregate over the (part, supplier) supply table joined back
+    on cost equality (exact: both sides take MIN over identical
+    doubles). Plan: one shuffle to build supply, dims broadcast, the
+    per-part min is a partial-aggregating groupBy on the already
+    part-keyed aggregate, final TakeOrderedAndProject top-100."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
+    )
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    dims = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = supply.join(
+        F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    best = eligible.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        eligible.join(
+            best.withColumnRenamed("l_partkey", "b_partkey"),
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("unit_cost") == F.col("min_cost")),
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+_Q11_ORACLE = """
+WITH natsup AS (
+  SELECT s_suppkey
+  FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE n.n_name = 'NATION_7'
+),
+value_by_part AS (
+  SELECT l.l_partkey,
+         SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+  FROM lineitem l JOIN natsup ns ON l.l_suppkey = ns.s_suppkey
+  GROUP BY l.l_partkey
+),
+total AS (SELECT ROUND(SUM(val) * 0.001, 2) AS threshold FROM value_by_part)
+SELECT v.l_partkey AS p_partkey, ROUND(v.val, 2) AS value
+FROM value_by_part v, total t
+WHERE ROUND(v.val, 2) > t.threshold
+"""
+
+
+@query("tpch_q11_important_parts", _Q11_ORACLE)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose supplied value from one nation's
+    suppliers exceeds a fraction of that nation's total. The scalar
+    total is the SAME aggregate re-reduced (localCheckpoint computes
+    value_by_part once, the Q15 view-reuse pattern) and broadcasts as
+    a 1-row threshold; both sides round before comparing so engine
+    summation order can't flip a borderline part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    natsup = (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    value_by_part = (
+        li.join(F.broadcast(natsup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "val"
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    total = value_by_part.agg(
+        F.round(F.sum("val") * 0.001, 2).alias("threshold")
+    )
+    return (
+        value_by_part.join(F.broadcast(total))
+        .filter(F.round(F.col("val"), 2) > F.col("threshold"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round("val", 2).alias("value"),
+        )
+    )
+
+
+_Q20_ORACLE = """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, SUM(l_quantity) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+w AS (
+  SELECT l_partkey, l_suppkey, supp_qty,
+         SUM(supp_qty) OVER (PARTITION BY l_partkey) AS part_qty
+  FROM shipped
+),
+excess AS (
+  SELECT DISTINCT w.l_suppkey
+  FROM w JOIN part p ON w.l_partkey = p.p_partkey
+  WHERE p.p_name LIKE 'small%' AND w.supp_qty > 0.3 * w.part_qty
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN excess e ON s.s_suppkey = e.l_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+"""
+
+
+@query("tpch_q20_excess_suppliers", _Q20_ORACLE)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped >30% of 1996 demand for
+    any 'small%' part. The nested demand subquery collapses into a
+    window SUM over the (part, supplier) aggregate — per-part demand
+    derives from the already-grouped rows, so the fact table is
+    scanned and shuffled ONCE (quantities are small integers: the
+    sums are exact doubles and the 0.3× comparison is
+    engine-order-safe)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    from pyspark.sql import Window
+
+    shipped = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("supp_qty")
+    )
+    w = shipped.withColumn(
+        "part_qty", F.sum("supp_qty").over(Window.partitionBy("l_partkey"))
+    )
+    excess = (
+        w.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("supp_qty") > 0.3 * F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(excess, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
 _KNN_QUANTIZED_ORACLE = """
 WITH s AS (
   SELECT vec_id, label,
