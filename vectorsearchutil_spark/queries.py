@@ -4076,3 +4076,466 @@ def documents_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Text retrieval + rank fusion — the search side of a training-data
+# pipeline (BM25 lexical scoring; reciprocal-rank fusion of lexical
+# and vector retrievers).
+# --------------------------------------------------------------------------
+
+_BM25_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS tok
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+         (SELECT AVG(dl) FROM dl) AS avgdl
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+  WHERE tok IN ('spark', 'join', 'stream')
+  GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+         ) AS score,
+         COUNT(*) AS n_terms
+  FROM tf
+  JOIN df ON tf.tok = df.tok
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 4) AS bm25, CAST(n_terms AS INT) AS n_terms
+FROM scored
+"""
+
+
+@query("text_bm25_search", _BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75) for the query terms
+    {spark, join, stream} over whitespace tokens. Every scored doc is
+    returned (no top-k cutoff, so the hash compare is order-free).
+
+    Plan shape for 100 TB: the term filter lands on the exploded
+    token stream BEFORE any shuffle (only postings for the 3 query
+    terms survive — the inverted-index scan analog), doc lengths are
+    one partial-agg pass, and the df/avgdl sides are 1-row/3-row
+    broadcasts. Both engines sum the per-term contributions in a
+    3-element aggregate whose addition order cannot affect the
+    rounded result beyond 4dp.
+    """
+    from vectorsearchutil_spark.functions.text import tokens as _tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "stream"]
+    toks = docs.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.count()
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    return (
+        tf.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(avgdl))
+        .withColumn(
+            "contrib",
+            F.log(1 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            * F.col("tf") * 2.2
+            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum("contrib"), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("int").alias("n_terms"),
+        )
+    )
+
+
+_RRF_ORACLE = """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+),
+l2r AS (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_distance(e.embedding::DOUBLE[], q.qv) ASC, e.vec_id ASC
+         ) AS r
+  FROM embeddings e, q
+),
+cosr AS (
+  SELECT e.vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv) DESC,
+                    e.vec_id ASC
+         ) AS r
+  FROM embeddings e, q
+),
+fused AS (
+  SELECT COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         COALESCE(1.0 / (60 + a.r), 0) + COALESCE(1.0 / (60 + b.r), 0) AS rrf
+  FROM (SELECT * FROM l2r WHERE r <= 100) a
+  FULL OUTER JOIN (SELECT * FROM cosr WHERE r <= 100) b
+    ON a.vec_id = b.vec_id
+)
+SELECT vec_id, ROUND(rrf, 6) AS rrf
+FROM fused ORDER BY rrf DESC, vec_id ASC LIMIT 10
+"""
+
+
+@query("knn_rrf_fusion", _RRF_ORACLE)
+def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of two retrievers (L2 and cosine
+    top-100 for the vec_id=0 query): rrf = Σ 1/(60+rank). The
+    rank-only combination needs no score calibration between
+    retrievers — the standard hybrid-search merge. Plan: two window
+    rankings over one cached scan, full-outer merge of two 100-row
+    sides, top-10."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.vector import (
+        cosine_similarity,
+        l2_distance,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    ).first()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    scored = emb.select(
+        "vec_id",
+        l2_distance(F.col("embedding").cast("array<double>"), qlit).alias("d"),
+        cosine_similarity(F.col("embedding").cast("array<double>"), qlit).alias(
+            "c"
+        ),
+    )
+    l2r = (
+        scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("d").asc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("r") <= 100)
+        .select("vec_id", F.col("r").alias("r_a"))
+    )
+    cosr = (
+        scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("vec_id").asc())
+            ),
+        )
+        .filter(F.col("r") <= 100)
+        .select("vec_id", F.col("r").alias("r_b"))
+    )
+    fused = l2r.join(cosr, "vec_id", "full_outer").select(
+        "vec_id",
+        (
+            F.coalesce(1.0 / (60 + F.col("r_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("r_b")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.select("vec_id", F.round("rrf", 6).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Benchmark decontamination — flag training docs sharing n-gram
+# shingles with a held-out eval set (the leakage check every LLM
+# training pipeline runs before training).
+# --------------------------------------------------------------------------
+
+_DECONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 3, 0) + 1)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3]
+              AS shingle
+  FROM sh0
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+hits AS (
+  SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_shared
+  FROM sh s JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id >= 50
+  GROUP BY s.doc_id
+)
+SELECT doc_id, CAST(n_shared AS INT) AS n_shared FROM hits
+"""
+
+
+@query("docs_decontamination", _DECONTAM_ORACLE)
+def docs_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: training docs (doc_id ≥ 50) that
+    share any 4-gram shingle with the eval slice (doc_id < 50),
+    with the count of distinct shared shingles.
+
+    Plan: one shingle table for the whole corpus (shared scan), the
+    eval side collapses to a distinct-shingle set that broadcasts (an
+    eval benchmark is tiny vs the training corpus), so the training
+    side joins map-side and aggregates once — at 100 TB the corpus
+    never shuffles on content."""
+    from vectorsearchutil_spark.operators.dedup import _shingle_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _shingle_table(docs, "text", "doc_id", 4, None)
+    eval_sh = (
+        sh.filter(F.col("doc_id") < 50).select("shingle").distinct()
+    )
+    return (
+        sh.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(eval_sh), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("shingle").cast("int").alias("n_shared"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Data-quality / profiling operators.
+# --------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+SELECT 'doc_id' AS col_name,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nulls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct
+FROM documents
+UNION ALL
+SELECT 'text',
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT text) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'lang',
+       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT lang) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'source',
+       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT source) AS BIGINT) FROM documents
+UNION ALL
+SELECT 'n_chars',
+       CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(COUNT(DISTINCT n_chars) AS BIGINT) FROM documents
+"""
+
+
+@query("documents_profile", _PROFILE_ORACLE)
+def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema profile of the documents table: per-column null count
+    and exact distinct count, as rows. ONE aggregate pass computes
+    every statistic (2×|columns| agg expressions under partial
+    aggregation — not |columns| scans like the UNION-ALL SQL form);
+    the 1-row result pivots to rows via an inline explode. At 100 TB
+    swap count_distinct for approx_count_distinct (HLL) per column —
+    exact kept here for the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    cols = docs.columns
+    aggs = []
+    for c in cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"_n_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_d_{c}"))
+    one = docs.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("col_name"),
+                        F.col(f"_n_{c}").cast("long").alias("n_nulls"),
+                        F.col(f"_d_{c}").cast("long").alias("n_distinct"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.col_name", "p.n_nulls", "p.n_distinct")
+
+
+_OUTLIERS_ORACLE = """
+WITH stats AS (
+  SELECT event_type,
+         AVG(value) AS mu,
+         STDDEV_SAMP(value) AS sigma
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND((e.value - s.mu) / s.sigma, 2) AS z
+FROM events e JOIN stats s ON e.event_type = s.event_type
+WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 2)) >= 2.5
+"""
+
+
+@query("events_value_outliers", _OUTLIERS_ORACLE)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| ≥ 2.5). The per-type
+    moment table is a tiny aggregate that broadcasts back onto the
+    fact scan — one shuffle for the stats, none for the scoring pass
+    (the plan a 100 TB anomaly sweep needs). The filter compares the
+    ROUNDED z on both engines so summation-order ulps can't flip a
+    borderline event."""
+    e = load_table(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2)
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= 2.5)
+        .select("event_id", "event_type", "z")
+    )
+
+
+_PER_USER_SAMPLE_ORACLE = """
+SELECT event_id, user_id
+FROM (
+  SELECT event_id, user_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY md5(CAST(event_id AS VARCHAR)), event_id
+         ) AS rn
+  FROM events
+)
+WHERE rn <= 3
+"""
+
+
+@query("events_per_user_sample", _PER_USER_SAMPLE_ORACLE)
+def events_per_user_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group capped sample: at most 3 events per
+    user, chosen by md5 order — the partition-independent,
+    reproducible "cap each source's contribution" primitive of
+    training-data assembly. One window shuffle on the group key; at
+    extreme group counts swap row_number for a groupBy
+    min_by-top-k aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    win = Window.partitionBy("user_id").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= 3)
+        .select("event_id", "user_id")
+    )
+
+
+_LABEL_CENTROIDS_ORACLE = """
+WITH u AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+dims AS (
+  SELECT label, pos, AVG(v[pos]) AS dim_avg
+  FROM u GROUP BY label, pos
+)
+SELECT label,
+       (SELECT COUNT(*) FROM embeddings e WHERE e.label = dims.label)
+         AS n_vectors,
+       list(ROUND(dim_avg, 4) ORDER BY pos) AS centroid
+FROM dims GROUP BY label
+"""
+
+
+@query("embeddings_label_centroids", _LABEL_CENTROIDS_ORACLE)
+def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class prototypes: the mean embedding per label (the zero-shot
+    / nearest-centroid-classifier build step). posexplode → per
+    (label, dim) partial-agg average → re-assemble the vector sorted
+    by position. One narrow shuffle on (label, pos) carrying doubles
+    — the corpus vectors never move whole."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("dim_avg"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        dims.groupBy("label")
+        .agg(
+            F.max("n").alias("n_vectors"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", F.round("dim_avg", 4).alias("r")))
+                ),
+                lambda x: x["r"],
+            ).alias("centroid"),
+        )
+    )
+
+
+_EWMA_ORACLE = """
+WITH ordered AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id)::DOUBLE[] AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS INT) AS n_events,
+       ROUND(list_reduce(vals, (acc, x) -> 0.3 * x + 0.7 * acc), 4) AS ewma
+FROM ordered
+"""
+
+
+@query("events_user_ewma", _EWMA_ORACLE)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user exponentially weighted moving average of event values
+    (α=0.3), folded in (ts, event_id) order. The recursive smoother
+    SQL windows can't express becomes an ordered array fold
+    (``F.aggregate``) after ONE groupBy — both engines reduce in the
+    identical order, seeded with the first value."""
+    e = load_table(spark, sf_dir, "events")
+    ordered = e.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", F.col("value")))
+            ),
+            lambda x: x["value"].cast("double"),
+        ).alias("vals")
+    )
+    ewma = F.aggregate(
+        F.slice(F.col("vals"), 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: 0.3 * x + 0.7 * acc,
+    )
+    return ordered.select(
+        "user_id",
+        F.size("vals").cast("int").alias("n_events"),
+        F.round(ewma, 4).alias("ewma"),
+    )
