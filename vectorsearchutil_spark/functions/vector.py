@@ -76,3 +76,15 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     (``vsu/text/_classes.py:36``). Zero-norm input → NULL (ANSI mode
     would otherwise raise on the division)."""
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
+
+
+def lit_vector(values) -> Column:
+    """Literal array<double> column from a Python sequence, built as
+    ONE parsed SQL expression. ``F.array(*[F.lit(v) ...])`` costs a
+    Py4J round-trip per element (~hundreds of ms of driver overhead
+    for a 64-dim query vector); the parser takes the whole literal at
+    once. ``repr(float)`` is the shortest round-tripping decimal, and
+    Java's Double.parseDouble is correctly rounded, so the JVM sees
+    bit-identical doubles."""
+    body = ", ".join(f"{float(v)!r}D" for v in values)
+    return F.expr(f"array({body})")

@@ -28,7 +28,6 @@ DuckDB oracles bit-for-bit.
 
 from __future__ import annotations
 
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -236,20 +235,18 @@ def minhash_lsh_pairs(
     hashed = sh.withColumn("_h1", h1).withColumn("_h2", h2)
     sig = hashed.groupBy(id_col).agg(
         *[
-            F.min(F.col("_h1") + i * F.col("_h2")).alias(f"h{i}")
+            F.expr(f"min(_h1 + {i} * _h2)").alias(f"h{i}")
             for i in range(num_hashes)
         ]
     )
     # bands: hash band_size consecutive signature values together.
-    band_cols = [
-        F.md5(
-            F.concat_ws(
-                "|", *[F.col(f"h{b * band_size + j}") for j in range(band_size)]
-            )
-        ).alias(f"band{b}")
+    band_sql = [
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{b * band_size + j}" for j in range(band_size))
+        + f")) AS band{b}"
         for b in range(n_bands)
     ]
-    banded = sig.select(id_col, *band_cols)
+    banded = sig.selectExpr(id_col, *band_sql)
     # candidates: docs sharing any band bucket.
     stacked = banded.select(
         id_col,
@@ -323,35 +320,39 @@ def _tf_packed_votes(
     ``word_exprs`` produce the per-token hash words from ``F.md5(tok)``
     (as column exprs over ``_h``). Unpack: s_j = 2·lane_j − n.
     """
+    # cached: the vocab broadcast below executes this subtree as its
+    # own job, and the main vote aggregate reads it again — without
+    # the cache the tokenize+groupBy pass runs twice
     cnt = (
         df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .cache()
     )
     vocab = cnt.select("tok").distinct().withColumn("_h", F.md5(F.col("tok")))
     for i, we in enumerate(word_exprs):
         vocab = vocab.withColumn(f"hv{i}", we)
 
-    def bit(j: int) -> Column:
-        word = F.col(f"hv{j // 32}")
-        return F.shiftright(word, j % 32).bitwiseAND(F.lit(1))
-
-    packed_cols = []
+    # one SQL string per packed column, parsed in ONE call each:
+    # building this tree out of pyspark Column operators costs a Py4J
+    # round-trip per node (~hundreds of ms of pure driver overhead for
+    # 64 bits) while the parser takes the whole expression at once
+    packed_sql = []
     for g in range(n_bits // 4):
-        expr: Column = F.lit(0).cast("long")
-        for lane in range(4):
-            expr = expr + bit(g * 4 + lane) * F.lit(2 ** (16 * lane)).cast(
-                "long"
-            )
-        packed_cols.append(expr.alias(f"p{g}"))
-    vocab = vocab.select("tok", *packed_cols)
+        terms = [
+            f"(shiftright(hv{(g * 4 + lane) // 32}, {(g * 4 + lane) % 32}) & 1)"
+            f" * CAST({2 ** (16 * lane)} AS BIGINT)"
+            for lane in range(4)
+        ]
+        packed_sql.append(" + ".join(terms) + f" AS p{g}")
+    vocab = vocab.selectExpr("tok", *packed_sql)
     return (
         cnt.join(F.broadcast(vocab), "tok")
         .groupBy(id_col)
         .agg(
             F.sum("tf").alias("_n"),
             *[
-                F.sum(F.col(f"p{g}") * F.col("tf")).alias(f"ps{g}")
+                F.expr(f"sum(p{g} * tf)").alias(f"ps{g}")
                 for g in range(n_bits // 4)
             ],
         )
@@ -378,22 +379,15 @@ def simhash_table(
         [F.conv(F.substring(F.col("_h"), 1, 8), 16, 10).cast("long")],
     )
 
-    def s(j: int) -> Column:
-        lane = (
-            F.shiftright(F.col(f"ps{j // 4}"), 16 * (j % 4))
-            .bitwiseAND(F.lit(0xFFFF))
-        )
-        return lane * 2 - F.col("_n")
-
-    hash_expr: Column = reduce(
-        lambda acc, j: acc
-        + F.when(s(j) > 0, F.lit(2**j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        ),
-        range(SIMHASH_BITS),
-        F.lit(0).cast("long"),
+    # single parsed SQL expression (one Py4J call — see
+    # _tf_packed_votes note): bit j set iff vote sum s_j = 2·lane − n
+    # is positive, i.e. 2·lane > n
+    hash_sql = " + ".join(
+        f"(CASE WHEN (shiftright(ps{j // 4}, {16 * (j % 4)}) & 65535) * 2"
+        f" > _n THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(SIMHASH_BITS)
     )
-    return packed.select(F.col(id_col), hash_expr.alias("simhash"))
+    return packed.select(F.col(id_col), F.expr(hash_sql).alias("simhash"))
 
 
 def simhash_pairs(
@@ -500,27 +494,20 @@ def simhash64_table(
         ],
     )
 
-    def s(j: int) -> Column:
-        lane = (
-            F.shiftright(F.col(f"ps{j // 4}"), 16 * (j % 4))
-            .bitwiseAND(F.lit(0xFFFF))
-        )
-        return lane * 2 - F.col("_n")
-
-    def word(bits: range) -> Column:
-        return reduce(
-            lambda acc, j: acc
-            + F.when(s(j) > 0, F.lit(2 ** (j % 32)).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-            bits,
-            F.lit(0).cast("long"),
+    # single parsed SQL expression per word (one Py4J call each — see
+    # _tf_packed_votes note)
+    def word_sql(bits: range) -> str:
+        return " + ".join(
+            f"(CASE WHEN (shiftright(ps{j // 4}, {16 * (j % 4)}) & 65535) * 2"
+            f" > _n THEN CAST({2 ** (j % 32)} AS BIGINT)"
+            f" ELSE CAST(0 AS BIGINT) END)"
+            for j in bits
         )
 
     return packed.select(
         F.col(id_col),
-        word(range(0, 32)).alias("sim_lo"),
-        word(range(32, 64)).alias("sim_hi"),
+        F.expr(word_sql(range(0, 32))).alias("sim_lo"),
+        F.expr(word_sql(range(32, 64))).alias("sim_hi"),
     )
 
 

@@ -55,7 +55,9 @@ def knn(
     (``vsu/base/VectorSearchBase.py:193-202``): distance ASC, LIMIT k.
     Output: corpus columns + ``distance``.
     """
-    lit_query = F.array(*[F.lit(float(v)) for v in query_vector])
+    from vectorsearchutil_spark.functions.vector import lit_vector
+
+    lit_query = lit_vector(query_vector)
     dist, asc = _distance(metric, F.col(vector_col), lit_query)
     ranked = corpus.withColumn("distance", dist)
     order = [

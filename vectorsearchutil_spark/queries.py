@@ -1049,10 +1049,13 @@ def ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # cached: the centroid aggregate feeds TWO independent broadcast
+    # jobs (index assignment + query probes) — without the cache the
+    # two-shuffle centroid plan executes twice
     cents = _label_centroids(spark, sf_dir).select(
         F.col("label_idx").alias("centroid_id"),
         F.col("label_vec").alias("centroid_vec"),
-    )
+    ).cache()
     indexed = build_ivf_index(emb, cents, vector_col="embedding", id_col="vec_id")
     qs = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vector")
@@ -4216,7 +4219,9 @@ def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
     ).first()[0]
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    from vectorsearchutil_spark.functions.vector import lit_vector
+
+    qlit = lit_vector(qv)
     scored = emb.select(
         "vec_id",
         l2_distance(F.col("embedding").cast("array<double>"), qlit).alias("d"),
