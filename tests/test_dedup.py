@@ -181,3 +181,22 @@ def test_connected_components_alternating_agrees(spark):
             for r in connected_components(pairs, strategy="driver").collect()
         }
         assert alt == uf, f"edges={edges}"
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    from vectorsearchutil_spark.operators.dedup import chunk_dedup
+
+    # doc 2 repeats doc 1's first chunk (tokens a..e with chunk size
+    # 5); doc 3 is wholly novel; doc 4 is empty (drops out)
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "a b c d e x y z w v"),
+        (3, "p q r s t"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=5).collect()}
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[3]["n_kept"] == 1
+    assert 4 not in out

@@ -76,3 +76,50 @@ def test_normalize_idempotent(spark):
     )
     out = {r["doc_id"]: r["clean_hash"] for r in ta.normalize_text(docs).collect()}
     assert out[1] == out[2]  # normalization collapses to identical content
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@corp.example.com today"),
+            (2, "call +1-555-0199 or +1-555-0200"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ta.redact_pii(df).collect()}
+    assert out[1]["n_pat0"] == 1 and "<EMAIL>" in out[1]["redacted"]
+    assert "bob" not in out[1]["redacted"]
+    assert out[2]["n_pat1"] == 2 and out[2]["redacted"].count("<PHONE>") == 2
+    assert out[3]["redacted"] == "nothing sensitive here"
+
+
+def test_hashed_tfidf_sparse(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c")], ["doc_id", "text"]
+    )
+    rows = ta.hashed_tfidf(df, n_buckets=8).collect()
+    # every weight positive; doc 1's 'a' bucket outweighs doc 2's
+    # ('a' has tf 2 there, same idf)
+    assert all(r["weight"] > 0 for r in rows)
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["bucket"]] = r["weight"]
+    shared = set(by_doc[1]) & set(by_doc[2])
+    assert any(by_doc[1][b] > by_doc[2][b] for b in shared)
+
+
+def test_pack_context_windows(spark):
+    # 3 docs of 100 tokens each, capacity 64: doc boundaries straddle
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * 100)) for i in range(3)], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ta.pack_context_windows(df, capacity=64).collect()
+    }
+    assert out[0]["start_offset"] == 0 and out[0]["first_window"] == 0
+    assert out[0]["last_window"] == 1  # tokens 0..99 → windows 0,1
+    assert out[1]["start_offset"] == 100
+    assert out[1]["first_window"] == 1 and out[1]["last_window"] == 3
+    assert out[2]["n_windows"] == out[2]["last_window"] - out[2]["first_window"] + 1

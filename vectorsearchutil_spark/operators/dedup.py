@@ -758,3 +758,80 @@ def connected_components(
         if changed == 0:
             break
     return labels.select("node", F.col("comp").alias("component"))
+
+
+def chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-wide chunk-level dedup (the C4 "deduplicate at the
+    line level" step, adapted to token chunks since the corpus has
+    no newlines): split every document into consecutive
+    ``chunk_tokens``-token chunks, keep only the FIRST occurrence of
+    each distinct chunk corpus-wide (first = lowest (doc_id,
+    chunk_idx)), and report per document how much survived.
+
+    Returns (doc_id, n_chunks, n_kept, kept_hash) where kept_hash is
+    md5 of the surviving chunks re-joined in order (the deduplicated
+    document body, hashed to keep result rows narrow).
+
+    Plan: chunking is a narrow projection; first-occurrence election
+    is ONE window shuffle keyed on md5(chunk) — 16-byte keys, never
+    the chunk text; the rebuild is one groupBy on the doc id. At
+    100 TB this is the shape you want: text moves at most once, and
+    the heavy shuffle carries fixed-width hashes.
+    """
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    n_chunks = F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int")
+    # guard: sequence(0, -1) DESCENDS, so empty docs must map to an
+    # explicitly empty chunk list (they then drop out, like the oracle)
+    idx = F.when(
+        F.size("_t") > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.array_join(
+                    F.slice(
+                        F.col("_t"),
+                        (i * chunk_tokens + 1).cast("int"),
+                        chunk_tokens,
+                    ),
+                    " ",
+                ),
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy(F.md5("chunk")).orderBy(id_col, "chunk_idx")
+    kept = chunks.withColumn("_rn", F.row_number().over(win))
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_chunks"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("_rn") == 1,
+                                    F.struct("chunk_idx", "chunk"),
+                                )
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    " ",
+                )
+            ).alias("kept_hash"),
+        )
+    )

@@ -340,3 +340,167 @@ def repetition_ratio(
             1.0 - F.count_distinct(F.col("shingle")) / F.count(F.lit(1)), 4
         ).alias("repetition_ratio"),
     )
+
+
+def redact_pii(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    patterns: list[tuple[str, str]] | None = None,
+) -> "DataFrame":
+    """Regex PII redaction — the masking pass every training-data
+    pipeline runs before packing (emails, phone numbers, ...).
+
+    ``patterns`` is an ordered list of (regex, replacement); each is
+    applied with global replacement, and a per-pattern match count is
+    emitted (``n_<i>`` columns) so downstream can audit redaction
+    volume. Pure JVM regexp expressions — one narrow projection, no
+    shuffle, trivially parallel at 100 TB. Patterns stick to the
+    RE2-compatible subset (no backrefs/lookahead) so the same regex
+    runs identically in the DuckDB oracle.
+    """
+    from pyspark.sql import functions as F
+
+    if patterns is None:
+        patterns = DEFAULT_PII_PATTERNS
+    out = F.col(text_col)
+    counts = []
+    for i, (pat, _rep) in enumerate(patterns):
+        counts.append(
+            F.regexp_count(F.col(text_col), F.lit(pat)).cast("int").alias(
+                f"n_pat{i}"
+            )
+        )
+    for pat, rep in patterns:
+        out = F.regexp_replace(out, pat, rep)
+    return df.select(
+        F.col(id_col), *counts, out.alias("redacted")
+    )
+
+
+#: (regex, replacement) applied in order by redact_pii.
+DEFAULT_PII_PATTERNS = [
+    (r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]+", "<EMAIL>"),
+    (r"\+1-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+]
+
+
+def hashed_tfidf(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> "DataFrame":
+    """Sparse hashed TF-IDF document vectors (the hashing trick):
+    bucket(token) = md5-derived int mod ``n_buckets``; weight(doc, b)
+    = Σ_{tok→b} tf(doc,tok) · ln(1 + N/df(tok)). Output rows are the
+    sparse form (doc_id, bucket, weight) — only non-zero buckets.
+
+    Plan: one (doc,tok) partial-agg shuffle for tf, a vocabulary-size
+    aggregate for df that joins back BROADCAST (Zipf: |vocab| ≪
+    corpus), then one (doc,bucket) re-aggregate. The corpus text
+    never shuffles — only narrow (id, token-hash) rows move. The
+    fixed bucket count makes the vector width independent of
+    vocabulary size, which is what makes this the 100 TB featurizer.
+    """
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.functions.text import tokens
+
+    n_docs = df.count()
+    cnt = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = cnt.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    bucket = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_buckets
+    # per-bucket weights fold in token order (array_sort + aggregate)
+    # so Spark and the SQL oracle add the SAME floats in the SAME
+    # order — a plain SUM's partial-agg order is engine-dependent and
+    # can flip the 4dp rounding on boundary values
+    return (
+        cnt.join(F.broadcast(dfreq), "tok")
+        .withColumn("bucket", bucket.cast("int"))
+        .withColumn(
+            "w",
+            F.col("tf") * F.log(1.0 + F.lit(float(n_docs)) / F.col("df")),
+        )
+        .groupBy(id_col, "bucket")
+        .agg(
+            F.round(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("tok", F.col("w")))
+                        ),
+                        lambda x: x["w"],
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                4,
+            ).alias("weight")
+        )
+    )
+
+
+def pack_context_windows(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    capacity: int = 256,
+) -> "DataFrame":
+    """Concat-and-cut sequence packing: documents are concatenated in
+    id order and cut into fixed ``capacity``-token context windows
+    (documents may straddle a cut — GPT-style packing). Returns per
+    doc: token count, global start offset, first/last window index,
+    and how many windows the doc touches.
+
+    The running offset is ONE prefix-sum window over (n_tokens) —
+    rows carry only (id, count), never text. The global orderBy is
+    the honest cost; at 100 TB you run this per shard/source (swap
+    the window spec for partitionBy(source)) since windows never
+    cross shard boundaries in a real loader anyway.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.functions.text import tokens
+
+    win = (
+        Window.orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    sized = df.select(
+        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    )
+    return (
+        sized.withColumn(
+            "start_offset", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "start_offset",
+            F.floor(F.col("start_offset") / capacity)
+            .cast("int")
+            .alias("first_window"),
+            F.floor(
+                (F.col("start_offset") + F.col("n_tokens") - 1) / capacity
+            )
+            .cast("int")
+            .alias("last_window"),
+            (
+                F.floor(
+                    (F.col("start_offset") + F.col("n_tokens") - 1) / capacity
+                )
+                - F.floor(F.col("start_offset") / capacity)
+                + 1
+            )
+            .cast("int")
+            .alias("n_windows"),
+        )
+    )

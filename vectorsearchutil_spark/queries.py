@@ -4544,3 +4544,180 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("vals").cast("int").alias("n_events"),
         F.round(ewma, 4).alias("ewma"),
     )
+
+
+# --------------------------------------------------------------------------
+# Training-data assembly: chunk-level dedup, PII redaction, hashed
+# TF-IDF features, and context-window packing.
+# --------------------------------------------------------------------------
+
+_CHUNK_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+c0 AS (
+  SELECT doc_id, t,
+         unnest(range(0, CAST(ceil(len(t) / 10.0) AS BIGINT))) AS i
+  FROM toks
+),
+chunks AS (
+  SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+         array_to_string(t[i*10+1 : i*10+10], ' ') AS chunk
+  FROM c0
+),
+ranked AS (
+  SELECT doc_id, chunk_idx, chunk,
+         ROW_NUMBER() OVER (
+           PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx
+         ) AS rn
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_chunks,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INT) AS n_kept,
+       md5(COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx),
+         '')) AS kept_hash
+FROM ranked GROUP BY doc_id
+"""
+
+
+@query("docs_chunk_dedup", _CHUNK_DEDUP_ORACLE)
+def docs_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide chunk dedup: 10-token chunks, keep only
+    each chunk's first occurrence (lowest (doc_id, chunk_idx)); per
+    doc, how many chunks survived plus a hash of the rebuilt body.
+    The election shuffle carries 16-byte chunk hashes, not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return _dd.chunk_dedup(docs, chunk_tokens=10)
+
+
+_PII_ORACLE = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@mail-' || source ||
+         '.com or call +1-555-' || lpad(CAST(doc_id * 7 % 10000 AS VARCHAR),
+                                        4, '0') AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]+'))
+            AS INT) AS n_pat0,
+       CAST(len(regexp_extract_all(t, '\+1-[0-9]{3}-[0-9]{4}'))
+            AS INT) AS n_pat1,
+       md5(regexp_replace(
+             regexp_replace(t, '[a-z0-9.]+@[a-z0-9.-]+\.[a-z]+',
+                            '<EMAIL>', 'g'),
+             '\+1-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')) AS redacted_hash
+FROM synth
+"""
+
+
+@query("docs_pii_redaction", _PII_ORACLE)
+def docs_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over deterministically synthesized contact info
+    (the corpus itself is synthetic word salad, so the email/phone
+    strings are appended reproducibly first, mirroring the oracle).
+    One narrow regexp projection — no shuffle; patterns stay in the
+    RE2-compatible subset so both engines match identically."""
+    from vectorsearchutil_spark.operators.textanalysis import redact_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail-"),
+            F.col("source"),
+            F.lit(".com or call +1-555-"),
+            F.lpad((F.col("doc_id") * 7 % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = redact_pii(synth, text_col="text", id_col="doc_id")
+    return out.select(
+        "doc_id", "n_pat0", "n_pat1", F.md5("redacted").alias("redacted_hash")
+    )
+
+
+_TFIDF_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS tok
+  FROM documents
+),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT tok, COUNT(*) AS df FROM cnt GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+w AS (
+  SELECT c.doc_id,
+         CAST(('0x' || substr(md5(c.tok), 1, 8))::BIGINT % 32 AS INT)
+           AS bucket,
+         c.tok,
+         c.tf * ln(1 + n.n_docs * 1.0 / d.df) AS w
+  FROM cnt c JOIN dfreq d ON c.tok = d.tok CROSS JOIN n
+)
+SELECT doc_id, bucket,
+       ROUND(list_reduce(list_prepend(0.0, list(w ORDER BY tok)),
+                         (a, b) -> a + b), 4) AS weight
+FROM w GROUP BY doc_id, bucket
+"""
+
+
+@query("docs_tfidf_hashed", _TFIDF_ORACLE)
+def docs_tfidf_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick TF-IDF features, sparse (doc, bucket, weight)
+    rows over 32 md5-derived buckets. Per-bucket weights fold in
+    token order on BOTH engines so float addition order is pinned."""
+    from vectorsearchutil_spark.operators.textanalysis import hashed_tfidf
+
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_tfidf(docs, n_buckets=32)
+
+
+_PACK_ORACLE = """
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+  FROM documents
+),
+off AS (
+  SELECT doc_id, n,
+         COALESCE(SUM(n) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM sized
+)
+SELECT doc_id,
+       CAST(n AS INT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 256 AS INT) AS first_window,
+       CAST((start_offset + n - 1) // 256 AS INT) AS last_window,
+       CAST((start_offset + n - 1) // 256 - start_offset // 256 + 1 AS INT)
+         AS n_windows
+FROM off
+"""
+
+
+@query("docs_pack_windows", _PACK_ORACLE)
+def docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-cut sequence packing (GPT-style): docs concatenated
+    in id order, cut into 256-token context windows; per doc the
+    windows it touches. One prefix-sum over (id, count) rows."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_context_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = pack_context_windows(docs, capacity=256)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        "first_window",
+        "last_window",
+        "n_windows",
+    )
