@@ -200,3 +200,37 @@ def test_chunk_dedup_first_occurrence(spark):
     assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
     assert out[3]["n_kept"] == 1
     assert 4 not in out
+
+
+def test_incremental_ingest_dedup(spark):
+    from vectorsearchutil_spark.operators.dedup import (
+        incremental_ingest_dedup,
+    )
+
+    existing = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different content about spark joins here"),
+        ],
+        ["doc_id", "text"],
+    )
+    incoming = spark.createDataFrame(
+        [
+            # exact copy of doc 1
+            (10, "the quick brown fox jumps over the lazy dog today"),
+            # near-dup of doc 1 (one trailing token changed)
+            (11, "the quick brown fox jumps over the lazy dog tonight"),
+            # novel
+            (12, "nothing like anything stored so far at all honestly"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental_ingest_dedup(
+            existing, incoming, threshold=0.6
+        ).collect()
+    }
+    assert out[10]["verdict"] == "exact_dup" and out[10]["matched_id"] == 1
+    assert out[11]["verdict"] == "near_dup" and out[11]["matched_id"] == 1
+    assert out[12]["verdict"] == "new" and out[12]["matched_id"] is None

@@ -4721,3 +4721,82 @@ def docs_pack_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_window",
         "n_windows",
     )
+
+
+_INCR_INGEST_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+cut AS (SELECT CAST(FLOOR(0.8 * MAX(doc_id)) AS BIGINT) AS c FROM documents),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s.i, MIN(h1 + s.i * h2) AS h
+  FROM hashed, range(0, 16) s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_idx,
+         md5(string_agg(h::VARCHAR, '|' ORDER BY i)) AS band_val
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_in, b.doc_id AS id_ex
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+  CROSS JOIN cut
+  WHERE a.doc_id >= cut.c AND b.doc_id < cut.c
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_in, c.id_ex, COUNT(*) AS n_int
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_in
+  JOIN sh sb ON sb.doc_id = c.id_ex AND sb.shingle = sa.shingle
+  GROUP BY 1, 2
+),
+near AS (
+  SELECT id_in, MIN(id_ex) AS near_id
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_in
+  JOIN sizes zb ON zb.doc_id = i.id_ex
+  WHERE i.n_int * 1.0 / (za.n_sh + zb.n_sh - i.n_int) >= 0.8
+  GROUP BY 1
+),
+exact AS (
+  SELECT i.doc_id AS id_in, MIN(e.doc_id) AS exact_id
+  FROM documents i
+  JOIN documents e ON md5(i.text) = md5(e.text)
+  CROSS JOIN cut
+  WHERE i.doc_id >= cut.c AND e.doc_id < cut.c
+  GROUP BY 1
+)
+SELECT d.doc_id,
+       CASE WHEN x.exact_id IS NOT NULL THEN 'exact_dup'
+            WHEN nr.near_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict,
+       COALESCE(x.exact_id, nr.near_id) AS matched_id
+FROM documents d
+CROSS JOIN cut
+LEFT JOIN exact x ON x.id_in = d.doc_id
+LEFT JOIN near nr ON nr.id_in = d.doc_id
+WHERE d.doc_id >= cut.c
+"""
+
+
+@query("dedup_incremental_ingest", _INCR_INGEST_ORACLE)
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-time dedup gate: the newest 20% of docs (the incoming
+    batch) checked against the older 80% (the store) — exact md5
+    match first, then MinHash-LSH candidates verified at Jaccard
+    ≥ 0.8. Store-side scans join against BROADCAST incoming buckets,
+    so at 100 TB the store never shuffles for an append."""
+    docs = load_table(spark, sf_dir, "documents")
+    cut = int(docs.agg(F.floor(0.8 * F.max("doc_id"))).first()[0])
+    existing = docs.filter(F.col("doc_id") < cut)
+    incoming = docs.filter(F.col("doc_id") >= cut)
+    return _dd.incremental_ingest_dedup(
+        existing, incoming, n=3, num_hashes=16, band_size=4, threshold=0.8
+    )
