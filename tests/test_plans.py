@@ -184,3 +184,31 @@ def test_filter_pipeline_narrow_projection(spark, sf_dir):
     df = Q.QUERIES["docs_filter_pipeline"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "Exchange" not in plan  # all rules in one pass, no shuffle
+
+
+def test_pack_windows_no_text_in_window_shuffle(spark, sf_dir):
+    df = Q.QUERIES["docs_pack_windows"](spark, sf_dir)
+    plan = formatted_plan(df)
+    # the prefix-sum window must see (id, count) rows only — text is
+    # projected away before the sort/exchange
+    assert "Window" in plan
+    win_part = plan[plan.index("Window"):]
+    assert "text" not in win_part.split("Scan parquet")[0]
+
+
+def test_pii_redaction_narrow_no_shuffle(spark, sf_dir):
+    df = Q.QUERIES["docs_pii_redaction"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Exchange" not in plan  # one narrow regexp projection
+
+
+def test_incremental_ingest_broadcasts_batch(spark, sf_dir):
+    df = Q.QUERIES["dedup_incremental_ingest"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_tfidf_broadcasts_vocab(spark, sf_dir):
+    df = Q.QUERIES["docs_tfidf_hashed"](spark, sf_dir)
+    assert has_broadcast_join(df)  # df-table joins map-side
+    assert_no_cartesian(df)
