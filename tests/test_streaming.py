@@ -325,3 +325,53 @@ def test_stream_ingest_to_store_matches_batch(spark, sf_dir, tmp_path):
     )
     q2.awaitTermination(180)
     assert store.count() == n_distinct
+
+
+def test_stream_ingest_deduped_rejects_near_dups(spark, tmp_path):
+    """The near-dup-gated streaming ingest: batch 1 lands, a second
+    stream of perturbed copies (one token changed) is rejected by the
+    MinHash gate even though the exact-hash guard would admit it."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.store import VectorStore
+    from vectorsearchutil_spark.streaming.ingest import (
+        DOCUMENTS_SCHEMA,
+        stream_ingest_deduped,
+    )
+
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog today", "en", "s1", 49),
+        (2, "completely different content about spark joins here", "en", "s1", 51),
+    ]
+    perturbed = [
+        (11, "the quick brown fox jumps over the lazy dog tonight", "en", "s2", 50),
+        (12, "fresh novel text with nothing in common at all", "en", "s2", 46),
+    ]
+    d1, d2 = tmp_path / "in1", tmp_path / "in2"
+    spark.createDataFrame(base, DOCUMENTS_SCHEMA).coalesce(1).write.parquet(
+        str(d1)
+    )
+    spark.createDataFrame(
+        perturbed, DOCUMENTS_SCHEMA
+    ).coalesce(1).write.parquet(str(d2))
+
+    store = VectorStore(spark, path=str(tmp_path / "store.parquet"))
+
+    def stream_of(path):
+        return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(str(path))
+
+    q = stream_ingest_deduped(
+        stream_of(d1), store, str(tmp_path / "c1"), threshold=0.6
+    )
+    q.awaitTermination(180)
+    assert store.count() == 2
+
+    q2 = stream_ingest_deduped(
+        stream_of(d2), store, str(tmp_path / "c2"), threshold=0.6
+    )
+    q2.awaitTermination(180)
+    targets = {r["target"] for r in store.data.collect()}
+    # near-dup of doc 1 rejected; novel doc admitted
+    assert store.count() == 3
+    assert "fresh novel text with nothing in common at all" in targets
+    assert not any("tonight" in t for t in targets)

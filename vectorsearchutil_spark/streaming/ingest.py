@@ -70,3 +70,51 @@ def stream_ingest(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_ingest_deduped(
+    docs_stream: DataFrame,
+    store: VectorStore,
+    checkpoint: str,
+    threshold: float = 0.8,
+):
+    """Streaming ingest with the NEAR-dup gate: each micro-batch is
+    first screened by ``incremental_ingest_dedup`` against the store's
+    current contents — exact dups AND near-dups (MinHash-LSH verified
+    at Jaccard ≥ threshold) are rejected, only 'new' docs append.
+
+    This upgrades the store's exact first-wins guard (reference
+    insert-if-absent, vsu/base/VectorSearchBase.py:79-87) to the
+    near-dup policy a training corpus actually wants: a trivially
+    perturbed re-submission no longer slips past the exact hash. The
+    gate's store-side joins run against BROADCAST batch buckets, so
+    the store never shuffles per micro-batch; replay safety is
+    unchanged (a re-delivered batch re-gates to the same verdicts).
+    """
+    from vectorsearchutil_spark.operators.dedup import (
+        incremental_ingest_dedup,
+    )
+
+    def ingest_batch(batch_df: DataFrame, batch_id: int) -> None:
+        existing = store.data.select(
+            F.col("id").alias("doc_id"), F.col("target").alias("text")
+        )
+        incoming = batch_df.select("doc_id", "text")
+        verdicts = incremental_ingest_dedup(
+            existing, incoming, threshold=threshold
+        )
+        keep = verdicts.filter(F.col("verdict") == "new").select("doc_id")
+        gated = batch_df.join(keep, "doc_id", "left_semi")
+        renamed = gated.select(
+            F.col("text").alias("target"),
+            F.col("lang").alias("option1"),
+            F.col("source").alias("option2"),
+        )
+        store.set_data(renamed, append=True)
+
+    return (
+        docs_stream.writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
