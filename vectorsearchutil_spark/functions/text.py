@@ -80,3 +80,30 @@ def minhash_base_hashes(item: Column) -> tuple[Column, Column]:
     h1 = F.conv(F.substring(h, 1, 12), 16, 10).cast("long")
     h2 = F.conv(F.substring(h, 17, 12), 16, 10).cast("long")
     return h1, h2
+
+
+def tokens_sql(col_name: str) -> str:
+    """SQL-string form of ``tokens`` (single parsed expression — the
+    Column/lambda form costs dozens of Py4J round-trips to build; see
+    PERF.md round-2b). Semantics identical: whitespace split, empties
+    removed."""
+    return f"filter(split({col_name}, ' '), x -> x != '')"
+
+
+def shingles_sql(
+    tok_col: str, n: int = 3, sep: str = "_", distinct: bool = True
+) -> str:
+    """SQL-string form of ``shingles_of_tokens`` over an
+    already-materialized token-array COLUMN NAME (same perf caveat:
+    the referenced column must be a plain projection, or the
+    tokenizer re-evaluates per element)."""
+    parts = ", ".join(
+        f"element_at({tok_col}, CAST(i + {j + 1} AS INT))" for j in range(n)
+    )
+    grams = (
+        f"CASE WHEN size({tok_col}) >= {n} THEN "
+        f"transform(sequence(0, size({tok_col}) - {n}), "
+        f"i -> concat_ws('{sep}', {parts})) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+    return f"array_distinct({grams})" if distinct else grams

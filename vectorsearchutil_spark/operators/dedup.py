@@ -58,13 +58,18 @@ def _shingle_table(
     df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None
 ) -> DataFrame:
     # two-step projection: materialize the token array per row FIRST,
-    # then shingle it — see shingles_of_tokens perf note.
-    sh = (
-        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_toks"))
-        .select(
-            F.col(id_col),
-            F.explode(shingles_of_tokens(F.col("_toks"), n)).alias("shingle"),
-        )
+    # then shingle it — see shingles_of_tokens perf note. SQL-string
+    # forms: the Column/lambda builders cost ~1 s of Py4J round-trips
+    # per query (PERF.md round-2b).
+    from vectorsearchutil_spark.functions.text import (
+        shingles_sql,
+        tokens_sql,
+    )
+
+    sh = df.selectExpr(
+        id_col, f"{tokens_sql(text_col)} AS _toks"
+    ).selectExpr(
+        id_col, f"explode({shingles_sql('_toks', n)}) AS shingle"
     )
     if max_df is not None:
         # drop stop-shingles: frequent shingles blow up the self-join
@@ -323,8 +328,10 @@ def _tf_packed_votes(
     # cached: the vocab broadcast below executes this subtree as its
     # own job, and the main vote aggregate reads it again — without
     # the cache the tokenize+groupBy pass runs twice
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
     cnt = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        df.selectExpr(id_col, f"explode({tokens_sql(text_col)}) AS tok")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()
@@ -783,7 +790,9 @@ def chunk_dedup(
     100 TB this is the shape you want: text moves at most once, and
     the heavy shuffle carries fixed-width hashes.
     """
-    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    toks = df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _t")
     n_chunks = F.ceil(F.size("_t") / F.lit(chunk_tokens)).cast("int")
     # guard: sequence(0, -1) DESCENDS, so empty docs must map to an
     # explicitly empty chunk list (they then drop out, like the oracle)
@@ -874,14 +883,14 @@ def incremental_ingest_dedup(
     # one shingle pass over the union (the existing side would be a
     # stored table in production — single computation here keeps the
     # job parity-checkable)
+    from vectorsearchutil_spark.functions.text import shingles_sql, tokens_sql
+
     sh = (
-        marked.select(
-            F.col(id_col), "_side", tokens(F.col(text_col)).alias("_t")
+        marked.selectExpr(
+            id_col, "_side", f"{tokens_sql(text_col)} AS _t"
         )
-        .select(
-            F.col(id_col),
-            "_side",
-            F.explode(shingles_of_tokens(F.col("_t"), n)).alias("shingle"),
+        .selectExpr(
+            id_col, "_side", f"explode({shingles_sql('_t', n)}) AS shingle"
         )
         .cache()
     )

@@ -321,17 +321,15 @@ def repetition_ratio(
     from pyspark.sql import functions as F
 
     from vectorsearchutil_spark.functions.text import (
-        shingles_of_tokens,
-        tokens,
+        shingles_sql,
+        tokens_sql,
     )
 
-    sh = df.select(
-        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
-    ).select(
-        F.col(id_col),
-        F.explode(
-            shingles_of_tokens(F.col("_toks"), n, distinct=False)
-        ).alias("shingle"),
+    sh = df.selectExpr(
+        id_col, f"{tokens_sql(text_col)} AS _toks"
+    ).selectExpr(
+        id_col,
+        f"explode({shingles_sql('_toks', n, distinct=False)}) AS shingle",
     )
     return sh.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_shingles"),
@@ -405,11 +403,11 @@ def hashed_tfidf(
     """
     from pyspark.sql import functions as F
 
-    from vectorsearchutil_spark.functions.text import tokens
+    from vectorsearchutil_spark.functions.text import tokens_sql
 
     n_docs = df.count()
     cnt = (
-        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok"))
+        df.selectExpr(id_col, f"explode({tokens_sql(text_col)}) AS tok")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -468,14 +466,14 @@ def pack_context_windows(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from vectorsearchutil_spark.functions.text import tokens
+    from vectorsearchutil_spark.functions.text import tokens_sql
 
     win = (
         Window.orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    sized = df.select(
-        F.col(id_col), F.size(tokens(F.col(text_col))).alias("n_tokens")
+    sized = df.selectExpr(
+        id_col, f"size({tokens_sql(text_col)}) AS n_tokens"
     )
     return (
         sized.withColumn(
