@@ -65,3 +65,33 @@ def test_video_corrupt_skipped(spark):
 
     df = spark.createDataFrame([(1, bytearray(b"JUNK"))], ["doc_id", "video"])
     assert frame_sample(df).count() == 0
+
+
+def test_audio_roundtrip_and_resample(spark):
+    import hashlib
+
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.multimodal import (
+        decode_audio_meta,
+        resample_audio,
+        synthesize_audio,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "x" * 50)], ["doc_id", "text"]
+    )
+    audio = synthesize_audio(df)
+    meta = {r["doc_id"]: r for r in decode_audio_meta(audio).collect()}
+    assert meta[1]["sample_rate"] == 8000 + (11 % 3) * 4000
+    assert meta[1]["n_samples"] == 11 % 1000 + 16
+    assert meta[1]["duration_ms"] == meta[1]["n_samples"] * 1000 // meta[1]["sample_rate"]
+
+    res = {r["doc_id"]: r for r in resample_audio(audio, every_k=4).collect()}
+    # python reference on the same payload
+    blob = bytes(audio.filter("doc_id = 1").first()["audio"])
+    samples = np.frombuffer(blob[8:], dtype=">u2")[::4]
+    assert res[1]["n_samples_out"] == len(samples)
+    assert res[1]["resampled_hash"] == hashlib.md5(
+        samples.astype(">u2").tobytes()
+    ).hexdigest()

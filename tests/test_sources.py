@@ -53,3 +53,37 @@ def test_binary_file_source(spark):
     assert set(df.columns) == {"path", "modificationTime", "length", "content"}
     assert row["length"] > 0
     assert bytes(row["content"]).startswith(b"title,author,year")
+
+
+def test_jsonl_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    from vectorsearchutil_spark.sources.readers import (
+        load_jsonl,
+        load_table,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, path)
+    back = load_jsonl(spark, path, schema=docs.schema)
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir, tmp_path):
+    from vectorsearchutil_spark.plans.explain import pushed_filters
+    from vectorsearchutil_spark.sources.readers import (
+        load_orc,
+        load_table,
+        write_orc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = load_orc(spark, path).filter("doc_id < 10")
+    assert back.count() == docs.filter("doc_id < 10").count()
+    # predicate reaches the ORC scan like parquet
+    assert "doc_id" in " ".join(pushed_filters(back))

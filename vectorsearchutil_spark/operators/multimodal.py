@@ -172,3 +172,113 @@ def frame_sample(
             yield pd.DataFrame(out)
 
     return df.select("doc_id", content_col).mapInPandas(sample, FRAME_SCHEMA)
+
+
+AUDIO_MAGIC = b"AUD1"
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+AUDIO_RESAMPLE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples_out", IntegerType()),
+        StructField("resampled_hash", StringType()),
+    ]
+)
+
+
+def synthesize_audio(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic fake 'audio': AUDIO_MAGIC + u16be sample_rate/100
+    + u16be n_samples + n 16-bit samples (the md5 of the text,
+    repeated). Rate/count derive from text length so oracles and
+    tests recompute them from the source column; assembly is JVM-side
+    hex/unhex like the image/video twins."""
+    n = F.length(F.col(text_col))
+    rate = (F.lit(8000) + (n % 3) * 4000).cast("int")
+    n_samples = (n % 1000 + 16).cast("int")
+    reps = F.ceil(n_samples * 4 / 32).cast("int") + 1
+    samples_hex = F.substring(
+        F.repeat(F.upper(F.md5(F.col(text_col))), reps), 1, n_samples * 4
+    )
+    content = F.unhex(
+        F.concat(
+            F.lit(AUDIO_MAGIC.hex().upper()),
+            F.lpad(F.hex((rate / 100).cast("int")), 4, "0"),
+            F.lpad(F.hex(n_samples), 4, "0"),
+            samples_hex,
+        )
+    )
+    return df.withColumn("audio", content)
+
+
+def decode_audio_meta(df: DataFrame, content_col: str = "audio") -> DataFrame:
+    """Parse audio headers to typed metadata (rate, samples,
+    duration) — Arrow-batched mapInPandas, same plumbing as the image
+    decode: payload bytes cross once per batch, never per row."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [],
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf[content_col]):
+                b = bytes(blob)
+                if b[:4] != AUDIO_MAGIC or len(b) < 8:
+                    rate = ns = dur = -1
+                else:
+                    r100, ns = struct.unpack(">HH", b[4:8])
+                    rate = r100 * 100
+                    dur = ns * 1000 // rate
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(ns)
+                out["duration_ms"].append(dur)
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", content_col).mapInPandas(
+        decode, AUDIO_META_SCHEMA
+    )
+
+
+def resample_audio(
+    df: DataFrame, content_col: str = "audio", every_k: int = 4
+) -> DataFrame:
+    """Decimating resample: keep every k-th 16-bit sample — the
+    feature-extraction stage shape for audio (a real resampler would
+    low-pass first; scipy/librosa are not in this container, so the
+    kept-sample selection is the deterministic stand-in). numpy
+    frombuffer per Arrow batch; output is (doc, out count, md5 of the
+    resampled payload) to keep result rows narrow."""
+    import hashlib
+
+    import numpy as np
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_samples_out": [], "resampled_hash": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf[content_col]):
+                b = bytes(blob)
+                if b[:4] != AUDIO_MAGIC or len(b) < 8:
+                    continue
+                samples = np.frombuffer(b[8:], dtype=">u2")
+                kept = samples[::every_k]
+                out["doc_id"].append(doc_id)
+                out["n_samples_out"].append(len(kept))
+                out["resampled_hash"].append(
+                    hashlib.md5(kept.astype(">u2").tobytes()).hexdigest()
+                )
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", content_col).mapInPandas(
+        resample, AUDIO_RESAMPLE_SCHEMA
+    )

@@ -4800,3 +4800,28 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _dd.incremental_ingest_dedup(
         existing, incoming, n=3, num_hashes=16, band_size=4, threshold=0.8
     )
+
+
+_AUDIO_META_ORACLE = """
+SELECT doc_id,
+       CAST(8000 + (length(text) % 3) * 4000 AS INT) AS sample_rate,
+       CAST(length(text) % 1000 + 16 AS INT) AS n_samples,
+       CAST((length(text) % 1000 + 16) * 1000
+            // (8000 + (length(text) % 3) * 4000) AS INT) AS duration_ms
+FROM documents
+"""
+
+
+@query("multimodal_audio_meta", _AUDIO_META_ORACLE)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column round trip: synthesize binary audio (JVM-side
+    hex/unhex), decode headers to (rate, samples, duration) via
+    Arrow-batched mapInPandas — the audio twin of the image decode
+    plumbing."""
+    from vectorsearchutil_spark.operators.multimodal import (
+        decode_audio_meta,
+        synthesize_audio,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_audio_meta(synthesize_audio(docs))

@@ -75,3 +75,41 @@ def load_binary_files(spark: SparkSession, path: str, glob: str | None = None) -
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """Land a DataFrame as JSON-lines (the interchange format most
+    LLM-corpus tooling speaks). One file per partition; gzip by
+    default — at 100 TB prefer zstd and size partitions so files land
+    near the object-store sweet spot (~1 GB)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def load_jsonl(
+    spark: SparkSession, path: str, schema=None, **options
+) -> DataFrame:
+    """JSONL scan. ALWAYS pass ``schema`` in production: schema
+    inference reads the data twice and silently widens types; a
+    declared schema keeps the scan single-pass and stable. Corrupt
+    lines land in ``_corrupt_record`` (PERMISSIVE default) instead of
+    failing the job."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    for k, v in options.items():
+        r = r.option(k, v)
+    return r.json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC landing (the other columnar format Spark ships a
+    vectorized reader for; same pushdown/pruning behavior as
+    parquet)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def load_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
