@@ -123,3 +123,23 @@ def test_pack_context_windows(spark):
     assert out[1]["start_offset"] == 100
     assert out[1]["first_window"] == 1 and out[1]["last_window"] == 3
     assert out[2]["n_windows"] == out[2]["last_window"] - out[2]["first_window"] + 1
+
+
+def test_pack_bins_next_fit(spark):
+    rows = [
+        (1, " ".join(["w"] * 30), "s1"),
+        (2, " ".join(["w"] * 30), "s1"),   # fits with doc 1 (60 <= 64)
+        (3, " ".join(["w"] * 10), "s1"),   # 70 > 64 → new bin
+        (4, " ".join(["w"] * 100), "s1"),  # oversized → own bin
+        (5, " ".join(["w"] * 5), "s2"),    # independent group
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        r["doc_id"]: r
+        for r in ta.pack_bins_next_fit(df, capacity=64).collect()
+    }
+    assert out[1]["bin_idx"] == 0 and out[2]["bin_idx"] == 0
+    assert out[2]["bin_fill"] == 60
+    assert out[3]["bin_idx"] == 1
+    assert out[4]["bin_idx"] == 2 and out[4]["bin_fill"] == 100
+    assert out[5]["bin_idx"] == 0

@@ -502,3 +502,75 @@ def pack_context_windows(
             .alias("n_windows"),
         )
     )
+
+
+def pack_bins_next_fit(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    capacity: int = 512,
+) -> "DataFrame":
+    """Next-fit bin packing WITHOUT splitting documents: within each
+    group (source/shard), docs in id order go into the current bin
+    while they fit; a doc that does not fit opens a new bin
+    (oversized docs get a bin of their own). The no-split counterpart
+    of ``pack_context_windows`` — what you run when examples must not
+    straddle sequence boundaries.
+
+    The scan reduces to (id, group, token count) BEFORE the shuffle;
+    the inherently sequential fold runs per group inside
+    ``applyInPandas`` — groups pack in parallel, and in a real loader
+    bins never cross shards anyway. Output: (id, group, bin_idx,
+    bin_fill) where bin_fill is the bin's running fill AFTER placing
+    the doc.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(group_col, StringType()),
+            StructField("bin_idx", IntegerType()),
+            StructField("bin_fill", IntegerType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bin_idx, fills = [], []
+        cur, fill = 0, None
+        for n in pdf["_n"]:
+            n = int(n)
+            if fill is None:
+                fill = n
+            elif fill + n <= capacity:
+                fill += n
+            else:
+                cur += 1
+                fill = n
+            bin_idx.append(cur)
+            fills.append(fill)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "bin_idx": pd.Series(bin_idx, dtype="int32"),
+                "bin_fill": pd.Series(fills, dtype="int32"),
+            }
+        )
+
+    sized = df.selectExpr(
+        id_col, group_col, f"size({tokens_sql(text_col)}) AS _n"
+    )
+    return sized.groupBy(group_col).applyInPandas(pack, out_schema)

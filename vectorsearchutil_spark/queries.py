@@ -4825,3 +4825,40 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_audio_meta(synthesize_audio(docs))
+
+
+_PACK_BINS_ORACLE = """
+WITH RECURSIVE sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+),
+walk AS (
+  SELECT doc_id, source, n, rn, 0 AS bin_idx, n AS fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.doc_id, s.source, s.n, s.rn,
+         CASE WHEN w.fill + s.n <= 512 THEN w.bin_idx
+              ELSE w.bin_idx + 1 END,
+         CASE WHEN w.fill + s.n <= 512 THEN w.fill + s.n ELSE s.n END
+  FROM walk w JOIN sized s ON s.source = w.source AND s.rn = w.rn + 1
+)
+SELECT doc_id, source, CAST(bin_idx AS INT) AS bin_idx,
+       CAST(fill AS INT) AS bin_fill
+FROM walk
+"""
+
+
+@query("docs_pack_bins", _PACK_BINS_ORACLE)
+def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split next-fit bin packing per source at 512-token
+    capacity: the sequential fold runs per group in applyInPandas
+    (groups in parallel); the oracle unrolls the same fold as a
+    recursive CTE."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_bins_next_fit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins_next_fit(docs, capacity=512)
