@@ -130,3 +130,100 @@ def test_hash_sample_rate_monotone_and_nested(spark, keys, rate):
     small = {r["k"] for r in hash_sample(df, rate, "k").collect()}
     big = {r["k"] for r in hash_sample(df, min(1.0, rate + 0.3), "k").collect()}
     assert small <= big
+
+
+# --- round-2b assembly operators --------------------------------------
+
+word = st.text(alphabet="abcde", min_size=1, max_size=4)
+doc = st.lists(word, min_size=0, max_size=40).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=15))
+def test_chunk_dedup_invariants(spark, texts):
+    """Python-reference equivalence: first-occurrence chunk election
+    over (doc_id, chunk_idx) order, any input corpus."""
+    from vectorsearchutil_spark.operators.dedup import chunk_dedup
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in chunk_dedup(df, chunk_tokens=5).collect()}
+    seen: set[str] = set()
+    for i, t in enumerate(texts):
+        toks = [w for w in t.split(" ") if w]
+        chunks = [
+            " ".join(toks[j : j + 5]) for j in range(0, len(toks), 5)
+        ]
+        if not chunks:
+            assert i not in rows
+            continue
+        kept = [c for c in chunks if c not in seen]
+        seen.update(chunks)
+        assert rows[i]["n_chunks"] == len(chunks)
+        assert rows[i]["n_kept"] == len(kept)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(doc, st.sampled_from(["s1", "s2"])),
+        min_size=1,
+        max_size=15,
+    ),
+    st.integers(min_value=4, max_value=64),
+)
+def test_pack_bins_invariants(spark, rows_in, capacity):
+    """Bins never exceed capacity (except single oversized docs), bin
+    indices are contiguous from 0 per group, id order preserved."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_bins_next_fit,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, s) for i, (t, s) in enumerate(rows_in)],
+        ["doc_id", "text", "source"],
+    )
+    out = pack_bins_next_fit(df, capacity=capacity).collect()
+    by_group: dict[str, list] = {}
+    for r in sorted(out, key=lambda r: r["doc_id"]):
+        by_group.setdefault(r["source"], []).append(r)
+    for rows in by_group.values():
+        fills: dict[int, int] = {}
+        sizes = {
+            r["doc_id"]: len(
+                [w for w in rows_in[r["doc_id"]][0].split(" ") if w]
+            )
+            for r in rows
+        }
+        prev_bin = 0
+        for r in rows:
+            assert 0 <= r["bin_idx"] - prev_bin <= 1  # contiguous
+            prev_bin = r["bin_idx"]
+            fills[r["bin_idx"]] = fills.get(r["bin_idx"], 0) + sizes[r["doc_id"]]
+        for b, fill in fills.items():
+            members = [r for r in rows if r["bin_idx"] == b]
+            if len(members) > 1:
+                assert fill <= capacity
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=12))
+def test_pack_windows_conservation(spark, texts):
+    """Window spans tile the concatenated corpus: offsets are the
+    exclusive prefix sum and consecutive docs are contiguous."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_context_windows,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    rows = sorted(
+        pack_context_windows(df, capacity=16).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    expect = 0
+    for r in rows:
+        assert r["start_offset"] == expect
+        expect += r["n_tokens"]
