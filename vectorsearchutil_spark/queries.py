@@ -4205,22 +4205,24 @@ def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of two retrievers (L2 and cosine
     top-100 for the vec_id=0 query): rrf = Σ 1/(60+rank). The
     rank-only combination needs no score calibration between
-    retrievers — the standard hybrid-search merge. Plan: two window
-    rankings over one cached scan, full-outer merge of two 100-row
-    sides, top-10."""
+    retrievers — the standard hybrid-search merge. Plan: per
+    retriever, ``orderBy().limit(100)`` compiles to
+    TakeOrderedAndProject (distributed per-partition top-k, no
+    global-window single-partition sort — the corpus never funnels
+    through one task), then ranks are a row_number over the tiny
+    100-row result; full-outer merge, top-10."""
     from pyspark.sql import Window
 
     from vectorsearchutil_spark.functions.vector import (
         cosine_similarity,
         l2_distance,
+        lit_vector,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
     ).first()[0]
-    from vectorsearchutil_spark.functions.vector import lit_vector
-
     qlit = lit_vector(qv)
     scored = emb.select(
         "vec_id",
@@ -4229,25 +4231,20 @@ def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c"
         ),
     )
-    l2r = (
-        scored.withColumn(
-            "r",
-            F.row_number().over(
-                Window.orderBy(F.col("d").asc(), F.col("vec_id").asc())
-            ),
-        )
-        .filter(F.col("r") <= 100)
-        .select("vec_id", F.col("r").alias("r_a"))
+
+    def topk_ranked(order, rank_alias):
+        # distributed top-k FIRST (TakeOrderedAndProject); the window
+        # only ever sees the k surviving rows
+        top = scored.orderBy(*order).limit(100)
+        return top.withColumn(
+            rank_alias, F.row_number().over(Window.orderBy(*order))
+        ).select("vec_id", rank_alias)
+
+    l2r = topk_ranked(
+        [F.col("d").asc(), F.col("vec_id").asc()], "r_a"
     )
-    cosr = (
-        scored.withColumn(
-            "r",
-            F.row_number().over(
-                Window.orderBy(F.col("c").desc(), F.col("vec_id").asc())
-            ),
-        )
-        .filter(F.col("r") <= 100)
-        .select("vec_id", F.col("r").alias("r_b"))
+    cosr = topk_ranked(
+        [F.col("c").desc(), F.col("vec_id").asc()], "r_b"
     )
     fused = l2r.join(cosr, "vec_id", "full_outer").select(
         "vec_id",
