@@ -1,0 +1,144 @@
+"""Mixture / temperature sampling, deterministic sharding, and the
+unigram-LM quality score: semantics + partitioning-independence."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vectorsearchutil_spark.operators.sampling import (
+    deterministic_shard,
+    mixture_sample,
+    temperature_rebalance,
+)
+from vectorsearchutil_spark.operators.textanalysis import unigram_logprob
+from vectorsearchutil_spark.sources.readers import load_table
+
+
+def _ids(df):
+    return sorted(r[0] for r in df.select("doc_id").collect())
+
+
+def test_temperature_alpha_zero_equalizes(spark, sf_dir):
+    """α=0 gives every language the same target share, so rare
+    languages keep (nearly) everything and dominant ones downsample
+    hardest."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_rebalance(
+        docs, stratum_col="lang", key_col="doc_id", alpha=0.0, budget=100
+    )
+    shares = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    n_langs = docs.select("lang").distinct().count()
+    # each stratum targets budget/n_langs rows (Bernoulli noise aside)
+    target = 100 / n_langs
+    for n in shares.values():
+        assert n < 3 * target + 10
+
+
+def test_temperature_budget_cap_keeps_everything(spark, sf_dir):
+    """budget ≥ corpus size → every rate caps at 1.0 → identity."""
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    out = temperature_rebalance(
+        docs, stratum_col="lang", key_col="doc_id", alpha=0.5,
+        budget=total * 10,
+    )
+    assert out.count() == total
+
+
+def test_temperature_partitioning_independent(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = temperature_rebalance(
+        docs, stratum_col="lang", key_col="doc_id", alpha=0.5, budget=200
+    )
+    b = temperature_rebalance(
+        docs.repartition(13), stratum_col="lang", key_col="doc_id",
+        alpha=0.5, budget=200,
+    )
+    assert _ids(a) == _ids(b)
+
+
+def test_mixture_weights_shape_the_sample(spark, sf_dir):
+    """A 9:1 weight ratio between two sources must show up as a
+    larger kept count for the heavy source (both sources have equal
+    natural frequency in the synthetic corpus)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        weights={"src0": 9.0, "src1": 1.0},
+        stratum_col="source",
+        key_col="doc_id",
+        budget=120,
+        default_weight=0.0,
+    )
+    n = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(n) <= {"src0", "src1"}  # default weight 0 drops the rest
+    assert n.get("src0", 0) > 2 * n.get("src1", 0)
+
+
+def test_shard_addresses_every_row_exactly_once(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_shard(docs, key_col="doc_id", n_shards=4).cache()
+    total = docs.count()
+    assert out.count() == total
+    # positions are 1..count_in_shard, dense, per shard
+    per = (
+        out.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pos").alias("lo"),
+            F.max("pos").alias("hi"),
+            F.count_distinct("pos").alias("npos"),
+        )
+        .collect()
+    )
+    assert {r["shard"] for r in per} <= set(range(4))
+    for r in per:
+        assert (r["lo"], r["hi"], r["npos"]) == (1, r["n"], r["n"])
+    out.unpersist()
+
+
+def test_shard_stable_across_partitioning(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    a = deterministic_shard(docs, key_col="doc_id", n_shards=4)
+    b = deterministic_shard(docs.repartition(7), key_col="doc_id", n_shards=4)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["doc_id"], r["shard"], r["pos"]) for r in df.collect()
+    )
+    assert rows(a) == rows(b)
+
+
+def test_unigram_logprob_hand_computed(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in unigram_logprob(df).collect()
+    }
+    # corpus: a×2 b×2 c×1, total 5
+    lp = lambda c: math.log(c) - math.log(5)  # noqa: E731
+    exp1 = round((lp(2) + lp(2) + lp(2)) / 3, 4)
+    exp2 = round((lp(2) + lp(1)) / 2, 4)
+    assert out[1] == (3, exp1)
+    assert out[2] == (2, exp2)
+
+
+def test_rate_sample_plan_is_broadcast_join(spark, sf_dir):
+    """The stats join must broadcast — no shuffle of the corpus side."""
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_rebalance(
+        docs, stratum_col="lang", key_col="doc_id", alpha=0.5, budget=200
+    )
+    plan = formatted_plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

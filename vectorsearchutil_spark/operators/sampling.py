@@ -12,7 +12,7 @@ partitioning-independent, and re-runnable at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -36,6 +36,133 @@ def hash_sample(
 ) -> DataFrame:
     """Bernoulli sample keeping rows with u(key) < rate."""
     return df.filter(hash_uniform(F.col(key_col).cast("string"), seed) < rate)
+
+
+def _rate_sampled(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    seed: str,
+) -> DataFrame:
+    """Filter ``df`` to rows with u(key) < rate for their stratum.
+
+    ``rates`` is a tiny (stratum, rate) aggregate — it broadcasts onto
+    the fact scan, so the sample is one broadcast join + one narrow
+    filter regardless of corpus size. Rates are rounded to 6dp before
+    the comparison so engines that sum the stratum statistics in a
+    different order cannot flip a borderline row."""
+    return (
+        df.join(F.broadcast(rates), stratum_col)
+        .filter(
+            hash_uniform(F.col(key_col).cast("string"), seed)
+            < F.round(F.col("rate"), 6)
+        )
+        .drop("rate")
+    )
+
+
+def temperature_rebalance(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    budget: int | None = None,
+    seed: str = "temp",
+) -> DataFrame:
+    """Temperature-based stratum rebalancing: sample stratum ``s``
+    (language, source…) with probability proportional to
+    ``count_s**alpha`` — the standard multilingual-corpus smoothing
+    (alpha=1 keeps natural proportions, alpha=0 equalizes strata).
+
+    Target share ``p_s = c_s^α / Σ c^α``; per-stratum keep rate
+    ``min(1, p_s·budget / c_s)`` (``budget`` defaults to the corpus
+    row count). The stratum statistics are one tiny groupBy; the
+    sample itself is a broadcast-join + narrow deterministic hash
+    filter, so the pass is scan-bound at any corpus size.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("c"))
+    total_budget = (
+        F.sum("c").over(Window.partitionBy()) if budget is None
+        else F.lit(float(budget))
+    )
+    pow_sum = F.sum(F.pow(F.col("c"), alpha)).over(Window.partitionBy())
+    rates = counts.select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.pow(F.col("c"), alpha) / pow_sum * total_budget / F.col("c"),
+        ).alias("rate"),
+    )
+    return _rate_sampled(df, rates, stratum_col, key_col, seed)
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    stratum_col: str,
+    key_col: str,
+    budget: int,
+    seed: str = "mixture",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Source-weighted mixture sampling: draw a ``budget``-row corpus
+    whose strata follow ``weights`` (normalized), the data-mixture
+    step of training-corpus assembly. Per-stratum keep rate
+    ``min(1, w_s/Σw · budget / c_s)`` — a stratum with too few rows
+    contributes everything it has (rate caps at 1; no upsampling).
+
+    Same physical shape as ``temperature_rebalance``: tiny stats
+    aggregate, broadcast join, narrow hash filter.
+    """
+    w_map = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    w = F.coalesce(w_map[F.col(stratum_col)], F.lit(float(default_weight)))
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("c"))
+    w_sum = F.sum("w").over(Window.partitionBy())
+    rates = (
+        counts.withColumn("w", w)
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0), F.col("w") / w_sum * budget / F.col("c")
+            ).alias("rate"),
+        )
+    )
+    return _rate_sampled(df, rates, stratum_col, key_col, seed)
+
+
+def deterministic_shard(
+    df: DataFrame,
+    key_col: str,
+    n_shards: int = 8,
+    seed: str = "shuffle",
+) -> DataFrame:
+    """Deterministic global shuffle for training output: every row
+    gets a (shard, pos) address derived ONLY from its key — shard by
+    one hash, position within the shard by ordering on an independent
+    hash. Any engine, any partitioning, any run produces the same
+    shuffled order, and restarts resume mid-corpus for free.
+
+    Physically: one narrow projection + one window per shard
+    partition. Parallelism = ``n_shards``, so size shards to
+    O(executor count); no global single-partition sort ever happens
+    (the per-shard row_number is the scalable stand-in for a global
+    ORDER BY random())."""
+    key = F.col(key_col).cast("string")
+    shard = (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", F.lit(seed), key)), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % n_shards
+    )
+    order_h = F.md5(F.concat_ws(":", F.lit(seed + ":ord"), key))
+    win = Window.partitionBy("shard").orderBy(order_h, F.col(key_col))
+    return (
+        df.withColumn("shard", shard.cast("int"))
+        .withColumn("pos", F.row_number().over(win))
+    )
 
 
 def stratified_hash_sample(

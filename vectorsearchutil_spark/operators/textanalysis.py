@@ -340,6 +340,45 @@ def repetition_ratio(
     )
 
 
+def unigram_logprob(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's
+    own unigram LM — the cheap perplexity-style quality signal (very
+    negative ⇒ rare-token soup; near the corpus mode ⇒ natural text).
+
+    Plan: one (doc, token) explode; the token→count vocabulary is an
+    aggregate that joins back by token (at web scale the vocabulary
+    still fits executor memory after a frequency cut, so Spark picks
+    a broadcast hash join; a shuffle join degrades gracefully when it
+    does not). Per-doc mean runs as one partial-aggregated groupBy.
+    AVG is order-insensitive only up to float ulps, so the score is
+    rounded to 4dp on both engines."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    # corpus total as a window over the (small) vocabulary aggregate —
+    # stays in-plan, no driver-side action
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("total", F.sum("cnt").over(Window.partitionBy()))
+    )
+    scored = tok.join(vocab, "token").select(
+        F.col(id_col),
+        (
+            F.log(F.col("cnt").cast("double"))
+            - F.log(F.col("total").cast("double"))
+        ).alias("lp"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
 def redact_pii(
     df: "DataFrame",
     text_col: str = "text",

@@ -4859,3 +4859,145 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return pack_bins_next_fit(docs, capacity=512)
+
+
+# --------------------------------------------------------------------------
+# Corpus mixture / rebalancing / global shuffle — the remaining
+# assembly steps between "cleaned corpus" and "training shards".
+# --------------------------------------------------------------------------
+
+_TEMP_SAMPLE_ORACLE = """
+WITH counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY lang
+),
+rates AS (
+  SELECT lang,
+         ROUND(LEAST(1.0, POW(c, 0.5) / SUM(POW(c, 0.5)) OVER ()
+                          * 300.0 / c), 6) AS rate
+  FROM counts
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r USING (lang)
+WHERE ('0x' || substr(md5('temp:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < r.rate
+"""
+
+
+@query("docs_temperature_sample", _TEMP_SAMPLE_ORACLE)
+def docs_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (α=0.5) language rebalancing to a 300-doc budget —
+    the multilingual-corpus smoothing step. Physically: one tiny
+    per-language aggregate, broadcast back, then a narrow
+    deterministic hash filter (scan-bound at any corpus size); rates
+    rounded 6dp on both engines so stat-summation order can't flip a
+    borderline row."""
+    from vectorsearchutil_spark.operators.sampling import (
+        temperature_rebalance,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = temperature_rebalance(
+        docs, stratum_col="lang", key_col="doc_id",
+        alpha=0.5, budget=300, seed="temp",
+    )
+    return out.select("doc_id", "lang")
+
+
+_MIXTURE_SAMPLE_ORACLE = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS DOUBLE) AS c FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, c,
+         CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0 ELSE 1.0 END AS w
+  FROM counts
+),
+rates AS (
+  SELECT source,
+         ROUND(LEAST(1.0, w / SUM(w) OVER () * 250 / c), 6) AS rate
+  FROM w
+)
+SELECT d.doc_id, d.source
+FROM documents d JOIN rates r USING (source)
+WHERE ('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+      / 4294967296.0 < r.rate
+"""
+
+
+@query("docs_mixture_sample", _MIXTURE_SAMPLE_ORACLE)
+def docs_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-weighted data-mixture draw (src0 3×, src1 2×, rest 1×,
+    250-doc budget): the "compose the training mixture" step. Same
+    physical shape as the temperature sample: stats aggregate →
+    broadcast → narrow hash filter."""
+    from vectorsearchutil_spark.operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_sample(
+        docs,
+        weights={"src0": 3.0, "src1": 2.0},
+        stratum_col="source",
+        key_col="doc_id",
+        budget=250,
+        seed="mix",
+        default_weight=1.0,
+    )
+    return out.select("doc_id", "source")
+
+
+_GLOBAL_SHUFFLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+           ::BIGINT % 8 AS shard,
+         md5('shuffle:ord:' || CAST(doc_id AS VARCHAR)) AS oh
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY oh, doc_id) AS INT)
+         AS pos
+FROM t
+"""
+
+
+@query("docs_global_shuffle", _GLOBAL_SHUFFLE_ORACLE)
+def docs_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 addressed shards: every
+    row's (shard, pos) derives only from its key, so the "shuffle the
+    corpus before training" step is reproducible on any engine and
+    restartable mid-write. No global sort exists in the plan — the
+    only wide op is the per-shard window, parallel in n_shards."""
+    from vectorsearchutil_spark.operators.sampling import deterministic_shard
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = deterministic_shard(docs, key_col="doc_id", n_shards=8, seed="shuffle")
+    return out.select("doc_id", "shard", "pos")
+
+
+_UNIGRAM_LP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, CAST(COUNT(*) AS DOUBLE) AS cnt FROM tok GROUP BY token
+),
+tot AS (SELECT SUM(cnt) AS total FROM vocab)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(ln(v.cnt) - ln(tot.total)), 4) AS avg_logprob
+FROM tok t JOIN vocab v USING (token), tot
+GROUP BY t.doc_id
+"""
+
+
+@query("docs_unigram_logprob", _UNIGRAM_LP_ORACLE)
+def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus's
+    own unigram LM — the cheap perplexity-like quality signal. One
+    explode + vocabulary aggregate + (broadcastable) join + per-doc
+    partial-agg mean; 4dp rounding pins AVG summation-order ulps."""
+    from vectorsearchutil_spark.operators.textanalysis import unigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob(docs)
