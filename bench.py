@@ -59,6 +59,9 @@ HEADLINE = [
     "docs_pack_windows",
     "dedup_incremental_ingest",
     "text_bm25_search",
+    "knn_pq_rerank",
+    "docs_temperature_sample",
+    "docs_unigram_logprob",
 ]
 
 

@@ -1,0 +1,294 @@
+"""Product quantization (PQ): compress vectors to m byte-codes and
+search with asymmetric distance computation (ADC) — the memory-bound
+ANN scale path (IVF's complement; reference context: the sqlite-vss
+index at vsu/base/VectorSearchBase.py:54-59 is a faiss wrapper, and
+faiss's large-scale indexes are IVF+PQ).
+
+Shape of the design:
+
+* **Train** — per-subspace k-means codebooks. Training runs on the
+  driver over a bounded sample (``train_limit``), exactly like faiss
+  trains on a corpus sample: codebooks are a few KB of model state,
+  not data-scale state. The math replicates
+  ``operators.clustering._kmeans_driver`` (float64, argmin ties to
+  the lowest code, 6dp HALF_UP centroid rounding per iteration,
+  empty clusters keep their centroid) so an oracle can re-derive the
+  codebooks in SQL.
+* **Encode** — one narrow projection: the m codebooks travel as ONE
+  broadcast row (array<array<struct<cid,cv>>>); each subspace's code
+  is an array_min over (squared-distance, cid) structs. No shuffle,
+  no Python; the corpus scan writes m small ints + a quantization
+  error per row. At 100 TB the encoded table is ~dim·4/m× smaller
+  than the raw vectors — the point of PQ.
+* **ADC search** — the query is expanded driver-side into an m×k
+  distance table (a few hundred doubles); approximate distance is m
+  array lookups + a fold, then a distributed top-k
+  (TakeOrderedAndProject). The corpus never shuffles and the raw
+  vector column is never read — the scan is over codes only.
+* **Re-rank** — exact L2 on the ADC shortlist only (a broadcast
+  semi-join of shortlist ids against the raw vectors), the standard
+  two-stage recall repair.
+
+Determinism contract (what the oracles pin): every distance is a
+float64 sum in subspace order; ADC and re-rank distances are rounded
+to 4dp and ordered (rounded, id ascending) so engine ulp differences
+cannot reorder the cut.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vectorsearchutil_spark.functions.vector import l2_distance, l2_squared
+from vectorsearchutil_spark.operators.clustering import _round_half_up
+
+Codebooks = list[list[list[float]]]  # [subspace][code][dim/m]
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    k: int = 16,
+    iterations: int = 2,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    train_limit: int | None = None,
+) -> Codebooks:
+    """Train m per-subspace codebooks of k centroids each.
+
+    Deterministic: the training sample is the ``train_limit`` lowest
+    ids (None = whole input — fine for test scale; production passes
+    a bound, the faiss posture), init for subspace j is the sample's
+    first k sub-vectors, and each Lloyd's iteration rounds centroids
+    to 6dp half-up — identical math to the k-means driver path, so
+    SQL oracles can replay it."""
+    import numpy as np
+
+    work = df.select(id_col, vector_col).orderBy(id_col)
+    if train_limit is not None:
+        work = work.limit(train_limit)
+    rows = work.collect()
+    X = np.array([r[1] for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    d = dim // m
+    books: Codebooks = []
+    for j in range(m):
+        S = X[:, j * d : (j + 1) * d]
+        cents = [S[i].tolist() for i in range(min(k, len(S)))]
+        for _ in range(iterations):
+            C = np.array(cents, dtype=np.float64)
+            a = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+            for c in range(len(cents)):
+                members = S[a == c]
+                if len(members):
+                    cents[c] = _round_half_up(members.mean(axis=0), 6)
+        books.append([list(map(float, cv)) for cv in cents])
+    return books
+
+
+def _codebook_row(df: DataFrame, books: Codebooks):
+    """The codebooks as ONE broadcastable row
+    (cbs array<array<struct<cid,cv>>>) — data-driven, not
+    literal-inlined: 1024 inline double literals blow past codegen
+    method limits (janino bails to interpreted — measured slower than
+    the lambda form)."""
+    payload = [
+        [(int(cid), [float(x) for x in cv]) for cid, cv in enumerate(book)]
+        for book in books
+    ]
+    return df.sparkSession.createDataFrame(
+        [(payload,)], "cbs array<array<struct<cid:int,cv:array<double>>>>"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    books: Codebooks,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    strategy: str = "matrix",
+) -> DataFrame:
+    """Encode vectors to (id, codes array<int>, qerr double): per
+    subspace the argmin code over the codebook (squared L2, ties to
+    the lowest code), qerr = total squared quantization error rounded
+    4dp. One narrow pass over the corpus, no shuffle, either way.
+
+    ``strategy='matrix'`` (default): Arrow-batched ``mapInPandas``
+    computing all subspace distance matrices in BLAS — the
+    knn_batch_matrix lesson (PERF.md): bulk vector math belongs in
+    numpy, where throughput scales with BLAS, not expression
+    interpretation. ``strategy='expr'`` keeps the pure-JVM
+    higher-order-function form (no Python workers; right for
+    streaming contexts or Python-less clusters). Both produce
+    bit-identical output (argmin ties to lowest cid; float64 sums in
+    dim order; 4dp half-up rounding applied JVM-side)."""
+    if strategy == "matrix":
+        return _pq_encode_matrix(df, books, vector_col, id_col)
+    m = len(books)
+    d = len(books[0][0])
+    vec = F.col(vector_col).cast("array<double>")
+    subs = df.crossJoin(F.broadcast(_codebook_row(df, books))).select(
+        F.col(id_col),
+        "cbs",
+        *[F.slice(vec, j * d + 1, d).alias(f"_s{j}") for j in range(m)],
+    )
+
+    def _best(j: int):
+        # NB: the lambda must be unary — pyspark dispatches on lambda
+        # arity, so a default-arg trick would bind the array index
+        s = F.col(f"_s{j}")
+        return F.array_min(
+            F.transform(
+                F.col("cbs")[j],
+                lambda c: F.struct(
+                    l2_squared(s, c["cv"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ).alias(f"_b{j}")
+
+    best = subs.select(F.col(id_col), *[_best(j) for j in range(m)])
+    total_err = None
+    for j in range(m):
+        term = F.col(f"_b{j}")["d"]
+        total_err = term if total_err is None else total_err + term
+    return best.select(
+        F.col(id_col),
+        F.array(*[F.col(f"_b{j}")["cid"] for j in range(m)]).alias("codes"),
+        F.round(total_err, 4).alias("qerr"),
+    )
+
+
+def _pq_encode_matrix(
+    df: DataFrame,
+    books: Codebooks,
+    vector_col: str,
+    id_col: str,
+) -> DataFrame:
+    """BLAS encode: per Arrow batch, each subspace's n×k squared
+    distance matrix in one einsum-free broadcastized op. Codebooks
+    ride into the workers as a pickled closure constant (a few KB)."""
+    import numpy as np
+
+    m = len(books)
+    d = len(books[0][0])
+    C = [  # noqa: N806 — per-subspace k×d codebook matrices
+        [list(map(float, cv)) for cv in book] for book in books
+    ]
+
+    def encode(batches):
+        import pandas as pd
+
+        cents = [np.asarray(Cj, dtype=np.float64) for Cj in C]
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vector_col]), dtype=np.float64)
+            codes = np.empty((len(X), m), dtype=np.int32)
+            qerr = np.zeros(len(X), dtype=np.float64)
+            for j in range(m):
+                S = X[:, j * d : (j + 1) * d]
+                D = ((S[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                cj = D.argmin(axis=1)  # ties -> first = lowest cid
+                codes[:, j] = cj
+                qerr += D[np.arange(len(X)), cj]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "codes": list(codes),
+                    "qerr": qerr,
+                }
+            )
+
+    out = df.select(id_col, vector_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>, qerr double"
+    )
+    # rounding stays JVM-side: F.round is half-up; np.round is not
+    return out.select(id_col, "codes", F.round("qerr", 4).alias("qerr"))
+
+
+def adc_table(books: Codebooks, query: list[float]) -> list[list[float]]:
+    """The query's m×k squared-distance lookup table, computed in
+    float64 with sequential per-dimension summation (the same order
+    the SQL oracle and the encode fold use)."""
+    m = len(books)
+    d = len(books[0][0])
+    return [
+        [
+            sum(
+                (float(query[j * d + i]) - cv[i]) ** 2 for i in range(d)
+            )
+            for cv in books[j]
+        ]
+        for j in range(m)
+    ]
+
+
+def pq_adc_topk(
+    codes_df: DataFrame,
+    books: Codebooks,
+    query: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Approximate top-k by ADC: distance ≈ Σ_j dtab[j][code_j].
+    The plan reads ONLY the codes column (m bytes of signal per row),
+    does m array lookups + a fold, and finishes with a distributed
+    top-k — no shuffle of the corpus, no raw vectors touched.
+    Ordering is (4dp-rounded adc, id) so the cut is engine-stable."""
+    dtab = adc_table(books, query)
+    body = ", ".join(
+        "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+        for row in dtab
+    )
+    dt = F.expr(f"array({body})")
+    m = len(books)
+    codes = F.col(codes_col)
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.element_at(dt, j + 1), codes[j].cast("int") + 1
+        )
+        adc = term if adc is None else adc + term
+    return (
+        codes_df.select(F.col(id_col), F.round(adc, 4).alias("adc"))
+        .orderBy("adc", id_col)
+        .limit(k)
+    )
+
+
+def pq_search_rerank(
+    df: DataFrame,
+    codes_df: DataFrame,
+    books: Codebooks,
+    query: list[float],
+    k: int = 10,
+    shortlist: int = 50,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist over the codes table, then
+    exact L2 re-rank of the shortlist against the raw vectors — the
+    standard recall repair. The shortlist is k-scale rows, so the
+    re-rank join broadcasts; the raw-vector table is scanned once
+    with a semi-join filter, never shuffled."""
+    from vectorsearchutil_spark.functions.vector import lit_vector
+
+    short = pq_adc_topk(
+        codes_df, books, query, k=shortlist, id_col=id_col
+    ).select(id_col)
+    qlit = lit_vector([float(v) for v in query])
+    cand = df.join(F.broadcast(short), id_col)
+    return (
+        cand.select(
+            F.col(id_col),
+            l2_distance(F.col(vector_col), qlit).alias("_d"),
+        )
+        .orderBy(F.round(F.col("_d"), 4).asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(F.col(id_col), F.round(F.col("_d"), 4).alias("distance"))
+    )

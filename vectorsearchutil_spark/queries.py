@@ -5001,3 +5001,163 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_logprob(docs)
+
+
+# --------------------------------------------------------------------------
+# Product quantization — codebook training, encoding, ADC search,
+# exact re-rank (operators/pq.py). The oracle replays the per-subspace
+# k-means training in SQL (same pattern as the kmeans oracle), then
+# re-derives codes, the query's distance table, and the two-stage
+# search from first principles.
+# --------------------------------------------------------------------------
+
+
+def _pq_sqdist(sv: str, cv: str, d: int) -> str:
+    # correlated scalar subquery (NOT a list lambda — DuckDB lambdas
+    # cannot capture correlated columns); SUM over range(1..d) is the
+    # same sequential per-dimension fold Spark's aggregate uses
+    return (
+        f"(SELECT SUM(({sv}[t.i] - {cv}[t.i])^2) FROM range(1, {d + 1}) t(i))"
+    )
+
+
+def _pq_cte_chain(m: int = 8, d: int = 8, k: int = 16, iters: int = 2) -> str:
+    """WITH-chain body producing ``c{iters}`` (the trained codebooks
+    as (j, cid, cv) rows) and ``codes`` ((vec_id, j, cid, d2): each
+    vector's per-subspace argmin code + squared error)."""
+
+    def argmin(src: str, cents: str, out: str) -> str:
+        dist = _pq_sqdist("s.sv", "c.cv", d)
+        return (
+            f"{out} AS (SELECT vec_id, j, sv, cid, d2 FROM ("
+            f"SELECT s.vec_id, s.j, s.sv, c.cid, {dist} AS d2,"
+            f" ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j"
+            f" ORDER BY {dist} ASC, c.cid ASC) AS rn"
+            f" FROM {src} s JOIN {cents} c ON c.j = s.j) WHERE rn = 1)"
+        )
+
+    ctes = [
+        f"sub AS (SELECT e.vec_id, t.j,"
+        f" e.embedding[(t.j*{d}+1):(t.j*{d}+{d})]::DOUBLE[] AS sv"
+        f" FROM embeddings e, range(0, {m}) t(j))",
+        f"c0 AS (SELECT j, CAST(vec_id AS INT) AS cid, sv AS cv"
+        f" FROM sub WHERE vec_id < {k})",
+    ]
+    for it in range(iters):
+        ctes.append(argmin("sub", f"c{it}", f"a{it}"))
+        ctes.append(
+            f"n{it + 1} AS (SELECT j, cid, list(v ORDER BY pos) AS cv FROM ("
+            f"SELECT a.j, a.cid, t.i AS pos, ROUND(AVG(a.sv[t.i]), 6) AS v"
+            f" FROM a{it} a, range(1, {d + 1}) t(i) GROUP BY a.j, a.cid, t.i"
+            f") GROUP BY j, cid)"
+        )
+        ctes.append(
+            f"c{it + 1} AS (SELECT * FROM n{it + 1} UNION ALL"
+            f" SELECT p.j, p.cid, p.cv FROM c{it} p WHERE NOT EXISTS"
+            f" (SELECT 1 FROM n{it + 1} x WHERE x.j = p.j AND x.cid = p.cid))"
+        )
+    ctes.append(argmin("sub", f"c{iters}", "codes"))
+    return ",\n".join(ctes)
+
+
+_PQ_ADC_CTES = (
+    _pq_cte_chain()
+    + """,
+q AS (SELECT j, sv FROM sub WHERE vec_id = 0),
+dt AS (SELECT c.j, c.cid, """
+    + _pq_sqdist("q.sv", "c.cv", 8)
+    + """ AS v
+      FROM c2 c JOIN q ON q.j = c.j),
+adc AS (SELECT co.vec_id, ROUND(SUM(dt.v), 4) AS adc
+        FROM codes co JOIN dt ON dt.j = co.j AND dt.cid = co.cid
+        GROUP BY co.vec_id)
+"""
+)
+
+_PQ_CODES_ORACLE = (
+    "WITH "
+    + _pq_cte_chain()
+    + """
+SELECT vec_id, list(cid ORDER BY j) AS codes, ROUND(SUM(d2), 4) AS qerr
+FROM codes GROUP BY vec_id
+"""
+)
+
+
+@query("embeddings_pq_codes", _PQ_CODES_ORACLE)
+def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encode the corpus: 64-dim float vectors → 8 codes (16-entry
+    codebook per subspace, 2 Lloyd's iterations) + quantization
+    error. Training is driver-side over a bounded sample (the faiss
+    posture — codebooks are model state, not data state); encoding is
+    one narrow broadcast pass, no shuffle. The encoded table is the
+    32×-smaller artifact a 100 TB ANN serving layer actually ships."""
+    from vectorsearchutil_spark.operators.pq import pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, iterations=2)
+    return pq_encode(emb, books)
+
+
+_PQ_ADC_ORACLE = (
+    "WITH "
+    + _PQ_ADC_CTES
+    + """
+SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10
+"""
+)
+
+
+@query("knn_pq_adc", _PQ_ADC_ORACLE)
+def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 by PQ asymmetric distance: the query
+    becomes an 8×16 lookup table, per-row distance is 8 array lookups
+    + a fold over the codes column ONLY (raw vectors never read), and
+    the cut is a distributed top-k. Ordering on (4dp-rounded adc, id)
+    keeps the result engine-stable."""
+    from vectorsearchutil_spark.operators.pq import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, iterations=2)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    codes = pq_encode(emb, books)
+    return pq_adc_topk(codes, books, list(qv), k=10)
+
+
+_PQ_RERANK_ORACLE = (
+    "WITH "
+    + _PQ_ADC_CTES
+    + """,
+short AS (SELECT vec_id FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 50),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id,
+       ROUND(list_distance(e.embedding::DOUBLE[], qv.v), 4) AS distance
+FROM embeddings e JOIN short USING (vec_id), qv
+ORDER BY ROUND(list_distance(e.embedding::DOUBLE[], qv.v), 4) ASC,
+         e.vec_id ASC
+LIMIT 10
+"""
+)
+
+
+@query("knn_pq_rerank", _PQ_RERANK_ORACLE)
+def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage PQ search: ADC shortlist (50) over codes, exact L2
+    re-rank to top-10 — the standard recall repair. The exact pass
+    touches only the shortlist (broadcast semi-join against raw
+    vectors); the corpus-wide scan reads codes alone."""
+    from vectorsearchutil_spark.operators.pq import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = pq_train(emb, m=8, k=16, iterations=2)
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    codes = pq_encode(emb, books)
+    return pq_search_rerank(emb, codes, books, list(qv), k=10, shortlist=50)
