@@ -48,6 +48,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000"))
             )
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS) without tz → NTZ; session tz is UTC so
+            # the cast is value-identity, and downstream watermarks /
+            # window() require TimestampType.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

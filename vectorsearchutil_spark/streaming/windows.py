@@ -24,8 +24,10 @@ from pyspark.sql.types import (
     StructType,
 )
 
-#: events schema as stored (ts is TIMESTAMP(NANOS) parquet → read as
-#: long nanos, converted after read; see sources/readers.py).
+#: events schema when stored as TIMESTAMP(NANOS) parquet → read as
+#: long nanos, converted after read; see sources/readers.py. Newer
+#: testdata generations write TIMESTAMP(MICROS), which Spark reads
+#: natively — read_events_stream sniffs the file schema and picks.
 EVENTS_RAW_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -40,18 +42,33 @@ EVENTS_RAW_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table (file source; in production this would
-    be Kafka/Kinesis with the same downstream plan)."""
+    be Kafka/Kinesis with the same downstream plan).
+
+    The stored ``ts`` unit varies by testdata generation: sniff the
+    batch-read schema once on the driver and declare the stream
+    schema to match (readStream requires an explicit schema).
+    """
     # ensure the declared engine default (session.ENGINE_CONF) on
     # sessions built elsewhere — config-only in Spark, see session.py
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory: stream the SF dir
     # with a glob narrowing it to the events table.
+    nanos = dict((f.name, f.dataType.simpleString()) for f in batch_schema).get(
+        "ts"
+    ) == "bigint"
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(EVENTS_RAW_SCHEMA if nanos else batch_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
+        # NTZ is rejected by withWatermark; session tz is UTC so the
+        # cast is value-identity.
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def streaming_tumbling_counts(
