@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_incremental_ingest",
     "text_bm25_search",
     "knn_pq_rerank",
+    "ann_ivfpq_search",
     "docs_temperature_sample",
     "docs_unigram_logprob",
 ]

@@ -109,3 +109,95 @@ def test_adc_scan_reads_codes_only(spark, emb, books, tmp_path):
     assert "embedding" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Exchange" not in plan
+
+
+def test_ivfpq_encode_matches_separate_paths(spark, emb, books, sf_dir):
+    """One-pass IVF-PQ encode ≡ build_ivf_index ∘ pq_encode: same
+    coarse assignment (lowest-id ties) and identical codes/qerr."""
+    from vectorsearchutil_spark.operators.pq import ivfpq_encode
+    from vectorsearchutil_spark.operators.similarity import build_ivf_index
+
+    cents = (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("v"))
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("s"))
+        .select(
+            F.col("label").cast("long").alias("centroid_id"),
+            F.transform("s", lambda x: x["v"]).alias("centroid_vec"),
+        )
+        .cache()
+    )
+    fused = ivfpq_encode(emb, cents, books)
+    split_assign = build_ivf_index(
+        emb, cents, vector_col="embedding", id_col="vec_id"
+    ).select("vec_id", F.col("centroid_id").cast("long").alias("centroid_id"))
+    split = split_assign.join(pq_encode(emb, books), "vec_id").select(
+        "vec_id", "centroid_id", "codes", "qerr"
+    )
+    assert fused.exceptAll(split).count() == 0
+    assert split.exceptAll(fused).count() == 0
+    cents.unpersist()
+
+
+def test_ivfpq_search_prunes_and_ranks(spark, emb, books, tmp_path):
+    """Probe-pruned ADC over a centroid-partitioned index: the scan
+    reads only probed partitions (partition pruning visible in the
+    plan) and only the codes column; results are a subset-consistent
+    ADC ordering."""
+    from vectorsearchutil_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_probe_ids,
+        ivfpq_search,
+        pq_adc_topk,
+    )
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    cents = (
+        emb.groupBy(F.col("label").cast("long").alias("centroid_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("vec_id", "embedding"))
+                ),
+                lambda s: s["embedding"],
+            )[0].cast("array<double>").alias("centroid_vec")
+        )
+        .cache()
+    )
+    path = str(tmp_path / "ivfpq")
+    ivfpq_encode(emb, cents, books).write.mode("overwrite").partitionBy(
+        "centroid_id"
+    ).parquet(path)
+    enc = spark.read.parquet(path)
+    qv = [float(v) for v in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    probe = ivfpq_probe_ids(cents, qv, n_probe=2)
+    out = ivfpq_search(enc, cents, books, qv, k=5, n_probe=2)
+    rows = out.collect()
+    assert len(rows) == 5
+    adcs = [r["adc"] for r in rows]
+    assert adcs == sorted(adcs)
+    # every hit comes from a probed list
+    hit_lists = {
+        r["centroid_id"]
+        for r in enc.join(
+            out.select("vec_id"), "vec_id"
+        ).select("centroid_id").collect()
+    }
+    assert hit_lists <= set(probe)
+    # pruned ADC ≡ ADC over the manually pruned set
+    manual = pq_adc_topk(
+        enc.filter(F.col("centroid_id").isin(*probe)), books, qv, k=5
+    )
+    assert [tuple(r) for r in manual.collect()] == [tuple(r) for r in rows]
+    # plan posture: raw vectors never read, top-k without a shuffle
+    plan = formatted_plan(ivfpq_search(enc, cents, books, qv, k=5, n_probe=2))
+    assert "embedding" not in plan
+    assert "TakeOrderedAndProject" in plan
+    cents.unpersist()

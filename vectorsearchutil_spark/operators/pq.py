@@ -261,6 +261,127 @@ def pq_adc_topk(
     )
 
 
+def ivfpq_encode(
+    df: DataFrame,
+    centroids: DataFrame,
+    books: Codebooks,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF-PQ index build in ONE narrow pass: (id, centroid_id,
+    codes, qerr) — the faiss IVFADC storage layout (coarse list id +
+    PQ codes, raw vectors dropped).
+
+    Both the coarse assignment (full-dim argmin over the centroid
+    set) and the subspace encode run inside one Arrow-batched
+    ``mapInPandas``; the corpus is read once and never shuffled. At
+    100 TB the output is written partitioned by ``centroid_id`` so a
+    probe-limited search becomes partition pruning, and the stored
+    bytes are m codes + one small int per vector (~dim·4/m×
+    smaller). Coarse tie-break and PQ argmin both go to the lowest
+    id, float64 throughout — same contract as build_ivf_index +
+    pq_encode, so the composition is oracle-replayable.
+    """
+    import numpy as np
+
+    m = len(books)
+    d = len(books[0][0])
+    C = [[list(map(float, cv)) for cv in book] for book in books]
+    crows = sorted(
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id_col, centroid_vec_col).collect()
+    )
+    cids = [c for c, _ in crows]
+    CM = [v for _, v in crows]  # noqa: N806
+
+    def encode(batches):
+        import pandas as pd
+
+        cents = [np.asarray(Cj, dtype=np.float64) for Cj in C]
+        G = np.asarray(CM, dtype=np.float64)  # noqa: N806 — coarse matrix
+        cid_arr = np.asarray(cids, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vector_col]), dtype=np.float64)
+            # coarse: n×L squared distances; argmin ties -> first =
+            # lowest centroid id (cid_arr is sorted ascending)
+            DG = ((X[:, None, :] - G[None, :, :]) ** 2).sum(axis=2)
+            coarse = cid_arr[DG.argmin(axis=1)]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            qerr = np.zeros(len(X), dtype=np.float64)
+            for j in range(m):
+                S = X[:, j * d : (j + 1) * d]
+                D = ((S[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                cj = D.argmin(axis=1)
+                codes[:, j] = cj
+                qerr += D[np.arange(len(X)), cj]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    centroid_id_col: coarse,
+                    "codes": list(codes),
+                    "qerr": qerr,
+                }
+            )
+
+    out = df.select(id_col, vector_col).mapInPandas(
+        encode,
+        schema=(
+            f"{id_col} long, {centroid_id_col} long,"
+            " codes array<int>, qerr double"
+        ),
+    )
+    return out.select(
+        id_col, centroid_id_col, "codes", F.round("qerr", 4).alias("qerr")
+    )
+
+
+def ivfpq_probe_ids(
+    centroids: DataFrame,
+    query: list[float],
+    n_probe: int = 3,
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> list[int]:
+    """The n_probe coarse lists nearest the query — model-state-sized
+    work, computed driver-side in float64 with (distance, id) tie
+    ordering, identical to the SQL oracle's ROW_NUMBER cut."""
+    rows = centroids.select(centroid_id_col, centroid_vec_col).collect()
+    scored = sorted(
+        (
+            sum((float(q) - float(v)) ** 2 for q, v in zip(query, r[1])),
+            int(r[0]),
+        )
+        for r in rows
+    )
+    return [cid for _, cid in scored[:n_probe]]
+
+
+def ivfpq_search(
+    enc: DataFrame,
+    centroids: DataFrame,
+    books: Codebooks,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 3,
+    id_col: str = "vec_id",
+    centroid_id_col: str = "centroid_id",
+) -> DataFrame:
+    """IVF-PQ (IVFADC) search: prune to the n_probe nearest coarse
+    lists, then ADC top-k over the pruned codes. The probe filter is
+    a literal IN over the list id — on a ``partitionBy(centroid_id)``
+    layout that is partition pruning, so the scan touches
+    n_probe/n_lists of the index and reads only the codes column."""
+    probe = ivfpq_probe_ids(
+        centroids, query, n_probe, centroid_id_col=centroid_id_col
+    )
+    pruned = enc.filter(F.col(centroid_id_col).isin(*[int(p) for p in probe]))
+    return pq_adc_topk(pruned, books, query, k=k, id_col=id_col)
+
+
 def pq_search_rerank(
     df: DataFrame,
     codes_df: DataFrame,

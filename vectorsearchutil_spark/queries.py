@@ -5161,3 +5161,77 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     codes = pq_encode(emb, books)
     return pq_search_rerank(emb, codes, books, list(qv), k=10, shortlist=50)
+
+
+_IVFPQ_ORACLE = (
+    f"WITH {_CENTROIDS_CTE},\n"
+    + _pq_cte_chain()
+    + """,
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.label AS centroid_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                      c.label ASC
+           ) AS rn
+    FROM embeddings e CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT centroid_id FROM (
+    SELECT c.label AS centroid_id,
+           ROW_NUMBER() OVER (
+             ORDER BY list_distance(
+               (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0),
+               c.cvec) ASC, c.label ASC
+           ) AS rn
+    FROM centroids c
+  ) WHERE rn <= 3
+),
+q AS (SELECT j, sv FROM sub WHERE vec_id = 0),
+dt AS (SELECT c.j, c.cid, """
+    + _pq_sqdist("q.sv", "c.cv", 8)
+    + """ AS v
+      FROM c2 c JOIN q ON q.j = c.j),
+pruned AS (
+  SELECT co.vec_id, co.j, co.cid FROM codes co
+  JOIN assigned a ON a.vec_id = co.vec_id
+  WHERE a.centroid_id IN (SELECT centroid_id FROM probes)
+),
+adc AS (SELECT p.vec_id, ROUND(SUM(dt.v), 4) AS adc
+        FROM pruned p JOIN dt ON dt.j = p.j AND dt.cid = p.cid
+        GROUP BY p.vec_id)
+SELECT vec_id, adc FROM adc ORDER BY adc ASC, vec_id ASC LIMIT 10
+"""
+)
+
+
+@query("ann_ivfpq_search", _IVFPQ_ORACLE)
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (faiss IVFADC) search: the index is ONE narrow pass
+    producing (id, coarse list id, 8 PQ codes) — raw vectors dropped;
+    the query probes the 3 nearest coarse lists and runs ADC top-10
+    over the pruned codes. At 100 TB the index is written
+    ``partitionBy(centroid_id)`` so the probe filter is partition
+    pruning: the scan touches n_probe/n_lists of a table that is
+    itself ~32× smaller than the raw vectors. Replaces the
+    reference's faiss index (vsu/base/VectorSearchBase.py:54-59)
+    with a layout a 1000-executor cluster can build and serve in
+    bulk."""
+    from vectorsearchutil_spark.operators.pq import (
+        ivfpq_encode,
+        ivfpq_search,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label_idx").cast("long").alias("centroid_id"),
+        F.col("label_vec").alias("centroid_vec"),
+    )
+    books = pq_train(emb, m=8, k=16, iterations=2)
+    qv = [float(v) for v in
+          emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+    enc = ivfpq_encode(emb, cents, books)
+    return ivfpq_search(enc, cents, books, qv, k=10, n_probe=3)

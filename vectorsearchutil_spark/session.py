@@ -45,6 +45,13 @@ ENGINE_CONF: dict[str, str] = {
     # read side effect. Effect is limited to nanos columns, which would
     # otherwise throw "Illegal Parquet type".
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # PySpark 4 wraps EVERY DataFrame API call in call-site capture:
+    # a Python stack inspection plus one extra JVM RPC
+    # (PySparkCurrentOrigin) per call, ~0.5-1 s of driver time per
+    # wide query build (measured: 25% of dedup_simhash plan-build).
+    # It only enriches error messages with user line numbers — off in
+    # an engine whose hot path is programmatic plan construction.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
