@@ -1,0 +1,95 @@
+"""Cardinality sketches: accuracy bounds, merge algebra, and the
+bounded-shuffle plan posture."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vectorsearchutil_spark.operators.sketches import (
+    hll_distinct,
+    hll_error_bound,
+    hll_merge,
+    hll_registers,
+    kmv_distinct,
+)
+from vectorsearchutil_spark.sources.readers import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").cache()
+
+
+def _exact(events):
+    return {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+
+
+def test_hll_within_error_bound(events):
+    exact = _exact(events)
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(events, ["event_type"], "user_id", b=8).collect()
+    }
+    assert set(est) == set(exact)
+    # 4 standard errors: P(outside) ~ 6e-5 per group, and the sketch
+    # is deterministic so this is a fixed fact about the data, not a
+    # flaky sample
+    tol = 4 * hll_error_bound(8)
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < tol, (k, est[k], n)
+
+
+def test_kmv_within_error_bound(events):
+    exact = _exact(events)
+    est = {
+        r["event_type"]: r["est_distinct"]
+        for r in kmv_distinct(events, ["event_type"], "user_id", k=64).collect()
+    }
+    # KMV relative std error ~ 1/sqrt(k-2)
+    tol = 4 / (62.0**0.5)
+    for k_, n in exact.items():
+        assert abs(est[k_] - n) / n < tol, (k_, est[k_], n)
+
+
+def test_kmv_exact_below_k(spark):
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)], "g string, v int"
+    )
+    out = kmv_distinct(df, ["g"], "v", k=64).collect()
+    assert out[0]["est_distinct"] == 7.0
+
+
+def test_hll_merge_equals_whole(events):
+    """max-merge of shard registers == registers of the union: the
+    algebra that lets daily sketches roll up without raw data."""
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    merged = hll_merge(
+        hll_registers(a, ["event_type"], "user_id", b=8),
+        hll_registers(b, ["event_type"], "user_id", b=8),
+        ["event_type"],
+    )
+    whole = hll_registers(events, ["event_type"], "user_id", b=8)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_register_state_is_bounded(events):
+    regs = hll_registers(events, ["event_type"], "user_id", b=8)
+    per_group = regs.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 256 for r in per_group)
+
+
+def test_kmv_plan_uses_window_group_limit(events):
+    """The rank<=k cut must compile to WindowGroupLimit so each map
+    task forwards at most k rows per group (k-bounded shuffle)."""
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(kmv_distinct(events, ["event_type"], "user_id", k=64))
+    assert "WindowGroupLimit" in plan

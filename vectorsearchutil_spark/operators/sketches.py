@@ -1,0 +1,190 @@
+"""Deterministic cardinality sketches: HyperLogLog and KMV
+(k-minimum-values), built from md5-derived hashes so the same sketch
+is re-derivable in ANSI SQL — the mergeable distinct-count path for
+100 TB data (exact COUNT(DISTINCT) shuffles every distinct value;
+a sketch shuffles a fixed few KB per group).
+
+Why not ``approx_count_distinct``: Spark's built-in HLL++ is the
+right production call, but its hash/bias tables are engine-private —
+no cross-engine oracle can replay it. These sketches make the
+estimator itself part of the declared semantics:
+
+* hash: first 15 hex chars of md5 (60 bits, always positive),
+* HLL: bucket = low ``b`` bits, rho = leading-zero count of the
+  remaining ``60-b`` bits + 1, register = max(rho) per bucket,
+  estimate = alpha·m²/Σ2^-M_j with the standard linear-counting
+  small-range correction,
+* KMV: estimate = (k-1) / u_k where u_k is the k-th smallest hash
+  normalized to [0,1).
+
+Determinism contract: every floating sum is an ordered fold over an
+array sorted by register/rank id (not a commutative SQL SUM), so
+Spark and the oracle accumulate in the same order and agree bitwise
+before the final rounding. Registers are algebraic state: max() per
+bucket merges across partitions, micro-batches, or days — the same
+sketch works as a streaming accumulator.
+
+Reference context: the reference has no sketches (exact scans over
+25-row corpora, vsu/base/VectorSearchBase.py:193-201); this is [ext]
+scale scope per SURVEY.md §2 Table B.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HASH_BITS = 60  # 15 md5 hex chars -> always-positive bigint
+
+
+def _hash60(value_sql: str) -> str:
+    """60-bit md5-derived hash as a SQL expression (engine-portable:
+    DuckDB spells it the same modulo conv/from_hex)."""
+    return f"conv(substring(md5(cast({value_sql} as string)), 1, 15), 16, 10)"
+
+
+def hll_alpha(m: int) -> float:
+    """The standard HLL alpha constant for m >= 128 registers."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    b: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: (keys..., bucket, mj). The
+    shuffle after the partial agg carries at most m=2^b rows per
+    group — constant, independent of group cardinality. Registers
+    merge with max(), so daily sketches roll up to monthly ones
+    without touching raw data."""
+    m = 1 << b
+    h = _hash60(value_col)
+    rem_bits = HASH_BITS - b
+    # rho: 1 + leading zeros of the top (60-b) bits; bin() drops
+    # leading zeros, so bitlen = length(bin(rem)) and
+    # rho = rem_bits - bitlen + 1 (rem = 0 -> rem_bits + 1)
+    return (
+        df.selectExpr(
+            *keys,
+            f"cast({h} as bigint) & {m - 1} as bucket",
+            f"shiftright(cast({h} as bigint), {b}) as rem",
+        )
+        .selectExpr(
+            *keys,
+            "bucket",
+            f"cast(if(rem = 0, {rem_bits + 1},"
+            f" {rem_bits} - length(bin(rem)) + 1) as int) as rho",
+        )
+        .groupBy(*keys, "bucket")
+        .agg(F.max("rho").alias("mj"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    keys: list[str],
+    b: int = 8,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Collapse a register table to per-group estimates. The harmonic
+    sum is an ordered fold over registers sorted by bucket id (all
+    terms are exact powers of two, so Spark and the SQL oracle agree
+    bitwise); missing buckets contribute 2^0 each. Applies the
+    standard linear-counting correction when E <= 2.5m and empty
+    buckets exist."""
+    m = 1 << b
+    alpha = hll_alpha(m)
+    folded = (
+        registers.groupBy(*keys)
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(bucket, mj))),"
+                " cast(0.0 as double), (acc, x) -> acc + power(2.0, -x.mj))"
+            ).alias("_hsum"),
+            F.count(F.lit(1)).alias("_nonzero"),
+        )
+        .withColumn("_zeros", F.lit(m) - F.col("_nonzero"))
+    )
+    raw = F.lit(alpha * m * m) / (F.col("_hsum") + F.col("_zeros"))
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("_zeros"))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (F.col("_zeros") > 0), linear
+    ).otherwise(raw)
+    return folded.select(*keys, F.round(est, 2).alias(out_col))
+
+
+def hll_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    b: int = 8,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group approximate distinct count via deterministic HLL."""
+    return hll_estimate(hll_registers(df, keys, value_col, b), keys, b, out_col)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    keys: list[str],
+    value_col: str,
+    k: int = 64,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Per-group KMV estimate: (k-1)/u_k with u_k the k-th smallest
+    distinct normalized hash; groups with fewer than k distinct
+    values are exact (the sketch holds them all). Sketch state is the
+    k smallest hashes — mergeable by union + re-truncate."""
+    h = _hash60(value_col)
+    hashed = df.selectExpr(
+        *keys, f"cast({h} as bigint) as _hv"
+    ).dropDuplicates([*keys, "_hv"])
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("_hv")
+    ranked = hashed.withColumn("_rank", F.row_number().over(w)).filter(
+        F.col("_rank") <= k
+    )
+    scale = float(1 << HASH_BITS)
+    return (
+        ranked.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.max(F.when(F.col("_rank") == k, F.col("_hv"))).alias("_uk"),
+        )
+        .select(
+            *keys,
+            F.round(
+                F.when(
+                    F.col("_n") < k, F.col("_n").cast("double")
+                ).otherwise(
+                    F.lit(float(k - 1)) / (F.col("_uk") / F.lit(scale))
+                ),
+                2,
+            ).alias(out_col),
+        )
+    )
+
+
+def hll_merge(
+    registers_a: DataFrame,
+    registers_b: DataFrame,
+    keys: list[str],
+) -> DataFrame:
+    """Merge two register tables (same b): union + max per bucket.
+    The algebra that makes sketches the scale path — shard/day/source
+    sketches combine without re-reading data."""
+    return (
+        registers_a.unionByName(registers_b)
+        .groupBy(*keys, "bucket")
+        .agg(F.max("mj").alias("mj"))
+    )
+
+
+def hll_error_bound(b: int = 8) -> float:
+    """Theoretical relative standard error: 1.04/sqrt(m)."""
+    return 1.04 / math.sqrt(float(1 << b))

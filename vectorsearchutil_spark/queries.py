@@ -5235,3 +5235,141 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
           emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
     enc = ivfpq_encode(emb, cents, books)
     return ivfpq_search(enc, cents, books, qv, k=10, n_probe=3)
+
+
+# --------------------------------------------------------------------------
+# Cardinality sketches — deterministic HLL / KMV (operators/sketches.py).
+# Exact COUNT(DISTINCT) shuffles every distinct value; a sketch shuffles
+# fixed-size register state per group — the 100 TB distinct-count path.
+# The estimator math is part of the declared semantics, so the oracle
+# replays hash -> registers -> estimate from first principles.
+# --------------------------------------------------------------------------
+
+_HLL_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+parts AS (
+  SELECT event_type, hv & 255 AS bucket, hv >> 8 AS rem FROM h
+),
+regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN rem = 0 THEN 53
+                  ELSE 52 - length(bin(rem)) + 1 END) AS mj
+  FROM parts GROUP BY event_type, bucket
+),
+folded AS (
+  SELECT event_type,
+         SUM(power(2.0, -mj)) AS hsum,
+         COUNT(*) AS nonzero,
+         256 - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type
+),
+est AS (
+  SELECT event_type, zeros,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / (hsum + zeros) AS raw
+  FROM folded
+),
+fin AS (
+  SELECT event_type,
+         CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+  FROM est
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT f.event_type, ROUND(f.e, 2) AS est_distinct, x.exact_distinct
+FROM fin f JOIN exact x USING (event_type)
+ORDER BY event_type
+"""
+
+
+@query("events_user_hll_distinct", _HLL_ORACLE)
+def events_user_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a deterministic 256-register
+    HLL sketch (md5-derived hashes, ordered-fold harmonic sum, linear
+    counting small-range correction), joined against the exact count
+    for visible error. The sketch's shuffle is <=256 rows per group
+    regardless of cardinality, and registers merge with max() across
+    shards/days — the aggregation shape exact COUNT(DISTINCT) cannot
+    scale to."""
+    from vectorsearchutil_spark.operators.sketches import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    est = hll_distinct(ev, ["event_type"], "user_id", b=8)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select("event_type", "est_distinct", "exact_distinct")
+        .orderBy("event_type")
+    )
+
+
+_KMV_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+),
+agg AS (
+  SELECT event_type, COUNT(*) AS n,
+         MAX(CASE WHEN rk = 64 THEN hv END) AS uk
+  FROM ranked WHERE rk <= 64 GROUP BY event_type
+)
+SELECT event_type,
+       ROUND(CASE WHEN n < 64 THEN CAST(n AS DOUBLE)
+                  ELSE 63.0 / (uk / 1152921504606846976.0) END, 2)
+         AS est_distinct
+FROM agg ORDER BY event_type
+"""
+
+
+@query("events_user_kmv_distinct", _KMV_ORACLE)
+def events_user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type via a KMV (k minimum values,
+    k=64) sketch: estimate = (k-1)/u_k over md5-derived hashes.
+    The row_number <= k cut compiles to WindowGroupLimit — each map
+    task forwards at most k rows per group, so the shuffle is
+    k-bounded; sketches merge by union + re-truncate."""
+    from vectorsearchutil_spark.operators.sketches import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, ["event_type"], "user_id", k=64).orderBy(
+        "event_type"
+    )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       ROUND(SUM(value), 3) AS sum_value,
+       COUNT(*) AS n_rows
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query("events_type_stats_salted", _SALTED_AGG_ORACLE)
+def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant per-type sum/count: phase one aggregates on
+    (event_type, salt) so a hot type spreads over 16 reducers, phase
+    two merges partials. The oracle is the PLAIN group-by — salting
+    must be invisible in the result (algebraic aggregates only)."""
+    from vectorsearchutil_spark.functions.skew import salted_sum_count
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_sum_count(ev, ["event_type"], "value", buckets=16)
+    return out.select(
+        "event_type",
+        F.round(F.col("sum_value"), 3).alias("sum_value"),
+        F.col("n_rows"),
+    ).orderBy("event_type")
