@@ -93,3 +93,23 @@ def test_kmv_plan_uses_window_group_limit(events):
 
     plan = formatted_plan(kmv_distinct(events, ["event_type"], "user_id", k=64))
     assert "WindowGroupLimit" in plan
+
+
+def test_histogram_quantiles_within_bin_width(events):
+    from vectorsearchutil_spark.operators.sketches import histogram_quantiles
+
+    got = {
+        r["p"]: r["est"]
+        for r in histogram_quantiles(
+            events, "value", lo=0.0, hi=500.0, bins=128
+        ).collect()
+    }
+    exact = events.selectExpr(
+        "percentile(value, 0.5) p50",
+        "percentile(value, 0.9) p90",
+        "percentile(value, 0.99) p99",
+    ).first()
+    width = 500.0 / 128
+    assert abs(got[0.5] - exact["p50"]) <= width
+    assert abs(got[0.9] - exact["p90"]) <= width
+    assert abs(got[0.99] - exact["p99"]) <= width

@@ -188,3 +188,66 @@ def hll_merge(
 def hll_error_bound(b: int = 8) -> float:
     """Theoretical relative standard error: 1.04/sqrt(m)."""
     return 1.04 / math.sqrt(float(1 << b))
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int = 128,
+    probs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    out_prob_col: str = "p",
+    out_col: str = "est",
+) -> DataFrame:
+    """Mergeable approximate quantiles from a fixed-bound equi-width
+    histogram: one partial-aggregated pass builds ``bins`` counts
+    (the sketch — integer state, mergeable by plain +), then the
+    estimate interpolates linearly inside the bin containing rank
+    ceil(p·N). Exact per-group percentiles shuffle every value; this
+    shuffles ``bins`` longs regardless of row count — the declared-
+    semantics analog of approx_percentile (whose t-digest internals
+    no cross-engine oracle can replay).
+
+    Bounds are part of the sketch declaration (production: take them
+    from ingest-time min/max metadata); values outside clamp to the
+    edge bins. Estimation error is bounded by the bin width.
+    """
+    width = (float(hi) - float(lo)) / bins
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(bins - 1),
+    ).cast("int")
+    hist = df.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window
+
+    # the sketch is `bins` rows — window over it is driver-trivial
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "cum_before", F.col("cum") - F.col("n")
+    )
+    total = df.count()
+    out = None
+    for p in probs:
+        needed = int(math.ceil(p * total)) if total else 0
+        est = F.lit(float(lo)) + (
+            F.col("bucket") + (F.lit(needed) - F.col("cum_before"))
+            / F.col("n")
+        ) * F.lit(width)
+        one = (
+            cum.filter(
+                (F.col("cum") >= F.lit(needed))
+                & (F.col("cum_before") < F.lit(needed))
+            )
+            .select(
+                F.lit(float(p)).alias(out_prob_col),
+                F.round(est, 4).alias(out_col),
+            )
+        )
+        out = one if out is None else out.unionByName(one)
+    return out

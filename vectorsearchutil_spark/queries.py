@@ -5373,3 +5373,46 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("sum_value"), 3).alias("sum_value"),
         F.col("n_rows"),
     ).orderBy("event_type")
+
+
+_HQUANT_ORACLE = """
+WITH hist AS (
+  SELECT LEAST(GREATEST(FLOOR(value / 3.90625), 0), 127)::INT AS bucket,
+         COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+cum AS (
+  SELECT bucket, n,
+         SUM(n) OVER (ORDER BY bucket) AS cum,
+         SUM(n) OVER (ORDER BY bucket) - n AS cum_before
+  FROM hist
+),
+tot AS (SELECT COUNT(*) AS total FROM events),
+probs AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(p)),
+hit AS (
+  SELECT p.p, c.bucket, c.n, c.cum_before,
+         CEIL(p.p * t.total) AS needed
+  FROM probs p, tot t, cum c
+  WHERE c.cum >= CEIL(p.p * t.total)
+    AND c.cum_before < CEIL(p.p * t.total)
+)
+SELECT CAST(p AS DOUBLE) AS p,
+       ROUND((bucket + (needed - cum_before) / n) * 3.90625, 4) AS est
+FROM hit ORDER BY p
+"""
+
+
+@query("events_value_quantile_sketch", _HQUANT_ORACLE)
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of events.value from a 128-bin histogram sketch:
+    one partial-agg pass builds integer bin counts (mergeable by +,
+    fixed size regardless of rows), then linear interpolation inside
+    the rank-containing bin. The declared-semantics analog of
+    approx_percentile — exact percentiles shuffle every value, the
+    sketch shuffles 128 longs."""
+    from vectorsearchutil_spark.operators.sketches import histogram_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return histogram_quantiles(
+        ev, "value", lo=0.0, hi=500.0, bins=128, probs=(0.5, 0.9, 0.99)
+    ).orderBy("p")
