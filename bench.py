@@ -61,6 +61,8 @@ HEADLINE = [
     "text_bm25_search",
     "knn_pq_rerank",
     "ann_ivfpq_search",
+    "docs_assembly_pipeline",
+    "events_user_hll_distinct",
     "docs_temperature_sample",
     "docs_unigram_logprob",
 ]

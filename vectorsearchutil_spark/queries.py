@@ -5416,3 +5416,123 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(
         ev, "value", lo=0.0, hi=500.0, bins=128, probs=(0.5, 0.9, 0.99)
     ).orderBy("p")
+
+
+# --------------------------------------------------------------------------
+# End-to-end training-data assembly: quality filter -> exact dedup ->
+# eval decontamination -> context-window packing, as ONE composed plan
+# with a full SQL oracle. The per-stage queries exist separately; this
+# entry proves the stages compose (the thing a real corpus build runs).
+# --------------------------------------------------------------------------
+
+_E2E_PIPELINE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sig AS (
+  SELECT doc_id, text, toks,
+         len(toks) AS n_tokens,
+         list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)),
+                        'sum') / len(toks) AS mean_tok_len,
+         list_max(list_transform(toks, x -> length(x))) AS max_tok_len,
+         len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio,
+         len(list_filter(toks, x -> list_contains(
+           ['the','a','of','and','to','is','in','on'], x)))
+           * 1.0 / len(toks) AS stop_ratio
+  FROM t
+),
+kept AS (
+  SELECT doc_id, text, toks, n_tokens FROM sig
+  WHERE NOT (n_tokens < 20 OR n_tokens > 100000
+             OR mean_tok_len < 3.0 OR mean_tok_len > 10.0
+             OR max_tok_len > 20 OR uniq_ratio < 0.2
+             OR stop_ratio < 0.01)
+),
+canon AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+),
+clean AS (
+  SELECT k.doc_id, k.toks, k.n_tokens
+  FROM kept k JOIN canon c USING (doc_id)
+),
+sh0 AS (
+  SELECT doc_id, toks AS tk,
+         unnest(range(1, greatest(len(toks) - 3, 0) + 1)) AS i
+  FROM t
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         tk[i] || '_' || tk[i+1] || '_' || tk[i+2] || '_' || tk[i+3]
+              AS shingle
+  FROM sh0
+),
+eval_sh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+contaminated AS (
+  SELECT DISTINCT s.doc_id FROM sh s
+  JOIN eval_sh e ON s.shingle = e.shingle
+  WHERE s.doc_id >= 50
+),
+survivors AS (
+  SELECT c.doc_id, c.n_tokens FROM clean c
+  WHERE c.doc_id >= 50
+    AND NOT EXISTS (SELECT 1 FROM contaminated x WHERE x.doc_id = c.doc_id)
+),
+off AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_offset
+  FROM survivors
+)
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST(start_offset AS BIGINT) AS start_offset,
+       CAST(start_offset // 256 AS INT) AS first_window,
+       CAST((start_offset + n_tokens - 1) // 256 AS INT) AS last_window,
+       CAST((start_offset + n_tokens - 1) // 256
+            - start_offset // 256 + 1 AS INT) AS n_windows
+FROM off
+"""
+
+
+@query("docs_assembly_pipeline", _E2E_PIPELINE_ORACLE)
+def docs_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole corpus build in one composed plan: C4/Gopher quality
+    filter -> exact dedup (min-id canonical per content hash) ->
+    eval-set decontamination (docs sharing any 4-gram with the eval
+    slice dropped) -> concat-and-cut packing into 256-token windows.
+
+    Scale posture: the filter is one narrow projection; dedup
+    shuffles 16-byte content hashes, not text; the eval shingle set
+    broadcasts (benchmarks are tiny vs the corpus); packing shuffles
+    only (id, count) pairs. Text crosses the wire zero times."""
+    from vectorsearchutil_spark.operators.dedup import _shingle_table
+    from vectorsearchutil_spark.operators.textanalysis import (
+        filter_pipeline,
+        pack_context_windows,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = filter_pipeline(docs).filter("keep").select("doc_id")
+    kept = docs.join(kept_ids, "doc_id")
+    canon = (
+        kept.groupBy(F.md5("text").alias("_h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    clean = kept.join(canon, "doc_id")
+    sh = _shingle_table(docs, "text", "doc_id", 4, None)
+    eval_sh = sh.filter(F.col("doc_id") < 50).select("shingle").distinct()
+    contaminated = (
+        sh.filter(F.col("doc_id") >= 50)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = clean.filter(F.col("doc_id") >= 50).join(
+        contaminated, "doc_id", "left_anti"
+    )
+    return pack_context_windows(survivors, capacity=256)
