@@ -113,3 +113,54 @@ def test_histogram_quantiles_within_bin_width(events):
     assert abs(got[0.5] - exact["p50"]) <= width
     assert abs(got[0.9] - exact["p90"]) <= width
     assert abs(got[0.99] - exact["p99"]) <= width
+
+
+def test_hll_streaming_accumulator(spark, sf_dir, events, tmp_path):
+    """HLL registers as a streaming accumulator: per micro-batch
+    register tables max-merged via foreachBatch converge to exactly
+    the batch sketch — distinct counting over an unbounded stream
+    with constant state."""
+    from pyspark.sql import functions as SF
+
+    from vectorsearchutil_spark.streaming.windows import read_events_stream
+
+    state_dir = str(tmp_path / "hll_state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(batch_df, batch_id):
+        import os
+
+        batch_regs = hll_registers(batch_df, ["event_type"], "user_id", b=8)
+        if os.path.isdir(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = hll_merge(prev, batch_regs, ["event_type"])
+        else:
+            merged = batch_regs
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        nxt = batch_df.sparkSession.read.parquet(state_dir + "_next")
+        nxt.write.mode("overwrite").parquet(state_dir)
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(state_dir)
+    batch = hll_registers(events, ["event_type"], "user_id", b=8)
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # and therefore identical estimates
+    a = {
+        r["event_type"]: r["est_distinct"]
+        for r in __import__(
+            "vectorsearchutil_spark.operators.sketches", fromlist=["x"]
+        ).hll_estimate(streamed, ["event_type"], b=8).collect()
+    }
+    b_ = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(events, ["event_type"], "user_id", b=8).collect()
+    }
+    assert a == b_
