@@ -1,0 +1,102 @@
+"""Deterministic Bloom-filter semi-join reduction.
+
+The classic 100 TB join pattern: build a compact bit-set over the
+small side's join keys, broadcast it, and drop big-side rows that
+cannot match BEFORE the shuffle/join. False positives only cost a
+little extra work for the exact join that follows; false negatives
+are impossible, so the filter is invisible in the result — which is
+exactly what the oracle (the plain join) checks.
+
+Spark's own runtime filters do this opportunistically
+(InjectRuntimeFilter; ``bloom_filter_agg`` is not SQL-registered in
+this build); this module makes the reduction an explicit, portable
+operator: hashes are md5-derived double hashing
+(bit_i = (h1 + i·h2) mod m), the filter is an array of 64-bit words
+folded with bit_or, and both build and probe are plain SQL
+expressions an oracle can replay.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: two independent 60-bit hashes from one md5 (chars 1-15 and 17-31)
+_H1 = "cast(conv(substring(md5(cast({v} as string)), 1, 15), 16, 10) as bigint)"
+_H2 = "cast(conv(substring(md5(cast({v} as string)), 17, 15), 16, 10) as bigint)"
+
+
+def build_bloom(
+    df: DataFrame,
+    key_col: str,
+    n_bits: int = 8192,
+    k: int = 3,
+    out_col: str = "bloom",
+) -> DataFrame:
+    """ONE row holding the filter as array<bigint> of ``n_bits/64``
+    words. Build is a partial-aggregated bit_or — each task folds its
+    keys locally, the shuffle carries one word array per task. Size
+    the filter to the small side: ~10 bits/key gives ~1% false
+    positives at k=3."""
+    assert n_bits % 64 == 0
+    words = n_bits // 64
+    h1 = _H1.format(v=key_col)
+    h2 = _H2.format(v=key_col)
+    # per key: k bit positions -> k (word, mask) contributions
+    bits = df.selectExpr(
+        f"explode(transform(sequence(0, {k - 1}),"
+        f" i -> pmod({h1} + i * {h2}, {n_bits}))) as bit"
+    ).selectExpr(
+        "cast(bit div 64 as int) as w",
+        "shiftleft(cast(1 as bigint), cast(bit % 64 as int)) as mask",
+    )
+    per_word = bits.groupBy("w").agg(
+        F.expr("bit_or(mask)").alias("m")
+    )
+    # dense word array (missing words = 0), one row
+    return per_word.agg(
+        F.expr(
+            "aggregate(collect_list(struct(w, m)),"
+            f" array_repeat(cast(0 as bigint), {words}),"
+            " (acc, x) -> transform(acc, (v, i) ->"
+            " if(i = x.w, v | x.m, v)))"
+        ).alias(out_col)
+    )
+
+
+def might_contain(
+    bloom_col: str, key_col: str, n_bits: int = 8192, k: int = 3
+) -> Column:
+    """Probe predicate: every one of the key's k bits is set. Apply
+    after a ``crossJoin(broadcast(bloom_row))`` — the filter runs in
+    the scan stage, before any shuffle."""
+    h1 = _H1.format(v=key_col)
+    h2 = _H2.format(v=key_col)
+    return F.expr(
+        f"forall(sequence(0, {k - 1}), i -> ("
+        f"element_at({bloom_col}, cast(pmod({h1} + i * {h2}, {n_bits})"
+        f" div 64 as int) + 1)"
+        f" & shiftleft(cast(1 as bigint),"
+        f" cast(pmod({h1} + i * {h2}, {n_bits}) % 64 as int))) != 0)"
+    )
+
+
+def bloom_prefiltered_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_bits: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Equi-join with Bloom semi-join reduction: big-side rows whose
+    key cannot be in the small side are dropped at the scan, so the
+    join (and any shuffle it needs) sees only plausible rows. The
+    result is EXACTLY the plain join — the filter has no false
+    negatives and the join remains exact."""
+    bloom = build_bloom(small.select(key), key, n_bits=n_bits, k=k)
+    pruned = (
+        big.crossJoin(F.broadcast(bloom))
+        .filter(might_contain("bloom", key, n_bits=n_bits, k=k))
+        .drop("bloom")
+    )
+    return pruned.join(small, key)

@@ -5536,3 +5536,40 @@ def docs_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         contaminated, "doc_id", "left_anti"
     )
     return pack_context_windows(survivors, capacity=256)
+
+
+_BLOOM_JOIN_ORACLE = """
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 2) AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'AUTOMOBILE'
+GROUP BY o.o_orderpriority
+ORDER BY o.o_orderpriority
+"""
+
+
+@query("orders_bloom_prefilter_join", _BLOOM_JOIN_ORACLE)
+def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom semi-join reduction: an 8192-bit filter over the
+    AUTOMOBILE customers' keys broadcasts to the orders scan, which
+    drops non-matching rows BEFORE the join. The oracle is the PLAIN
+    join — no false negatives means the reduction is invisible in
+    the result. At 100 TB this is the difference between shuffling
+    the full fact table and shuffling the ~1/5 that can match."""
+    from vectorsearchutil_spark.functions.bloom import bloom_prefiltered_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "AUTOMOBILE"
+    ).select(F.col("c_custkey").alias("o_custkey"))
+    joined = bloom_prefiltered_join(orders, cust, "o_custkey")
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
