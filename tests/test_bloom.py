@@ -68,9 +68,9 @@ def test_filter_runs_before_shuffle(spark, sides):
             big.hint("merge"), small.hint("merge"), "key"
         )
     )
-    # the md5 probe expression appears in a Filter node, and that
-    # Filter is in the big side's pre-Exchange stage
-    assert "forall" in plan or "md5" in plan
-    fpos = plan.find("md5")
+    # the xxhash64 probe appears in a Filter node on the big side's
+    # pre-Exchange stage
+    assert "xxhash64" in plan
+    fpos = plan.find("xxhash64")
     xpos = plan.find("Exchange")
     assert fpos != -1 and xpos != -1

@@ -21,9 +21,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: two independent 60-bit hashes from one md5 (chars 1-15 and 17-31)
-_H1 = "cast(conv(substring(md5(cast({v} as string)), 1, 15), 16, 10) as bigint)"
-_H2 = "cast(conv(substring(md5(cast({v} as string)), 17, 15), 16, 10) as bigint)"
+#: two independent hashes via the JVM-native vectorized xxhash64 —
+#: the filter is result-invisible (no false negatives; the exact join
+#: follows), so cross-engine hash replayability buys nothing and the
+#: hot path gets the cheap hash. An earlier md5/conv/substring probe
+#: cost 15x the join it was built to prune (PERF.md round 2c).
+#: each hash is reduced mod n_bits BEFORE the double-hash combine:
+#: raw 64-bit values would overflow long under ANSI mode (and
+#: abs(Long.MIN_VALUE) itself overflows).
+_H1 = "pmod(xxhash64({v}, 165), {m})"
+_H2 = "pmod(xxhash64({v}, 90), {m})"
 
 
 def build_bloom(
@@ -40,9 +47,10 @@ def build_bloom(
     positives at k=3."""
     assert n_bits % 64 == 0
     words = n_bits // 64
-    h1 = _H1.format(v=key_col)
-    h2 = _H2.format(v=key_col)
+    h1 = _H1.format(v=key_col, m=n_bits)
+    h2 = _H2.format(v=key_col, m=n_bits)
     # per key: k bit positions -> k (word, mask) contributions
+    # (build side is the SMALL side; expression cost is irrelevant)
     bits = df.selectExpr(
         f"explode(transform(sequence(0, {k - 1}),"
         f" i -> pmod({h1} + i * {h2}, {n_bits}))) as bit"
@@ -69,16 +77,24 @@ def might_contain(
 ) -> Column:
     """Probe predicate: every one of the key's k bits is set. Apply
     after a ``crossJoin(broadcast(bloom_row))`` — the filter runs in
-    the scan stage, before any shuffle."""
-    h1 = _H1.format(v=key_col)
-    h2 = _H2.format(v=key_col)
-    return F.expr(
-        f"forall(sequence(0, {k - 1}), i -> ("
-        f"element_at({bloom_col}, cast(pmod({h1} + i * {h2}, {n_bits})"
-        f" div 64 as int) + 1)"
-        f" & shiftleft(cast(1 as bigint),"
-        f" cast(pmod({h1} + i * {h2}, {n_bits}) % 64 as int))) != 0)"
-    )
+    the scan stage, before any shuffle.
+
+    Hot-path shape: an unrolled AND of k bit-tests over native
+    xxhash64 — NOT a ``forall`` lambda (drops out of whole-stage
+    codegen, re-evaluates hashes per iteration) and NOT md5 (string
+    materialization + base-16 parse per row; the two together
+    measured 15-20x slower than the join being pruned)."""
+    h1 = _H1.format(v=key_col, m=n_bits)
+    h2 = _H2.format(v=key_col, m=n_bits)
+    tests = []
+    for i in range(k):
+        bit = f"pmod({h1} + {i} * {h2}, {n_bits})"
+        tests.append(
+            f"(element_at({bloom_col}, cast({bit} div 64 as int) + 1)"
+            f" & shiftleft(cast(1 as bigint), cast({bit} % 64 as int)))"
+            " != 0"
+        )
+    return F.expr(" AND ".join(tests))
 
 
 def bloom_prefiltered_join(
