@@ -2,11 +2,18 @@
 ``queries()`` entry on Spark at sf0.01 and its ``oracle_sql()`` on
 DuckDB, compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [name ...]
+Usage: python tools/check_oracles.py [--json OUT.json] [name ...]
+
+With ``--json`` the full per-query result is also written in the
+driver's CORRECTNESS_r{N}.json format (rows_match / schema_match /
+hash_match / spark_rows / oracle_rows / err) — the committed
+CORRECTNESS_SELF_r{N}.json artifacts are produced this way, covering
+the ENTIRE registry (the driver's own file caps at ~50 entries).
 """
 
 from __future__ import annotations
 
+import json
 import math
 import sys
 import time
@@ -41,7 +48,6 @@ def main():
     import __spark_entry__ as entrymod
     from vectorsearchutil_spark.session import get_spark
 
-    only = set(sys.argv[1:])
     spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in (
@@ -52,24 +58,45 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
         )
 
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    only = set(argv)
+
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = 0
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        report[name] = rec
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            rec["spark_rows"] = len(srows)
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"[:500]
             failures += 1
             continue
         dt = time.time() - t0
         if name not in oracles:
             print(f"ok(rows-only) {name}: {len(srows)} rows [{dt:.1f}s]")
+            rec["err"] = "no_oracle"
             if len(srows) == 0:
                 print(f"  WARN {name}: zero rows")
             continue
@@ -77,27 +104,38 @@ def main():
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()
+            rec["oracle_rows"] = len(drows)
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"[:500]
             failures += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
+        rec["schema_match"] = sorted(scols) == sorted(dcols)
+        if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
-        if len(srows) != len(drows):
+        rec["rows_match"] = len(srows) == len(drows)
+        if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
             a = norm_rows(scols, srows)
             b = norm_rows(dcols, drows)
+            rec["hash_match"] = a == b
             if a != b:
                 diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 problems.append(f"values differ; first diffs: {diff}")
+        else:
+            rec["hash_match"] = False
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"ok {name}: {len(srows)} rows [{dt:.1f}s]")
     print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    if json_out:
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(f"wrote {json_out} ({len(report)} entries)")
     return 1 if failures else 0
 
 
