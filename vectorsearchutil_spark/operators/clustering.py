@@ -153,6 +153,7 @@ def kmeans(
     dim: int = 64,
     strategy: str = "auto",
     driver_max_cells: int = 5_000_000,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Run ``iterations`` Lloyd's steps; returns (assignments,
     centroids). Assignments: (id, cid, distance to its centroid).
@@ -179,8 +180,16 @@ def kmeans(
     # only (at 100 TB: persist MEMORY_AND_DISK or checkpoint)
     work = df.select(id_col, vector_col)
     if strategy == "auto":
+        if n_rows is None:
+            # cache BEFORE counting: the sizing pass doubles as cache
+            # priming, so whichever path runs next reads the cached
+            # working set instead of re-scanning — the count job is no
+            # longer an extra corpus scan. Callers that already know
+            # the row count pass n_rows and skip the job entirely.
+            work = work.cache()
+            n_rows = work.count()
         strategy = (
-            "driver" if work.count() * dim <= driver_max_cells
+            "driver" if n_rows * dim <= driver_max_cells
             else "distributed"
         )
     if strategy == "driver":

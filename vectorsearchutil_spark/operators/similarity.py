@@ -106,6 +106,133 @@ def neardup_pairs_matrix(
     )
 
 
+def neardup_pairs_blocked(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with NO driver-side collect.
+
+    Rows hash into ``n_blocks`` blocks; every unordered block pair
+    (ba ≤ bb) becomes one ``applyInPandas`` task that BLAS-multiplies
+    its two blocks (upper triangle for the diagonal task). A pair of
+    ids lands in exactly one task, so no dedup pass is needed.
+
+    Scale shape: peak per-task memory is two blocks
+    (2·(n/B)·dim float64); each row is shuffled to exactly B tasks, so
+    shuffle volume is n·B rows — the price of removing the matrix
+    path's driver collect/broadcast of the whole corpus. O(n²)
+    compute is inherent to EXACT all-pairs; at corpus sizes where
+    that is infeasible, ``cosine_lsh_pairs`` (approximate) is the
+    knob, this is the exact distributed fallback.
+    """
+    spark = df.sparkSession
+    rows = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vector_col).alias("_vec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
+        .cast("int")
+        .alias("_blk"),
+    )
+    tasks = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "ba int, bb int",
+    )
+    # side 0 = rows of block ba; side 1 = rows of block bb (cross
+    # tasks only — the diagonal task reads its block once)
+    side_a = rows.join(F.broadcast(tasks), rows["_blk"] == tasks["ba"]).select(
+        "ba", "bb", F.lit(0).alias("_side"), "_id", "_vec"
+    )
+    side_b = rows.join(
+        F.broadcast(tasks.filter(F.col("ba") != F.col("bb"))),
+        rows["_blk"] == tasks["bb"],
+    ).select("ba", "bb", F.lit(1).alias("_side"), "_id", "_vec")
+
+    out_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(key[0]), int(key[1])
+
+        def matrix(part: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+            part = part.sort_values("_id")
+            ids = part["_id"].to_numpy(dtype=np.int64)
+            m = np.array(list(part["_vec"]), dtype=np.float64)
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0.0] = 1.0
+            return ids, m / n[:, None]
+
+        a_ids, a_mat = matrix(pdf[pdf["_side"] == 0])
+        if ba == bb:
+            sims = a_mat @ a_mat.T
+            # ids ascend with the index → upper triangle is id_a < id_b
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            id_a, id_b = a_ids[ai], a_ids[bj]
+        else:
+            b_ids, b_mat = matrix(pdf[pdf["_side"] == 1])
+            if not len(a_ids) or not len(b_ids):
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            sims = a_mat @ b_mat.T
+            ai, bj = np.nonzero(sims >= threshold)
+            left, right = a_ids[ai], b_ids[bj]
+            id_a, id_b = np.minimum(left, right), np.maximum(left, right)
+        return pd.DataFrame(
+            {"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bj]}
+        )
+
+    return (
+        side_a.unionByName(side_b)
+        .groupBy("ba", "bb")
+        .applyInPandas(compute, out_schema)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+    )
+
+
+def neardup_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    strategy: str = "auto",
+    dim: int = 64,
+    matrix_max_cells: int = 50_000_000,
+    n_blocks: int = 8,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Exact cosine near-dup pairs with size-gated physical strategy
+    (the broadcast-join analogy, mirroring ``kmeans(strategy="auto")``):
+
+    * ``matrix`` — collect+broadcast the corpus matrix, one narrow
+      BLAS pass (fastest; bounded by driver/executor memory, default
+      gate 50M cells ≈ 400 MB float64);
+    * ``blocked`` — distributed block-pair tasks, no driver collect,
+      identical results (the production path above the gate);
+    * ``auto`` — pick by ``n_rows·dim`` (pass ``n_rows`` when known
+      to avoid the sizing count job).
+
+    Both paths return identical (id_a, id_b, cosine) rows, so the
+    same oracle covers them.
+    """
+    if strategy == "auto":
+        if n_rows is None:
+            n_rows = df.count()
+        strategy = (
+            "matrix" if n_rows * dim <= matrix_max_cells else "blocked"
+        )
+    if strategy == "matrix":
+        return neardup_pairs_matrix(df, vector_col, id_col, threshold)
+    return neardup_pairs_blocked(
+        df, vector_col, id_col, threshold, n_blocks=n_blocks
+    )
+
+
 def knn_batch_matrix(
     corpus: DataFrame,
     queries: DataFrame,

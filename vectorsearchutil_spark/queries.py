@@ -856,13 +856,27 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.35
 
 @query("dedup_embedding_cosine", _EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic near-dup pairs (cosine ≥ 0.35), matrix brute force:
-    broadcast normalized corpus + BLAS per Arrow batch — one narrow
-    pass, no shuffle (45× the per-pair expression join)."""
-    from vectorsearchutil_spark.operators.similarity import neardup_pairs_matrix
+    """Semantic near-dup pairs (cosine ≥ 0.35), size-gated strategy:
+    below the 50M-cell gate the corpus matrix broadcasts and one
+    narrow BLAS pass scores it (no shuffle); above the gate the
+    blocked block-pair plan runs with no driver collect at all.
+    Both paths return identical rows — same oracle."""
+    from vectorsearchutil_spark.operators.similarity import neardup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_pairs_matrix(emb, threshold=0.35)
+    return neardup_pairs(emb, threshold=0.35, strategy="auto")
+
+
+@query("dedup_embedding_cosine_blocked", _EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production (above-gate) strategy of dedup_embedding_cosine,
+    forced: exact all-pairs cosine via distributed block-pair tasks —
+    no full-corpus collect anywhere in the plan. Checked against the
+    SAME oracle as the matrix path, proving strategy equivalence."""
+    from vectorsearchutil_spark.operators.similarity import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_pairs(emb, threshold=0.35, strategy="blocked")
 
 
 # --------------------------------------------------------------------------
