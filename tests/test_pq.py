@@ -37,6 +37,40 @@ def test_train_shapes_and_determinism(emb, books):
     assert books == again
 
 
+def test_train_bound_samples_by_hash(spark, emb):
+    """VERDICT r2 #3: the default train_limit bounds driver memory.
+    Above the bound, training uses the train_limit lowest
+    (md5-uniform, id) rows — replayed here independently — and the
+    result is partitioning-independent. At/below the bound, the whole
+    input trains (bit-identical to unbounded)."""
+    import hashlib
+
+    n = emb.count()
+    limit = 64  # force the sampling path: corpus (500) > limit
+
+    def u(vid: int) -> int:
+        return int(
+            hashlib.md5(f"pqtrain:{vid}".encode()).hexdigest()[:8], 16
+        )
+
+    ids = [r[0] for r in emb.select("vec_id").collect()]
+    expect_sample = set(sorted(ids, key=lambda i: (u(i), i))[:limit])
+    sampled_df = emb.filter(F.col("vec_id").isin(*expect_sample))
+
+    bounded = pq_train(emb, m=8, k=16, iterations=2, train_limit=limit)
+    replay = pq_train(sampled_df, m=8, k=16, iterations=2, train_limit=None)
+    assert bounded == replay
+    # partitioning-independent
+    again = pq_train(
+        emb.repartition(7), m=8, k=16, iterations=2, train_limit=limit
+    )
+    assert bounded == again
+    # at/below the bound: identical to unbounded training
+    assert pq_train(emb, m=8, k=16, iterations=2, train_limit=n) == pq_train(
+        emb, m=8, k=16, iterations=2, train_limit=None
+    )
+
+
 def test_encode_codes_in_range_and_qerr_nonneg(emb, books):
     enc = pq_encode(emb, books).cache()
     assert enc.count() == emb.count()

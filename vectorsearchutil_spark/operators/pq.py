@@ -53,22 +53,51 @@ def pq_train(
     iterations: int = 2,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
-    train_limit: int | None = None,
+    train_limit: int | None = 100_000,
+    n_rows: int | None = None,
 ) -> Codebooks:
     """Train m per-subspace codebooks of k centroids each.
 
-    Deterministic: the training sample is the ``train_limit`` lowest
-    ids (None = whole input — fine for test scale; production passes
-    a bound, the faiss posture), init for subspace j is the sample's
-    first k sub-vectors, and each Lloyd's iteration rounds centroids
-    to 6dp half-up — identical math to the k-means driver path, so
-    SQL oracles can replay it."""
+    Driver memory is BOUNDED by default (VERDICT r2 #3): when the
+    corpus exceeds ``train_limit`` rows (default 100k — the faiss
+    training posture: codebooks are model state, a sample suffices),
+    the training set is the ``train_limit`` rows with the lowest
+    deterministic hash draw ``u = md5('pqtrain:'||id)[:8]/2^32``
+    (ties by id) — an unbiased pseudo-random sample selected by a
+    TakeOrderedAndProject over one narrow hash-prefiltered scan, not
+    a full sort, and replayable in any engine:
+    ``ORDER BY ('0x'||substr(md5('pqtrain:'||id),1,8))::BIGINT, id
+    LIMIT train_limit``. At or below the bound the whole input trains
+    (so small-scale oracles replay training over the full table
+    unchanged). ``train_limit=None`` forces unbounded (tests only).
+
+    Deterministic: init for subspace j is the sample's first k
+    sub-vectors (by ascending id), and each Lloyd's iteration rounds
+    centroids to 6dp half-up — identical math to the k-means driver
+    path, so SQL oracles can replay it."""
     import numpy as np
 
-    work = df.select(id_col, vector_col).orderBy(id_col)
+    from vectorsearchutil_spark.operators.sampling import hash_uniform
+
+    work = df.select(id_col, vector_col)
     if train_limit is not None:
-        work = work.limit(train_limit)
-    rows = work.collect()
+        if n_rows is None:
+            n_rows = work.count()
+        if n_rows > train_limit:
+            u = hash_uniform(F.col(id_col).cast("string"), "pqtrain")
+            # cheap narrow prefilter (expect ~2×train_limit survivors)
+            # so the top-k heap never sees the full corpus
+            # +100 absolute slack keeps the under-selection probability
+            # negligible even for tiny train_limits
+            frac = min(1.0, (2.0 * train_limit + 100.0) / n_rows)
+            work = (
+                work.withColumn("_u", u)
+                .filter(F.col("_u") < frac)
+                .orderBy(F.col("_u").asc(), F.col(id_col).asc())
+                .limit(train_limit)
+                .drop("_u")
+            )
+    rows = work.select(id_col, vector_col).orderBy(id_col).collect()
     X = np.array([r[1] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:
