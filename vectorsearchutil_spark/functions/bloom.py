@@ -10,10 +10,12 @@ exactly what the oracle (the plain join) checks.
 Spark's own runtime filters do this opportunistically
 (InjectRuntimeFilter; ``bloom_filter_agg`` is not SQL-registered in
 this build); this module makes the reduction an explicit, portable
-operator: hashes are md5-derived double hashing
-(bit_i = (h1 + i·h2) mod m), the filter is an array of 64-bit words
-folded with bit_or, and both build and probe are plain SQL
-expressions an oracle can replay.
+operator: two seeded JVM-native ``xxhash64`` hashes combined by
+double hashing (bit_i = (h1 + i·h2) mod m, each reduced mod m before
+the combine — see the _H1/_H2 note), the filter is an array of 64-bit
+words folded with bit_or, and both build and probe are plain SQL
+expressions. Result-invariance (not hash replayability) is the oracle
+contract: no false negatives means the plain join is the oracle.
 """
 
 from __future__ import annotations
@@ -97,18 +99,35 @@ def might_contain(
     return F.expr(" AND ".join(tests))
 
 
+def sized_n_bits(n_keys: int, bits_per_key: int = 10) -> int:
+    """Filter size for a key count: ~10 bits/key ≈ 1% FP at k=3,
+    rounded up to a power of two, floor 8192. An undersized filter
+    stays CORRECT (no false negatives possible) but saturates — FP
+    rate → 1 and the shuffle reduction silently disappears
+    (ADVICE r2), so size from the small side, not a constant."""
+    want = max(8192, n_keys * bits_per_key)
+    return 1 << (want - 1).bit_length()
+
+
 def bloom_prefiltered_join(
     big: DataFrame,
     small: DataFrame,
     key: str,
-    n_bits: int = 8192,
+    n_bits: int | None = None,
     k: int = 3,
 ) -> DataFrame:
     """Equi-join with Bloom semi-join reduction: big-side rows whose
     key cannot be in the small side are dropped at the scan, so the
     join (and any shuffle it needs) sees only plausible rows. The
     result is EXACTLY the plain join — the filter has no false
-    negatives and the join remains exact."""
+    negatives and the join remains exact.
+
+    ``n_bits=None`` (default) sizes the filter from the small side's
+    key count (one count job over the build side — which the build
+    aggregate scans anyway) at ~10 bits/key; pass an explicit size to
+    skip the count when the cardinality is known."""
+    if n_bits is None:
+        n_bits = sized_n_bits(small.count())
     bloom = build_bloom(small.select(key), key, n_bits=n_bits, k=k)
     pruned = (
         big.crossJoin(F.broadcast(bloom))

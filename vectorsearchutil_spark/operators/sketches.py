@@ -91,11 +91,14 @@ def hll_estimate(
     out_col: str = "est_distinct",
 ) -> DataFrame:
     """Collapse a register table to per-group estimates. The harmonic
-    sum is an ordered fold over registers sorted by bucket id (all
-    terms are exact powers of two, so Spark and the SQL oracle agree
-    bitwise); missing buckets contribute 2^0 each. Applies the
-    standard linear-counting correction when E <= 2.5m and empty
-    buckets exist."""
+    sum is an ordered fold over registers sorted by bucket id; the
+    oracle's unordered SUM over the same power-of-two terms can differ
+    by ulps when exponents span more than the 53-bit mantissa, and the
+    final ROUND(...,2) absorbs that order-dependent error (ADVICE r2 —
+    the rounding, not the fold order, is what makes the two sides
+    agree). Missing buckets contribute 2^0 each. Applies the standard
+    linear-counting correction when E <= 2.5m and empty buckets
+    exist."""
     m = 1 << b
     alpha = hll_alpha(m)
     folded = (
@@ -224,14 +227,19 @@ def histogram_quantiles(
     hist = df.groupBy(bucket.alias("bucket")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    from pyspark.sql import Window
-
-    # the sketch is `bins` rows — window over it is driver-trivial
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
-        "cum_before", F.col("cum") - F.col("n")
+    # ONE pass over the input: the sketch (≤ bins rows) is collected
+    # once and everything downstream — including the total row count,
+    # which is exactly Σ bin counts — derives from it. A separate
+    # df.count() would scan the full input a second time (ADVICE r2).
+    sketch = hist.collect()
+    total = sum(r["n"] for r in sketch)
+    cum_rows, running = [], 0
+    for r in sorted(sketch, key=lambda r: r["bucket"]):
+        cum_rows.append((r["bucket"], r["n"], running + r["n"], running))
+        running += r["n"]
+    cum = df.sparkSession.createDataFrame(
+        cum_rows, "bucket int, n bigint, cum bigint, cum_before bigint"
     )
-    total = df.count()
     out = None
     for p in probs:
         needed = int(math.ceil(p * total)) if total else 0

@@ -5566,12 +5566,13 @@ ORDER BY o.o_orderpriority
 
 @query("orders_bloom_prefilter_join", _BLOOM_JOIN_ORACLE)
 def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bloom semi-join reduction: an 8192-bit filter over the
-    AUTOMOBILE customers' keys broadcasts to the orders scan, which
-    drops non-matching rows BEFORE the join. The oracle is the PLAIN
-    join — no false negatives means the reduction is invisible in
-    the result. At 100 TB this is the difference between shuffling
-    the full fact table and shuffling the ~1/5 that can match."""
+    """Bloom semi-join reduction: a filter sized from the AUTOMOBILE
+    customer count (~10 bits/key, so it never saturates as sf grows —
+    ADVICE r2) broadcasts to the orders scan, which drops non-matching
+    rows BEFORE the join. The oracle is the PLAIN join — no false
+    negatives means the reduction is invisible in the result. At
+    100 TB this is the difference between shuffling the full fact
+    table and shuffling the ~1/5 that can match."""
     from vectorsearchutil_spark.functions.bloom import bloom_prefiltered_join
 
     orders = load_table(spark, sf_dir, "orders")
