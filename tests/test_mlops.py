@@ -71,3 +71,39 @@ def test_regressor_learns_linear_signal(spark):
     df = spark.createDataFrame(rows, ["id", "vector", "y"])
     fit = mlp_regressor(df, y_col="y", vector_col="vector", id_col="id")
     assert fit.metric_value > 0.8
+
+
+def test_mlp_golden_contract_gates(spark, sf_dir, monkeypatch, tmp_path):
+    """VERDICT r2 #4: the MLP queries self-assert a committed golden
+    (rows + md5 of sorted predictions). Clean run passes; a tampered
+    golden must raise — proving the driver's rows-check now sits
+    behind a real correctness gate."""
+    import json
+    import os
+    import shutil
+
+    from vectorsearchutil_spark import queries as Q
+
+    monkeypatch.delenv("VSU_SKIP_MLP_GOLDEN", raising=False)
+    # clean pass at the committed sf0.001 golden
+    out = Q.QUERIES["mlp_regressor_predictions"](spark, sf_dir)
+    assert out.count() == 500
+
+    # tamper: point the module at a golden with a wrong md5
+    golden_path = os.path.join(
+        os.path.dirname(Q.__file__), "mlp_golden.json"
+    )
+    with open(golden_path) as fh:
+        golden = json.load(fh)
+    key = os.path.basename(sf_dir.rstrip("/"))
+    bad = json.loads(json.dumps(golden))
+    bad[key]["mlp_regressor_predictions"]["md5"] = "0" * 32
+    backup = tmp_path / "golden.bak"
+    shutil.copy(golden_path, backup)
+    try:
+        with open(golden_path, "w") as fh:
+            json.dump(bad, fh)
+        with pytest.raises(AssertionError, match="golden contract"):
+            Q.QUERIES["mlp_regressor_predictions"](spark, sf_dir)
+    finally:
+        shutil.copy(backup, golden_path)
