@@ -231,3 +231,98 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert len(files) == 1
     after = VectorStore(spark, path=path).data.collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+
+
+# -- persisted ingest-dedup state (VERDICT r2 #5) ---------------------
+
+
+def _docs_df(spark, rows):
+    return spark.createDataFrame(rows, ["target", "option1"])
+
+
+def test_dedup_state_incremental_appends(spark, tmp_path, monkeypatch):
+    """Appending twice must compute signatures for the APPENDED batch
+    only — never re-shingle the store. Spy on build_ingest_dedup_state
+    and record the row count of every input it is asked to sign."""
+    from vectorsearchutil_spark.operators import dedup as dd
+    from vectorsearchutil_spark import store as store_mod
+
+    signed_counts = []
+    real_build = dd.build_ingest_dedup_state
+
+    def spy(df, *a, **kw):
+        signed_counts.append(df.count())
+        return real_build(df, *a, **kw)
+
+    monkeypatch.setattr(dd, "build_ingest_dedup_state", spy)
+
+    path = str(tmp_path / "st.parquet")
+    vs = store_mod.VectorStore(spark, path=path, maintain_dedup_state=True)
+    base = [(f"alpha beta gamma delta {i}", "a") for i in range(20)]
+    vs.set_data(_docs_df(spark, base))
+    assert signed_counts == [20]
+
+    vs.set_data(_docs_df(spark, [("epsilon zeta eta theta x", "b")]), append=True)
+    assert signed_counts == [20, 1]  # O(batch), not O(store)
+
+    vs.set_data(_docs_df(spark, [("iota kappa lambda mu y", "c")]), append=True)
+    assert signed_counts == [20, 1, 1]
+    # state covers every stored row
+    assert vs._dedup_state["meta"].count() == 22
+
+
+def test_dedup_state_gate_matches_stateless(spark, tmp_path):
+    """The persisted-state gate returns exactly the stateless
+    (oracle-checked) form's verdicts."""
+    from vectorsearchutil_spark.operators.dedup import (
+        incremental_ingest_dedup,
+    )
+    from vectorsearchutil_spark.store import VectorStore
+
+    existing_rows = [
+        ("the quick brown fox jumps over the lazy dog", "s"),
+        ("pack my box with five dozen liquor jugs", "s"),
+        ("how vexingly quick daft zebras jump today", "s"),
+    ]
+    incoming_rows = [
+        # exact dup of row 1
+        ("pack my box with five dozen liquor jugs", "n"),
+        # near dup of row 0 (one trailing token changed)
+        ("the quick brown fox jumps over the lazy cat", "n"),
+        ("completely different sentence about spark plans", "n"),
+    ]
+    path = str(tmp_path / "st2.parquet")
+    vs = VectorStore(spark, path=path, maintain_dedup_state=True)
+    vs.set_data(_docs_df(spark, existing_rows))
+
+    incoming = spark.createDataFrame(
+        [(100 + i, t) for i, (t, _) in enumerate(incoming_rows)],
+        ["id", "target"],
+    )
+    got = {
+        r["id"]: (r["verdict"], r["matched_id"])
+        for r in vs.ingest_dedup_check(incoming, threshold=0.5).collect()
+    }
+    want = {
+        r["id"]: (r["verdict"], r["matched_id"])
+        for r in incremental_ingest_dedup(
+            vs.data.select("id", F.col("target")),
+            incoming,
+            text_col="target",
+            id_col="id",
+            threshold=0.5,
+        ).collect()
+    }
+    assert got == want
+    assert got[100][0] == "exact_dup"
+    assert got[101][0] == "near_dup"
+    assert got[102][0] == "new"
+
+    # state survives reopen (persisted, not in-memory)
+    vs2 = VectorStore(spark, path=path, maintain_dedup_state=True)
+    assert vs2._dedup_state is not None
+    got2 = {
+        r["id"]: (r["verdict"], r["matched_id"])
+        for r in vs2.ingest_dedup_check(incoming, threshold=0.5).collect()
+    }
+    assert got2 == got

@@ -846,59 +846,34 @@ def chunk_dedup(
     )
 
 
-def incremental_ingest_dedup(
-    existing: DataFrame,
-    incoming: DataFrame,
+def build_ingest_dedup_state(
+    df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
     band_size: int = 4,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """Gate an incoming batch against an existing corpus: per incoming
-    doc, verdict 'exact_dup' (byte-identical text exists), 'near_dup'
-    (MinHash-LSH candidate verified at Jaccard ≥ threshold), or 'new',
-    plus the lowest matching existing id.
-
-    This is ingest-time dedup at scale: the existing side's shingles /
-    band buckets are exactly what a production store keeps
-    PRECOMPUTED (here they are derived in the same job for the
-    oracle); the incoming batch is small, so every join against the
-    store is batch-side-driven — candidates are (incoming × bucket
-    mates), never store × store. Mirrors the reference's
-    insert-if-absent append guard (vsu/base/VectorSearchBase.py:79-87)
-    extended from exact target match to near-dup.
+) -> dict[str, DataFrame]:
+    """Precompute the dedup signatures a store persists alongside its
+    data (VERDICT r2 #5): per doc the text hash + shingle count
+    (``meta``), the distinct shingle table (``shingles``), and the
+    MinHash-LSH band buckets (``buckets``). State is append-only —
+    new batches' state rows union in; nothing is ever recomputed for
+    rows already in the store. ``VectorStore`` maintains this
+    incrementally across appends (store.py) so an ingest gate costs
+    one signature pass over the BATCH only.
     """
-    from pyspark.sql import Window
-
     assert num_hashes % band_size == 0
-    marked = existing.select(
-        F.col(id_col), F.col(text_col), F.lit(0).alias("_side")
-    ).unionByName(
-        incoming.select(
-            F.col(id_col), F.col(text_col), F.lit(1).alias("_side")
-        )
-    )
-    # one shingle pass over the union (the existing side would be a
-    # stored table in production — single computation here keeps the
-    # job parity-checkable)
     from vectorsearchutil_spark.functions.text import shingles_sql, tokens_sql
 
-    sh = (
-        marked.selectExpr(
-            id_col, "_side", f"{tokens_sql(text_col)} AS _t"
-        )
-        .selectExpr(
-            id_col, "_side", f"explode({shingles_sql('_t', n)}) AS shingle"
-        )
-        .cache()
+    sh = df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _t").selectExpr(
+        id_col, f"explode({shingles_sql('_t', n)}) AS shingle"
     )
     h1, h2 = minhash_base_hashes(F.col("shingle"))
     sig = (
         sh.withColumn("_h1", h1)
         .withColumn("_h2", h2)
-        .groupBy(id_col, "_side")
+        .groupBy(id_col)
         .agg(
             *[
                 F.expr(f"min(_h1 + {i} * _h2)").alias(f"h{i}")
@@ -913,10 +888,8 @@ def incremental_ingest_dedup(
         + f")) AS band{b}"
         for b in range(n_bands)
     ]
-    banded = sig.selectExpr(id_col, "_side", *band_sql)
-    stacked = banded.select(
+    buckets = sig.selectExpr(id_col, *band_sql).select(
         id_col,
-        "_side",
         F.explode(
             F.array(
                 *[
@@ -925,40 +898,70 @@ def incremental_ingest_dedup(
                 ]
             )
         ).alias("bucket"),
+    )
+    meta = df.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("text_md5")
+    ).join(
+        sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh")),
+        id_col,
+        "left",
+    ).fillna(0, subset=["n_sh"])
+    return {"meta": meta, "shingles": sh, "buckets": buckets}
+
+
+def incremental_ingest_dedup_with_state(
+    state: dict[str, DataFrame],
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Gate an incoming batch against PERSISTED store state: per
+    incoming doc, verdict 'exact_dup' (byte-identical text exists),
+    'near_dup' (MinHash-LSH candidate verified at Jaccard ≥
+    threshold), or 'new', plus the lowest matching existing id.
+
+    The store side contributes only its precomputed state tables — no
+    store-side signature recomputation, ever. The incoming batch is
+    small: its signature pass runs once (cached), and every join
+    against the store is batch-side-driven — the store's bucket scan
+    joins a BROADCAST of the batch buckets, candidates are
+    (incoming × bucket mates), never store × store. Mirrors the
+    reference's insert-if-absent append guard
+    (vsu/base/VectorSearchBase.py:79-87) extended to near-dup.
+    """
+    inc_state = build_ingest_dedup_state(
+        incoming, text_col, id_col, n, num_hashes, band_size
+    )
+    inc_sh = inc_state["shingles"].select(
+        F.col(id_col).alias("id_in"), "shingle"
     ).cache()
-    inc_b = stacked.filter(F.col("_side") == 1).select(
+    inc_b = inc_state["buckets"].select(
         F.col(id_col).alias("id_in"), "bucket"
     )
-    ex_b = stacked.filter(F.col("_side") == 0).select(
-        F.col(id_col).alias("id_ex"), "bucket"
-    )
-    # incoming batch is the small side — broadcast its buckets so the
-    # store-side scan joins map-side and never shuffles
+    ex_b = state["buckets"].select(F.col(id_col).alias("id_ex"), "bucket")
     cand = (
         ex_b.join(F.broadcast(inc_b), "bucket")
         .select("id_in", "id_ex")
         .distinct()
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    sh_in = sh.filter(F.col("_side") == 1).select(
-        F.col(id_col).alias("id_in"), "shingle"
-    )
-    sh_ex = sh.filter(F.col("_side") == 0).select(
-        F.col(id_col).alias("id_ex"), "shingle"
-    )
+    sh_ex = state["shingles"].select(F.col(id_col).alias("id_ex"), "shingle")
     inter = (
-        cand.join(sh_in, "id_in")
+        cand.join(inc_sh, "id_in")
         .join(sh_ex, ["id_ex", "shingle"])
         .groupBy("id_in", "id_ex")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    inc_sizes = inc_sh.groupBy("id_in").agg(F.count(F.lit(1)).alias("n_a"))
     near = (
-        inter.join(
-            sizes.select(F.col(id_col).alias("id_in"), F.col("n_sh").alias("n_a")),
-            "id_in",
-        )
+        inter.join(inc_sizes, "id_in")
         .join(
-            sizes.select(F.col(id_col).alias("id_ex"), F.col("n_sh").alias("n_b")),
+            state["meta"].select(
+                F.col(id_col).alias("id_ex"), F.col("n_sh").alias("n_b")
+            ),
             "id_ex",
         )
         .filter(
@@ -974,8 +977,8 @@ def incremental_ingest_dedup(
             F.col(id_col).alias("id_in"), F.md5(F.col(text_col)).alias("_h")
         )
         .join(
-            existing.select(
-                F.col(id_col).alias("id_ex"), F.md5(F.col(text_col)).alias("_h")
+            state["meta"].select(
+                F.col(id_col).alias("id_ex"), F.col("text_md5").alias("_h")
             ),
             "_h",
         )
@@ -994,4 +997,32 @@ def incremental_ingest_dedup(
             .alias("verdict"),
             F.coalesce("exact_id", "near_id").alias("matched_id"),
         )
+    )
+
+
+def incremental_ingest_dedup(
+    existing: DataFrame,
+    incoming: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    band_size: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """State-less convenience form: derive the store state in-job,
+    then gate. Production appends use the persisted-state form
+    (``VectorStore.ingest_dedup_check``) so the store side is read,
+    not recomputed — results are identical either way (test-asserted).
+    """
+    state = build_ingest_dedup_state(
+        existing, text_col, id_col, n, num_hashes, band_size
+    )
+    # the in-job state derives buckets/meta/intersections from the same
+    # shingle table — cache it so the existing side is shingled once
+    # (a persisted store reads its state instead; this is the
+    # stateless path's analog)
+    state["shingles"] = state["shingles"].cache()
+    return incremental_ingest_dedup_with_state(
+        state, incoming, text_col, id_col, n, num_hashes, band_size, threshold
     )
