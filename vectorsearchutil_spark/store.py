@@ -26,6 +26,12 @@ Persistence modes:
   no staging copy), and the insert-if-absent anti-join reads the
   store bucket-aligned: the Exchange lands on the small incoming
   batch, never on the store.
+* ``acid_path=`` — **manifest-log table** (sources/manifest.py): the
+  object-store-safe ACID mode. Immutable data directories + an
+  atomic create-exclusive version manifest per commit (the
+  conditional-PUT primitive S3/GCS/ABFS provide); appends commit
+  only the appended rows; crashes at any point leave the previous
+  version readable and the half-written transaction invisible.
 """
 
 from __future__ import annotations
@@ -73,12 +79,15 @@ class VectorStore:
         embedder: str = "hash64",
         path: str | None = None,
         table: str | None = None,
+        acid_path: str | None = None,
         num_buckets: int = 16,
         maintain_dedup_state: bool = False,
         dedup_params: dict | None = None,
     ):
-        if path is not None and table is not None:
-            raise ValueError("pass either path= or table=, not both")
+        if sum(x is not None for x in (path, table, acid_path)) > 1:
+            raise ValueError(
+                "pass at most one of path= / table= / acid_path="
+            )
         self.spark = spark
         self.embedder = embedder
         self.vec_size = embedding_dim(embedder)
@@ -97,6 +106,24 @@ class VectorStore:
             **(dedup_params or {}),
         }
         self._dedup_state: dict[str, DataFrame] | None = None
+        #: acid_path= — manifest-log table (sources/manifest.py): the
+        #: object-store-safe mode. Appends commit only the appended
+        #: rows; every commit is an atomic create-exclusive manifest
+        #: write (conditional-PUT analog), no directory renames.
+        self.acid = None
+        if acid_path is not None:
+            from vectorsearchutil_spark.sources.manifest import ManifestLog
+
+            self.acid = ManifestLog(acid_path)
+            self._df = self.acid.read(spark)
+            if maintain_dedup_state:
+                try:
+                    self._dedup_state = {
+                        part: spark.read.parquet(self._dedup_dir(part))
+                        for part in self._DEDUP_PARTS
+                    }
+                except Exception:
+                    self._dedup_state = None
         if path is not None:
             self._recover_path(path)
             try:
@@ -122,7 +149,8 @@ class VectorStore:
                 }
 
     def _dedup_dir(self, part: str) -> str:
-        return self.path.rstrip("/") + "__dedup/" + part
+        base = self.path if self.path is not None else self.acid.base
+        return base.rstrip("/") + "__dedup/" + part
 
     @staticmethod
     def _recover_path(path: str) -> None:
@@ -177,8 +205,18 @@ class VectorStore:
             shutil.rmtree(
                 self.path.rstrip("/") + "__dedup", ignore_errors=True
             )
+        if self.acid is not None:
+            self.acid.drop()
+            shutil.rmtree(
+                self.acid.base + "__dedup", ignore_errors=True
+            )
 
     def _persist(self, df: DataFrame) -> DataFrame:
+        if self.acid is not None:
+            # full-replace commit (appends go through the dedicated
+            # append commit in set_data, which writes only fresh rows)
+            self.acid.write_and_commit(df, mode="replace")
+            return self.acid.read(self.spark)
         if self.table is not None:
             (
                 df.write.mode("overwrite")
@@ -226,7 +264,14 @@ class VectorStore:
         table mode (bucketed layout fixes file count by bucket) and
         for empty stores.
         """
-        if self.path is None or self._df is None:
+        if self._df is None:
+            return
+        if self.acid is not None:
+            self.acid.compact(self.spark, target_files)
+            self.acid.vacuum()
+            self._df = self.acid.read(self.spark)
+            return
+        if self.path is None:
             return
         self._df = self._persist(self.data.coalesce(target_files))
 
@@ -249,7 +294,7 @@ class VectorStore:
             **self.dedup_params,
         )
         mode = "overwrite" if replace else "append"
-        if self.path is not None:
+        if self.path is not None or self.acid is not None:
             for part in self._DEDUP_PARTS:
                 state[part].write.mode(mode).parquet(self._dedup_dir(part))
             self._dedup_state = {
@@ -380,6 +425,13 @@ class VectorStore:
                     .saveAsTable(self.table)
                 )
                 self._df = self.spark.table(self.table)
+            elif self.acid is not None:
+                # ACID append: one immutable data directory holding
+                # ONLY the fresh rows + one atomic manifest commit —
+                # the store is never rewritten and a crash at any
+                # point leaves the previous version fully readable
+                self.acid.write_and_commit(fresh, mode="append")
+                self._df = self.acid.read(self.spark)
             else:
                 self._df = self._persist(existing.unionByName(fresh))
             if self.maintain_dedup_state:
