@@ -31,6 +31,22 @@ from pyspark.sql.types import ArrayType, FloatType
 
 _REGISTRY: dict[str, tuple[int, Callable[[], Callable[[pd.Series], pd.Series]], bool]] = {}
 
+#: sub-modality (query/label) encoders — reference A4/A13: CLIP
+#: embeds its zero-shot labels with the TEXT tower while the main
+#: modality is images (vsu/image/_classes.py:49-55). Falls back to
+#: the main factory when an embedder has a single modality (E5).
+_SUB_REGISTRY: dict[str, Callable[[], Callable[[pd.Series], pd.Series]]] = {}
+
+
+def register_sub_embedder(name: str):
+    """Register the label/query-side encoder for ``name``."""
+
+    def deco(factory):
+        _SUB_REGISTRY[name] = factory
+        return factory
+
+    return deco
+
 
 def register_embedder(name: str, dim: int, supports_zeroshot: bool = True):
     """Register ``fn() -> (pd.Series[str] -> pd.Series[list[float]])``.
@@ -79,6 +95,22 @@ def embed_udf(name: str):
     return _udf
 
 
+def embed_sub_udf(name: str):
+    """Label/query-modality pandas_udf (reference __trans_vec_sub,
+    VectorSearchBase.py:172-191): the sub factory when registered,
+    else the main encoder."""
+    dim, main_factory, _ = _REGISTRY[name]
+    factory = _SUB_REGISTRY.get(name, main_factory)
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _udf(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        encode = factory()
+        for batch in batches:
+            yield encode(batch)
+
+    return _udf
+
+
 @register_embedder("hash64", 64)
 def _hash64_factory():
     """Deterministic stub: 64-dim pseudo-random unit-scale vector from
@@ -101,7 +133,15 @@ def _hash64_factory():
 
 
 def _register_optional_encoders() -> None:
-    """Real encoders, mirroring reference A11-A14; import-guarded."""
+    """Real encoders, mirroring reference A11-A14; each family is
+    import-guarded independently (transformers for E5/EfficientNet,
+    open_clip for CLIP) so whatever is installed registers."""
+    _register_e5()
+    _register_clip()
+    _register_efficientnet()
+
+
+def _register_e5() -> None:
     try:  # E5 text encoder (vsu/text/_classes.py:16-26,47-55)
         import torch  # noqa: F401
         from transformers import AutoModel, AutoTokenizer  # noqa: F401
@@ -133,6 +173,104 @@ def _register_optional_encoders() -> None:
             hidden = out.last_hidden_state.masked_fill(mask == 0, 0.0)
             pooled = hidden.sum(dim=1) / batch["attention_mask"].sum(dim=1)[..., None]
             return pd.Series(list(pooled.numpy().astype("float32").tolist()))
+
+        return encode
+
+
+def _register_clip() -> None:
+    try:  # CLIP image+text towers (vsu/image/_classes.py:9-55)
+        import open_clip  # noqa: F401
+        import torch  # noqa: F401
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return
+
+    def _load():  # pragma: no cover - heavy deps absent in CI
+        import open_clip
+
+        model, _, preprocess = open_clip.create_model_and_transforms(
+            "ViT-B-32", pretrained="laion2b_s34b_b79k"
+        )
+        model.eval()
+        return model, preprocess
+
+    @register_embedder("clip-vit-b32", 512)
+    def _clip_image_factory():  # pragma: no cover
+        import torch
+        from PIL import Image
+
+        model, preprocess = _load()
+
+        def encode(paths: pd.Series) -> pd.Series:
+            # path-or-PIL per reference (vsu/image/_classes.py:40)
+            imgs = torch.stack(
+                [
+                    preprocess(
+                        Image.open(p) if isinstance(p, str) else p
+                    )
+                    for p in paths
+                ]
+            )
+            with torch.no_grad():
+                feats = model.encode_image(imgs)
+            # L2-normalize at encode (vsu/image/_classes.py:43-44)
+            feats = feats / feats.norm(dim=-1, keepdim=True)
+            return pd.Series(list(feats.numpy().astype("float32").tolist()))
+
+        return encode
+
+    @register_sub_embedder("clip-vit-b32")
+    def _clip_text_factory():  # pragma: no cover
+        import open_clip
+        import torch
+
+        model, _ = _load()
+        tokenizer = open_clip.get_tokenizer("ViT-B-32")
+
+        def encode(texts: pd.Series) -> pd.Series:
+            with torch.no_grad():
+                feats = model.encode_text(tokenizer(list(texts)))
+            # label vectors normalized too (vsu/image/_classes.py:52)
+            feats = feats / feats.norm(dim=-1, keepdim=True)
+            return pd.Series(list(feats.numpy().astype("float32").tolist()))
+
+        return encode
+
+
+def _register_efficientnet() -> None:
+    try:  # EfficientNet image encoder (vsu/image/_classes.py:58-91)
+        import torch  # noqa: F401
+        from PIL import Image  # noqa: F401
+        from transformers import AutoImageProcessor, AutoModel  # noqa: F401
+    except ImportError:
+        return
+
+    # no text tower -> zero-shot disabled (A10, vsu/image/_classes.py:69-70)
+    @register_embedder("efficientnet-b0", 1280, supports_zeroshot=False)
+    def _effnet_factory():  # pragma: no cover - heavy deps absent in CI
+        import torch
+        from PIL import Image
+        from transformers import AutoImageProcessor, AutoModel
+
+        proc = AutoImageProcessor.from_pretrained("google/efficientnet-b0")
+        model = AutoModel.from_pretrained("google/efficientnet-b0")
+        model.eval()
+
+        def encode(paths: pd.Series) -> pd.Series:
+            out = []
+            for p in paths:
+                img = Image.open(p) if isinstance(p, str) else p
+                if img.mode != "RGB":  # force-convert (:78-79)
+                    img = img.convert("RGB")
+                inputs = proc(images=img, return_tensors="pt")
+                with torch.no_grad():
+                    hidden = model(**inputs).last_hidden_state
+                # mean over batch+spatial dims (:88)
+                out.append(
+                    hidden.mean(dim=[0, 2, 3]).numpy()
+                    .astype("float32").tolist()
+                )
+            return pd.Series(out)
 
         return encode
 

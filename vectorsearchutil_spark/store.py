@@ -486,12 +486,16 @@ class VectorStore:
 
     def set_zeroshot_labels(self, labels: Sequence[str]) -> None:
         """A19: register the label dimension table
-        (VectorSearchBase.py:135-139)."""
+        (VectorSearchBase.py:135-139). Labels embed through the
+        SUB-modality encoder (reference A4/A13 — CLIP's labels go
+        through its text tower, not the image tower)."""
+        from vectorsearchutil_spark.embedders import embed_sub_udf
+
         self.zeroshot_labels = list(labels)
         rows = [(i, lab) for i, lab in enumerate(labels)]
         ldf = self.spark.createDataFrame(rows, ["label_idx", "label"])
         ldf = ldf.withColumn(
-            "label_vec", embed_udf(self.embedder)(F.col("label"))
+            "label_vec", embed_sub_udf(self.embedder)(F.col("label"))
         )
         self._labels_df = ldf.cache()
 
