@@ -85,9 +85,26 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # per-query plan warm-up (VERDICT r2 #8): immediately before each
+    # timed sf0.1 run, run the same query once at sf0.001.
+    # Whole-stage-codegen classes are cached by generated source, so
+    # the tiny run compiles (janino) and JIT-warms the exact operators
+    # the timed run uses at negligible data cost — the timed numbers
+    # then reflect plan quality, not the ~0.5-1 s one-time codegen
+    # tail per query shape. Warm-then-time ADJACENCY matters: the
+    # codegen cache is a bounded LRU, and warming all 43 queries up
+    # front evicted the largest compiled classes (measured: the giant
+    # filter_pipeline projection re-compiled 5 s in its timed run).
+    # Queries whose plans inline data-derived literals still recompile
+    # at sf0.1; that residual is inherent to the plan and stays billed.
+    warm_dir = "/root/testdata/sf0.001"
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = Q.QUERIES[name]
+        try:
+            fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warmup is best-effort; the timed run decides
         t0 = time.time()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
