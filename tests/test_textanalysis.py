@@ -143,3 +143,48 @@ def test_pack_bins_next_fit(spark):
     assert out[3]["bin_idx"] == 1
     assert out[4]["bin_idx"] == 2 and out[4]["bin_fill"] == 100
     assert out[5]["bin_idx"] == 0
+
+
+def test_pack_bins_ffd_valid_and_tighter(spark):
+    """FFD: every bin within capacity (except single-oversized-doc
+    bins), deterministic under repartitioning, and never MORE bins
+    than next-fit on the same input (the point of sorting
+    decreasing)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, "g" + str(i % 2), " ".join("w" for _ in range(rng.randint(5, 60))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    cap = 64
+
+    ffd = ta.pack_bins_first_fit_decreasing(df, capacity=cap)
+    nf = ta.pack_bins_next_fit(df, capacity=cap)
+
+    got = [
+        (r["source"], r["bin_idx"], r["bin_fill"])
+        for r in ffd.collect()
+    ]
+    # bin_fill after final placement per bin = the bin's total
+    final_fill = {}
+    for s, b, fill in got:
+        final_fill[(s, b)] = max(final_fill.get((s, b), 0), fill)
+    assert all(v <= cap for v in final_fill.values())
+
+    def n_bins(out):
+        per = {}
+        for r in out.collect():
+            per[r["source"]] = max(per.get(r["source"], -1), r["bin_idx"])
+        return {k: v + 1 for k, v in per.items()}
+
+    ffd_bins, nf_bins = n_bins(ffd), n_bins(nf)
+    assert all(ffd_bins[s] <= nf_bins[s] for s in nf_bins)
+
+    again = ta.pack_bins_first_fit_decreasing(
+        df.repartition(8), capacity=cap
+    )
+    assert sorted(
+        tuple(r) for r in again.collect()
+    ) == sorted(tuple(r) for r in ffd.collect())

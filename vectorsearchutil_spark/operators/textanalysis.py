@@ -613,3 +613,81 @@ def pack_bins_next_fit(
         id_col, group_col, f"size({tokens_sql(text_col)}) AS _n"
     )
     return sized.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+def pack_bins_first_fit_decreasing(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    capacity: int = 512,
+) -> "DataFrame":
+    """First-fit-decreasing bin packing per group: docs sorted by
+    (token count DESC, id) are each placed into the FIRST bin they
+    fit; no fit opens a new bin. FFD is the classic 11/9·OPT + 6/9
+    heuristic — meaningfully tighter packing than next-fit when doc
+    lengths are skewed (big docs first, small docs fill the gaps).
+
+    Same scale shape as ``pack_bins_next_fit``: the scan reduces to
+    (id, group, count) BEFORE the shuffle, text never moves, and the
+    inherently sequential fold runs per group in ``applyInPandas``
+    (groups pack in parallel — in a real loader bins never cross
+    shards). Output: (id, group, bin_idx, bin_fill) with bin_fill the
+    chosen bin's fill AFTER placement. Oracle: the same fold unrolled
+    as a recursive CTE carrying the per-bin fill list (found: compute
+    the first-fit position ONCE in a derived subquery — DuckDB
+    re-evaluating list lambdas inline in the recursive arm was ~1000×
+    slower)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField(group_col, StringType()),
+            StructField("bin_idx", IntegerType()),
+            StructField("bin_fill", IntegerType()),
+        ]
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["_n", id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        fills: list[int] = []
+        bin_idx, after = [], []
+        for n in pdf["_n"]:
+            n = int(n)
+            pos = next(
+                (i for i, f in enumerate(fills) if f + n <= capacity), None
+            )
+            if pos is None:
+                fills.append(n)
+                bin_idx.append(len(fills) - 1)
+                after.append(n)
+            else:
+                fills[pos] += n
+                bin_idx.append(pos)
+                after.append(fills[pos])
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                group_col: pdf[group_col],
+                "bin_idx": pd.Series(bin_idx, dtype="int32"),
+                "bin_fill": pd.Series(after, dtype="int32"),
+            }
+        )
+
+    sized = df.selectExpr(
+        id_col, group_col, f"size({tokens_sql(text_col)}) AS _n"
+    )
+    return sized.groupBy(group_col).applyInPandas(pack, out_schema)

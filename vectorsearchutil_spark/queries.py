@@ -4910,6 +4910,61 @@ def docs_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_next_fit(docs, capacity=512)
 
 
+_PACK_FFD_ORACLE = """
+WITH RECURSIVE ordered AS MATERIALIZED (
+  SELECT doc_id, source, n,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rn
+  FROM (
+    SELECT doc_id, source,
+           len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+    FROM documents
+  )
+),
+walk AS (
+  SELECT source, CAST(0 AS BIGINT) AS rn, CAST([] AS BIGINT[]) AS fills,
+         CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS BIGINT) AS bin_idx,
+         CAST(NULL AS BIGINT) AS bin_fill
+  FROM (SELECT DISTINCT source FROM ordered)
+  UNION ALL
+  SELECT source, rn,
+         CASE WHEN pos IS NULL THEN list_append(fills, n)
+              ELSE list_transform(fills,
+                     (f, i) -> f + CASE WHEN i = pos THEN n ELSE 0 END) END,
+         doc_id,
+         COALESCE(pos, len(fills) + 1),
+         CASE WHEN pos IS NULL THEN n ELSE fills[pos] + n END
+  FROM (
+    -- first-fit position computed ONCE here: DuckDB re-evaluates
+    -- list lambdas placed inline in the recursive arm per reference,
+    -- measured ~1000x slower; list_position yields 0 (not NULL) on
+    -- no-fit in this build, hence NULLIF
+    SELECT o.source, o.rn, w.fills, o.doc_id, o.n,
+           NULLIF(list_position(
+             list_transform(w.fills, f -> f + o.n <= 512), true), 0) AS pos
+    FROM walk w JOIN ordered o ON o.source = w.source AND o.rn = w.rn + 1
+  )
+)
+SELECT doc_id, source, CAST(bin_idx - 1 AS INT) AS bin_idx,
+       CAST(bin_fill AS INT) AS bin_fill
+FROM walk WHERE rn >= 1
+"""
+
+
+@query("docs_pack_bins_ffd", _PACK_FFD_ORACLE)
+def docs_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing no-split packing per source at 512-token
+    capacity — the tighter-packing counterpart of docs_pack_bins
+    (next-fit). Sequential fold per group in applyInPandas; oracle
+    unrolls the identical fold as a recursive CTE whose state carries
+    the per-bin fill list."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_bins_first_fit_decreasing,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_bins_first_fit_decreasing(docs, capacity=512)
+
+
 # --------------------------------------------------------------------------
 # Corpus mixture / rebalancing / global shuffle — the remaining
 # assembly steps between "cleaned corpus" and "training shards".
