@@ -142,3 +142,51 @@ def test_rate_sample_plan_is_broadcast_join(spark, sf_dir):
     plan = formatted_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_weighted_reservoir_proportional_and_stable(spark):
+    """A-Res with hash draws: heavier rows are sampled more often
+    (inclusion ∝ weight across many disjoint strata), the cut is
+    partitioning-independent, and weight <= 0 rows never appear."""
+    from vectorsearchutil_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    # 200 strata of 10 rows each: weights 1..9 and one zero-weight row
+    rows = [
+        (s * 100 + w, f"s{s}", w if w > 0 else 0)
+        for s in range(200)
+        for w in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["id", "stratum", "w"])
+    out = weighted_reservoir_sample(
+        df, k=2, weight_col="w", key_col="id", stratum_col="stratum"
+    ).collect()
+    assert len(out) == 400  # 2 per stratum
+    assert all(r["w"] > 0 for r in out)
+    picked_w = [r["w"] for r in out]
+    # heavy rows (w >= 7) should win far more than light ones (w <= 3):
+    # expected inclusion ratio ~ (7+8+9)/(1+2+3) = 4x; assert > 2x
+    heavy = sum(1 for w in picked_w if w >= 7)
+    light = sum(1 for w in picked_w if 1 <= w <= 3)
+    assert heavy > 2 * light
+    # partitioning-independent
+    again = weighted_reservoir_sample(
+        df.repartition(16), k=2, weight_col="w", key_col="id",
+        stratum_col="stratum",
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_weighted_reservoir_global_topk_plan(spark):
+    """No stratum -> global k: the plan must be a TakeOrderedAndProject
+    (distributed top-k), not a full sort."""
+    from vectorsearchutil_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    df = spark.range(0, 10000).selectExpr("id", "id % 7 + 1 AS w")
+    out = weighted_reservoir_sample(df, k=10, weight_col="w", key_col="id")
+    assert "TakeOrderedAndProject" in formatted_plan(out)
+    assert len(out.collect()) == 10

@@ -189,3 +189,49 @@ def stratified_hash_sample(
     return df.filter(
         hash_uniform(F.col(key_col).cast("string"), seed) < rate
     )
+
+
+def weighted_reservoir_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str,
+    stratum_col: str | None = None,
+    seed: str = "wres",
+) -> DataFrame:
+    """Efraimidis–Spirakis (A-Res) weighted sampling WITHOUT
+    replacement, derandomized: each row draws u = hash_uniform(key)
+    and scores ``u^(1/w)``; the k largest scores win (per stratum when
+    ``stratum_col`` is given). Inclusion probability is proportional
+    to weight, the math of the classic streaming reservoir — but with
+    hash draws the "reservoir" collapses to a deterministic top-k:
+    partitioning-independent, re-runnable, and expressible in any
+    engine (the oracle re-derives it in SQL).
+
+    Scale shape: one narrow projection (no shuffle) + one per-stratum
+    top-k — Spark plans the rank-filter as WindowGroupLimit, so each
+    task keeps only k candidates before the single k-row-per-stratum
+    shuffle; with no stratum it is a TakeOrderedAndProject. Rows with
+    weight <= 0 are excluded (their score is undefined).
+
+    The sort key is rounded to 12dp (both sides) and ties break by
+    key ascending, so engine ulp differences cannot flip the cut.
+    """
+    u = hash_uniform(F.col(key_col).cast("string"), seed)
+    score = F.round(
+        F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")), 12
+    )
+    scored = df.filter(F.col(weight_col) > 0).withColumn("_wkey", score)
+    order = [F.col("_wkey").desc(), F.col(key_col).asc()]
+    if stratum_col is None:
+        return (
+            scored.orderBy(*order)
+            .limit(k)
+            .drop("_wkey")
+        )
+    w = Window.partitionBy(stratum_col).orderBy(*order)
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_wkey", "_rn")
+    )

@@ -4965,6 +4965,52 @@ def docs_pack_bins_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_bins_first_fit_decreasing(docs, capacity=512)
 
 
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x != ''))
+           AS n_tokens
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, source, n_tokens,
+         ROUND(POWER(
+           ('0x' || substr(md5('wres:' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT / 4294967296.0,
+           1.0 / n_tokens), 12) AS wkey
+  FROM sized WHERE n_tokens > 0
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY source ORDER BY wkey DESC, doc_id ASC) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("docs_weighted_sample", _WEIGHTED_SAMPLE_ORACLE)
+def docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted sample, 5 docs per source: Efraimidis–Spirakis
+    A-Res with deterministic hash draws — inclusion probability ∝
+    token count, partitioning-independent. One narrow projection +
+    WindowGroupLimit per-source top-k; no corpus shuffle."""
+    from vectorsearchutil_spark.functions.text import tokens_sql
+    from vectorsearchutil_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.selectExpr(
+        "doc_id", "source",
+        f"cast(size({tokens_sql('text')}) as int) AS n_tokens",
+    )
+    return weighted_reservoir_sample(
+        sized, k=5, weight_col="n_tokens", key_col="doc_id",
+        stratum_col="source",
+    )
+
+
 # --------------------------------------------------------------------------
 # Corpus mixture / rebalancing / global shuffle — the remaining
 # assembly steps between "cleaned corpus" and "training shards".
