@@ -164,3 +164,30 @@ def test_hll_streaming_accumulator(spark, sf_dir, events, tmp_path):
         for r in hll_distinct(events, ["event_type"], "user_id", b=8).collect()
     }
     assert a == b_
+
+
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    """Sketch-only overlap estimates land near truth: three synthetic
+    segments with engineered overlaps (50%, ~0%, nested)."""
+    from vectorsearchutil_spark.operators.sketches import (
+        kmv_overlap_pairs,
+        kmv_sketch,
+    )
+
+    rows = []
+    rows += [("a", v) for v in range(0, 2000)]        # A = [0, 2000)
+    rows += [("b", v) for v in range(1000, 3000)]     # B = [1000, 3000)
+    rows += [("c", v) for v in range(50000, 52000)]   # C disjoint
+    df = spark.createDataFrame(rows, ["seg", "val"])
+    sk = kmv_sketch(df, ["seg"], "val", k=256)
+    out = {
+        (r["key_a"], r["key_b"]): r
+        for r in kmv_overlap_pairs(sk, "seg", k=256).collect()
+    }
+    ab = out[("a", "b")]
+    # exact jaccard = 1000/3000 = 0.333; KMV rse ~ 1/sqrt(256) = 6%
+    assert abs(ab["jaccard_est"] - 1 / 3) < 0.1
+    assert abs(ab["intersection_est"] - 1000) < 350
+    assert abs(ab["union_est"] - 3000) < 600
+    ac = out[("a", "c")]
+    assert ac["jaccard_est"] < 0.02 and ac["intersection_est"] < 60

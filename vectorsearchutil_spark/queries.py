@@ -5500,6 +5500,66 @@ def events_user_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KMV_OVERLAP_ORACLE = """
+WITH h AS (
+  SELECT DISTINCT event_type,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+  FROM events
+),
+ranked AS (
+  SELECT event_type, hv,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+  FROM h
+),
+sk AS (
+  SELECT event_type, list(hv ORDER BY hv) AS kmv
+  FROM ranked WHERE rk <= 64 GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b,
+         a.kmv AS ka, b.kmv AS kb,
+         list_sort(list_distinct(a.kmv || b.kmv))[1:64] AS u
+  FROM sk a JOIN sk b ON a.event_type < b.event_type
+),
+calc AS (
+  SELECT key_a, key_b, len(u) AS nu, u[len(u)] AS umax,
+         len(list_filter(u,
+             x -> list_contains(ka, x) AND list_contains(kb, x))) AS n_match
+  FROM pairs
+),
+est AS (
+  SELECT key_a, key_b,
+         n_match * 1.0 / nu AS jac,
+         CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+              ELSE 63.0 / (umax / 1152921504606846976.0) END AS est_union
+  FROM calc
+)
+SELECT key_a, key_b,
+       ROUND(jac, 4) AS jaccard_est,
+       ROUND(jac * est_union, 2) AS intersection_est,
+       ROUND(est_union, 2) AS union_est
+FROM est
+"""
+
+
+@query("events_user_overlap_kmv", _KMV_OVERLAP_ORACLE)
+def events_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise audience overlap between event types, estimated from
+    KMV sketches alone (Beyer et al.): Jaccard = share of the union's
+    k smallest hashes present in both sketches; intersection =
+    jaccard · KMV-union-estimate. Every pair is answered from 2·64
+    longs — no distinct-value shuffle, no data re-scan; the audience-
+    overlap question a 100 TB event store answers from sketch state."""
+    from vectorsearchutil_spark.operators.sketches import (
+        kmv_overlap_pairs,
+        kmv_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch(ev, ["event_type"], "user_id", k=64)
+    return kmv_overlap_pairs(sk, "event_type", k=64)
+
+
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
        ROUND(SUM(value), 3) AS sum_value,
