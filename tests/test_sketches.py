@@ -191,3 +191,43 @@ def test_kmv_overlap_tracks_exact_jaccard(spark):
     assert abs(ab["union_est"] - 3000) < 600
     ac = out[("a", "c")]
     assert ac["jaccard_est"] < 0.02 and ac["intersection_est"] < 60
+
+
+def test_cms_never_underestimates_and_merges(spark):
+    """CMS guarantees: est >= exact for every value; two shard
+    sketches summed == whole-corpus sketch (merge by addition)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    rows = [(f"v{i % 50}",) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["val"]).cache()
+    cms = cms_table(df, "val", d=4, w=64).cache()
+    probes = df.distinct()
+    est = {
+        r["val"]: r["est_count"]
+        for r in cms_estimate(cms, probes, "val", d=4, w=64).collect()
+    }
+    exact = {
+        r["val"]: r["c"]
+        for r in df.groupBy("val").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert all(est[v] >= exact[v] for v in exact)
+    # collisions bounded: w=64 over 50 values, slack stays small
+    assert all(est[v] <= exact[v] + 600 for v in exact)
+
+    # mergeability: two disjoint shards' sketches add up to the
+    # whole-corpus sketch
+    shard_a = df.filter(F.substring("val", 2, 10).cast("int") < 25)
+    shard_b = df.filter(F.substring("val", 2, 10).cast("int") >= 25)
+    a = cms_table(shard_a, "val", d=4, w=64)
+    b = cms_table(shard_b, "val", d=4, w=64)
+    merged = (
+        a.unionByName(b).groupBy("i", "j").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = {(r["i"], r["j"]): r["cnt"] for r in cms.collect()}
+    got = {(r["i"], r["j"]): r["cnt"] for r in merged.collect()}
+    assert got == whole

@@ -345,3 +345,62 @@ def kmv_overlap_pairs(
         ),
         F.round("_est_union", 2).alias("union_est"),
     )
+
+
+def cms_table(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Count-Min Sketch as a counter table (keys..., i, j, cnt):
+    ``d`` hash rows × ``w`` columns, counter (i, j) = number of input
+    rows whose i-seeded md5 hash lands in column j. One pass with
+    partial aggregation; per-group state is at most d·w longs
+    regardless of cardinality, and sketches MERGE by plain counter
+    addition — the mergeable frequency-estimation path (heavy-hitter
+    screening, per-shard rollups) where exact per-token counts would
+    shuffle every distinct value. md5-seeded hashes make the sketch
+    re-derivable in any engine."""
+    keys = keys or []
+    js = ", ".join(
+        f"cast(conv(substring(md5(concat('{i}:', cast({value_col} as"
+        f" string))), 1, 15), 16, 10) as bigint) % {w}"
+        for i in range(d)
+    )
+    return (
+        df.selectExpr(*keys, f"posexplode(array({js})) as (i, j)")
+        .groupBy(*keys, "i", "j")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries_df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 256,
+    out_col: str = "est_count",
+) -> DataFrame:
+    """Point-frequency estimates from the sketch alone:
+    est(v) = min over rows i of counter[i][h_i(v)] — never an
+    underestimate (CMS guarantee), within eps·N with the standard
+    (d, w) probability. The query side expands each probe value to
+    its d (i, j) coordinates and joins the (tiny, broadcastable)
+    counter table; missing counters are zero."""
+    js = ", ".join(
+        f"cast(conv(substring(md5(concat('{i}:', cast({value_col} as"
+        f" string))), 1, 15), 16, 10) as bigint) % {w}"
+        for i in range(d)
+    )
+    probes = queries_df.selectExpr(
+        value_col, f"posexplode(array({js})) as (i, j)"
+    )
+    return (
+        probes.join(F.broadcast(cms), ["i", "j"], "left")
+        .fillna(0, subset=["cnt"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias(out_col))
+    )

@@ -5560,6 +5560,69 @@ def events_user_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_pairs(sk, "event_type", k=64)
 
 
+_CMS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+    AS token
+  FROM documents
+),
+exact AS (
+  SELECT token, COUNT(*) AS exact_count FROM tok GROUP BY token
+),
+top AS (
+  SELECT token, exact_count FROM exact
+  ORDER BY exact_count DESC, token LIMIT 20
+),
+cms AS (
+  SELECT i, j, COUNT(*) AS cnt
+  FROM (
+    SELECT ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || token),
+            1, 15))::BIGINT % 256 AS j, i.i AS i
+    FROM tok, range(0, 4) i(i)
+  ) GROUP BY i, j
+),
+probe AS (
+  SELECT t.token, t.exact_count, i.i AS i,
+         ('0x' || substr(md5(CAST(i.i AS VARCHAR) || ':' || t.token),
+          1, 15))::BIGINT % 256 AS j
+  FROM top t, range(0, 4) i(i)
+)
+SELECT p.token,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_count,
+       CAST(MAX(p.exact_count) AS BIGINT) AS exact_count
+FROM probe p LEFT JOIN cms c ON c.i = p.i AND c.j = p.j
+GROUP BY p.token
+"""
+
+
+@query("docs_token_cms", _CMS_ORACLE)
+def docs_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch over document tokens (4×256 counters, one
+    partial-agg pass, mergeable by addition) probed for the exact
+    top-20 tokens — est vs exact side by side. At 100 TB the sketch
+    replaces the full distinct-token shuffle for frequency screening;
+    estimates are never below truth (CMS guarantee, test-asserted)."""
+    from vectorsearchutil_spark.functions.text import tokens_sql
+    from vectorsearchutil_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(f"explode({tokens_sql('text')}) AS token")
+    cms = cms_table(toks, "token", d=4, w=256)
+    exact = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("exact_count")
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("token").asc()
+    ).limit(20)
+    est = cms_estimate(cms, top.select("token"), "token", d=4, w=256)
+    return top.join(est, "token").select(
+        "token", "est_count", F.col("exact_count").cast("long").alias("exact_count")
+    )
+
+
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
        ROUND(SUM(value), 3) AS sum_value,
