@@ -82,28 +82,62 @@ class ManifestLog:
     # -- transactions --------------------------------------------------
 
     def write_and_commit(
-        self, df: DataFrame, mode: str = "append", max_retries: int = 20
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        max_retries: int = 20,
+        stats_cols: list[str] | None = None,
     ) -> int:
         """Write ``df`` as a new immutable data directory, then commit
         it as the next version. ``mode='append'`` keeps the parent
         version's directories; ``'replace'`` starts fresh. Returns the
         committed version. A crash before the commit leaves only an
-        unreferenced directory (invisible; vacuum removes it)."""
+        unreferenced directory (invisible; vacuum removes it).
+
+        ``stats_cols`` records per-transaction min/max for those
+        columns in the manifest (computed from the written files, one
+        tiny agg over the tx directory) — the Delta-style data-
+        skipping statistics ``read_pruned`` uses to skip whole
+        transaction directories on range predicates."""
         assert mode in ("append", "replace")
         tx = f"tx-{uuid.uuid4().hex}"
         tx_dir = os.path.join(self.data_dir, tx)
         df.write.parquet(tx_dir)
+        tx_stats: dict[str, list] = {}
+        if stats_cols:
+            from pyspark.sql import functions as F
+
+            written = df.sparkSession.read.parquet(tx_dir)
+            row = written.agg(
+                *[
+                    agg(c).alias(f"{which}_{c}")
+                    for c in stats_cols
+                    for which, agg in (("min", F.min), ("max", F.max))
+                ]
+            ).first()
+            for c in stats_cols:
+                lo, hi = row[f"min_{c}"], row[f"max_{c}"]
+                if lo is not None:
+                    tx_stats[c] = [
+                        lo if isinstance(lo, (int, float)) else str(lo),
+                        hi if isinstance(hi, (int, float)) else str(hi),
+                    ]
         os.makedirs(self.log_dir, exist_ok=True)
         for _ in range(max_retries):
             parent = self.latest_version()
             version = 0 if parent is None else parent + 1
-            dirs = [] if (mode == "replace" or parent is None) else list(
-                self._manifest(parent)["dirs"]
-            )
+            if mode == "replace" or parent is None:
+                dirs, stats = [], {}
+            else:
+                pm = self._manifest(parent)
+                dirs = list(pm["dirs"])
+                stats = dict(pm.get("stats", {}))
             dirs.append(tx)
+            if tx_stats:
+                stats[tx] = tx_stats
             payload = json.dumps(
                 {"version": version, "parent": parent, "mode": mode,
-                 "dirs": dirs}
+                 "dirs": dirs, "stats": stats}
             )
             path = os.path.join(self.log_dir, f"v{version}.json")
             try:
@@ -131,6 +165,61 @@ class ManifestLog:
         return spark.read.parquet(
             *[os.path.join(self.data_dir, d) for d in dirs]
         )
+
+    def pruned_dirs(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> tuple[list[str], list[str]]:
+        """(kept, skipped) transaction directories for a range
+        predicate ``lo <= col <= hi``: a directory is skipped only
+        when its recorded [min, max] provably cannot overlap the
+        range. Directories WITHOUT stats for ``col`` are always kept
+        — skipping is never allowed to drop unknown data."""
+        if version is None:
+            version = self.latest_version()
+        if version is None:
+            return [], []
+        m = self._manifest(version)
+        stats = m.get("stats", {})
+        kept, skipped = [], []
+        for d in m["dirs"]:
+            s = stats.get(d, {}).get(col)
+            if s is not None and (
+                (hi is not None and s[0] > hi)
+                or (lo is not None and s[1] < lo)
+            ):
+                skipped.append(d)
+            else:
+                kept.append(d)
+        return kept, skipped
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame | None:
+        """The table filtered to ``lo <= col <= hi``, reading ONLY the
+        transaction directories whose stats overlap the range — at
+        scale this skips whole appends (e.g. time-partitioned ingest
+        queried by date) before any parquet footer is opened. The
+        residual filter still applies row-level (stats pruning is a
+        superset guarantee, same contract as parquet row-group
+        skipping)."""
+        from pyspark.sql import functions as F
+
+        kept, _ = self.pruned_dirs(col, lo, hi, version)
+        if not kept:
+            return None
+        df = spark.read.parquet(
+            *[os.path.join(self.data_dir, d) for d in kept]
+        )
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # -- maintenance ---------------------------------------------------
 
