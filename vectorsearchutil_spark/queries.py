@@ -5623,6 +5623,45 @@ def docs_token_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _zorder_inputs_sql() -> tuple[str, str]:
+    # bucket-normalize both columns onto the 16-bit key domain with
+    # integer math spelled identically in both engines (FLOOR, not
+    # CAST — DuckDB casts round where Spark truncates). The scale
+    # constants map the observed domains (user_id < 150, value < 500)
+    # onto [0, 65535]; production derives them from percentile stats.
+    a = "LEAST(GREATEST(user_id * 437, 0), 65535)"
+    b = "LEAST(GREATEST(CAST(FLOOR(value * 133) AS BIGINT), 0), 65535)"
+    return a, b
+
+
+def _zorder_hist_sql() -> str:
+    from vectorsearchutil_spark.functions.zorder import zorder_key_sql
+
+    a, b = _zorder_inputs_sql()
+    z = zorder_key_sql(a, b)
+    return f"""
+SELECT CAST({z} >> 26 AS INT) AS z_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       MIN({z}) AS z_min,
+       MAX({z}) AS z_max
+FROM events
+GROUP BY 1
+"""
+
+
+@query("events_zorder_histogram", _zorder_hist_sql())
+def events_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (user_id, value): bucket
+    histogram of the interleaved 32-bit key. The key is closed-form
+    bit arithmetic in whole-stage codegen (one narrow projection);
+    laid out via zorder_by + per-file stats it makes range predicates
+    on EITHER column prune files — the lakehouse multi-column layout
+    (test-asserted: partition z-ranges are disjoint and narrow)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(_zorder_hist_sql())
+
+
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
        ROUND(SUM(value), 3) AS sum_value,
