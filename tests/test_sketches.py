@@ -231,3 +231,52 @@ def test_cms_never_underestimates_and_merges(spark):
     whole = {(r["i"], r["j"]): r["cnt"] for r in cms.collect()}
     got = {(r["i"], r["j"]): r["cnt"] for r in merged.collect()}
     assert got == whole
+
+
+def test_cms_streaming_accumulator(spark, sf_dir, events, tmp_path):
+    """CMS counters as a streaming accumulator: per-micro-batch
+    sketches SUM-merged via foreachBatch converge to exactly the
+    batch sketch — frequency screening over an unbounded stream with
+    d x w fixed state (the additive twin of the HLL max-merge)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.operators.sketches import cms_table
+    from vectorsearchutil_spark.streaming.windows import read_events_stream
+
+    state_dir = str(tmp_path / "cms_state")
+    ckpt = str(tmp_path / "cms_ckpt")
+
+    def upsert(batch_df, batch_id):
+        import os
+
+        batch_cms = cms_table(batch_df, "event_type", d=4, w=64)
+        if os.path.isdir(state_dir):
+            prev = batch_df.sparkSession.read.parquet(state_dir)
+            merged = (
+                prev.unionByName(batch_cms)
+                .groupBy("i", "j")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        else:
+            merged = batch_cms
+        merged.write.mode("overwrite").parquet(state_dir + "_next")
+        nxt = batch_df.sparkSession.read.parquet(state_dir + "_next")
+        nxt.write.mode("overwrite").parquet(state_dir)
+
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["i"], r["j"]): r["cnt"]
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    batch = {
+        (r["i"], r["j"]): r["cnt"]
+        for r in cms_table(events, "event_type", d=4, w=64).collect()
+    }
+    assert streamed == batch
