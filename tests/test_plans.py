@@ -212,3 +212,47 @@ def test_tfidf_broadcasts_vocab(spark, sf_dir):
     df = Q.QUERIES["docs_tfidf_hashed"](spark, sf_dir)
     assert has_broadcast_join(df)  # df-table joins map-side
     assert_no_cartesian(df)
+
+
+def test_weighted_sample_windowgrouplimit(spark, sf_dir):
+    """Per-stratum weighted reservoir: the rank cut must run map-side
+    (WindowGroupLimit) so each task forwards at most k rows per
+    stratum into the single window shuffle."""
+    df = Q.QUERIES["docs_weighted_sample"](spark, sf_dir)
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_cms_probe_broadcasts_sketch(spark, sf_dir):
+    """CMS point queries join the (d x w row) counter table broadcast
+    — the corpus-side aggregation is the only shuffle."""
+    df = Q.QUERIES["docs_token_cms"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_neardup_blocked_no_driver_collect_in_plan(spark, sf_dir):
+    """The blocked exact all-pairs plan: block-pair tasks via
+    applyInPandas, the tiny task list broadcast, and NO driver-side
+    corpus materialization anywhere (the point of the strategy)."""
+    from vectorsearchutil_spark.operators.similarity import (
+        neardup_pairs_blocked,
+    )
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = neardup_pairs_blocked(emb, threshold=0.4, n_blocks=4)
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BroadcastExchange" in plan  # the 10-row task list
+    assert "CollectLimit" not in plan
+
+
+def test_zorder_key_stays_jvm_side(spark, sf_dir):
+    """The Morton key is closed-form bit arithmetic evaluated in the
+    JVM aggregate projection — no Python eval nodes, one partial-agg
+    shuffle, and the shift/mask expressions visible in the plan."""
+    df = Q.QUERIES["events_zorder_histogram"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange") == 1  # partial+final agg only
+    assert "shiftleft" in plan and "1431655765" in plan
