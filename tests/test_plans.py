@@ -254,5 +254,8 @@ def test_zorder_key_stays_jvm_side(spark, sf_dir):
     df = Q.QUERIES["events_zorder_histogram"](spark, sf_dir)
     plan = formatted_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    assert plan.count("Exchange") == 1  # partial+final agg only
-    assert "shiftleft" in plan and "1431655765" in plan
+    # exactly one Exchange NODE (tree line + its detail block): the
+    # partial+final aggregate shuffle and nothing else
+    tree = plan.partition("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "<<" in plan and "1431655765" in plan
