@@ -65,6 +65,13 @@ HEADLINE = [
     "events_user_hll_distinct",
     "docs_temperature_sample",
     "docs_unigram_logprob",
+    # round 3
+    "dedup_embedding_cosine_blocked",
+    "docs_pack_bins_ffd",
+    "docs_weighted_sample",
+    "docs_token_cms",
+    "events_user_overlap_kmv",
+    "events_zorder_histogram",
 ]
 
 

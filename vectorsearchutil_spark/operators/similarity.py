@@ -81,23 +81,31 @@ def neardup_pairs_matrix(
     def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids = b_ids.value
         all_mat = b_mat.value
+        # bound the dense score allocation: an Arrow batch is ~10k
+        # rows, so batch×corpus doubles would be batch-size-dependent
+        # GBs at large n (measured: a 125k-vector corpus OOM-killed
+        # the worker). Chunk rows so each sims block stays ≤ ~256 MB;
+        # thresholding happens per chunk, so only survivors accumulate.
+        chunk = max(1, 32_000_000 // max(1, len(all_ids)))
         for pdf in batches:
             q = np.array(list(pdf[vector_col]), dtype=np.float64)
             qn = np.linalg.norm(q, axis=1)
             qn[qn == 0.0] = 1.0
-            sims = (q / qn[:, None]) @ all_mat.T
+            qs = q / qn[:, None]
             qa = pdf[id_col].to_numpy(dtype=np.int64)
-            ai, bj = np.nonzero(sims >= threshold)
-            id_a = qa[ai]
-            id_b = all_ids[bj]
-            keep = id_a < id_b
-            yield pd.DataFrame(
-                {
-                    "id_a": id_a[keep],
-                    "id_b": id_b[keep],
-                    "cosine": sims[ai[keep], bj[keep]],
-                }
-            )
+            for lo in range(0, len(qa), chunk):
+                sims = qs[lo : lo + chunk] @ all_mat.T
+                ai, bj = np.nonzero(sims >= threshold)
+                id_a = qa[lo : lo + chunk][ai]
+                id_b = all_ids[bj]
+                keep = id_a < id_b
+                yield pd.DataFrame(
+                    {
+                        "id_a": id_a[keep],
+                        "id_b": id_b[keep],
+                        "cosine": sims[ai[keep], bj[keep]],
+                    }
+                )
 
     return (
         df.select(id_col, vector_col)
@@ -171,21 +179,33 @@ def neardup_pairs_blocked(
 
         a_ids, a_mat = matrix(pdf[pdf["_side"] == 0])
         if ba == bb:
-            sims = a_mat @ a_mat.T
-            # ids ascend with the index → upper triangle is id_a < id_b
-            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-            id_a, id_b = a_ids[ai], a_ids[bj]
+            b_ids_arr, b_mat_arr = a_ids, a_mat
         else:
-            b_ids, b_mat = matrix(pdf[pdf["_side"] == 1])
-            if not len(a_ids) or not len(b_ids):
-                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-            sims = a_mat @ b_mat.T
+            b_ids_arr, b_mat_arr = matrix(pdf[pdf["_side"] == 1])
+        if not len(a_ids) or not len(b_ids_arr):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        # chunk the A side so the dense block stays ≤ ~256 MB even for
+        # large blocks (same lesson as the matrix path: score memory
+        # must be bounded by a constant, not by block size)
+        chunk = max(1, 32_000_000 // len(b_ids_arr))
+        outs = []
+        for lo in range(0, len(a_ids), chunk):
+            sims = a_mat[lo : lo + chunk] @ b_mat_arr.T
             ai, bj = np.nonzero(sims >= threshold)
-            left, right = a_ids[ai], b_ids[bj]
-            id_a, id_b = np.minimum(left, right), np.maximum(left, right)
-        return pd.DataFrame(
-            {"id_a": id_a, "id_b": id_b, "cosine": sims[ai, bj]}
-        )
+            left, right = a_ids[lo : lo + chunk][ai], b_ids_arr[bj]
+            if ba == bb:
+                keep = left < right  # upper triangle: id_a < id_b
+            else:
+                keep = np.ones(len(left), dtype=bool)
+            id_a = np.minimum(left[keep], right[keep])
+            id_b = np.maximum(left[keep], right[keep])
+            outs.append(
+                pd.DataFrame(
+                    {"id_a": id_a, "id_b": id_b,
+                     "cosine": sims[ai[keep], bj[keep]]}
+                )
+            )
+        return pd.concat(outs, ignore_index=True)
 
     return (
         side_a.unionByName(side_b)
@@ -202,23 +222,28 @@ def neardup_pairs(
     threshold: float = 0.9,
     strategy: str = "auto",
     dim: int = 64,
-    matrix_max_cells: int = 50_000_000,
-    n_blocks: int = 8,
+    matrix_max_cells: int = 5_000_000,
+    n_blocks: int = 32,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs with size-gated physical strategy
     (the broadcast-join analogy, mirroring ``kmeans(strategy="auto")``):
 
     * ``matrix`` — collect+broadcast the corpus matrix, one narrow
-      BLAS pass (fastest; bounded by driver/executor memory, default
-      gate 50M cells ≈ 400 MB float64);
+      BLAS pass (fastest at small n where the driver round-trip is
+      the whole cost);
     * ``blocked`` — distributed block-pair tasks, no driver collect,
       identical results (the production path above the gate);
     * ``auto`` — pick by ``n_rows·dim`` (pass ``n_rows`` when known
       to avoid the sizing count job).
 
-    Both paths return identical (id_a, id_b, cosine) rows, so the
-    same oracle covers them.
+    The 5M-cell default gate (~78k×64) is MEASURED, not a memory
+    bound: at 50k×64 the matrix path wins (0.6 s vs 1.5 s — task
+    overhead dominates), at 125k×64 the blocked path wins 51.4 s vs
+    11.1 s at n_blocks=32 (even work distribution beats the single
+    broadcast pass once n² compute dwarfs the fixed overhead; PERF.md
+    round 3). Both paths return identical (id_a, id_b, cosine) rows,
+    so the same oracle covers them.
     """
     if strategy == "auto":
         if n_rows is None:
