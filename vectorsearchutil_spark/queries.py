@@ -5923,10 +5923,23 @@ _DRIVER_VERIFIED_R2 = [
     "dedup_embedding_lsh", "kmeans_clusters",
 ]
 
+#: round-3 additions promoted to the head of the unverified section so
+#: the driver's capped window verifies this round's new operators
+_ROUND3_NEW = [
+    "dedup_embedding_cosine_blocked", "docs_pack_bins_ffd",
+    "docs_weighted_sample", "docs_token_cms", "events_user_overlap_kmv",
+    "events_zorder_histogram",
+]
+
+
 def _reorder_unverified_first() -> None:
     verified = [n for n in _DRIVER_VERIFIED_R2 if n in QUERIES]
-    unverified = [n for n in QUERIES if n not in set(_DRIVER_VERIFIED_R2)]
-    ordering = unverified + verified
+    new_first = [n for n in _ROUND3_NEW if n in QUERIES]
+    unverified = [
+        n for n in QUERIES
+        if n not in set(_DRIVER_VERIFIED_R2) and n not in set(new_first)
+    ]
+    ordering = new_first + unverified + verified
     assert sorted(ordering) == sorted(QUERIES), "registry reorder lost entries"
     for d in (QUERIES, ORACLES):
         snapshot = dict(d)
