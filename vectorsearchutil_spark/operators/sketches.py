@@ -304,7 +304,10 @@ def kmv_overlap_pairs(
     every pairwise audience/corpus overlap among G groups costs
     O(G²·k) longs, independent of data size; no re-scan, no
     distinct-value shuffle. Mergeability means segment sketches can be
-    rolled up first (union + re-truncate) and compared later."""
+    rolled up first (union + re-truncate) and compared later. The G²
+    pair enumeration itself is the scale bound: fine for thousands of
+    groups; beyond that, prefilter candidate pairs (e.g. by a cheap
+    per-group signature band) before estimating."""
     a = sketches.select(
         F.col(key_col).alias("key_a"), F.col(sketch_col).alias("_ka")
     )

@@ -24,6 +24,13 @@ that problem:
   retries on the next version (optimistic concurrency);
 * **vacuum** removes data directories no manifest references.
 
+Known bound: ``latest_version`` lists the log directory, so commit
+history grows the listing O(versions); Delta solves this with
+periodic checkpoint files. Here ``compact()`` + ``vacuum()`` keep the
+DATA dir bounded, and a deployment doing thousands of commits should
+additionally prune old ``v*.json`` (they are only needed for time
+travel).
+
 Contrast with the reference's per-row SQLite transactions
 (``vsu/base/VectorSearchBase.py:78``): one commit per distributed
 batch, same atomicity guarantee, object-store-safe.
