@@ -326,3 +326,50 @@ def test_dedup_state_gate_matches_stateless(spark, tmp_path):
         for r in vs2.ingest_dedup_check(incoming, threshold=0.5).collect()
     }
     assert got2 == got
+
+
+# -- materialized IVF index (the reference's vss/faiss analog) --------
+
+
+def test_ann_index_query_and_pruning(spark, tmp_path):
+    """build_ann_index + query_ann: self-match always found, results
+    a subset contract of exact query (same ordering rules), probing
+    ALL lists == exact, and the probe scan is partition-pruned."""
+    import numpy as np
+
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    rng = np.random.RandomState(3)
+    rows = [
+        (f"doc {i}", [float(x) for x in rng.randn(16)]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["target", "vector"])
+    path = str(tmp_path / "annstore.parquet")
+    vs = VectorStore(spark, path=path)
+    vs.set_data(df)
+    vs.build_ann_index(n_lists=4)
+
+    qvec = rows[7][1]
+    exact = [r["id"] for r in vs.query(qvec, k=5).collect()]
+    approx_all = [
+        r["id"] for r in vs.query_ann(qvec, k=5, n_probe=4).collect()
+    ]
+    assert approx_all == exact  # probing every list == exact
+
+    approx = vs.query_ann(qvec, k=5, n_probe=1)
+    got = [r["id"] for r in approx.collect()]
+    assert exact[0] in got  # the self-match's list is always probed
+
+    # partition pruning is visible in the scan
+    import os
+
+    lists = spark.read.parquet(
+        os.path.join(vs._ivf_path, "lists")
+    ).filter(F.col("centroid_id").isin([0, 1]))
+    plan = formatted_plan(lists)
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    # index is addressable after reopen via explicit path
+    vs2 = VectorStore(spark, path=path)
+    again = vs2.query_ann(qvec, k=5, n_probe=4, index_path=vs._ivf_path)
+    assert [r["id"] for r in again.collect()] == exact

@@ -482,6 +482,102 @@ class VectorStore:
 
         return prune_all_null_columns(res)
 
+    # -- ANN index (reference vss/faiss analog at scale) ---------------
+
+    def build_ann_index(
+        self, n_lists: int = 8, index_path: str | None = None
+    ) -> None:
+        """Materialize an IVF index over the store's vectors — the
+        scale analog of the reference's faiss-backed ``vss`` table
+        (vsu/base/VectorSearchBase.py:54-59). Exact kNN (``query``)
+        subsumes ANN on correctness; this is the sublinear-read path.
+
+        k-means centroids (size-gated driver/distributed strategy)
+        define the coarse lists; the corpus is written PARTITIONED BY
+        list id, so a probe-limited search is partition pruning — at
+        100 TB each query reads n_probe/n_lists of the index. The
+        centroid table (k rows) persists next to it. Rebuild after
+        large appends (same posture as faiss retraining)."""
+        import os
+
+        from vectorsearchutil_spark.operators.clustering import kmeans
+        from vectorsearchutil_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        if self._df is None:
+            return
+        if index_path is None:
+            base = (
+                self.path if self.path is not None
+                else self.acid.base if self.acid is not None
+                else None
+            )
+            if base is None:
+                raise ValueError(
+                    "index_path= required for cache-mode stores"
+                )
+            index_path = base.rstrip("/") + "__ivf"
+        _, centroids = kmeans(
+            self.data, k=n_lists, vector_col="vector", id_col="id"
+        )
+        cents = centroids.select(
+            F.col("cid").alias("centroid_id"),
+            F.col("cv").alias("centroid_vec"),
+        )
+        indexed = build_ivf_index(
+            self.data, cents, vector_col="vector", id_col="id"
+        )
+        indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(
+            os.path.join(index_path, "lists")
+        )
+        cents.write.mode("overwrite").parquet(
+            os.path.join(index_path, "centroids")
+        )
+        self._ivf_path = index_path
+
+    def query_ann(
+        self,
+        q: str | Sequence[float],
+        k: int = 5,
+        n_probe: int = 2,
+        index_path: str | None = None,
+    ) -> DataFrame | None:
+        """Approximate kNN through the materialized IVF index: pick
+        the n_probe nearest lists driver-side (k-row centroid table),
+        scan ONLY those partitions (PartitionFilters — test-asserted),
+        exact distance + top-k inside them. Same result contract as
+        ``query`` (ascending L2, ties by id); recall < 1 by design."""
+        import os
+
+        from vectorsearchutil_spark.operators.knn import knn
+
+        index_path = index_path or getattr(self, "_ivf_path", None)
+        if index_path is None or self._df is None:
+            return None
+        if isinstance(q, str):
+            qdf = self.spark.createDataFrame([(q,)], ["target"])
+            qvec = qdf.select(
+                embed_udf(self.embedder)(F.col("target")).alias("v")
+            ).first()[0]
+        else:
+            qvec = [float(x) for x in q]
+        cents = self.spark.read.parquet(
+            os.path.join(index_path, "centroids")
+        ).collect()
+        scored = sorted(
+            (
+                sum((float(a) - float(b)) ** 2 for a, b in zip(qvec, r[1])),
+                int(r[0]),
+            )
+            for r in cents
+        )
+        probes = [cid for _, cid in scored[:n_probe]]
+        lists = self.spark.read.parquet(os.path.join(index_path, "lists"))
+        pruned = lists.filter(F.col("centroid_id").isin(probes))
+        out = knn(pruned, qvec, k=k, vector_col="vector", id_col="id")
+        return out.select("id", *SAVE_COLUMNS, "distance")
+
     # -- zero-shot (A8/A9/A19) ----------------------------------------
 
     def set_zeroshot_labels(self, labels: Sequence[str]) -> None:
