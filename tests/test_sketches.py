@@ -280,3 +280,36 @@ def test_cms_streaming_accumulator(spark, sf_dir, events, tmp_path):
         for r in cms_table(events, "event_type", d=4, w=64).collect()
     }
     assert streamed == batch
+
+
+def test_heavy_hitters_exact_complete_recall(spark):
+    """Two-pass heavy hitters == naive groupBy+filter, regardless of
+    how rows are partitioned (the pigeonhole recall guarantee), and
+    a skewed layout cannot create false negatives."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.operators.sketches import heavy_hitters_exact
+
+    # 3 heavy values (>= 5%) + long tail
+    rows = (
+        [("hot1",)] * 600 + [("hot2",)] * 400 + [("hot3",)] * 300
+        + [(f"tail{i}",) for i in range(4700)]
+    )
+    df = spark.createDataFrame(rows, ["v"])
+
+    def naive(d):
+        total = d.count()
+        return {
+            (r["v"], r["c"])
+            for r in d.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+            .filter(F.col("c") >= 0.05 * total).collect()
+        }
+
+    want = naive(df)
+    assert {v for v, _ in want} == {"hot1", "hot2", "hot3"}
+    for layout in (df, df.repartition(32), df.repartition(2, "v")):
+        got = {
+            (r["v"], r["cnt"])
+            for r in heavy_hitters_exact(layout, "v", phi=0.05).collect()
+        }
+        assert got == want

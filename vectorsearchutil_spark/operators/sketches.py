@@ -407,3 +407,61 @@ def cms_estimate(
         .groupBy(value_col)
         .agg(F.min("cnt").alias(out_col))
     )
+
+
+def heavy_hitters_exact(
+    df: DataFrame,
+    value_col: str,
+    phi: float = 0.01,
+    out_col: str = "cnt",
+) -> DataFrame:
+    """EXACT φ-heavy hitters (values with global share ≥ φ) in two
+    passes with no full distinct-value shuffle — the 100 TB
+    frequency-mining pattern.
+
+    Pass 1 (map-side, zero shuffle): each partition counts locally
+    and emits only values whose LOCAL share ≥ φ, plus one sentinel
+    row carrying the partition's row count. By averaging/pigeonhole a
+    global φ-heavy hitter must exceed share φ in at least one
+    partition, so the candidate union has COMPLETE recall. Pass 2:
+    exact counts for the (tiny, broadcast) candidate set only; the
+    final filter applies the true global threshold, discarding
+    false candidates. The two-pass plan is invisible in the result —
+    the oracle is a plain GROUP BY + HAVING.
+
+    Per-partition memory is the partition's distinct-value count; for
+    vocabulary-heavy partitions swap the Counter for a CMS (its
+    overestimates keep candidate recall complete, memory fixed).
+    """
+    import pandas as pd
+
+    vtype = df.schema[value_col].dataType.simpleString()
+    schema = f"{value_col} {vtype}, _ln bigint"
+
+    def local_candidates(batches):
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n = 0
+        for pdf in batches:
+            counts.update(pdf[value_col])
+            n += len(pdf)
+        thr = phi * n
+        cand = [v for v, c in counts.items() if c >= thr]
+        yield pd.DataFrame(
+            {value_col: cand + [None], "_ln": [None] * len(cand) + [n]}
+        )
+
+    pass1 = df.select(value_col).mapInPandas(local_candidates, schema).cache()
+    total = (
+        pass1.agg(F.sum("_ln").alias("n")).first()["n"] or 0
+    )
+    cand = pass1.filter(F.col(value_col).isNotNull()).select(
+        value_col
+    ).distinct()
+    return (
+        df.join(F.broadcast(cand), value_col)
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias(out_col))
+        .filter(F.col(out_col) >= F.lit(phi) * F.lit(float(total)))
+    )

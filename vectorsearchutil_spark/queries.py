@@ -5662,6 +5662,38 @@ def events_zorder_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_zorder_hist_sql())
 
 
+_HEAVY_HITTERS_ORACLE = """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+    AS token
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n FROM tok)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM tok, tot
+GROUP BY token, tot.n
+HAVING COUNT(*) >= 0.03 * tot.n
+"""
+
+
+@query("docs_heavy_tokens", _HEAVY_HITTERS_ORACLE)
+def docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT 3%-heavy tokens via the two-pass plan: map-side local
+    candidate generation (pigeonhole guarantees complete recall, zero
+    shuffle), then exact counts for the broadcast candidate set only.
+    The oracle is the naive GROUP BY + HAVING — the distributed plan
+    is invisible in the result, while at 100 TB it never shuffles the
+    full token multiset."""
+    from vectorsearchutil_spark.functions.text import tokens_sql
+    from vectorsearchutil_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(f"explode({tokens_sql('text')}) AS token")
+    return heavy_hitters_exact(toks, "token", phi=0.03)
+
+
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
        ROUND(SUM(value), 3) AS sum_value,
