@@ -72,6 +72,7 @@ HEADLINE = [
     "docs_token_cms",
     "events_user_overlap_kmv",
     "events_zorder_histogram",
+    "docs_heavy_tokens",
 ]
 
 

@@ -5960,7 +5960,7 @@ _DRIVER_VERIFIED_R2 = [
 _ROUND3_NEW = [
     "dedup_embedding_cosine_blocked", "docs_pack_bins_ffd",
     "docs_weighted_sample", "docs_token_cms", "events_user_overlap_kmv",
-    "events_zorder_histogram",
+    "events_zorder_histogram", "docs_heavy_tokens",
 ]
 
 
