@@ -227,3 +227,67 @@ def test_pack_windows_conservation(spark, texts):
     for r in rows:
         assert r["start_offset"] == expect
         expect += r["n_tokens"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(1, 40)),
+        min_size=5,
+        max_size=60,
+    ),
+    st.sampled_from([0.05, 0.1, 0.2]),
+)
+def test_heavy_hitters_equals_naive_on_arbitrary_data(spark, pairs, phi):
+    """Two-pass heavy hitters ≡ naive GROUP BY + threshold for any
+    multiset and any φ (complete recall, no false positives)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.operators.sketches import heavy_hitters_exact
+
+    rows = [(f"v{v}",) for v, cnt in pairs for _ in range(cnt)]
+    df = spark.createDataFrame(rows, ["v"]).repartition(7)
+    total = len(rows)
+    naive = {
+        (r["v"], r["c"])
+        for r in df.groupBy("v").agg(F.count(F.lit(1)).alias("c")).collect()
+        if r["c"] >= phi * total
+    }
+    got = {
+        (r["v"], r["cnt"])
+        for r in heavy_hitters_exact(df, "v", phi=phi).collect()
+    }
+    assert got == naive
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(1, 80), min_size=1, max_size=40),
+    st.sampled_from([64, 100]),
+)
+def test_ffd_packing_valid_for_any_sizes(spark, sizes, cap):
+    """FFD invariants on arbitrary inputs: every bin ≤ capacity
+    (oversized docs alone in their bin), every doc placed exactly
+    once, bins numbered contiguously from 0."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_bins_first_fit_decreasing,
+    )
+
+    rows = [
+        (i, "g", " ".join("w" for _ in range(n)))
+        for i, n in enumerate(sizes)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = pack_bins_first_fit_decreasing(df, capacity=cap).collect()
+    assert sorted(r["doc_id"] for r in out) == sorted(
+        i for i, _ in enumerate(sizes)
+    )
+    fills: dict[int, int] = {}
+    for r in out:
+        fills[r["bin_idx"]] = max(fills.get(r["bin_idx"], 0), r["bin_fill"])
+    n_docs_in_bin: dict[int, int] = {}
+    for r in out:
+        n_docs_in_bin[r["bin_idx"]] = n_docs_in_bin.get(r["bin_idx"], 0) + 1
+    for b, fill in fills.items():
+        assert fill <= cap or n_docs_in_bin[b] == 1  # oversized -> alone
+    assert sorted(fills) == list(range(len(fills)))  # contiguous bins
