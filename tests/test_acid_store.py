@@ -193,3 +193,47 @@ def test_manifest_stats_prune_appends(spark, tmp_path):
     # fully out-of-range -> only the stats-less dir remains
     out4 = log.read_pruned(spark, "id", lo=10_000, hi=20_000)
     assert out4 is None or out4.count() == 0
+
+
+def test_empty_manifest_is_uncommitted(spark, tmp_path):
+    """ADVICE r3 (high): an empty/unparsable v<N>.json (a writer that
+    died mid-put under a pre-atomic-commit layout) must read as
+    uncommitted — readers see the previous version, and a new commit
+    skips over the occupied version number instead of crashing or
+    spinning on it."""
+    log = ManifestLog(str(tmp_path / "empty"))
+    log.write_and_commit(spark.createDataFrame([(1,)], ["x"]))
+    # legacy-crash debris: the name exists, the payload never arrived
+    open(os.path.join(log.log_dir, "v1.json"), "w").close()
+    assert log.latest_version() == 0
+    assert sorted(r["x"] for r in log.read(spark).collect()) == [1]
+    v = log.write_and_commit(spark.createDataFrame([(2,)], ["x"]))
+    assert v == 2  # v1 is permanently occupied by garbage; skipped
+    assert sorted(r["x"] for r in log.read(spark).collect()) == [1, 2]
+
+
+def test_commit_leaves_no_temp_or_partial_manifest(spark, tmp_path):
+    """Every published v<N>.json must be complete (json-parsable) and
+    no .tmp- staging file may survive a successful commit."""
+    log = ManifestLog(str(tmp_path / "atomic"))
+    for i in range(3):
+        log.write_and_commit(spark.createDataFrame([(i,)], ["x"]))
+    names = sorted(os.listdir(log.log_dir))
+    assert names == ["v0.json", "v1.json", "v2.json"]
+    for n in names:
+        with open(os.path.join(log.log_dir, n)) as fh:
+            m = json.load(fh)
+        assert m["dirs"]
+
+
+def test_vacuum_removes_stale_commit_temps(spark, tmp_path):
+    log = ManifestLog(str(tmp_path / "staletmp"))
+    log.write_and_commit(spark.createDataFrame([(1,)], ["x"]))
+    stale = os.path.join(log.log_dir, ".tmp-deadbeef.json")
+    open(stale, "w").close()
+    os.utime(stale, (0, 0))  # ancient mtime -> eligible
+    fresh = os.path.join(log.log_dir, ".tmp-cafe.json")
+    open(fresh, "w").close()  # in-flight writer -> must survive
+    log.vacuum()
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh)

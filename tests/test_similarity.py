@@ -151,3 +151,23 @@ def test_ivf_partitioned_storage_prunes(spark, emb, tmp_path):
     # only the probed lists' rows come back
     got = set(r["centroid_id"] for r in probed.select("centroid_id").distinct().collect())
     assert got <= {1, 3}
+
+
+def test_neardup_blocked_empty_blocks(spark):
+    """ADVICE r3 (medium): n_blocks ≫ rows leaves some block pairs
+    with an empty side; those tasks must yield zero pairs, not raise
+    AxisError from norm(axis=1) on a 1-D empty array. 6 rows at the
+    neardup_pairs default n_blocks=32 exercises it."""
+    rows = [(i, [1.0, float(i % 2)]) for i in range(6)]
+    tiny = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    want = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in neardup_pairs_matrix(tiny, threshold=0.9).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in neardup_pairs(
+            tiny, threshold=0.9, strategy="blocked"
+        ).collect()
+    }
+    assert got == want and len(got) > 0

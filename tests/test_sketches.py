@@ -313,3 +313,27 @@ def test_heavy_hitters_exact_complete_recall(spark):
             for r in heavy_hitters_exact(layout, "v", phi=0.05).collect()
         }
         assert got == want
+
+
+def test_histogram_quantiles_ignores_nulls(spark, events):
+    """ADVICE r3 (low): null values must neither crash the collected-
+    sketch sort (None vs int) nor fold into the total; estimates are
+    over non-null values only."""
+    from vectorsearchutil_spark.operators.sketches import histogram_quantiles
+
+    with_nulls = events.select("value").unionByName(
+        spark.range(50).selectExpr("CAST(NULL AS DOUBLE) AS value")
+    )
+    got = {
+        r["p"]: r["est"]
+        for r in histogram_quantiles(
+            with_nulls, "value", lo=0.0, hi=500.0, bins=128
+        ).collect()
+    }
+    clean = {
+        r["p"]: r["est"]
+        for r in histogram_quantiles(
+            events, "value", lo=0.0, hi=500.0, bins=128
+        ).collect()
+    }
+    assert got == clean

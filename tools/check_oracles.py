@@ -13,6 +13,7 @@ the ENTIRE registry (the driver's own file caps at ~50 entries).
 
 from __future__ import annotations
 
+import decimal
 import json
 import math
 import sys
@@ -24,14 +25,42 @@ sys.path.insert(0, ROOT)
 SF_DIR = "/root/testdata/sf0.01"
 
 
+class DriverIncompatible(Exception):
+    """Output shape the driver's canonicalizer cannot hash."""
+
+
 def norm_cell(v):
+    """Driver-strict canonical cell: full precision, dtype-tagged.
+
+    The r3 lesson (VERDICT r3 "What's wrong" #5): ``%.6g`` erased
+    int-vs-float dtype and absorbed >6-sig-fig diffs, so q12/q9
+    shipped self-green but driver-red. The driver compares typed
+    values at full precision and CRASHES on list cells — so this
+    canonicalizer tags every cell with its Python type and refuses
+    containers outright. A self-green row is now at least as strict
+    as a driver-green row.
+    """
+    if v is None:
+        return "null"
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return f"bool:{v}"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return f"{v:.6g}"
-    if isinstance(v, list):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    return str(v)
+            return "float:nan"
+        return f"float:{v!r}"
+    if isinstance(v, int):
+        return f"int:{v}"
+    if isinstance(v, decimal.Decimal):
+        # scale-insensitive (123.45 ≡ 123.450) but exact-valued, the
+        # way hashing Decimal objects behaves driver-side
+        return f"decimal:{format(v.normalize(), 'f')}"
+    if isinstance(v, (list, tuple, set, dict, bytes, bytearray)):
+        raise DriverIncompatible(
+            f"container-typed cell ({type(v).__name__}) — the driver's "
+            "canonicalizer crashes on unhashable cells; stringify the "
+            "column in the final projection on both sides"
+        )
+    return f"{type(v).__name__}:{v}"
 
 
 def norm_rows(cols, rows):
@@ -118,12 +147,18 @@ def main():
         if not rec["rows_match"]:
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if not problems:
-            a = norm_rows(scols, srows)
-            b = norm_rows(dcols, drows)
-            rec["hash_match"] = a == b
-            if a != b:
-                diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
-                problems.append(f"values differ; first diffs: {diff}")
+            try:
+                a = norm_rows(scols, srows)
+                b = norm_rows(dcols, drows)
+            except DriverIncompatible as e:
+                rec["hash_match"] = False
+                rec["err"] = f"driver-incompatible: {e}"[:500]
+                problems.append(str(e))
+            else:
+                rec["hash_match"] = a == b
+                if a != b:
+                    diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
+                    problems.append(f"values differ; first diffs: {diff}")
         else:
             rec["hash_match"] = False
         if problems:

@@ -170,6 +170,11 @@ def neardup_pairs_blocked(
         ba, bb = int(key[0]), int(key[1])
 
         def matrix(part: pd.DataFrame) -> tuple[np.ndarray, np.ndarray]:
+            if not len(part):
+                # np.array([]) is 1-D; norm(axis=1) on it raises
+                # AxisError. An empty side (tiny/skewed corpus, or
+                # n_blocks > ~rows) must yield zero pairs instead.
+                return np.empty(0, dtype=np.int64), np.empty((0, 1))
             part = part.sort_values("_id")
             ids = part["_id"].to_numpy(dtype=np.int64)
             m = np.array(list(part["_vec"]), dtype=np.float64)

@@ -217,6 +217,10 @@ def histogram_quantiles(
     edge bins. Estimation error is bounded by the bin width.
     """
     width = (float(hi) - float(lo)) / bins
+    # nulls produce a null bucket (floor(null)) which both breaks the
+    # collected-sketch sort (None vs int) and would silently fold into
+    # the total; quantiles are defined over non-null values only
+    df = df.filter(F.col(value_col).isNotNull())
     bucket = F.least(
         F.greatest(
             F.floor((F.col(value_col) - F.lit(float(lo))) / F.lit(width)),

@@ -2761,10 +2761,10 @@ def orders_percentiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFram
 
 _Q12_ORACLE = """
 SELECT l.l_returnflag,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM orders o
 JOIN lineitem l ON o.o_orderkey = l.l_orderkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -2944,12 +2944,14 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q9_ORACLE = """
-SELECT nation, o_year, ROUND(SUM(amount), 2) AS sum_profit
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n.n_name AS nation,
          CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
-         l.l_extendedprice * (1 - l.l_discount)
-           - p.p_retailprice * l.l_quantity AS amount
+         CAST(l.l_extendedprice AS DECIMAL(18,2))
+             * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+           - CAST(p.p_retailprice AS DECIMAL(18,2))
+             * CAST(l.l_quantity AS DECIMAL(18,2)) AS amount
   FROM lineitem l
   JOIN part p     ON p.p_partkey = l.l_partkey
   JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -2967,15 +2969,23 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     partsupp in the reduced star): profit by supplier nation and
     order year across a 5-way join with a LIKE-filtered part dim.
     part/supplier/nation broadcast; orders⋈lineitem is the only
-    fact-fact shuffle."""
+    fact-fact shuffle.
+
+    The money math runs in DECIMAL(18,2): the source prices are 2dp
+    decimals stored as doubles, so the cast recovers them exactly and
+    the SUM is order-independent — double summation at a half-cent
+    boundary flipped ROUND by one cent depending on partition order
+    (driver-red r3). Final value casts back to double for the stable
+    cross-engine dtype."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     n = load_table(spark, sf_dir, "nation")
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    amount = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - dec(
         "p_retailprice"
-    ) * F.col("l_quantity")
+    ) * dec("l_quantity")
     return (
         li.join(
             F.broadcast(p.filter(F.col("p_name").like("%a%"))),
@@ -2988,7 +2998,9 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(
+            F.round(F.sum(amount), 2).cast("double").alias("sum_profit")
+        )
     )
 
 
@@ -3041,7 +3053,10 @@ WITH n AS (
 )
 SELECT vec_id,
        ROUND(norm, 6) AS norm,
-       list_transform(v, x -> ROUND(x / norm, 4) + 0.0) AS unit_vec
+       array_to_string(
+         list_transform(v, x -> printf('%.4f', ROUND(x / norm, 4) + 0.0)),
+         ','
+       ) AS unit_vec
 FROM n
 """
 
@@ -3050,7 +3065,12 @@ FROM n
 def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unit-L2 normalization as a narrow projection (dot ≡ cosine
     downstream). The norm is materialized as its own column BEFORE the
-    transform lambda references it — lambda bodies are not CSE'd."""
+    transform lambda references it — lambda bodies are not CSE'd.
+
+    The unit vector leaves as a ','-joined %.4f string: the driver's
+    canonicalizer cannot hash list cells (pandas sort_values raises
+    on them — driver-red r3), so array outputs stringify in the final
+    projection on BOTH sides."""
     from vectorsearchutil_spark.operators.embeddings import normalize_vectors
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -3059,8 +3079,14 @@ def embedding_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("norm"), 6).alias("norm"),
         # + 0.0 canonicalizes IEEE -0.0 (both sides do this)
-        F.transform(
-            F.col("unit_vec"), lambda x: F.round(x, 4) + F.lit(0.0)
+        F.array_join(
+            F.transform(
+                F.col("unit_vec"),
+                lambda x: F.format_string(
+                    "%.4f", F.round(x, 4) + F.lit(0.0)
+                ),
+            ),
+            ",",
         ).alias("unit_vec"),
     )
 
@@ -3075,9 +3101,12 @@ WITH s AS (
 )
 SELECT vec_id,
        ROUND(scale, 6) AS scale,
-       list_transform(
-         v,
-         x -> CAST(least(127, greatest(-127, ROUND(x / scale, 0))) AS INT)
+       array_to_string(
+         list_transform(
+           v,
+           x -> CAST(least(127, greatest(-127, ROUND(x / scale, 0))) AS INT)
+         ),
+         ','
        ) AS q8
 FROM s
 """
@@ -3087,13 +3116,17 @@ FROM s
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization (the faiss SQ8 idea as
     a declarative transform): 4x smaller vectors for the 100 TB
-    landing zone, exact reconstruction contract q*scale."""
+    landing zone, exact reconstruction contract q*scale. Codes leave
+    as a ','-joined string — the driver canonicalizer cannot hash
+    list cells (driver-red r3)."""
     from vectorsearchutil_spark.operators.embeddings import quantize_int8
 
     emb = load_table(spark, sf_dir, "embeddings")
     out = quantize_int8(emb, vector_col="embedding")
     return out.select(
-        "vec_id", F.round(F.col("scale"), 6).alias("scale"), "q8"
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.array_join(F.col("q8").cast("array<string>"), ",").alias("q8"),
     )
 
 
@@ -4514,7 +4547,9 @@ dims AS (
 SELECT label,
        (SELECT COUNT(*) FROM embeddings e WHERE e.label = dims.label)
          AS n_vectors,
-       list(ROUND(dim_avg, 4) ORDER BY pos) AS centroid
+       array_to_string(
+         list(printf('%.4f', ROUND(dim_avg, 4) + 0.0) ORDER BY pos), ','
+       ) AS centroid
 FROM dims GROUP BY label
 """
 
@@ -4541,11 +4576,18 @@ def embeddings_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims.groupBy("label")
         .agg(
             F.max("n").alias("n_vectors"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct("pos", F.round("dim_avg", 4).alias("r")))
+            # ','-joined %.4f string, not array<double>: the driver
+            # canonicalizer cannot hash list cells (r3 lesson)
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("pos", F.round("dim_avg", 4).alias("r"))
+                        )
+                    ),
+                    lambda x: F.format_string("%.4f", x["r"] + F.lit(0.0)),
                 ),
-                lambda x: x["r"],
+                ",",
             ).alias("centroid"),
         )
     )
@@ -5228,7 +5270,11 @@ _PQ_CODES_ORACLE = (
     "WITH "
     + _pq_cte_chain()
     + """
-SELECT vec_id, list(cid ORDER BY j) AS codes, ROUND(SUM(d2), 4) AS qerr
+SELECT vec_id,
+       array_to_string(
+         list(CAST(cid AS VARCHAR) ORDER BY j), ','
+       ) AS codes,
+       ROUND(SUM(d2), 4) AS qerr
 FROM codes GROUP BY vec_id
 """
 )
@@ -5241,12 +5287,20 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     error. Training is driver-side over a bounded sample (the faiss
     posture — codebooks are model state, not data state); encoding is
     one narrow broadcast pass, no shuffle. The encoded table is the
-    32×-smaller artifact a 100 TB ANN serving layer actually ships."""
+    32×-smaller artifact a 100 TB ANN serving layer actually ships.
+    Codes leave as a ','-joined string — the driver canonicalizer
+    cannot hash list cells (r3 lesson)."""
     from vectorsearchutil_spark.operators.pq import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
     books = pq_train(emb, m=8, k=16, iterations=2)
-    return pq_encode(emb, books)
+    return pq_encode(emb, books).select(
+        "vec_id",
+        F.array_join(F.col("codes").cast("array<string>"), ",").alias(
+            "codes"
+        ),
+        "qerr",
+    )
 
 
 _PQ_ADC_ORACLE = (

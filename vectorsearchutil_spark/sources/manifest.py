@@ -65,6 +65,11 @@ class ManifestLog:
         return None
 
     def latest_version(self) -> int | None:
+        """Newest COMMITTED version. A ``v<N>.json`` that exists but
+        does not parse (empty / truncated — e.g. a writer crashed
+        mid-put under a non-atomic filesystem) is treated as
+        uncommitted and skipped, so readers and racing writers never
+        crash on another process's in-flight commit."""
         if not os.path.isdir(self.log_dir):
             return None
         versions = [
@@ -72,11 +77,29 @@ class ManifestLog:
             for name in os.listdir(self.log_dir)
             if (v := self._version_of(name)) is not None
         ]
-        return max(versions, default=None)
+        for v in sorted(versions, reverse=True):
+            if self._try_manifest(v) is not None:
+                return v
+        return None
+
+    def _try_manifest(self, version: int) -> dict | None:
+        """The manifest at ``version``, or None if absent/unparsable
+        (uncommitted)."""
+        try:
+            with open(
+                os.path.join(self.log_dir, f"v{version}.json")
+            ) as fh:
+                return json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            return None
 
     def _manifest(self, version: int) -> dict:
-        with open(os.path.join(self.log_dir, f"v{version}.json")) as fh:
-            return json.load(fh)
+        m = self._try_manifest(version)
+        if m is None:
+            raise FileNotFoundError(
+                f"no committed manifest v{version} under {self.log_dir}"
+            )
+        return m
 
     def dirs(self, version: int | None = None) -> list[str]:
         """Data directories visible at ``version`` (default latest)."""
@@ -132,7 +155,16 @@ class ManifestLog:
         os.makedirs(self.log_dir, exist_ok=True)
         for _ in range(max_retries):
             parent = self.latest_version()
-            version = 0 if parent is None else parent + 1
+            # next version = one past ANY occupied version name, even
+            # an unparsable one (a legacy crash's empty v<N>.json must
+            # not block version N forever); parent is the latest
+            # COMMITTED version, so readers skip the garbage entirely
+            occupied = [
+                v
+                for name in os.listdir(self.log_dir)
+                if (v := self._version_of(name)) is not None
+            ]
+            version = max(occupied, default=-1) + 1
             if mode == "replace" or parent is None:
                 dirs, stats = [], {}
             else:
@@ -147,15 +179,30 @@ class ManifestLog:
                  "dirs": dirs, "stats": stats}
             )
             path = os.path.join(self.log_dir, f"v{version}.json")
+            # Two-step atomic put-if-absent: the payload is fully
+            # written + fsynced to a private temp file FIRST, then
+            # os.link() publishes it under the version name. link()
+            # is atomic and fails with FileExistsError if another
+            # writer won — so v<N>.json is either absent or complete;
+            # no reader can ever observe a partially-written manifest
+            # (the O_CREAT|O_EXCL-then-write scheme made the name
+            # visible before the payload existed — ADVICE r3 high).
+            tmp = os.path.join(
+                self.log_dir, f".tmp-{uuid.uuid4().hex}.json"
+            )
+            fd = os.open(tmp, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             try:
-                # atomic put-if-absent: the object-store analog is a
-                # conditional PUT; exactly one writer wins a version
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                continue  # lost the race — recompute against new parent
-            with os.fdopen(fd, "w") as fh:
-                fh.write(payload)
-            return version
+                with os.fdopen(fd, "w") as fh:
+                    fh.write(payload)
+                    fh.flush()
+                    os.fsync(fh.fileno())
+                try:
+                    os.link(tmp, path)
+                except FileExistsError:
+                    continue  # lost the race — recompute against new parent
+                return version
+            finally:
+                os.unlink(tmp)
         raise RuntimeError(f"commit contention: {max_retries} losses")
 
     # -- reads ---------------------------------------------------------
@@ -252,6 +299,19 @@ class ManifestLog:
                         ignore_errors=True,
                     )
                     removed.append(name)
+        # stale commit temp files (writer crashed between write and
+        # link); age-gated so a live writer's in-flight temp survives
+        if os.path.isdir(self.log_dir):
+            import time as _time
+
+            for name in os.listdir(self.log_dir):
+                if name.startswith(".tmp-"):
+                    p = os.path.join(self.log_dir, name)
+                    try:
+                        if _time.time() - os.path.getmtime(p) > 3600:
+                            os.unlink(p)
+                    except OSError:
+                        pass
         return removed
 
     def compact(self, spark: SparkSession, target_files: int = 1) -> int:
