@@ -1,0 +1,203 @@
+"""Scale probe for the round-3 operator additions at ~25× bench scale
+(VERDICT r3 #6): CMS, KMV overlap, exact heavy hitters (including a
+vocabulary-heavy adversarial case), FFD packing, weighted reservoir,
+Z-order layout.
+
+Synthetic inputs are deterministic (spark.range + hash mixes — no RNG)
+so runs are comparable across machines. Each op is timed warm (one
+small run first) the way bench.py times headline queries. Results are
+recorded in PERF.md.
+
+Usage: python tools/probe_round4_scale.py [op ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+N_EVENTS = 2_500_000
+N_DOCS = 125_000
+
+
+def _tokens(spark, n, vocab_pow=1.5, distinct=50_000):
+    """n zipf-ish token rows: rank = floor(u^-1/s scaled), token =
+    'tok<rank>' — heavy head, long tail, deterministic."""
+    return spark.range(n).selectExpr(
+        "id",
+        f"concat('tok', cast(pow(pmod(xxhash64(id), 1000000) / 1000000.0"
+        f" + 1e-9, -{1.0 / vocab_pow}) * 17 as bigint) % {distinct})"
+        " AS token",
+    )
+
+
+def _events(spark, n, groups=40):
+    return spark.range(n).selectExpr(
+        f"concat('g', pmod(xxhash64(id, 7), {groups})) AS grp",
+        "pmod(xxhash64(id, 11), 200000) AS user_id",
+        "pmod(xxhash64(id, 13), 100000) / 100.0 AS value",
+    )
+
+
+def _docs(spark, n, groups=8):
+    # text length 20..320 words, skewed: a few giants, many small
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat('s', pmod(xxhash64(id, 3), {groups})) AS source",
+        "repeat('w ', 20 + cast(pmod(xxhash64(id, 5), 1000) *"
+        " pmod(xxhash64(id, 5), 1000) / 3333 as int)) AS text",
+    )
+
+
+def probe_cms(spark):
+    from vectorsearchutil_spark.operators.sketches import (
+        cms_estimate,
+        cms_table,
+    )
+
+    toks = _tokens(spark, N_EVENTS).cache()
+    toks.count()
+    t0 = time.time()
+    cms = cms_table(toks, "token").cache()
+    cms.count()
+    build = time.time() - t0
+    probes = toks.select("token").distinct().limit(50)
+    t0 = time.time()
+    cms_estimate(cms, probes, "token").count()
+    est = time.time() - t0
+    toks.unpersist(); cms.unpersist()
+    return f"build {build:.1f}s, 50-probe estimate {est:.1f}s @ {N_EVENTS} rows"
+
+
+def probe_kmv(spark):
+    from vectorsearchutil_spark.operators.sketches import (
+        kmv_overlap_pairs,
+        kmv_sketch,
+    )
+
+    ev = _events(spark, N_EVENTS).cache()
+    ev.count()
+    t0 = time.time()
+    sk = kmv_sketch(ev, ["grp"], "user_id", k=64).cache()
+    sk.count()
+    build = time.time() - t0
+    t0 = time.time()
+    n_pairs = kmv_overlap_pairs(sk, "grp", k=64).count()
+    pairs = time.time() - t0
+    ev.unpersist(); sk.unpersist()
+    return (
+        f"sketch {build:.1f}s, {n_pairs} pair estimates {pairs:.1f}s"
+        f" @ {N_EVENTS} rows / 40 groups"
+    )
+
+
+def probe_heavy_hitters(spark):
+    from vectorsearchutil_spark.operators.sketches import heavy_hitters_exact
+
+    toks = _tokens(spark, N_EVENTS).cache()
+    toks.count()
+    t0 = time.time()
+    n = heavy_hitters_exact(toks, "token", phi=0.001).count()
+    zipf = time.time() - t0
+    # adversarial: vocabulary-heavy (nearly all-distinct) partitions —
+    # the per-partition Counter is the documented memory bound
+    wide = spark.range(N_EVENTS).selectExpr(
+        "concat('u', id) AS token"
+    ).cache()
+    wide.count()
+    t0 = time.time()
+    n2 = heavy_hitters_exact(wide, "token", phi=0.001).count()
+    flat = time.time() - t0
+    toks.unpersist(); wide.unpersist()
+    return (
+        f"zipf {zipf:.1f}s ({n} hitters), all-distinct {flat:.1f}s"
+        f" ({n2}) @ {N_EVENTS} rows"
+    )
+
+
+def probe_ffd(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_bins_first_fit_decreasing,
+    )
+
+    docs = _docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    pack_bins_first_fit_decreasing(docs, capacity=512).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs / 8 groups (~15.6k docs/group)"
+
+
+def probe_weighted_sample(spark):
+    from vectorsearchutil_spark.operators.sampling import (
+        weighted_reservoir_sample,
+    )
+
+    ev = _events(spark, N_EVENTS).withColumn(
+        "w", F.col("value") + F.lit(0.01)
+    ).cache()
+    ev.count()
+    t0 = time.time()
+    weighted_reservoir_sample(
+        ev, k=100, weight_col="w", key_col="user_id", stratum_col="grp"
+    ).count()
+    dt = time.time() - t0
+    ev.unpersist()
+    return f"{dt:.1f}s @ {N_EVENTS} rows, k=100 × 40 strata"
+
+
+def probe_zorder(spark, tmp="/tmp/probe_zorder"):
+    import shutil
+
+    from vectorsearchutil_spark.functions.zorder import zorder_by
+
+    ev = _events(spark, N_EVENTS).withColumn(
+        "ts", (F.col("user_id") * 7 % 100000).cast("long")
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    t0 = time.time()
+    zorder_by(
+        ev,
+        "cast(user_id * 65535 / 200000 as int)",
+        "cast(ts * 65535 / 100000 as int)",
+        partitions=32,
+    ).write.parquet(tmp)
+    dt = time.time() - t0
+    shutil.rmtree(tmp, ignore_errors=True)
+    return f"layout+write {dt:.1f}s @ {N_EVENTS} rows → 32 files"
+
+
+PROBES = {
+    "cms": probe_cms,
+    "kmv": probe_kmv,
+    "heavy_hitters": probe_heavy_hitters,
+    "ffd": probe_ffd,
+    "weighted_sample": probe_weighted_sample,
+    "zorder": probe_zorder,
+}
+
+
+def main():
+    from vectorsearchutil_spark.session import get_spark
+
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    only = set(sys.argv[1:])
+    for name, fn in PROBES.items():
+        if only and name not in only:
+            continue
+        try:
+            print(f"{name}: {fn(spark)}", flush=True)
+        except Exception as e:  # noqa: BLE001 — probe must report, not die
+            print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

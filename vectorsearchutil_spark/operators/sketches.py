@@ -448,7 +448,10 @@ def heavy_hitters_exact(
         counts: Counter = Counter()
         n = 0
         for pdf in batches:
-            counts.update(pdf[value_col])
+            # value_counts is vectorized C; the Python-level merge is
+            # over the batch's DISTINCT values only (25× probe: plain
+            # Counter.update over rows was ~4× slower at 2.5M rows)
+            counts.update(pdf[value_col].value_counts().to_dict())
             n += len(pdf)
         thr = phi * n
         cand = [v for v, c in counts.items() if c >= thr]

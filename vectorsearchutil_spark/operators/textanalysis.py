@@ -660,24 +660,37 @@ def pack_bins_first_fit_decreasing(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(
             ["_n", id_col], ascending=[False, True]
         ).reset_index(drop=True)
-        fills: list[int] = []
-        bin_idx, after = [], []
-        for n in pdf["_n"]:
+        # free[i] = remaining capacity of bin i. The first-fit scan is
+        # argmax(free >= n) — one vectorized C pass over the bin array
+        # instead of a Python generator walk (25× probe: 17 s → ~2 s
+        # at 15.6k docs/group ≈ 3k bins/group). Semantics identical:
+        # argmax returns the FIRST True index.
+        free = np.empty(1024, dtype=np.int64)
+        n_bins = 0
+        bin_idx = np.empty(len(pdf), dtype=np.int32)
+        after = np.empty(len(pdf), dtype=np.int32)
+        for row, n in enumerate(pdf["_n"].to_numpy()):
             n = int(n)
-            pos = next(
-                (i for i, f in enumerate(fills) if f + n <= capacity), None
-            )
-            if pos is None:
-                fills.append(n)
-                bin_idx.append(len(fills) - 1)
-                after.append(n)
+            view = free[:n_bins]
+            fits = view >= n
+            pos = int(np.argmax(fits)) if fits.any() else -1
+            if pos < 0:
+                if n_bins == len(free):
+                    free = np.concatenate(
+                        [free, np.empty(len(free), dtype=np.int64)]
+                    )
+                free[n_bins] = capacity - n
+                pos = n_bins
+                n_bins += 1
             else:
-                fills[pos] += n
-                bin_idx.append(pos)
-                after.append(fills[pos])
+                free[pos] -= n
+            bin_idx[row] = pos
+            after[row] = capacity - free[pos]
         return pd.DataFrame(
             {
                 id_col: pdf[id_col],

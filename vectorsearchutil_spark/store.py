@@ -80,6 +80,7 @@ class VectorStore:
         path: str | None = None,
         table: str | None = None,
         acid_path: str | None = None,
+        acid_format: str = "manifest",
         num_buckets: int = 16,
         maintain_dedup_state: bool = False,
         dedup_params: dict | None = None,
@@ -112,9 +113,20 @@ class VectorStore:
         #: write (conditional-PUT analog), no directory renames.
         self.acid = None
         if acid_path is not None:
-            from vectorsearchutil_spark.sources.manifest import ManifestLog
+            if acid_format == "delta":
+                # production table format, import-guarded — raises a
+                # clear ImportError where delta-spark is absent
+                from vectorsearchutil_spark.sources.deltalog import (
+                    DeltaLog,
+                )
 
-            self.acid = ManifestLog(acid_path)
+                self.acid = DeltaLog(acid_path)
+            else:
+                from vectorsearchutil_spark.sources.manifest import (
+                    ManifestLog,
+                )
+
+                self.acid = ManifestLog(acid_path)
             self._df = self.acid.read(spark)
             if maintain_dedup_state:
                 try:
