@@ -73,6 +73,11 @@ HEADLINE = [
     "events_user_overlap_kmv",
     "events_zorder_histogram",
     "docs_heavy_tokens",
+    # round 4
+    "docs_dsir_sample",
+    "docs_segment_dedup",
+    "embeddings_outliers",
+    "text_token_entropy",
 ]
 
 

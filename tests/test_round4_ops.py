@@ -1,0 +1,126 @@
+"""Round-4 operators: DSIR importance weights, segment-level dedup,
+centroid outliers, token entropy — semantics on hand-built inputs
+(the sf-data value parity is covered by the DuckDB oracles)."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    from vectorsearchutil_spark.operators.sampling import dsir_importance
+
+    rows = (
+        # target slice: "alpha beta" vocabulary
+        [(i, "alpha beta alpha beta", "tgt") for i in range(20)]
+        # raw background: "gamma delta" vocabulary
+        + [(100 + i, "gamma delta gamma delta", "web") for i in range(20)]
+        # probes: one target-like, one background-like
+        + [(900, "alpha beta alpha", "web"), (901, "gamma delta gamma", "web")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    w = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_importance(
+            docs, F.col("source") == "tgt"
+        ).collect()
+    }
+    assert w[900] > w[901]
+    # target-vocabulary docs score above background-vocabulary docs
+    assert w[0] > 0 > w[100]
+
+
+def test_dsir_partitioning_invariant(spark):
+    from vectorsearchutil_spark.operators.sampling import dsir_importance
+
+    rows = [
+        (i, f"tok{i % 7} tok{i % 3} tok{i % 5}", "s" + str(i % 2))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_importance(
+            docs.repartition(1), F.col("source") == "s0"
+        ).collect()
+    }
+    b = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_importance(
+            docs.repartition(16), F.col("source") == "s0"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_segment_dedup_drops_repeated_boilerplate(spark):
+    from vectorsearchutil_spark.operators.dedup import segment_dedup
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"  # exactly one 8-token segment
+    rows = [
+        (0, boiler + " u1 u2 u3 u4 u5 u6 u7 u8"),
+        (1, boiler + " v1 v2 v3 v4 v5 v6 v7 v8"),
+        (2, boiler),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    # doc 0 keeps both segments (first occurrence of the boilerplate)
+    assert out[0]["n_segments"] == 2 and out[0]["n_kept"] == 2
+    # docs 1/2 lose the boilerplate segment
+    assert out[1]["n_kept"] == 1
+    assert out[1]["kept_text"] == "v1 v2 v3 v4 v5 v6 v7 v8"
+    assert out[2]["n_kept"] == 0 and out[2]["kept_text"] == ""
+
+
+def test_segment_dedup_short_and_empty_docs(spark):
+    from vectorsearchutil_spark.operators.dedup import segment_dedup
+
+    rows = [(0, "only three tokens"), (1, "")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in segment_dedup(docs).collect()}
+    # a short doc is one (partial) segment, kept
+    assert out[0]["n_segments"] == 1 and out[0]["n_kept"] == 1
+    assert out[0]["kept_text"] == "only three tokens"
+    # an empty doc has no segments and no output row (both engines)
+    assert 1 not in out
+
+
+def test_centroid_outliers_flags_planted_outlier(spark):
+    from vectorsearchutil_spark.operators.embeddings import centroid_outliers
+
+    rows = [(i, 0, [1.0 + 0.01 * (i % 3), 1.0]) for i in range(20)]
+    rows.append((99, 0, [50.0, -50.0]))  # planted
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = centroid_outliers(emb)
+    top = out.orderBy(F.col("z").desc()).first()
+    assert top["vec_id"] == 99 and top["z"] > 3.0
+
+
+def test_token_entropy_uniform_and_degenerate(spark):
+    from vectorsearchutil_spark.operators.textanalysis import token_entropy
+
+    docs = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a a a a"), (2, "a a b b")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in token_entropy(docs).collect()}
+    assert out[0]["entropy_bits"] == pytest.approx(2.0)  # uniform over 4
+    assert out[1]["entropy_bits"] == pytest.approx(0.0)  # degenerate
+    assert out[2]["entropy_bits"] == pytest.approx(1.0)
+    assert out[0]["n_tokens"] == 4 and out[0]["n_distinct"] == 4
+
+
+def test_token_entropy_matches_direct_formula(spark):
+    from vectorsearchutil_spark.operators.textanalysis import token_entropy
+
+    text = "x x x y y z"
+    docs = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    got = token_entropy(docs).first()["entropy_bits"]
+    n = 6
+    want = -sum(
+        (c / n) * math.log2(c / n) for c in (3, 2, 1)
+    )
+    assert got == pytest.approx(want, abs=1e-4)

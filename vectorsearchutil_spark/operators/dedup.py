@@ -1026,3 +1026,77 @@ def incremental_ingest_dedup(
     return incremental_ingest_dedup_with_state(
         state, incoming, text_col, id_col, n, num_hashes, band_size, threshold
     )
+
+
+def segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """C4-style sub-document dedup: split each document into
+    fixed-width token segments, drop every LATER occurrence of a
+    segment that appears anywhere else in the corpus (first
+    occurrence = lowest (doc_id, segment index)), and reassemble what
+    survives. This removes repeated boilerplate (headers, footers,
+    licence blocks) that whole-document dedup cannot see.
+
+    Output per document: segment counts before/after and the
+    reassembled kept text.
+
+    Scale shape: the only shuffle carries (segment-hash, doc, idx)
+    rows — segments shuffle by VALUE once to pick winners (one
+    md5-keyed shuffle, the exact-dedup plan shape) and by doc once to
+    reassemble; full text never crosses a shuffle unsegmented, and
+    the reassembly agg is partial-aggregated. First-wins is decided
+    by min_by over the (doc_id, idx) struct — deterministic under any
+    partitioning.
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    # tokens materialize as their own projection FIRST — an
+    # expression referenced inside a lambda body re-evaluates per
+    # element (PERF.md round-2b), which would re-tokenize the doc
+    # once per segment
+    toked = docs.selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+    segs = toked.selectExpr(
+        id_col,
+        f"posexplode(CASE WHEN size(_toks) = 0"
+        f" THEN CAST(array() AS array<string>)"
+        f" ELSE transform(sequence(0,"
+        f" cast(ceil(size(_toks) / {seg_tokens}) as int) - 1),"
+        f" i -> concat_ws(' ', slice(_toks,"
+        f" i * {seg_tokens} + 1, {seg_tokens}))) END) AS (idx, seg)",
+    )
+    win = Window.partitionBy("seg").orderBy(
+        F.col(id_col).asc(), F.col("idx").asc()
+    )
+    kept = (
+        segs.withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    return (
+        segs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_segments"))
+        .join(
+            kept.groupBy(id_col).agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("idx", "seg"))
+                        ),
+                        lambda x: x["seg"],
+                    ),
+                    " ",
+                ).alias("kept_text"),
+            ),
+            id_col,
+            "left",
+        )
+        .fillna(0, subset=["n_kept"])
+        .fillna("", subset=["kept_text"])
+    )

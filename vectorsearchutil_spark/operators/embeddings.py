@@ -72,3 +72,67 @@ def quantize_int8(
         ),
     )
     return with_scale.withColumn(out_col, q)
+
+
+def centroid_outliers(
+    df: DataFrame,
+    label_col: str = "label",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_centroid: int = 6,
+) -> DataFrame:
+    """Per-class embedding outlier scores: each vector's L2 distance
+    to its class centroid, z-scored within the class — the standard
+    mislabeled-sample / contamination screen over an embedded corpus.
+
+    Scale shape: the centroid build is the narrow (label, dim)
+    partial-agg (vectors never move whole); the k×dim centroid table
+    is tiny and broadcasts back onto the corpus, and the distance is
+    a zip_with fold — a pure projection, no second shuffle over
+    vectors. The class mean/stddev of distances is another tiny agg
+    broadcast back. Total: two broadcast joins and two small
+    aggregates around one corpus scan.
+
+    Centroid dims round to ``round_centroid`` dp before the distance
+    so independent engines (summing dims in different orders) agree
+    bit-for-bit on the downstream scores.
+    """
+    v = F.col(vector_col).cast("array<double>")
+    dims = (
+        df.select(label_col, F.posexplode(v).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg("x"), round_centroid).alias("c"))
+    )
+    centroids = dims.groupBy(label_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))),
+            lambda s: s["c"],
+        ).alias("_centroid")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    v, F.col("_centroid"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    with_dist = df.join(F.broadcast(centroids), label_col).select(
+        id_col, label_col, dist.alias("dist")
+    )
+    stats = with_dist.groupBy(label_col).agg(
+        F.avg("dist").alias("_mu"),
+        F.stddev_samp("dist").alias("_sd"),
+    )
+    return with_dist.join(F.broadcast(stats), label_col).select(
+        id_col,
+        label_col,
+        F.col("dist"),
+        F.round(
+            F.try_divide(F.col("dist") - F.col("_mu"), F.col("_sd")), 3
+        ).alias("z"),
+    )

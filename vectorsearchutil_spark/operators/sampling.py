@@ -235,3 +235,69 @@ def weighted_reservoir_sample(
         .filter(F.col("_rn") <= k)
         .drop("_wkey", "_rn")
     )
+
+
+def dsir_importance(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    seed: str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every raw
+    document by how target-like its hashed-unigram distribution is,
+    w(d) = mean over tokens of log(p_target(bucket)/p_raw(bucket)),
+    with Laplace-smoothed bucket models estimated from the corpus
+    itself (``target_pred`` marks the target slice).
+
+    Scale shape: ONE token pass builds both bucket models as
+    conditional sums (no second scan of the target slice); the
+    bucket→log-ratio table is ``buckets`` rows — broadcast onto the
+    (doc, bucket) stream — and the per-doc mean is one partial-agg
+    groupBy. Nothing materializes per-vocabulary state: the hashed
+    feature space is fixed at ``buckets`` regardless of corpus size,
+    which is the point of DSIR's hashed n-grams at 100 TB.
+
+    The md5-derived bucket hash is engine-reproducible (same recipe
+    as the CMS/LSH operators), so an external oracle can replay the
+    weights exactly.
+    """
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    bucket = (
+        f"cast(conv(substring(md5(concat('{seed}:', token)), 1, 15),"
+        f" 16, 10) as bigint) % {buckets}"
+    )
+    tok = docs.withColumn("_is_t", target_pred).selectExpr(
+        id_col, "_is_t", f"explode({tokens_sql(text_col)}) AS token"
+    ).selectExpr(id_col, "_is_t", f"{bucket} AS bucket")
+    models = tok.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("n_tgt"),
+    )
+    totals = models.agg(
+        F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
+    )
+    ratio = models.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("n_tgt") + 1).cast("double")
+                / (F.col("t_tgt") + F.lit(buckets)).cast("double")
+            )
+            - F.log(
+                (F.col("n_raw") + 1).cast("double")
+                / (F.col("t_raw") + F.lit(buckets)).cast("double")
+            )
+        ).alias("logratio"),
+    )
+    return (
+        tok.join(F.broadcast(ratio), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logratio"), 4).alias("dsir_weight"),
+        )
+    )

@@ -704,3 +704,41 @@ def pack_bins_first_fit_decreasing(
         id_col, group_col, f"size({tokens_sql(text_col)}) AS _n"
     )
     return sized.groupBy(group_col).applyInPandas(pack, out_schema)
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (bits)
+    — the lexical-diversity quality signal: near-zero ⇒ repetitive
+    degenerate text, high ⇒ diverse vocabulary. Complements
+    ``repetition_ratio`` (which only sees the top token).
+
+    Plan: one explode → (doc, token) count → per-doc fold. Both
+    aggregations partial-aggregate; state per doc is its distinct
+    token count. H = log2(n) - (1/n)·Σ c·log2(c) avoids a per-term
+    division by n (p = c/n), so each summand depends only on the
+    exact integer count — engine disagreement is confined to float
+    summation order, absorbed by the 4dp rounding.
+    """
+    import math
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    tok = df.selectExpr(
+        id_col, f"explode({tokens_sql(text_col)}) AS token"
+    )
+    counts = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    log2 = math.log(2.0)
+    return counts.groupBy(id_col).agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.round(
+            F.log2(F.sum("c"))
+            - F.sum(F.col("c") * F.log(F.col("c")) / F.lit(log2))
+            / F.sum("c"),
+            4,
+        ).alias("entropy_bits"),
+    )

@@ -6042,6 +6042,192 @@ def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Round 4: DSIR importance weighting, sub-document segment dedup,
+# embedding outlier screening, token-entropy quality.
+# --------------------------------------------------------------------------
+
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source = 'src0' AS is_t,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS token
+  FROM documents
+),
+b AS (
+  SELECT doc_id, is_t,
+         ('0x' || substr(md5('dsir:' || token), 1, 15))::BIGINT % 1024
+           AS bucket
+  FROM tok
+),
+models AS (
+  SELECT bucket, COUNT(*) AS n_raw,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS n_tgt
+  FROM b GROUP BY bucket
+),
+tot AS (SELECT SUM(n_raw) AS t_raw, SUM(n_tgt) AS t_tgt FROM models),
+ratio AS (
+  SELECT bucket,
+         ln((n_tgt + 1) / (t_tgt + 1024.0))
+           - ln((n_raw + 1) / (t_raw + 1024.0)) AS lr
+  FROM models, tot
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(lr), 4) AS dsir_weight
+FROM b JOIN ratio USING (bucket)
+GROUP BY doc_id
+ORDER BY dsir_weight DESC, doc_id ASC
+LIMIT 100
+"""
+
+
+@query("docs_dsir_sample", _DSIR_ORACLE)
+def docs_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): hashed-unigram
+    importance weights of every document against the src0 slice as
+    the target distribution; top-100 most-target-like docs. The
+    hashed feature space is fixed (1024 buckets) regardless of
+    vocabulary, the model tables broadcast, and the per-doc mean is
+    one partial-agg — the importance-resampling front door of a
+    100 TB pretraining-mixture pipeline."""
+    from vectorsearchutil_spark.operators.sampling import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = dsir_importance(docs, F.col("source") == "src0")
+    return w.orderBy(
+        F.col("dsir_weight").desc(), F.col("doc_id").asc()
+    ).limit(100)
+
+
+_SEGMENT_DEDUP_ORACLE = """
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+idxs AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 8.0) AS BIGINT)))
+           AS idx
+  FROM toked
+),
+segs AS (
+  SELECT doc_id, idx,
+         array_to_string(list_slice(toks, idx * 8 + 1, idx * 8 + 8),
+                         ' ') AS seg
+  FROM idxs
+),
+kept AS (
+  SELECT doc_id, idx, seg,
+         ROW_NUMBER() OVER (PARTITION BY seg ORDER BY doc_id, idx)
+           AS rn
+  FROM segs
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       COALESCE(
+         string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx),
+         ''
+       ) AS kept_text
+FROM kept GROUP BY doc_id
+"""
+
+
+@query("docs_segment_dedup", _SEGMENT_DEDUP_ORACLE)
+def docs_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style sub-document dedup: 8-token segments, every later
+    occurrence of a corpus-repeated segment dropped (first = lowest
+    (doc, idx)), survivors reassembled. One segment-valued shuffle +
+    one per-doc reassembly shuffle; unsegmented text never moves."""
+    from vectorsearchutil_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return segment_dedup(docs, seg_tokens=8)
+
+
+_EMB_OUTLIERS_ORACLE = """
+WITH u AS (
+  SELECT label, vec_id, embedding::DOUBLE[] AS v,
+         unnest(range(1, len(embedding) + 1)) AS pos
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, ROUND(AVG(v[pos]), 6) AS c
+  FROM u GROUP BY label, pos
+),
+centarr AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cent GROUP BY label
+),
+dist AS (
+  SELECT e.vec_id, e.label,
+         ROUND(sqrt(list_aggregate(
+           list_transform(range(1, len(e.v) + 1),
+                          i -> (e.v[i] - ca.cv[i]) ^ 2),
+           'sum')), 6) AS dist
+  FROM (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        FROM embeddings) e
+  JOIN centarr ca USING (label)
+),
+stats AS (
+  SELECT label, AVG(dist) AS mu, stddev_samp(dist) AS sd
+  FROM dist GROUP BY label
+)
+SELECT d.vec_id, d.label, d.dist,
+       ROUND((d.dist - s.mu) / s.sd, 3) AS z
+FROM dist d JOIN stats s USING (label)
+ORDER BY z DESC, d.vec_id ASC
+LIMIT 20
+"""
+
+
+@query("embeddings_outliers", _EMB_OUTLIERS_ORACLE)
+def embeddings_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class embedding outliers (mislabel/contamination screen):
+    L2 distance to the class centroid, z-scored within class, top 20.
+    Centroids and class stats broadcast back — one corpus scan, two
+    tiny aggregates, no vector ever shuffles whole."""
+    from vectorsearchutil_spark.operators.embeddings import (
+        centroid_outliers,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = centroid_outliers(emb)
+    return out.orderBy(F.col("z").desc(), F.col("vec_id").asc()).limit(20)
+
+
+_TOKEN_ENTROPY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS token
+  FROM documents
+),
+c AS (
+  SELECT doc_id, token, COUNT(*) AS c FROM tok GROUP BY doc_id, token
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       ROUND(log2(SUM(c)) - SUM(c * ln(c) / ln(2)) / SUM(c), 4)
+         AS entropy_bits
+FROM c GROUP BY doc_id
+"""
+
+
+@query("text_token_entropy", _TOKEN_ENTROPY_ORACLE)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity quality signal: per-doc Shannon entropy of
+    the token distribution, in bits. Two partial-aggregated
+    shuffles; per-doc state is its distinct-token count."""
+    from vectorsearchutil_spark.operators.textanalysis import token_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_entropy(docs)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
 # The per-round driver correctness gate runs a bounded prefix of this
@@ -6118,8 +6304,10 @@ _ROUND4_WINDOW = [
     # 1. r3 red, fixed (oracle dtype / array-stringification)
     "tpch_q12_priority_lines", "tpch_q9_product_profit",
     "embedding_normalize", "embedding_quantize_int8",
-    # 2. new driver gates
+    # 2. new driver gates + round-4 operators
     "mlp_classifier_golden", "mlp_regressor_golden",
+    "docs_dsir_sample", "docs_segment_dedup", "embeddings_outliers",
+    "text_token_entropy",
     # 3. never driver-checked (36 = full-registry closure)
     "ann_ivfpq_search", "dedup_incremental_ingest",
     "docs_assembly_pipeline", "docs_chunk_dedup",
@@ -6140,8 +6328,7 @@ _ROUND4_WINDOW = [
     "tpch_q2_min_cost_supplier",
     # 4. sliding regression overlap (r1/r2- and r3-verified mix)
     "tpch_q1_pricing_summary", "knn_single", "dedup_minhash_lsh",
-    "events_sessionize", "store_ingest_append", "ann_ivf_recall",
-    "docs_heavy_tokens", "events_zorder_histogram",
+    "docs_heavy_tokens",
 ]
 
 
