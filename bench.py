@@ -78,6 +78,7 @@ HEADLINE = [
     "docs_segment_dedup",
     "embeddings_outliers",
     "text_token_entropy",
+    "dedup_semantic",
 ]
 
 

@@ -124,3 +124,40 @@ def test_token_entropy_matches_direct_formula(spark):
         (c / n) * math.log2(c / n) for c in (3, 2, 1)
     )
     assert got == pytest.approx(want, abs=1e-4)
+
+
+def test_semdedup_drops_planted_near_duplicates(spark):
+    from vectorsearchutil_spark.operators.similarity import semdedup
+
+    # two tight groups far apart + one singleton; near-duplicates
+    # within a group must collapse to the lowest id. Ids 0/1/2 are
+    # one per group because k-means seeds from the k lowest ids.
+    rows = (
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [0.0, 1.0])]
+        + [(3 + i, [1.0, 0.001 * (i + 1)]) for i in range(4)]   # ≈ id 0
+        + [(13 + i, [-1.0, 0.001 * (i + 1)]) for i in range(4)]  # ≈ id 1
+    )
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["kept"] for r in semdedup(
+        emb, k=3, iterations=2, threshold=0.999
+    ).collect()}
+    assert len(out) == 11
+    assert out[0] and out[1] and out[2]  # group minima + singleton
+    assert not any(out[3 + i] for i in range(4))
+    assert not any(out[13 + i] for i in range(4))
+
+
+def test_semdedup_partition_invariant(spark, sf_dir):
+    from vectorsearchutil_spark.operators.similarity import semdedup
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        (r["vec_id"], r["kept"])
+        for r in semdedup(emb.repartition(1), threshold=0.3).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["kept"])
+        for r in semdedup(emb.repartition(16), threshold=0.3).collect()
+    )
+    assert a == b and len(a) > 0

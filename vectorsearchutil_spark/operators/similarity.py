@@ -671,3 +671,66 @@ def cosine_lsh_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
+
+
+def semdedup(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iterations: int = 3,
+    threshold: float = 0.92,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    clustering then exact cosine ONLY within clusters — a vector is
+    dropped when a lower-id vector in its cluster is more similar
+    than ``threshold``. Output: (id, cluster, kept).
+
+    This is the scale trick that makes semantic dedup tractable: the
+    O(n²) pair space shrinks to Σ n_c² over clusters (SemDeDup's
+    measured ~k× reduction), and each cluster's pair join is an
+    equi-join on the cluster id — no cross-cluster pair is ever
+    generated. The Lloyd's step reuses ``clustering.kmeans`` (size-
+    gated driver/distributed strategies, lineage truncation); the
+    within-cluster pairing is one shuffle on the cluster key.
+    Join parallelism equals k, so size k to the corpus (the SemDeDup
+    paper runs k≈50k on web scale; k=8 here matches the oracle's
+    replayable fixture) — and with large k each cluster's pair block
+    also stays small, which is the memory bound.
+
+    Cosine parity with external oracles holds because the pairing is
+    exact (no LSH randomness) and k-means is the deterministic
+    6dp-rounded fixture the ``kmeans_clusters`` oracle replays.
+    """
+    from vectorsearchutil_spark.functions.vector import cosine_similarity
+    from vectorsearchutil_spark.operators.clustering import kmeans
+
+    assignments, _ = kmeans(
+        df, k=k, iterations=iterations,
+        vector_col=vector_col, id_col=id_col,
+    )
+    rows = df.select(
+        F.col(id_col), F.col(vector_col).cast("array<double>").alias("_v")
+    ).join(assignments.select(id_col, "cluster"), id_col)
+    a = rows.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_ida"), F.col("_v").alias("_va"),
+    )
+    b = rows.select(
+        F.col("cluster"),
+        F.col(id_col).alias("_idb"), F.col("_v").alias("_vb"),
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(cosine_similarity(F.col("_va"), F.col("_vb")) >= threshold)
+        .select(F.col("_idb").alias(id_col))
+        .distinct()
+    )
+    return rows.join(dropped, id_col, "left_anti").select(
+        id_col, "cluster", F.lit(True).alias("kept")
+    ).unionByName(
+        rows.join(dropped, id_col, "left_semi").select(
+            id_col, "cluster", F.lit(False).alias("kept")
+        )
+    )

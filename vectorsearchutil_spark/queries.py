@@ -1866,7 +1866,9 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # iterations in SQL (assignment subquery + elementwise-avg recompute).
 # --------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_cte_chain(k: int = 8, iterations: int = 3) -> str:
+    """The Lloyd's-iteration CTE chain (c0..c{iterations}) shared by
+    the kmeans oracle and the SemDeDup oracle below."""
     ctes = [
         f"c0 AS (SELECT CAST(vec_id AS INT) AS cid, embedding::DOUBLE[] AS cv "
         f"FROM embeddings WHERE vec_id < {k})"
@@ -1900,9 +1902,13 @@ def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
             f"  WHERE p.cid NOT IN (SELECT cid FROM n{i + 1})\n"
             f")"
         )
+    return ",\n".join(ctes)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
     final = iterations
     return (
-        "WITH " + ",\n".join(ctes) + f"""
+        "WITH " + _kmeans_cte_chain(k, iterations) + f"""
 SELECT e.vec_id,
        (SELECT c.cid FROM c{final} c
         ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC, c.cid ASC
@@ -6227,6 +6233,45 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_entropy(docs)
 
 
+def _semdedup_oracle(threshold: float = 0.92) -> str:
+    return (
+        "WITH "
+        + _kmeans_cte_chain(8, 3)
+        + f""",
+asg AS (
+  SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+         (SELECT c.cid FROM c3 c
+          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC,
+                   c.cid ASC LIMIT 1) AS cluster
+  FROM embeddings e
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM asg a JOIN asg b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= {threshold}
+)
+SELECT a.vec_id, a.cluster,
+       a.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+FROM asg a
+"""
+    )
+
+
+@query("dedup_semantic", _semdedup_oracle(0.30))
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means clusters (the exact
+    oracle-replayed Lloyd's fixture of ``kmeans_clusters``), then
+    exact cosine ONLY within clusters — a vector is dropped when a
+    lower-id cluster-mate is ≥0.30-similar (p99 of the within-cluster cosine mass on this corpus — a real drop set). The cluster step bounds
+    the pair space to Σ n_c² (the paper's tractability trick); the
+    within-cluster join is one equi-join on the cluster id."""
+    from vectorsearchutil_spark.operators.similarity import semdedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, k=8, iterations=3, threshold=0.30)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
@@ -6307,7 +6352,7 @@ _ROUND4_WINDOW = [
     # 2. new driver gates + round-4 operators
     "mlp_classifier_golden", "mlp_regressor_golden",
     "docs_dsir_sample", "docs_segment_dedup", "embeddings_outliers",
-    "text_token_entropy",
+    "text_token_entropy", "dedup_semantic",
     # 3. never driver-checked (36 = full-registry closure)
     "ann_ivfpq_search", "dedup_incremental_ingest",
     "docs_assembly_pipeline", "docs_chunk_dedup",
@@ -6328,7 +6373,6 @@ _ROUND4_WINDOW = [
     "tpch_q2_min_cost_supplier",
     # 4. sliding regression overlap (r1/r2- and r3-verified mix)
     "tpch_q1_pricing_summary", "knn_single", "dedup_minhash_lsh",
-    "docs_heavy_tokens",
 ]
 
 
