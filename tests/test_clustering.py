@@ -87,3 +87,28 @@ def test_kmeans_centroids_feed_ivf(spark, sf_dir):
     r2, r8 = recall(2), recall(8)
     assert r2 <= r8
     assert r8 == 1.0  # probing every list == exact search
+
+
+def test_assign_blas_equals_expression(spark, sf_dir):
+    """The BLAS assignment path must reproduce the expression path
+    exactly — cluster ids AND 4dp distances — on the same centroids
+    (tie-break included)."""
+    from vectorsearchutil_spark.operators import clustering as C
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    work = emb.select("vec_id", "embedding")
+    init = (
+        work.orderBy("vec_id").limit(8)
+        .selectExpr("cast(embedding as array<double>) cv").collect()
+    )
+    cents = [(i, list(r["cv"])) for i, r in enumerate(init)]
+    expr = {
+        r["vec_id"]: (r["cid"], round(r["_d"], 4))
+        for r in C._assign(work, cents, "embedding", "vec_id").collect()
+    }
+    blas = {
+        r["vec_id"]: (r["cid"], round(r["_d"], 4))
+        for r in C._assign_blas(work, cents, "embedding", "vec_id").collect()
+    }
+    assert expr == blas

@@ -199,5 +199,90 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
+# -- round-4 operator probes (appended after the r3-op probes) --------
+
+
+def probe_dsir(spark):
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.operators.sampling import dsir_importance
+
+    docs = _docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    dsir_importance(docs, F.col("source") == "s0").count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs (~100 tokens/doc)"
+
+
+def probe_segment_dedup(spark):
+    from vectorsearchutil_spark.operators.dedup import segment_dedup
+
+    docs = _docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    segment_dedup(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs"
+
+
+def probe_outliers(spark):
+    from vectorsearchutil_spark.operators.embeddings import centroid_outliers
+
+    emb = spark.range(500_000).selectExpr(
+        "id AS vec_id",
+        "cast(pmod(xxhash64(id), 16) as int) AS label",
+        "transform(sequence(1, 64), j -> pmod(xxhash64(id, j), 1000)"
+        " / 1000.0) AS embedding",
+    ).cache()
+    emb.count()
+    t0 = time.time()
+    centroid_outliers(emb).count()
+    dt = time.time() - t0
+    emb.unpersist()
+    return f"{dt:.1f}s @ 500k x 64-dim vectors, 16 labels"
+
+
+def probe_token_entropy(spark):
+    from vectorsearchutil_spark.operators.textanalysis import token_entropy
+
+    docs = _docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    token_entropy(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs"
+
+
+def probe_semdedup(spark):
+    from vectorsearchutil_spark.operators.similarity import semdedup
+
+    emb = spark.range(125_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> pmod(xxhash64(id, j), 1000)"
+        " / 1000.0) AS embedding",
+    ).cache()
+    emb.count()
+    t0 = time.time()
+    semdedup(emb, k=32, iterations=2, threshold=0.95).count()
+    dt = time.time() - t0
+    emb.unpersist()
+    return f"{dt:.1f}s @ 125k x 64-dim, k=32 clusters"
+
+
+PROBES.update(
+    {
+        "dsir": probe_dsir,
+        "segment_dedup": probe_segment_dedup,
+        "outliers": probe_outliers,
+        "token_entropy": probe_token_entropy,
+        "semdedup": probe_semdedup,
+    }
+)
+
+
 if __name__ == "__main__":
     main()

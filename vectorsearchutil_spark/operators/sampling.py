@@ -252,13 +252,16 @@ def dsir_importance(
     with Laplace-smoothed bucket models estimated from the corpus
     itself (``target_pred`` marks the target slice).
 
-    Scale shape: ONE token pass builds both bucket models as
-    conditional sums (no second scan of the target slice); the
-    bucket→log-ratio table is ``buckets`` rows — broadcast onto the
-    (doc, bucket) stream — and the per-doc mean is one partial-agg
-    groupBy. Nothing materializes per-vocabulary state: the hashed
-    feature space is fixed at ``buckets`` regardless of corpus size,
-    which is the point of DSIR's hashed n-grams at 100 TB.
+    Scale shape: the corpus is tokenized ONCE — the explode reduces
+    immediately to per-(doc, bucket) counts, and everything else
+    derives from that aggregate: the bucket models are its
+    ``buckets``-row rollup (conditional sums — no second scan of the
+    target slice), the log-ratio table broadcasts back onto it, and
+    the per-doc weight is the count-weighted mean
+    Σ cnt·lr / Σ cnt ≡ the per-token mean. Nothing materializes
+    per-vocabulary state: the hashed feature space is fixed at
+    ``buckets`` regardless of corpus size, which is the point of
+    DSIR's hashed n-grams at 100 TB.
 
     The md5-derived bucket hash is engine-reproducible (same recipe
     as the CMS/LSH operators), so an external oracle can replay the
@@ -270,12 +273,25 @@ def dsir_importance(
         f"cast(conv(substring(md5(concat('{seed}:', token)), 1, 15),"
         f" 16, 10) as bigint) % {buckets}"
     )
-    tok = docs.withColumn("_is_t", target_pred).selectExpr(
-        id_col, "_is_t", f"explode({tokens_sql(text_col)}) AS token"
-    ).selectExpr(id_col, "_is_t", f"{bucket} AS bucket")
-    models = tok.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_raw"),
-        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("n_tgt"),
+    db = (
+        docs.withColumn("_is_t", target_pred)
+        .selectExpr(
+            id_col, "_is_t", f"explode({tokens_sql(text_col)}) AS token"
+        )
+        .selectExpr(id_col, "_is_t", f"{bucket} AS bucket")
+        .groupBy(id_col, "_is_t", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # cached: both the model rollup and the scoring join read this
+    # aggregate — without it each branch would re-tokenize the corpus
+    # (same posture as clustering.kmeans's cached working set; at
+    # scale use MEMORY_AND_DISK or a checkpoint)
+    db = db.cache()
+    models = db.groupBy("bucket").agg(
+        F.sum("cnt").alias("n_raw"),
+        F.sum(F.when(F.col("_is_t"), F.col("cnt")).otherwise(0)).alias(
+            "n_tgt"
+        ),
     )
     totals = models.agg(
         F.sum("n_raw").alias("t_raw"), F.sum("n_tgt").alias("t_tgt")
@@ -294,10 +310,12 @@ def dsir_importance(
         ).alias("logratio"),
     )
     return (
-        tok.join(F.broadcast(ratio), "bucket")
+        db.join(F.broadcast(ratio), "bucket")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg("logratio"), 4).alias("dsir_weight"),
+            F.sum("cnt").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("cnt") * F.col("logratio")) / F.sum("cnt"), 4
+            ).alias("dsir_weight"),
         )
     )
