@@ -161,3 +161,61 @@ def test_semdedup_partition_invariant(spark, sf_dir):
         for r in semdedup(emb.repartition(16), threshold=0.3).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from vectorsearchutil_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    rows = [
+        (0, 0, [1.0, 0.0]),      # anchor, label 0
+        (1, 0, [1.0, 0.001]),    # same label — must NEVER appear
+        (2, 1, [1.0, 0.01]),     # hardest negative (closest, label 1)
+        (3, 1, [0.9, 0.3]),      # second
+        (4, 2, [0.0, 1.0]),      # distant negative
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    anchors = emb.filter("vec_id = 0")
+    out = hard_negative_mining(emb, anchors, k=2).collect()
+    got = [(r["vec_id"], r["rank"]) for r in sorted(out, key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
+    assert all(r["anchor_id"] == 0 for r in out)
+
+
+def test_hard_negatives_plan_is_group_limited(spark, sf_dir):
+    """The per-anchor cut must compile to WindowGroupLimit so tasks
+    forward at most k rows per anchor before the shuffle."""
+    from vectorsearchutil_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter("vec_id < 5")
+    plan = formatted_plan(hard_negative_mining(emb, anchors, k=3))
+    assert "WindowGroupLimit" in plan
+
+
+def test_hard_negatives_matrix_equals_expr(spark, sf_dir):
+    from vectorsearchutil_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter("vec_id < 10")
+    expr = sorted(
+        tuple(r)
+        for r in hard_negative_mining(
+            emb, anchors, k=3, strategy="expr"
+        ).collect()
+    )
+    mat = sorted(
+        tuple(r)
+        for r in hard_negative_mining(
+            emb, anchors, k=3, strategy="matrix"
+        ).collect()
+    )
+    assert expr == mat and len(expr) == 30

@@ -6258,6 +6258,45 @@ FROM asg a
     )
 
 
+_HARD_NEG_ORACLE = """
+WITH a AS (
+  SELECT vec_id AS anchor_id, label AS albl,
+         embedding::DOUBLE[] AS av
+  FROM embeddings WHERE vec_id < 10
+),
+pairs AS (
+  SELECT a.anchor_id, e.vec_id,
+         list_cosine_similarity(a.av, e.embedding::DOUBLE[]) AS cos
+  FROM a JOIN embeddings e ON e.label <> a.albl
+),
+ranked AS (
+  SELECT anchor_id, vec_id, cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY anchor_id ORDER BY cos DESC, vec_id ASC
+         ) AS rank
+  FROM pairs
+)
+SELECT anchor_id, vec_id, ROUND(cos, 4) AS cosine,
+       CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+@query("embeddings_hard_negatives", _HARD_NEG_ORACLE)
+def embeddings_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor
+    (ids 0-9), the 3 most-cosine-similar corpus vectors with a
+    DIFFERENT label. Anchors broadcast onto one corpus scan; the
+    per-anchor cut is WindowGroupLimit (k rows forwarded per task)."""
+    from vectorsearchutil_spark.operators.similarity import (
+        hard_negative_mining,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 10)
+    return hard_negative_mining(emb, anchors, k=3)
+
+
 @query("dedup_semantic", _semdedup_oracle(0.30))
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means clusters (the exact
@@ -6352,7 +6391,7 @@ _ROUND4_WINDOW = [
     # 2. new driver gates + round-4 operators
     "mlp_classifier_golden", "mlp_regressor_golden",
     "docs_dsir_sample", "docs_segment_dedup", "embeddings_outliers",
-    "text_token_entropy", "dedup_semantic",
+    "text_token_entropy", "dedup_semantic", "embeddings_hard_negatives",
     # 3. never driver-checked (36 = full-registry closure)
     "ann_ivfpq_search", "dedup_incremental_ingest",
     "docs_assembly_pipeline", "docs_chunk_dedup",
@@ -6371,8 +6410,8 @@ _ROUND4_WINDOW = [
     "orders_bloom_prefilter_join", "text_bm25_search",
     "tpch_q11_important_parts", "tpch_q20_excess_suppliers",
     "tpch_q2_min_cost_supplier",
-    # 4. sliding regression overlap (r1/r2- and r3-verified mix)
-    "tpch_q1_pricing_summary", "knn_single", "dedup_minhash_lsh",
+    # 4. sliding regression overlap (r1/r2-verified)
+    "tpch_q1_pricing_summary", "knn_single",
 ]
 
 
