@@ -41,10 +41,16 @@ from vectorsearchutil_spark.functions.vector import l2_distance
 def _collect_matrix(
     df: DataFrame, id_col: str, vector_col: str
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Collect (ids, row-major float64 matrix) for the broadcast side."""
+    """Collect (ids, row-major float64 matrix) for the broadcast side.
+
+    Zero rows yield a (0, 0) 2-D matrix — ``np.array([])`` is 1-D and
+    every ``axis=1`` reduction downstream would raise AxisError (the
+    empty-input class ADVICE r3 found in the blocked path)."""
     rows = df.select(id_col, vector_col).collect()
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
+    if mat.ndim == 1:
+        mat = mat.reshape(len(ids), 0)
     return ids, mat
 
 
@@ -285,6 +291,12 @@ def knn_batch_matrix(
     final window sees ≤ k rows per (query, batch)."""
     spark = corpus.sparkSession
     q_ids, q_mat = _collect_matrix(queries, query_id_col, query_vector_col)
+    if not len(q_ids):  # no queries → no result rows (not a worker error)
+        return spark.createDataFrame(
+            [],
+            f"{query_id_col} long, {id_col} long, distance double,"
+            " rank int",
+        )
     b_qids = spark.sparkContext.broadcast(q_ids)
     b_qmat = spark.sparkContext.broadcast(q_mat)
 
