@@ -79,6 +79,8 @@ HEADLINE = [
     "embeddings_outliers",
     "text_token_entropy",
     "dedup_semantic",
+    "embeddings_hard_negatives",
+    "docs_token_budget_mixture",
 ]
 
 

@@ -219,3 +219,45 @@ def test_hard_negatives_matrix_equals_expr(spark, sf_dir):
         ).collect()
     )
     assert expr == mat and len(expr) == 30
+
+
+def test_token_budget_sample_respects_budgets(spark):
+    from vectorsearchutil_spark.operators.sampling import token_budget_sample
+
+    rows = [(i, "a " * 10, "s0") for i in range(50)] + [
+        (100 + i, "b " * 10, "s1") for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = token_budget_sample(
+        docs, {"s0": 100, "s1": 35}
+    ).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    # 10 tokens/doc: s0 fits exactly 10 docs, s1 exactly 3 (35//10)
+    assert len(by_src["s0"]) == 10
+    assert len(by_src["s1"]) == 3
+    assert max(r["cum_tokens"] for r in by_src["s0"]) == 100
+    assert max(r["cum_tokens"] for r in by_src["s1"]) == 30
+
+
+def test_token_budget_sample_partition_invariant(spark):
+    from vectorsearchutil_spark.operators.sampling import token_budget_sample
+
+    rows = [
+        (i, "w " * (5 + i % 7), "s" + str(i % 2)) for i in range(200)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    a = sorted(
+        tuple(r)
+        for r in token_budget_sample(
+            docs.repartition(1), {"s0": 300, "s1": 300}
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in token_budget_sample(
+            docs.repartition(16), {"s0": 300, "s1": 300}
+        ).collect()
+    )
+    assert a == b and len(a) > 0

@@ -319,3 +319,52 @@ def dsir_importance(
             ).alias("dsir_weight"),
         )
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budgets: dict[str, int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seed: str = "tbudget",
+) -> DataFrame:
+    """Token-budget mixture sampling: each group contributes documents
+    until its TOKEN budget is exhausted — the unit a pretraining
+    mixture is actually specified in (epochs/tokens per source), where
+    doc-count sampling over-weights short-doc sources.
+
+    Docs order within their group by a deterministic hash draw (so
+    the cut is an unbiased sample, reproducible across engines and
+    partitionings); a doc is kept while the group's cumulative token
+    count INCLUDING it stays within budget. Greedy-prefix semantics:
+    one over-long doc mid-prefix stops the group (budget is a hard
+    cap, matching how sequence budgets behave in practice).
+
+    Plan shape: token counts reduce the scan to (id, group, n) before
+    the one window shuffle on the group key; text never moves. Output:
+    (id, group, n_tokens, cum_tokens).
+    """
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    budget_items = sorted(budgets.items())
+    budget_df = docs.sparkSession.createDataFrame(
+        budget_items, f"{group_col} string, _budget long"
+    )
+    sized = docs.selectExpr(
+        id_col,
+        group_col,
+        f"size({tokens_sql(text_col)}) AS n_tokens",
+    )
+    u = hash_uniform(F.col(id_col).cast("string"), seed)
+    win = (
+        Window.partitionBy(group_col)
+        .orderBy(F.round(u, 12).asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sized.join(F.broadcast(budget_df), group_col)
+        .withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        .filter(F.col("cum_tokens") <= F.col("_budget"))
+        .select(id_col, group_col, "n_tokens", "cum_tokens")
+    )

@@ -6258,6 +6258,50 @@ FROM asg a
     )
 
 
+_TOKEN_BUDGET_ORACLE = """
+WITH sized AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS INT) AS n_tokens,
+         ('0x' || substr(md5('tbudget:' || CAST(doc_id AS VARCHAR)),
+          1, 8))::BIGINT / 4294967296.0 AS u
+  FROM documents
+),
+budgets AS (
+  SELECT * FROM (VALUES ('src0', 3000), ('src1', 2000), ('src2', 1000))
+    AS t(source, _budget)
+),
+cum AS (
+  SELECT s.doc_id, s.source, s.n_tokens, b._budget,
+         SUM(s.n_tokens) OVER (
+           PARTITION BY s.source
+           ORDER BY ROUND(s.u, 12) ASC, s.doc_id ASC
+           ROWS UNBOUNDED PRECEDING
+         ) AS cum_tokens
+  FROM sized s JOIN budgets b USING (source)
+)
+SELECT doc_id, source, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM cum WHERE cum_tokens <= _budget
+"""
+
+
+@query("docs_token_budget_mixture", _TOKEN_BUDGET_ORACLE)
+def docs_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture: src0/src1/src2 contribute docs (in
+    deterministic hash order) until 3000/2000/1000 TOKENS — the unit
+    pretraining mixtures are specified in; doc-count sampling
+    over-weights short-doc sources. Scan reduces to (id, source, n)
+    before the single window shuffle."""
+    from vectorsearchutil_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, {"src0": 3000, "src1": 2000, "src2": 1000}
+    )
+
+
 _HARD_NEG_ORACLE = """
 WITH a AS (
   SELECT vec_id AS anchor_id, label AS albl,
@@ -6392,6 +6436,7 @@ _ROUND4_WINDOW = [
     "mlp_classifier_golden", "mlp_regressor_golden",
     "docs_dsir_sample", "docs_segment_dedup", "embeddings_outliers",
     "text_token_entropy", "dedup_semantic", "embeddings_hard_negatives",
+    "docs_token_budget_mixture",
     # 3. never driver-checked (36 = full-registry closure)
     "ann_ivfpq_search", "dedup_incremental_ingest",
     "docs_assembly_pipeline", "docs_chunk_dedup",
@@ -6411,7 +6456,7 @@ _ROUND4_WINDOW = [
     "tpch_q11_important_parts", "tpch_q20_excess_suppliers",
     "tpch_q2_min_cost_supplier",
     # 4. sliding regression overlap (r1/r2-verified)
-    "tpch_q1_pricing_summary", "knn_single",
+    "tpch_q1_pricing_summary",
 ]
 
 
