@@ -291,3 +291,111 @@ def test_ffd_packing_valid_for_any_sizes(spark, sizes, cap):
     for b, fill in fills.items():
         assert fill <= cap or n_docs_in_bin[b] == 1  # oversized -> alone
     assert sorted(fills) == list(range(len(fills)))  # contiguous bins
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 30), st.sampled_from(["s0", "s1", "s2"])),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(10, 120),
+)
+def test_token_budget_invariants(spark, docs_spec, budget):
+    """Token-budget sampling on arbitrary inputs: per-group cumulative
+    tokens never exceed the budget, kept docs form a prefix of the
+    group's deterministic hash order, and the next doc in that order
+    would NOT have fit."""
+    from vectorsearchutil_spark.operators.sampling import (
+        hash_uniform,
+        token_budget_sample,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (i, "w " * n, src) for i, (n, src) in enumerate(docs_spec)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    budgets = {"s0": budget, "s1": budget, "s2": budget}
+    kept = token_budget_sample(docs, budgets).collect()
+    by_src: dict[str, list] = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r)
+    order = {
+        r["doc_id"]: (r["u"], r["doc_id"], r["source"], r["n"])
+        for r in docs.select(
+            "doc_id",
+            "source",
+            F.round(
+                hash_uniform(F.col("doc_id").cast("string"), "tbudget"),
+                12,
+            ).alias("u"),
+            F.size(F.split(F.trim(F.col("text")), " ")).alias("n"),
+        ).collect()
+    }
+    for src, rs in by_src.items():
+        assert max(r["cum_tokens"] for r in rs) <= budget
+        # kept set == the longest budget-fitting prefix of hash order
+        ordered = sorted(
+            (v for v in order.values() if v[2] == src),
+        )
+        cum, prefix = 0, set()
+        for u, did, _, n in ordered:
+            if cum + n > budget:
+                break
+            cum += n
+            prefix.add(did)
+        assert {r["doc_id"] for r in rs} == prefix
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=0, max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_segment_dedup_each_segment_survives_once(spark, token_lists):
+    """Sub-document dedup on arbitrary corpora: every distinct segment
+    value survives exactly once across the corpus, and per-doc
+    n_kept ≤ n_segments."""
+    from vectorsearchutil_spark.operators.dedup import segment_dedup
+
+    rows = [
+        (i, " ".join(toks)) for i, toks in enumerate(token_lists)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = segment_dedup(docs, seg_tokens=4).collect()
+    total_kept = sum(r["n_kept"] for r in out)
+    distinct_segments = set()
+    for i, toks in enumerate(token_lists):
+        for lo in range(0, len(toks), 4):
+            if toks[lo : lo + 4]:
+                distinct_segments.add(" ".join(toks[lo : lo + 4]))
+    assert total_kept == len(distinct_segments)
+    for r in out:
+        assert 0 <= r["n_kept"] <= r["n_segments"]
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from("xyz"), min_size=1, max_size=20),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_token_entropy_bounds(spark, token_lists):
+    """0 ≤ H ≤ log2(n_distinct) for any document (to within the
+    operator's 4dp output rounding)."""
+    import math
+
+    from vectorsearchutil_spark.operators.textanalysis import token_entropy
+
+    rows = [(i, " ".join(t)) for i, t in enumerate(token_lists)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    for r in token_entropy(docs).collect():
+        hi = math.log2(r["n_distinct"]) + 5e-5
+        assert -5e-5 <= r["entropy_bits"] <= hi
