@@ -261,3 +261,48 @@ def test_token_budget_sample_partition_invariant(spark):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_hard_negatives_ivf_all_probes_equals_exact(spark, sf_dir):
+    """With n_probe = n_lists the IVF-pruned miner must equal the
+    brute-force miner exactly; with n_probe=1 it returns a (possibly
+    partial) subset-by-anchor with correct internal ranking."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.operators.clustering import kmeans
+    from vectorsearchutil_spark.operators.similarity import (
+        build_ivf_index,
+        hard_negative_mining,
+        hard_negatives_ivf,
+    )
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents = kmeans(emb, k=4, iterations=2)
+    centroids = cents.selectExpr(
+        "cid AS centroid_id", "cv AS centroid_vec"
+    )
+    indexed = build_ivf_index(emb, centroids)
+    anchors = emb.filter(F.col("vec_id") < 5)
+    exact = sorted(
+        tuple(r)
+        for r in hard_negative_mining(
+            emb, anchors, k=3, strategy="expr"
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in hard_negatives_ivf(
+            indexed, centroids, anchors, k=3, n_probe=4
+        ).collect()
+    )
+    assert full == exact and len(full) == 15
+    pruned = hard_negatives_ivf(
+        indexed, centroids, anchors, k=3, n_probe=1
+    ).collect()
+    assert len(pruned) <= 15
+    ranks = {}
+    for r in pruned:
+        ranks.setdefault(r["anchor_id"], []).append(r["rank"])
+    for rs in ranks.values():
+        assert sorted(rs) == list(range(1, len(rs) + 1))

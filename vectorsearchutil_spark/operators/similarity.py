@@ -932,3 +932,71 @@ def _hard_negatives_matrix(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def hard_negatives_ivf(
+    indexed: DataFrame,
+    centroids: DataFrame,
+    anchors: DataFrame,
+    k: int = 3,
+    n_probe: int = 2,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """IVF-pruned hard-negative mining — the scale path when the
+    anchor set is too large for a full corpus×anchors pass: each
+    anchor mines only its ``n_probe`` nearest IVF lists, so the scan
+    covers ~n_probe/n_lists of the corpus (partition pruning on the
+    materialized index at scale) at the cost of recall<1 for
+    negatives that live outside the probed lists.
+
+    Same output contract as ``hard_negative_mining`` (anchor_id, id,
+    cosine, rank); with ``n_probe = n_lists`` results are EXACTLY the
+    brute-force miner's (test-asserted), which makes n_probe a pure
+    recall/cost knob.
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.vector import (
+        cosine_similarity,
+        l2_distance,
+    )
+
+    probe_scored = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        F.col(label_col).alias("_albl"),
+        F.col(vector_col).cast("array<double>").alias("_av"),
+    ).crossJoin(F.broadcast(centroids)).withColumn(
+        "_d", l2_distance(F.col("_av"), F.col(centroid_vec_col))
+    )
+    pwin = Window.partitionBy("anchor_id").orderBy(
+        F.col("_d").asc(), F.col(centroid_id_col).asc()
+    )
+    probes = (
+        probe_scored.withColumn("_rn", F.row_number().over(pwin))
+        .filter(F.col("_rn") <= n_probe)
+        .select("anchor_id", "_albl", "_av", centroid_id_col)
+    )
+    cand = indexed.join(F.broadcast(probes), centroid_id_col).filter(
+        F.col(label_col) != F.col("_albl")
+    )
+    cos = cosine_similarity(
+        F.col("_av"), F.col(vector_col).cast("array<double>")
+    )
+    win = Window.partitionBy("anchor_id").orderBy(
+        F.col("_cos").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_cos", cos)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select(
+            "anchor_id",
+            id_col,
+            F.round("_cos", 4).alias("cosine"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )
