@@ -375,3 +375,32 @@ def test_stream_ingest_deduped_rejects_near_dups(spark, tmp_path):
     assert store.count() == 3
     assert "fresh novel text with nothing in common at all" in targets
     assert not any("tonight" in t for t in targets)
+
+
+def test_streaming_segment_dedup_each_segment_once(spark, sf_dir):
+    """Streaming sub-document dedup: across all micro-batches, every
+    distinct segment value survives exactly once, and the survivor
+    count matches the batch operator's total."""
+    from vectorsearchutil_spark.operators.dedup import segment_dedup
+    from vectorsearchutil_spark.streaming.ingest import (
+        read_documents_stream,
+    )
+    from vectorsearchutil_spark.streaming.windows import (
+        streaming_segment_dedup,
+    )
+
+    stream = read_documents_stream(spark, sf_dir)
+    got = _run_stream(
+        spark,
+        streaming_segment_dedup(stream),
+        "t_seg_dedup",
+        mode="append",
+    ).collect()
+    hashes = [r["seg_hash"] for r in got]
+    assert len(hashes) == len(set(hashes))  # at most once each
+    batch_total = (
+        segment_dedup(load_table(spark, sf_dir, "documents"))
+        .agg(F.sum("n_kept").alias("s"))
+        .first()["s"]
+    )
+    assert len(hashes) == batch_total

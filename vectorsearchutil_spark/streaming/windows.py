@@ -128,3 +128,42 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def streaming_segment_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_tokens: int = 8,
+) -> DataFrame:
+    """Streaming form of sub-document segment dedup
+    (``operators.dedup.segment_dedup``): incoming documents explode
+    into fixed-width token segments and every segment VALUE passes at
+    most once — later arrivals (any document, any micro-batch within
+    the horizon) are dropped.
+
+    Segments key the dedup by their md5 (16 bytes of state per
+    distinct segment instead of the text itself), so the state store
+    holds hashes, not corpus text — the same
+    never-shuffle-raw-text posture as the batch operator. Without an
+    event-time column on documents, state is the unbounded
+    ``dropDuplicates`` form; give docs a timestamp + watermark to
+    bound it (``dropDuplicatesWithinWatermark``) in production.
+    Output: (doc_id, idx, seg_hash) for surviving segments.
+    """
+    toked = docs.selectExpr(
+        id_col,
+        "filter(split(" + text_col + ", ' '), x -> x != '') AS _toks",
+    )
+    segs = toked.selectExpr(
+        id_col,
+        f"posexplode(CASE WHEN size(_toks) = 0"
+        f" THEN CAST(array() AS array<string>)"
+        f" ELSE transform(sequence(0,"
+        f" cast(ceil(size(_toks) / {seg_tokens}) as int) - 1),"
+        f" i -> concat_ws(' ', slice(_toks,"
+        f" i * {seg_tokens} + 1, {seg_tokens}))) END) AS (idx, seg)",
+    ).select(
+        F.col(id_col), F.col("idx"), F.md5(F.col("seg")).alias("seg_hash")
+    )
+    return segs.dropDuplicates(["seg_hash"])
