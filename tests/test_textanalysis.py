@@ -188,3 +188,44 @@ def test_pack_bins_ffd_valid_and_tighter(spark):
     assert sorted(
         tuple(r) for r in again.collect()
     ) == sorted(tuple(r) for r in ffd.collect())
+
+
+def test_bigram_logprob_hand_computed(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a a"), (3, "x"), (4, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ta.bigram_logprob(df).collect()}
+    # corpus: C(a,b)=2 C(b,a)=1 C(a,a)=1; C1(a)=3 C1(b)=1; V=3
+    # doc1 bigrams (a,b)(b,a)(a,b): ln(3/6), ln(2/4), ln(3/6) = ln .5 each
+    assert out[1]["n_bigrams"] == 3
+    assert out[1]["avg_logprob"] == round(math.log(0.5), 4)
+    # doc2 bigram (a,a): ln((1+1)/(3+3))
+    assert out[2]["n_bigrams"] == 1
+    assert out[2]["avg_logprob"] == round(math.log(1 / 3), 4)
+    # <2-token docs produce no bigram rows
+    assert 3 not in out and 4 not in out
+
+
+def test_vocab_oov_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b c"), (2, "b b a d"), (3, "")],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in ta.vocab_oov_stats(df, vocab_k=2).collect()}
+    # counts a=3 b=3 c=1 d=1 -> top-2 vocab {a, b}
+    assert out[1]["n_tokens"] == 4 and out[1]["n_oov"] == 1
+    assert out[1]["oov_ratio"] == 0.25
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 1
+    assert out[2]["oov_ratio"] == 0.25
+    assert 3 not in out  # empty doc -> no token rows
+
+
+def test_bigram_logprob_partition_invariant(spark):
+    rows = [(i, f"w{i % 5} w{(i + 1) % 7} w{i % 3} w{i % 2}") for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(tuple(r) for r in ta.bigram_logprob(df).collect())
+    b = sorted(tuple(r) for r in ta.bigram_logprob(df.repartition(8)).collect())
+    assert a == b

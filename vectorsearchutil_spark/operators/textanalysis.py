@@ -17,6 +17,7 @@ from vectorsearchutil_spark.functions.text import (
     distinct_tokens,
     doc_fingerprint,
     tokens,
+    tokens_sql,
 )
 
 #: Tiny per-language stopword lists for the heuristic language ID.
@@ -376,6 +377,115 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 1.0,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    add-k-smoothed bigram LM — the CCNet-style perplexity quality
+    filter (train an n-gram LM on the corpus / a trusted subset, keep
+    docs whose perplexity is unsurprising). A bigram model separates
+    "common words in natural order" from "common words shuffled",
+    which the unigram score (``unigram_logprob``) cannot.
+
+    P(w2|w1) = (C(w1,w2) + k) / (C(w1) + k·V), V = |unigram vocab|.
+    Score = mean over a doc's bigram positions of ln P; docs with <2
+    tokens have no bigram and are absent from the output (same on the
+    oracle side).
+
+    Plan: ONE tokenize pass; bigrams derive array-side (transform over
+    an index sequence — no positional self-join, no second explode of
+    raw text) and only narrow (id, w1, w2) rows ever shuffle. The
+    bigram-count and context-count tables are Zipf-small after
+    aggregation, so Catalyst broadcasts them back onto the bigram
+    stream; V stays in-plan as a 1-row vocabulary aggregate cross-
+    joined broadcast (no driver action). Per-doc mean is one
+    partial-aggregated groupBy. AVG is order-sensitive in float ulps,
+    so the score rounds to 4dp on both engines."""
+    toks = df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+    big = toks.selectExpr(
+        id_col,
+        "explode(CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(0, size(_toks) - 2), "
+        "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2)) "
+        "ELSE array() END) AS bg",
+    ).select(id_col, "bg.w1", "bg.w2")
+    bg_counts = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    ctx_counts = big.groupBy("w1").agg(
+        F.count(F.lit(1)).cast("double").alias("c1")
+    )
+    vocab_size = toks.select(F.explode("_toks").alias("token")).agg(
+        F.count_distinct("token").cast("double").alias("vsz")
+    )
+    scored = (
+        big.join(bg_counts, ["w1", "w2"])
+        .join(ctx_counts, ["w1"])
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("vsz"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logprob"),
+    )
+
+
+def vocab_oov_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 20,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-``vocab_k`` token vocabulary — the tokenizer-coverage /
+    "how much of this doc will become <unk> or byte-fallback" signal
+    a pretraining pipeline computes before committing to a tokenizer.
+
+    The vocabulary is deterministic: top-k by count, ties broken by
+    token ascending (exact row_number cut, reproducible on any
+    engine). Plan: one (doc, token) explode; the vocabulary is an
+    aggregate + top-k (tiny) that LEFT-joins back broadcast; per-doc
+    OOV counts are one partial-aggregated groupBy. Only narrow
+    (id, token) rows shuffle — text never moves."""
+    from pyspark.sql import Window
+
+    tok = df.selectExpr(
+        id_col, f"explode({tokens_sql(text_col)}) AS token"
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("_cnt").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= vocab_k)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    joined = tok.join(F.broadcast(vocab), "token", "left")
+    n_oov = F.sum(
+        F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)
+    )
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        n_oov.cast("long").alias("n_oov"),
+        F.round(n_oov / F.count(F.lit(1)), 4).alias("oov_ratio"),
     )
 
 

@@ -5268,6 +5268,78 @@ def docs_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(docs)
 
 
+_BIGRAM_LP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+),
+bg AS (
+  SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS c12 FROM big GROUP BY w1, w2
+),
+ctx AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS c1 FROM big GROUP BY w1),
+v AS (
+  SELECT CAST(COUNT(DISTINCT x) AS DOUBLE) AS vsz
+  FROM (SELECT unnest(t) AS x FROM toks)
+)
+SELECT b.doc_id, COUNT(*) AS n_bigrams,
+       ROUND(AVG(ln((g.c12 + 1.0) / (c.c1 + 1.0 * v.vsz))), 4) AS avg_logprob
+FROM big b JOIN bg g USING (w1, w2) JOIN ctx c USING (w1), v
+GROUP BY b.doc_id
+"""
+
+
+@query("docs_bigram_logprob", _BIGRAM_LP_ORACLE)
+def docs_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-1-smoothed bigram log-probability per document under
+    the corpus's own bigram LM — the CCNet-style "train an n-gram LM,
+    keep unsurprising docs" perplexity filter, one step up from the
+    unigram score (order-sensitive). Bigrams derive array-side from a
+    single tokenize pass; the Zipf-small count tables broadcast back."""
+    from vectorsearchutil_spark.operators.textanalysis import bigram_logprob
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob(docs)
+
+
+_VOCAB_OOV_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents
+),
+cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+vocab AS (
+  SELECT token FROM (
+    SELECT token, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS rn
+    FROM cnt
+  ) WHERE rn <= 20
+)
+SELECT t.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
+       ROUND(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1.0
+             / COUNT(*), 4) AS oov_ratio
+FROM tok t LEFT JOIN vocab v USING (token)
+GROUP BY t.doc_id
+"""
+
+
+@query("docs_vocab_oov", _VOCAB_OOV_ORACLE)
+def docs_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus's own
+    top-20 token vocabulary (deterministic count-desc/token-asc cut) —
+    the tokenizer-coverage signal computed before committing to a
+    vocab. One explode; the tiny vocabulary LEFT-joins back broadcast."""
+    from vectorsearchutil_spark.operators.textanalysis import vocab_oov_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_oov_stats(docs, vocab_k=20)
+
+
 # --------------------------------------------------------------------------
 # Product quantization — codebook training, encoding, ADC search,
 # exact re-rank (operators/pq.py). The oracle replays the per-subspace
