@@ -1,0 +1,87 @@
+"""Edit-distance similarity self-join via deletion-neighborhood
+blocking (the SymSpell scheme) — the record-linkage / entity-
+resolution primitive: find every pair of rows whose string key is
+within Levenshtein distance 1, WITHOUT an all-pairs comparison.
+
+Completeness argument (why the blocking loses nothing): let D(s) be
+{s} ∪ {s with one character deleted}. If lev(a, b) ≤ 1 then either
+a = b (share a itself), b is a one-char edit of a (substitution at i
+⇒ del_i(a) = del_i(b); insertion ⇒ a ∈ D(b); deletion ⇒ b ∈ D(a)) —
+in every case D(a) ∩ D(b) ≠ ∅. Sharing a deletion signature only
+bounds lev ≤ 2, so candidates are verified with the exact
+``levenshtein`` built-in (JVM-side) before emission.
+
+Scale shape: each row of length L explodes into ≤ L+1 narrow
+(signature, key, s) rows; the self-join hash-partitions on the
+signature — no CartesianProduct anywhere in the plan. Cost is
+Σ bucket², the same contract as an LSH band join: a signature shared
+by k near-identical strings yields O(k²) candidate rows, and that
+quadratic term is irreducible because the OUTPUT itself is the k²
+matching pairs. Candidate pairs that share several signatures
+(identical strings, insert/delete of a repeated char) dedupe through
+one distinct before verification.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def deletion_signatures(col: F.Column) -> F.Column:
+    """``{s} ∪ one-char deletions of s`` as a distinct array.
+
+    ``sequence(0, length-1)`` must be guarded: for an empty string it
+    would produce a DESCENDING sequence (0 → -1), so zero-length
+    inputs map to just ``[s]`` explicitly.
+    """
+    deletions = F.when(
+        F.length(col) > 0,
+        F.transform(
+            F.sequence(F.lit(0), F.length(col) - 1),
+            lambda i: F.concat(
+                col.substr(F.lit(1), i),
+                col.substr(i + 2, F.length(col)),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(F.concat(F.array(col), deletions))
+
+
+def fuzzy_pairs_ed1(
+    df: DataFrame, key_col: str, str_col: str
+) -> DataFrame:
+    """All (key_a < key_b) pairs with ``lev(str_a, str_b) <= 1``.
+
+    Output: (key_a, key_b, str_a, str_b, dist). Exact — see the
+    module docstring for the completeness argument. Rows with a NULL
+    string are ignored (NULL matches nothing, as in SQL equality).
+    """
+    sigs = (
+        df.filter(F.col(str_col).isNotNull())
+        .select(
+            F.col(key_col).alias("_k"),
+            F.col(str_col).alias("_s"),
+            F.explode(deletion_signatures(F.col(str_col))).alias("_sig"),
+        )
+    )
+    right = sigs.select(
+        F.col("_sig"),
+        F.col("_k").alias("_k2"),
+        F.col("_s").alias("_s2"),
+    )
+    cand = (
+        sigs.join(right, "_sig")
+        .filter(F.col("_k") < F.col("_k2"))
+        .select("_k", "_k2", "_s", "_s2")
+        .distinct()
+    )
+    return cand.filter(
+        F.levenshtein(F.col("_s"), F.col("_s2")) <= 1
+    ).select(
+        F.col("_k").alias("key_a"),
+        F.col("_k2").alias("key_b"),
+        F.col("_s").alias("str_a"),
+        F.col("_s2").alias("str_b"),
+        F.levenshtein(F.col("_s"), F.col("_s2")).cast("int").alias("dist"),
+    )

@@ -5340,6 +5340,31 @@ def docs_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_oov_stats(docs, vocab_k=20)
 
 
+_FUZZY_NAME_ORACLE = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.c_name AS str_a, b.c_name AS str_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+FROM customer a JOIN customer b
+  ON a.c_custkey < b.c_custkey
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+ AND levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+
+@query("customers_fuzzy_name_pairs", _FUZZY_NAME_ORACLE)
+def customers_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Levenshtein-distance-1 similarity self-join on customer
+    names via deletion-neighborhood (SymSpell) blocking — the entity-
+    resolution / record-linkage primitive. The oracle brute-forces
+    all pairs (fine at sf0.01); the Spark plan never does: ≤ L+1
+    narrow signature rows per name, hash-join on signature, exact
+    levenshtein verify on candidates only (operators/fuzzyjoin.py)."""
+    from vectorsearchutil_spark.operators.fuzzyjoin import fuzzy_pairs_ed1
+
+    cust = load_table(spark, sf_dir, "customer")
+    return fuzzy_pairs_ed1(cust, key_col="c_custkey", str_col="c_name")
+
+
 # --------------------------------------------------------------------------
 # Product quantization — codebook training, encoding, ADC search,
 # exact re-rank (operators/pq.py). The oracle replays the per-subspace
