@@ -229,3 +229,33 @@ def test_bigram_logprob_partition_invariant(spark):
     a = sorted(tuple(r) for r in ta.bigram_logprob(df).collect())
     b = sorted(tuple(r) for r in ta.bigram_logprob(df.repartition(8)).collect())
     assert a == b
+
+
+def test_token_pmi_hand_computed(spark):
+    import math
+
+    # docs: {a,b} x3, {a,c} x2, {b,c} x1 -> N=6
+    rows = [
+        (1, "a b"), (2, "a b"), (3, "b a"),
+        (4, "a c"), (5, "c a"), (6, "b c"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        (r["w1"], r["w2"]): r
+        for r in ta.token_pmi_pairs(df, vocab_k=10, min_support=1).collect()
+    }
+    # df(a)=5 df(b)=4 df(c)=3; n_ab=3 n_ac=2 n_bc=1
+    assert out[("a", "b")]["n_ab"] == 3
+    assert out[("a", "b")]["pmi"] == round(math.log(3 * 6 / (5 * 4)), 4)
+    assert out[("a", "c")]["pmi"] == round(math.log(2 * 6 / (5 * 3)), 4)
+    assert out[("b", "c")]["pmi"] == round(math.log(1 * 6 / (4 * 3)), 4)
+
+
+def test_token_pmi_vocab_cap_and_support(spark):
+    rows = [(i, "a b rare%d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # vocab_k=2 -> only {a,b} survive; rare tokens never form pairs
+    out = ta.token_pmi_pairs(df, vocab_k=2, min_support=2).collect()
+    assert [(r["w1"], r["w2"], r["n_ab"]) for r in out] == [("a", "b", 10)]
+    # min_support above n_ab -> empty
+    assert ta.token_pmi_pairs(df, vocab_k=2, min_support=11).count() == 0

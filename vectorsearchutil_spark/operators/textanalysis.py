@@ -489,6 +489,91 @@ def vocab_oov_stats(
     )
 
 
+def token_pmi_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_k: int = 50,
+    min_support: int = 5,
+) -> DataFrame:
+    """Pointwise mutual information over token co-occurrence —
+    collocation mining ("which words travel together"), the signal
+    behind phrase detection and topic seeding in corpus analysis.
+
+    PMI(a,b) = ln( n_ab · N / (n_a · n_b) ) over document-level
+    co-occurrence of DISTINCT tokens; N = docs with ≥1 token. Output
+    is every unordered pair with support ≥ ``min_support`` (no top-m
+    cut — membership then never depends on float ordering ulps).
+
+    Scale bounds, in order: tokens outside the corpus top-``vocab_k``
+    (deterministic count-desc/token-asc cut, broadcast) are dropped
+    BEFORE pair generation, so the per-doc pair fan-out is ≤ C(k,2)
+    and in practice ≪ that; the pair count aggregates map-side. The
+    doc-frequency table is vocab-sized, so both marginals join back
+    broadcast. Only narrow (id, token) rows ever shuffle."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(distinct_tokens(F.col(text_col))).alias("token"),
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.col("_df").desc(), F.col("token").asc()
+                )
+            ),
+        )
+        .filter(F.col("_rn") <= vocab_k)
+        .select("token", F.col("_df").cast("double").alias("_df"))
+    )
+    tok_v = tok.join(F.broadcast(vocab.select("token")), "token")
+    n_docs = tok_v.agg(
+        F.count_distinct("_doc").cast("double").alias("_n")
+    )
+    pairs = (
+        tok_v.select("_doc", F.col("token").alias("w1"))
+        .join(
+            tok_v.select("_doc", F.col("token").alias("w2")),
+            "_doc",
+        )
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_support)
+    )
+    return (
+        pairs.join(
+            F.broadcast(vocab.select(F.col("token").alias("w1"),
+                                     F.col("_df").alias("_na"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("w2"),
+                                     F.col("_df").alias("_nb"))),
+            "w2",
+        )
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double")
+                    * F.col("_n")
+                    / (F.col("_na") * F.col("_nb"))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+
+
 def redact_pii(
     df: "DataFrame",
     text_col: str = "text",

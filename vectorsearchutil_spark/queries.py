@@ -5340,6 +5340,46 @@ def docs_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_oov_stats(docs, vocab_k=20)
 
 
+_TOKEN_PMI_ORACLE = """
+WITH tok AS (
+  SELECT DISTINCT doc_id AS d,
+         unnest(list_filter(string_split(text, ' '), x -> x != '')) AS token
+  FROM documents
+),
+vocab AS (
+  SELECT token, CAST(c AS DOUBLE) AS df FROM (
+    SELECT token, COUNT(*) AS c,
+           ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rn
+    FROM tok GROUP BY token
+  ) WHERE rn <= 50
+),
+tv AS (SELECT t.d, t.token FROM tok t JOIN vocab USING (token)),
+n AS (SELECT CAST(COUNT(DISTINCT d) AS DOUBLE) AS nd FROM tv),
+pairs AS (
+  SELECT a.token AS w1, b.token AS w2, COUNT(*) AS n_ab
+  FROM tv a JOIN tv b ON a.d = b.d AND a.token < b.token
+  GROUP BY a.token, b.token HAVING COUNT(*) >= 5
+)
+SELECT p.w1, p.w2, p.n_ab,
+       ROUND(ln(p.n_ab * n.nd / (va.df * vb.df)), 4) AS pmi
+FROM pairs p
+JOIN vocab va ON va.token = p.w1
+JOIN vocab vb ON vb.token = p.w2, n
+"""
+
+
+@query("text_token_pmi", _TOKEN_PMI_ORACLE)
+def text_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token-co-occurrence PMI over the corpus top-50
+    vocabulary (min support 5) — collocation mining. Vocabulary cut
+    happens BEFORE pair generation so fan-out is bounded; marginals
+    and N join back broadcast; no float-ordered top-m cut."""
+    from vectorsearchutil_spark.operators.textanalysis import token_pmi_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return token_pmi_pairs(docs, vocab_k=50, min_support=5)
+
+
 _FUZZY_NAME_ORACLE = """
 SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
        a.c_name AS str_a, b.c_name AS str_b,
