@@ -404,3 +404,109 @@ def test_streaming_segment_dedup_each_segment_once(spark, sf_dir):
         .first()["s"]
     )
     assert len(hashes) == batch_total
+
+
+def test_streaming_token_budget_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Feeding the batch operator's deterministic hash order through
+    the streaming admission op (split across two micro-batches, so
+    state must carry the cumulative count) reproduces
+    token_budget_sample exactly."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+    from vectorsearchutil_spark.operators.sampling import (
+        hash_uniform,
+        token_budget_sample,
+    )
+    from vectorsearchutil_spark.streaming.stateful import (
+        streaming_token_budget,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    budgets = {"src0": 4000, "src1": 2500}
+
+    batch = token_budget_sample(docs, budgets, seed="tbudget")
+    expected = sorted(tuple(r) for r in batch.collect())
+    assert expected, "budget too small — test would be vacuous"
+
+    # the batch op's internal ordering: hash draw rounded to 12dp,
+    # then doc_id — replay it as the stream's global arrival order
+    sized = docs.selectExpr(
+        "doc_id", "source", f"size({tokens_sql('text')}) AS n_tokens"
+    ).withColumn(
+        "_u", F.round(hash_uniform(F.col("doc_id").cast("string"), "tbudget"), 12)
+    )
+    ordered = sized.withColumn(
+        "_ord",
+        F.row_number().over(
+            __import__("pyspark").sql.Window.partitionBy("source")
+            .orderBy(F.col("_u").asc(), F.col("doc_id").asc())
+        ),
+    ).select("doc_id", "source", "n_tokens", "_ord")
+
+    src = str(tmp_path / "src")
+    # two micro-batches: first half of every source's order, then the rest
+    half = ordered.filter(F.col("_ord") <= 125)
+    rest = ordered.filter(F.col("_ord") > 125)
+    half.coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(ordered.schema).parquet(src)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_token_budget(stream, budgets, order_col="_ord")
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    rest.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(out)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+        .collect()
+    )
+    assert got == expected
+
+
+def test_streaming_token_budget_unknown_source_rejected(spark, tmp_path):
+    from vectorsearchutil_spark.streaming.stateful import (
+        streaming_token_budget,
+    )
+
+    src = str(tmp_path / "src")
+    df = spark.createDataFrame(
+        [(1, "known", 5, 1), (2, "unknown", 1, 1)],
+        "doc_id long, source string, n_tokens long, _ord int",
+    )
+    df.write.mode("append").parquet(src)
+    out = str(tmp_path / "out")
+    stream = spark.readStream.schema(df.schema).parquet(src)
+
+    def sink(batch_df, batch_id):
+        batch_df.write.mode("append").parquet(out)
+
+    q = (
+        streaming_token_budget(stream, {"known": 10}, order_col="_ord")
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert [(r["doc_id"], r["cum_tokens"]) for r in rows] == [(1, 5)]

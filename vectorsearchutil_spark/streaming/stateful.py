@@ -23,6 +23,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -90,5 +91,83 @@ def streaming_user_profiles(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BUDGET_STATE_SCHEMA = StructType(
+    [StructField("cum_tokens", LongType())]
+)
+
+BUDGET_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("source", StringType()),
+        StructField("n_tokens", LongType()),
+        StructField("cum_tokens", LongType()),
+    ]
+)
+
+
+def streaming_token_budget(
+    sized_docs: DataFrame,
+    budgets: dict[str, int],
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming admission control on a per-source TOKEN budget — the
+    live twin of ``operators.sampling.token_budget_sample`` (the unit
+    a pretraining mixture is specified in). As sized docs arrive, each
+    source's cumulative token count advances over EVERY doc seen (in
+    ``order_col`` order within a batch), and a doc is admitted iff the
+    cumulative count including it stays within budget — greedy-prefix
+    semantics, identical to the batch operator, so feeding the batch
+    operator's hash order through the stream reproduces its output
+    exactly (tested).
+
+    Input must already be narrow — (doc_id, source, n_tokens[, order])
+    — sized upstream with ``size(tokens(text))`` so text never enters
+    the state store. State per source is ONE long (the cumulative
+    count): bounded by the number of sources, not the corpus, which is
+    the only state discipline that survives an unbounded stream.
+    Output rows are the admitted docs with their cumulative position.
+    """
+    budgets = dict(budgets)
+
+    def _admit(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        budget = int(budgets.get(source, 0))
+        (cum,) = state.get if state.exists else (0,)
+        out: list[pd.DataFrame] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            admitted = []
+            for _, row in pdf.iterrows():
+                cum += int(row["n_tokens"])
+                if cum <= budget:
+                    admitted.append(
+                        (int(row["doc_id"]), source,
+                         int(row["n_tokens"]), cum)
+                    )
+            if admitted:
+                out.append(
+                    pd.DataFrame(
+                        admitted,
+                        columns=[
+                            "doc_id", "source", "n_tokens", "cum_tokens"
+                        ],
+                    )
+                )
+        state.update((cum,))
+        yield from iter(out)
+
+    return sized_docs.groupBy("source").applyInPandasWithState(
+        _admit,
+        outputStructType=BUDGET_OUTPUT_SCHEMA,
+        stateStructType=BUDGET_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
