@@ -1,0 +1,101 @@
+"""Iterative graph centrality over similarity graphs — PageRank.
+
+Pipeline story: after near-dup pair mining builds a similarity graph
+over the corpus, centrality ranks each cluster's members so the most
+"representative" document can be kept as canonical (a step up from
+min-id selection), and coreset pickers can weight by representativeness.
+
+Cross-engine determinism (the hard part of certifying an iterative
+float algorithm against a SQL oracle): per-node contribution sums are
+order-dependent in plain float SUM — partial aggregation adds floats
+in partition order, so two runs (or two engines) can differ in final
+ulps and flip a rounded digit. Instead each contribution r(u)/deg(u)
+is converted to FIXED-POINT (floor(x · 2^40) as a 64-bit int) and the
+per-node reduction sums LONGS — associative and exact, so any
+partitioning, any engine, any aggregation order produces bit-identical
+ranks. The quantization error (≤ 2^-40 per in-edge) is identical on
+both engines by construction. This is also the 100 TB-correct shape:
+long sums keep map-side combine, where a sorted-fold float sum would
+need a collect_list per node.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: fixed-point scale: 40 fractional bits. deg_in · 2^40 stays far
+#: below 2^53, so the long sum round-trips exactly through double.
+_FP = float(2**40)
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    round_dp: int = 6,
+) -> DataFrame:
+    """PageRank over a DIRECTED edge list (symmetrize upstream for an
+    undirected similarity graph). Nodes are the vertices appearing in
+    the edge list; every node must have out-degree ≥ 1 (always true
+    for a symmetrized graph — no dangling-mass term needed).
+
+    r_{t+1}(v) = (1-d)/N + d · Σ_{u→v} r_t(u)/deg(u), ``iters`` steps
+    from the uniform start. Output: (node, degree, rank) with rank
+    rounded to ``round_dp``. Each step is one broadcast-or-shuffle
+    hash join (ranks are |V|-sized, edges |E|-sized) plus one long-sum
+    aggregate — the standard iterative-join PageRank plan."""
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = e.select(F.col("_dst").alias("_id")).distinct()
+    n_nodes = nodes.count()  # scalar: sizes the teleport term
+    base = (1.0 - damping) / float(n_nodes)
+
+    ranks = nodes.withColumn("_r", F.lit(1.0 / float(n_nodes)))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["_src"] == ranks["_id"])
+            .join(deg, "_src")
+            .select(
+                F.col("_dst"),
+                F.floor(F.col("_r") / F.col("_deg").cast("double") * F.lit(_FP))
+                .cast("long")
+                .alias("_q"),
+            )
+        )
+        ranks = (
+            contrib.groupBy("_dst")
+            .agg(F.sum("_q").alias("_sq"))
+            .select(
+                F.col("_dst").alias("_id"),
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.col("_sq").cast("double") / F.lit(_FP))
+                ).alias("_r"),
+            )
+        )
+    return (
+        ranks.join(deg, ranks["_id"] == deg["_src"])
+        .select(
+            F.col("_id").alias("node"),
+            F.col("_deg").cast("long").alias("degree"),
+            F.round(F.col("_r"), round_dp).alias("pagerank"),
+        )
+    )
+
+
+def pagerank_over_pairs(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    damping: float = 0.85,
+    iters: int = 3,
+) -> DataFrame:
+    """PageRank over an UNDIRECTED pair list (e.g. near-dup pairs):
+    symmetrizes into a directed edge list, then runs ``pagerank``."""
+    fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+    return pagerank(fwd.unionByName(rev), damping=damping, iters=iters)

@@ -5340,6 +5340,113 @@ def docs_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_oov_stats(docs, vocab_k=20)
 
 
+_PAGERANK_ORACLE = """
+WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (
+  SELECT a.vec_id AS ia, b.vec_id AS ib
+  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+),
+ed AS (SELECT ia AS src, ib AS dst FROM p UNION ALL SELECT ib, ia FROM p),
+deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+nn AS (SELECT CAST(COUNT(DISTINCT dst) AS DOUBLE) AS n FROM ed),
+r1 AS (
+  SELECT e.dst AS id,
+         (1.0 - 0.85) / nn.n + 0.85 * (CAST(SUM(CAST(FLOOR(
+           (1.0 / nn.n) / CAST(g.d AS DOUBLE) * 1099511627776.0
+         ) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS r
+  FROM ed e JOIN deg g ON g.src = e.src, nn
+  GROUP BY e.dst, nn.n
+),
+r2 AS (
+  SELECT e.dst AS id,
+         (1.0 - 0.85) / nn.n + 0.85 * (CAST(SUM(CAST(FLOOR(
+           r1.r / CAST(g.d AS DOUBLE) * 1099511627776.0
+         ) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS r
+  FROM ed e JOIN deg g ON g.src = e.src JOIN r1 ON r1.id = e.src, nn
+  GROUP BY e.dst, nn.n
+),
+r3 AS (
+  SELECT e.dst AS id,
+         (1.0 - 0.85) / nn.n + 0.85 * (CAST(SUM(CAST(FLOOR(
+           r2.r / CAST(g.d AS DOUBLE) * 1099511627776.0
+         ) AS BIGINT)) AS DOUBLE) / 1099511627776.0) AS r
+  FROM ed e JOIN deg g ON g.src = e.src JOIN r2 ON r2.id = e.src, nn
+  GROUP BY e.dst, nn.n
+)
+SELECT r3.id AS node, CAST(g.d AS BIGINT) AS degree,
+       ROUND(r3.r, 6) AS pagerank
+FROM r3 JOIN deg g ON g.src = r3.id
+"""
+
+
+@query("graph_pagerank_neardup", _PAGERANK_ORACLE)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (3 iterations, d=0.85) over the embedding
+    near-dup similarity graph — ranks each dup-cluster's members by
+    representativeness for canonical selection. Iterative hash-join
+    plan; per-node sums run in FIXED-POINT longs (exact, associative)
+    so ranks are bit-identical across engines, partitionings, and
+    aggregation orders — the only float ops are IEEE-deterministic
+    scalar expressions. The oracle unrolls the 3 iterations as CTEs
+    with the same fixed-point arithmetic."""
+    from vectorsearchutil_spark.operators.graph import pagerank_over_pairs
+    from vectorsearchutil_spark.operators.similarity import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, threshold=0.35, strategy="auto")
+    return pagerank_over_pairs(pairs, damping=0.85, iters=3)
+
+
+_MARKOV_ORACLE = """
+WITH nxt AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4) AS p
+FROM trans
+"""
+
+
+@query("events_markov_transitions", _MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the behaviour model behind session simulation and
+    anomaly scoring. One per-user window (lead) on narrow columns,
+    one aggregate; the normalizing row-sum is a window over the tiny
+    (type × type) transition table."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    nxt = e.select(
+        "user_id",
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n") / F.sum("n").over(Window.partitionBy("from_type")), 4
+        ).alias("p"),
+    )
+
+
 _TOKEN_PMI_ORACLE = """
 WITH tok AS (
   SELECT DISTINCT doc_id AS d,
