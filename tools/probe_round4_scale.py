@@ -284,5 +284,126 @@ PROBES.update(
 )
 
 
+
+
+# -- round-4b operator probes (this session's additions) --------------
+
+
+def _varied_docs(spark, n, vocab=2000, avg_tokens=80):
+    """Docs whose tokens vary (zipf-ish) — the all-'w' _docs generator
+    is useless for LM / PMI / OOV probes."""
+    return spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"concat_ws(' ', transform(sequence(1, 20 + cast(pmod(xxhash64(id), "
+        f"{2 * (avg_tokens - 20)}) as int)), "
+        f"j -> concat('tok', pmod(xxhash64(id, j), {vocab})))) AS text",
+    )
+
+
+def probe_bigram_logprob(spark):
+    from vectorsearchutil_spark.operators.textanalysis import bigram_logprob
+
+    docs = _varied_docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    bigram_logprob(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs, ~80 tok/doc, 2k vocab"
+
+
+def probe_vocab_oov(spark):
+    from vectorsearchutil_spark.operators.textanalysis import vocab_oov_stats
+
+    docs = _varied_docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    vocab_oov_stats(docs, vocab_k=500).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs, top-500 vocab"
+
+
+def probe_token_pmi(spark):
+    from vectorsearchutil_spark.operators.textanalysis import token_pmi_pairs
+
+    docs = _varied_docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    token_pmi_pairs(docs, vocab_k=100, min_support=50).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs, top-100 vocab pair fan-out"
+
+
+def probe_fuzzy_pairs(spark):
+    from vectorsearchutil_spark.operators.fuzzyjoin import fuzzy_pairs_ed1
+
+    # 375k 10-char keys at ~3% density in a 1e7 space -> plenty of
+    # one-digit-apart neighbors without a quadratic output
+    df = spark.range(375_000).selectExpr(
+        "id AS k",
+        "concat('u', lpad(cast(pmod(id * 37, 10000000) as string), 9, '0'))"
+        " AS s",
+    ).cache()
+    df.count()
+    t0 = time.time()
+    n = fuzzy_pairs_ed1(df, "k", "s").count()
+    dt = time.time() - t0
+    df.unpersist()
+    return f"{dt:.1f}s @ 375k strings -> {n} ed<=1 pairs"
+
+
+def probe_pagerank(spark):
+    from vectorsearchutil_spark.operators.graph import pagerank_over_pairs
+
+    pairs = spark.range(2_000_000).selectExpr(
+        "pmod(xxhash64(id, 1), 200000) AS id_a",
+        "200000 + pmod(xxhash64(id, 2), 200000) AS id_b",
+    ).cache()
+    pairs.count()
+    t0 = time.time()
+    pagerank_over_pairs(pairs, iters=3).count()
+    dt = time.time() - t0
+    pairs.unpersist()
+    return f"{dt:.1f}s @ 2M edges / 400k nodes, 3 iterations"
+
+
+def probe_markov(spark):
+    from pyspark.sql import Window
+
+    ev = spark.range(N_EVENTS).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 200000) AS user_id",
+        "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0, id % 86400)"
+        " AS ts",
+        "concat('t', pmod(xxhash64(id, 5), 12)) AS event_type",
+    ).cache()
+    ev.count()
+    t0 = time.time()
+    nxt = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    nxt.groupBy("from_type", "to_type").count().count()
+    dt = time.time() - t0
+    ev.unpersist()
+    return f"{dt:.1f}s @ {N_EVENTS} events, 200k users, 12 types"
+
+
+PROBES.update(
+    {
+        "bigram_logprob": probe_bigram_logprob,
+        "vocab_oov": probe_vocab_oov,
+        "token_pmi": probe_token_pmi,
+        "fuzzy_pairs": probe_fuzzy_pairs,
+        "pagerank": probe_pagerank,
+        "markov": probe_markov,
+    }
+)
+
+
 if __name__ == "__main__":
     main()

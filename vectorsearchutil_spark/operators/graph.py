@@ -47,8 +47,13 @@ def pagerank(
     rounded to ``round_dp``. Each step is one broadcast-or-shuffle
     hash join (ranks are |V|-sized, edges |E|-sized) plus one long-sum
     aggregate — the standard iterative-join PageRank plan."""
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg"))
+    # edges and degrees are re-read every iteration — cache both so
+    # iteration N doesn't recompute the upstream pair-mining plan N
+    # times (same discipline as connected components / k-means)
+    e = edges.select(
+        F.col(src).alias("_src"), F.col(dst).alias("_dst")
+    ).cache()
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).cache()
     nodes = e.select(F.col("_dst").alias("_id")).distinct()
     n_nodes = nodes.count()  # scalar: sizes the teleport term
     base = (1.0 - damping) / float(n_nodes)
@@ -76,6 +81,9 @@ def pagerank(
                     * (F.col("_sq").cast("double") / F.lit(_FP))
                 ).alias("_r"),
             )
+            # truncate lineage: without this the plan doubles per
+            # iteration (ranks appears under itself via the join)
+            .localCheckpoint(eager=False)
         )
     return (
         ranks.join(deg, ranks["_id"] == deg["_src"])

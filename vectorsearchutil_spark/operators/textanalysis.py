@@ -424,18 +424,22 @@ def bigram_logprob(
     vocab_size = toks.select(F.explode("_toks").alias("token")).agg(
         F.count_distinct("token").cast("double").alias("vsz")
     )
-    scored = (
-        big.join(bg_counts, ["w1", "w2"])
-        .join(ctx_counts, ["w1"])
+    # pre-score the DISTINCT bigram table (vocab²-bounded) so the full
+    # bigram stream joins back exactly ONCE — measured 2 shuffle joins
+    # → 1 on the 25× probe (PERF.md round 4b)
+    lp_table = (
+        bg_counts.join(ctx_counts, ["w1"])
         .crossJoin(F.broadcast(vocab_size))
         .select(
-            F.col(id_col),
+            "w1",
+            "w2",
             F.log(
                 (F.col("c12") + F.lit(add_k))
                 / (F.col("c1") + F.lit(add_k) * F.col("vsz"))
             ).alias("lp"),
         )
     )
+    scored = big.join(lp_table, ["w1", "w2"]).select(F.col(id_col), "lp")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logprob"),
