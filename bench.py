@@ -81,6 +81,13 @@ HEADLINE = [
     "dedup_semantic",
     "embeddings_hard_negatives",
     "docs_token_budget_mixture",
+    # round 4, session 2
+    "docs_bigram_logprob",
+    "docs_vocab_oov",
+    "text_token_pmi",
+    "customers_fuzzy_name_pairs",
+    "events_markov_transitions",
+    "graph_pagerank_neardup",
 ]
 
 
