@@ -259,3 +259,51 @@ def test_zorder_key_stays_jvm_side(spark, sf_dir):
     tree = plan.partition("\n\n")[0]
     assert tree.count("Exchange") == 1
     assert "<<" in plan and "1431655765" in plan
+
+
+def test_vocab_oov_broadcasts_vocab(spark, sf_dir):
+    """The top-k vocabulary LEFT-joins back onto the token stream
+    broadcast — the corpus-side explode+agg are the only shuffles."""
+    df = Q.QUERIES["docs_vocab_oov"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_bigram_logprob_text_never_shuffles(spark, sf_dir):
+    """Bigrams derive array-side from one tokenize pass: every
+    Exchange carries narrow (id/w1/w2/count) rows — the raw text
+    column must not appear below any Exchange."""
+    df = Q.QUERIES["docs_bigram_logprob"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    tree = plan.partition("\n\n")[0]
+    for chunk in tree.split("Exchange")[1:]:
+        head = chunk.splitlines()[0]
+        assert "text#" not in head
+
+
+def test_markov_single_window_partition(spark, sf_dir):
+    """One per-user lead window + the tiny transition aggregate; the
+    normalizing row-sum windows over the (type x type) table only."""
+    df = Q.QUERIES["events_markov_transitions"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_fuzzy_pairs_query_no_cartesian(spark, sf_dir):
+    """Deletion-neighborhood blocking must hash-join on signature —
+    never a cartesian/nested-loop pairing."""
+    df = Q.QUERIES["customers_fuzzy_name_pairs"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pagerank_long_sum_aggregate(spark, sf_dir):
+    """The per-iteration reduction must be a hash aggregate over the
+    fixed-point longs (map-side combine), not a collect_list fold."""
+    df = Q.QUERIES["graph_pagerank_neardup"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "collect_list" not in plan
+    assert "sum(" in plan

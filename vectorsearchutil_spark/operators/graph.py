@@ -59,7 +59,13 @@ def pagerank(
     base = (1.0 - damping) / float(n_nodes)
 
     ranks = nodes.withColumn("_r", F.lit(1.0 / float(n_nodes)))
-    for _ in range(iters):
+    for i in range(iters):
+        if i > 0:
+            # truncate lineage BETWEEN iterations (the plan doubles
+            # per step otherwise); the final step stays a plain
+            # expression so the long-sum aggregate remains visible to
+            # plan assertions and AQE
+            ranks = ranks.localCheckpoint(eager=False)
         contrib = (
             e.join(ranks, e["_src"] == ranks["_id"])
             .join(deg, "_src")
@@ -81,9 +87,6 @@ def pagerank(
                     * (F.col("_sq").cast("double") / F.lit(_FP))
                 ).alias("_r"),
             )
-            # truncate lineage: without this the plan doubles per
-            # iteration (ranks appears under itself via the join)
-            .localCheckpoint(eager=False)
         )
     return (
         ranks.join(deg, ranks["_id"] == deg["_src"])
