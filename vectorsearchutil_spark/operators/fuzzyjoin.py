@@ -57,26 +57,26 @@ def fuzzy_pairs_ed1(
     module docstring for the completeness argument. Rows with a NULL
     string are ignored (NULL matches nothing, as in SQL equality).
     """
-    sigs = (
-        df.filter(F.col(str_col).isNotNull())
-        .select(
-            F.col(key_col).alias("_k"),
-            F.col(str_col).alias("_s"),
-            F.explode(deletion_signatures(F.col(str_col))).alias("_sig"),
-        )
+    base = df.filter(F.col(str_col).isNotNull()).select(
+        F.col(key_col).alias("_k"), F.col(str_col).alias("_s")
     )
-    right = sigs.select(
-        F.col("_sig"),
-        F.col("_k").alias("_k2"),
-        F.col("_s").alias("_s2"),
+    # the signature join and the pair-dedup move ONLY (key, key) rows
+    # — strings re-attach afterwards (measured 4.8 → 2.5 s at sf0.1:
+    # the distinct over string-carrying candidates was the floor)
+    sigs = base.select(
+        "_k", F.explode(deletion_signatures(F.col("_s"))).alias("_sig")
     )
     cand = (
-        sigs.join(right, "_sig")
+        sigs.join(sigs.select("_sig", F.col("_k").alias("_k2")), "_sig")
         .filter(F.col("_k") < F.col("_k2"))
-        .select("_k", "_k2", "_s", "_s2")
+        .select("_k", "_k2")
         .distinct()
     )
-    return cand.filter(
+    attached = cand.join(base, "_k").join(
+        base.select(F.col("_k").alias("_k2"), F.col("_s").alias("_s2")),
+        "_k2",
+    )
+    return attached.filter(
         F.levenshtein(F.col("_s"), F.col("_s2")) <= 1
     ).select(
         F.col("_k").alias("key_a"),
