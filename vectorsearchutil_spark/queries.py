@@ -5398,6 +5398,58 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_CONCURRENCY_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+iv AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, sid
+),
+b AS (
+  SELECT s AS ts, 1 AS delta FROM iv
+  UNION ALL
+  SELECT e AS ts, -1 AS delta FROM iv
+),
+r AS (
+  SELECT CAST(ts AS DATE) AS day, delta,
+         SUM(delta) OVER (ORDER BY ts, delta DESC) AS open_now
+  FROM b
+)
+SELECT day, CAST(MAX(open_now) AS INT) AS peak_concurrency,
+       CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS INT) AS n_starts
+FROM r GROUP BY day
+"""
+
+
+@query("events_session_concurrency", _CONCURRENCY_ORACLE)
+def events_session_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day peak session concurrency via the DISTRIBUTED two-level
+    sweep-line (operators/intervals.py): day-bucketed boundary deltas,
+    a days-sized carry window, day-parallel running sums — where the
+    naive plan is one global single-partition window. The oracle runs
+    the naive global sweep (fine at sf0.01); identical results by the
+    prefix-sum decomposition + ANSI RANGE-frame peer semantics."""
+    from vectorsearchutil_spark.operators.intervals import (
+        concurrency_by_day,
+        sessions_from_events,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return concurrency_by_day(sessions_from_events(e))
+
+
 _MARKOV_ORACLE = """
 WITH nxt AS (
   SELECT user_id, event_type AS from_type,
