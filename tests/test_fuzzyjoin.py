@@ -63,3 +63,34 @@ def test_fuzzy_pairs_no_cartesian_plan(spark):
     plan = fuzzy_pairs_ed1(df, "k", "s")._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_corpus_diff_statuses(spark):
+    from vectorsearchutil_spark.operators.diffing import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "s"), (2, "b", "s"), (3, "c", "s"), (4, None, "s")],
+        "doc_id int, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "s"), (3, "C", "s"), (4, None, "s"), (5, "e", "s")],
+        "doc_id int, text string, source string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {
+        1: "removed", 2: "unchanged", 3: "changed",
+        4: "unchanged", 5: "added",
+    }
+
+
+def test_corpus_diff_null_vs_empty_not_confused(spark):
+    from vectorsearchutil_spark.operators.diffing import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x")], "doc_id int, text string, source string"
+    )
+    new = spark.createDataFrame(
+        [(1, "", "x")], "doc_id int, text string, source string"
+    )
+    (row,) = corpus_diff(old, new).collect()
+    assert row["status"] == "changed"  # NULL != '' under the sentinel

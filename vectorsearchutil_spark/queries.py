@@ -5398,6 +5398,48 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_CORPUS_DIFF_ORACLE = """
+WITH o AS (
+  SELECT doc_id, md5(concat_ws(chr(1),
+           COALESCE(text, chr(0)), COALESCE(source, chr(0)))) AS oh
+  FROM documents WHERE doc_id % 10 != 0
+),
+n AS (
+  SELECT doc_id, md5(concat_ws(chr(1),
+           COALESCE(CASE WHEN doc_id % 7 = 0 THEN reverse(text) ELSE text
+                    END, chr(0)),
+           COALESCE(source, chr(0)))) AS nh
+  FROM documents WHERE doc_id % 10 != 3
+)
+SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.oh = n.nh THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
+@query("docs_snapshot_diff", _CORPUS_DIFF_ORACLE)
+def docs_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (v1 drops ids ≡0 mod
+    10; v2 drops ids ≡3 mod 10 and reverses every 7th doc's text):
+    added/removed/changed/unchanged per doc. Raw text reduces to an
+    md5 content hash in the scan projection — only (id, hash) rows
+    enter the one full-outer join."""
+    from vectorsearchutil_spark.operators.diffing import corpus_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 10 != 0)
+    v2 = docs.filter(F.col("doc_id") % 10 != 3).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.reverse(F.col("text"))).otherwise(
+            F.col("text")
+        ),
+    )
+    return corpus_diff(v1, v2, compare_cols=["text", "source"])
+
+
 _CONCURRENCY_ORACLE = """
 WITH marked AS (
   SELECT user_id, event_id, ts,
