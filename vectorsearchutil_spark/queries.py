@@ -5398,6 +5398,116 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_CDC_ORACLE = """
+WITH changes AS (
+  SELECT c_custkey, 1 AS seq, 'delete' AS op,
+         c_name, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+  UNION ALL
+  SELECT c_custkey, 1, 'upsert', c_name, c_acctbal + 100
+  FROM customer WHERE c_custkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT c_custkey, 2, 'upsert', c_name, c_acctbal + 200
+  FROM customer WHERE c_custkey % 100 = 1
+  UNION ALL
+  SELECT c_custkey + 1000000, 1, 'upsert',
+         concat('New#', CAST(c_custkey AS VARCHAR)), 0.0
+  FROM customer WHERE c_custkey % 50 = 0
+),
+winners AS (
+  SELECT * FROM (
+    SELECT c_custkey, seq, op, c_name, c_acctbal,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey
+                              ORDER BY seq DESC, op ASC) AS rn
+    FROM changes
+  ) WHERE rn = 1
+)
+SELECT s.c_custkey, s.c_name, s.c_acctbal
+FROM customer s
+WHERE s.c_custkey NOT IN (SELECT c_custkey FROM winners)
+UNION ALL
+SELECT c_custkey, c_name, c_acctbal FROM winners WHERE op = 'upsert'
+"""
+
+
+@query("customers_cdc_merge", _CDC_ORACLE)
+def customers_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level CDC MERGE: a deterministic changelog (deletes for
+    ids ≡0 mod 10, +100 upserts for ≡1,2, a superseding seq-2 +200
+    upsert for ≡1 mod 100, inserts of brand-new ids) applied to the
+    customer snapshot. The changelog alone shuffles (one window for
+    latest-change-wins); the snapshot passes through an anti-join."""
+    from vectorsearchutil_spark.operators.cdc import cdc_apply
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    deletes = cust.filter(k % 10 == 0).select(
+        k.alias("c_custkey"), F.lit(1).alias("seq"),
+        F.lit("delete").alias("op"), "c_name", "c_acctbal",
+    )
+    up1 = cust.filter((k % 10).isin(1, 2)).select(
+        k.alias("c_custkey"), F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"), "c_name",
+        (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    up2 = cust.filter(k % 100 == 1).select(
+        k.alias("c_custkey"), F.lit(2).alias("seq"),
+        F.lit("upsert").alias("op"), "c_name",
+        (F.col("c_acctbal") + 200).alias("c_acctbal"),
+    )
+    inserts = cust.filter(k % 50 == 0).select(
+        (k + 1000000).alias("c_custkey"), F.lit(1).alias("seq"),
+        F.lit("upsert").alias("op"),
+        F.concat(F.lit("New#"), k.cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+    )
+    changes = deletes.unionByName(up1).unionByName(up2).unionByName(inserts)
+    return cdc_apply(cust, changes, id_col="c_custkey")
+
+
+_OHLC_ORACLE = """
+SELECT event_type,
+       CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS hour_start,
+       arg_min(value, ts) AS open,
+       MAX(value) AS high,
+       MIN(value) AS low,
+       arg_max(value, ts) AS close,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("events_ohlc_hourly", _OHLC_ORACLE)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling to hourly OHLC bars per event type —
+    the downsampling shape behind dashboards and feature windows.
+    One partial-aggregated groupBy; open/close are min_by/max_by on
+    the event timestamp (no sort, no window). Timestamps are unique
+    per (type, hour) in this data, so arg-extremes are deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            "event_type",
+            F.window("ts", "1 hour").alias("_w"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            F.col("_w.start").cast("double").cast("bigint").alias("hour_start"),
+            "open", "high", "low", "close", "n",
+        )
+    )
+
+
 _CORPUS_DIFF_ORACLE = """
 WITH o AS (
   SELECT doc_id, md5(concat_ws(chr(1),
