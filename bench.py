@@ -88,6 +88,10 @@ HEADLINE = [
     "customers_fuzzy_name_pairs",
     "events_markov_transitions",
     "graph_pagerank_neardup",
+    "events_session_concurrency",
+    "docs_snapshot_diff",
+    "events_ohlc_hourly",
+    "customers_cdc_merge",
 ]
 
 

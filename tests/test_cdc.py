@@ -53,3 +53,29 @@ def test_cdc_partition_invariant(spark):
         ).collect()
     )
     assert a == b
+
+
+def test_cdc_batchwise_composability(spark):
+    """Applying a changelog in two sequential batches equals applying
+    the concatenated changelog once — the property that makes daily
+    incremental merges equivalent to a full-history replay."""
+    import random
+
+    rng = random.Random(5)
+    rows = [
+        (rng.randint(0, 6), seq, rng.choice(["upsert", "upsert", "delete"]),
+         f"n{seq}", float(seq))
+        for seq in range(1, 60)
+    ]
+    schema = "id int, seq int, op string, name string, bal double"
+    half = len(rows) // 2
+    b1 = spark.createDataFrame(rows[:half], schema)
+    b2 = spark.createDataFrame(rows[half:], schema)
+    both = spark.createDataFrame(rows, schema)
+
+    snap = _snap(spark)
+    stepwise = cdc_apply(cdc_apply(snap, b1, "id"), b2, "id")
+    oneshot = cdc_apply(snap, both, "id")
+    assert sorted(map(tuple, stepwise.collect())) == sorted(
+        map(tuple, oneshot.collect())
+    )

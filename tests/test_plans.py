@@ -307,3 +307,43 @@ def test_pagerank_long_sum_aggregate(spark, sf_dir):
     plan = formatted_plan(df)
     assert "collect_list" not in plan
     assert "sum(" in plan
+
+
+def test_cdc_merge_snapshot_never_shuffles(spark, sf_dir):
+    """The snapshot side must reach the anti-join unshuffled (the
+    changelog's window is the only wide op on the merge path; with a
+    small changelog the anti-join broadcasts)."""
+    df = Q.QUERIES["customers_cdc_merge"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert_no_cartesian(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_session_concurrency_day_partitioned_windows(spark, sf_dir):
+    """The sweep-line must run day-partitioned; the only empty-
+    partitionBy window is over the days-sized carry table."""
+    df = Q.QUERIES["events_session_concurrency"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Window") >= 2  # user sessionize + day windows
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_snapshot_diff_hashes_before_join(spark, sf_dir):
+    """Only (id, md5) rows may enter the full-outer join — the text
+    column must not appear below the join's Exchanges."""
+    df = Q.QUERIES["docs_snapshot_diff"](spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "FullOuter" in plan or "full_outer" in plan
+    tree = plan.partition("\n\n")[0]
+    for chunk in tree.split("Exchange")[1:]:
+        assert "text#" not in chunk.splitlines()[0]
+
+
+def test_ohlc_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars are min_by/max_by aggregates — no sort, no window,
+    one partial-agg shuffle."""
+    df = Q.QUERIES["events_ohlc_hourly"](spark, sf_dir)
+    plan = formatted_plan(df)
+    tree = plan.partition("\n\n")[0]
+    assert "Window" not in tree
+    assert tree.count("Exchange") == 1
