@@ -95,3 +95,35 @@ def test_audio_roundtrip_and_resample(spark):
     assert res[1]["resampled_hash"] == hashlib.md5(
         samples.astype(">u2").tobytes()
     ).hexdigest()
+
+
+def test_image_ahash_identity_and_locality(spark):
+    from vectorsearchutil_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_binary,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    rows = [
+        (1, base),
+        (2, base),                       # identical payload
+        (3, base[:-1] + "G"),            # one char changed
+        (4, "completely different content with other words entirely"),
+        (5, ""),
+    ]
+    df = synthesize_binary(
+        spark.createDataFrame(rows, ["doc_id", "text"])
+    )
+    got = {r["doc_id"]: r["ahash"] for r in image_ahash(df).collect()}
+    assert got[1] == got[2]
+    assert got[5] == "0000000000000000"
+    assert all(len(h) == 16 for h in got.values())
+
+    def hamming(a, b):
+        x = int(a, 16) ^ int(b, 16)
+        return bin(x).count("1")
+
+    # one changed character flips at most a couple of sampled bits
+    assert hamming(got[1], got[3]) <= 4
+    # unrelated content is far
+    assert hamming(got[1], got[4]) > 8

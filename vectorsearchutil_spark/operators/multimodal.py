@@ -282,3 +282,54 @@ def resample_audio(
     return df.select("doc_id", content_col).mapInPandas(
         resample, AUDIO_RESAMPLE_SCHEMA
     )
+
+
+def image_ahash(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """64-bit average-hash (aHash) perceptual fingerprint per image —
+    the cheap visual-dedup signal (identical and near-identical
+    payloads collide; a real pHash would DCT real pixels, which needs
+    PIL — see decode_image_pixels — but the hashing pipeline shape is
+    the same).
+
+    The "pixel grid" is 64 evenly-spaced samples of the payload
+    behind the 8-byte header; a sample's bit is 1 iff 64·sample >
+    Σ samples — an INTEGER comparison, so the threshold is exact on
+    any engine (no float mean). Bits pack into four 16-bit words
+    rendered as a 16-hex-char string (a packed u64 would overflow
+    signed BIGINT).
+
+    Scale shape: pure JVM expressions over the binary column (substr
+    + decode + ascii inside one projection) — hashing runs at scan
+    speed with no Python worker at all, unlike the decode stages
+    where per-payload parsing genuinely needs Arrow batches."""
+    payload = F.expr(
+        f"decode(substring({content_col}, 9, "
+        f"length({content_col}) - 8), 'UTF-8')"
+    )
+    p = "_ah_payload"
+    out = df.withColumn(p, payload)
+    samples = (
+        f"transform(sequence(0, 63), i -> ascii(substring({p}, "
+        f"cast((i * length({p})) div 64 as int) + 1, 1)))"
+    )
+    # Spark SQL expressions have no local bindings — materialize the
+    # sample array and its sum as columns instead of repeating the
+    # subexpression 64 times.
+    out = out.withColumn("_ah_s", F.expr(samples))
+    out = out.withColumn(
+        "_ah_tot", F.expr("aggregate(_ah_s, 0, (a, x) -> a + x)")
+    )
+    chunk = (
+        "lpad(hex(aggregate(transform(sequence({lo}, {hi}), "
+        "i -> IF(64 * element_at(_ah_s, i + 1) > _ah_tot, "
+        "shiftleft(1, i - {lo}), 0)), 0, (a, x) -> a + x)), 4, '0')"
+    )
+    hash_expr = "concat(" + ", ".join(
+        chunk.format(lo=j * 16, hi=j * 16 + 15) for j in range(4)
+    ) + ")"
+    return out.withColumn(
+        "ahash",
+        F.when(F.length(F.col(p)) == 0, F.lit("0000000000000000")).otherwise(
+            F.expr(hash_expr)
+        ),
+    ).drop(p, "_ah_s", "_ah_tot")

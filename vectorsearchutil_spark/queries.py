@@ -5398,6 +5398,54 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_AHASH_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text AS p,
+         list_transform(range(0, 64),
+           i -> ord(substr(text, CAST((i * length(text)) // 64 AS INT) + 1,
+                           1))) AS sm
+  FROM documents
+),
+b AS (SELECT doc_id, p, sm, list_sum(sm) AS tot FROM s)
+SELECT doc_id,
+  CASE WHEN length(p) = 0 THEN '0000000000000000' ELSE
+    concat(
+      lpad(hex(list_sum(list_transform(range(0, 16),
+        i -> CASE WHEN 64 * sm[CAST(i AS INT) + 1] > tot
+             THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END))), 4, '0'),
+      lpad(hex(list_sum(list_transform(range(16, 32),
+        i -> CASE WHEN 64 * sm[CAST(i AS INT) + 1] > tot
+             THEN (1::BIGINT << CAST(i - 16 AS INT)) ELSE 0 END))), 4, '0'),
+      lpad(hex(list_sum(list_transform(range(32, 48),
+        i -> CASE WHEN 64 * sm[CAST(i AS INT) + 1] > tot
+             THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END))), 4, '0'),
+      lpad(hex(list_sum(list_transform(range(48, 64),
+        i -> CASE WHEN 64 * sm[CAST(i AS INT) + 1] > tot
+             THEN (1::BIGINT << CAST(i - 48 AS INT)) ELSE 0 END))), 4, '0'))
+  END AS ahash
+FROM b
+"""
+
+
+@query("multimodal_image_ahash", _AHASH_ORACLE)
+def multimodal_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash over the synthesized binary image
+    column: 64 evenly-spaced payload samples, integer mean threshold
+    (64·sample > Σ — exact on any engine), packed to a 16-hex-char
+    fingerprint. Pure JVM expressions over the binary column — visual
+    dedup signatures at scan speed, no Python worker. The oracle
+    recomputes from the source text (the payload behind the 8-byte
+    header is the utf8 text by construction)."""
+    from vectorsearchutil_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_binary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = synthesize_binary(docs)
+    return image_ahash(imgs).select("doc_id", "ahash")
+
+
 _CDC_ORACLE = """
 WITH changes AS (
   SELECT c_custkey, 1 AS seq, 'delete' AS op,
