@@ -510,3 +510,57 @@ def test_streaming_token_budget_unknown_source_rejected(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.read.parquet(out).collect()
     assert [(r["doc_id"], r["cum_tokens"]) for r in rows] == [(1, 5)]
+
+
+def test_streaming_cdc_upsert_versions_and_time_travel(spark, tmp_path):
+    """Two changelog micro-batches merge into a ManifestLog table:
+    the final snapshot equals a one-shot batch cdc_apply over the
+    concatenated log, and the PREVIOUS version (time travel) shows
+    the state after batch 1 only."""
+    from vectorsearchutil_spark.operators.cdc import cdc_apply
+    from vectorsearchutil_spark.sources.manifest import ManifestLog
+    from vectorsearchutil_spark.streaming.sinks import cdc_upsert_sink
+
+    schema = "id long, seq long, op string, name string, bal double"
+    b1 = spark.createDataFrame(
+        [(1, 1, "upsert", "a", 1.0), (2, 2, "upsert", "b", 2.0)], schema
+    )
+    b2 = spark.createDataFrame(
+        [(1, 3, "delete", None, None), (3, 4, "upsert", "c", 3.0)], schema
+    )
+
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.mode("append").parquet(src)
+
+    log = ManifestLog(str(tmp_path / "table"))
+    sink = cdc_upsert_sink(log, id_col="id")
+
+    def run_once():
+        stream = spark.readStream.schema(b1.schema).parquet(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    v1 = log.latest_version()
+    after1 = sorted(map(tuple, log.read(spark).collect()))
+    assert after1 == [(1, "a", 1.0), (2, "b", 2.0)]
+
+    b2.coalesce(1).write.mode("append").parquet(src)
+    run_once()
+
+    final = sorted(map(tuple, log.read(spark).collect()))
+    empty = spark.createDataFrame([], "id long, name string, bal double")
+    expected = sorted(
+        map(
+            tuple,
+            cdc_apply(empty, b1.unionByName(b2), "id").collect(),
+        )
+    )
+    assert final == expected == [(2, "b", 2.0), (3, "c", 3.0)]
+    # time travel: the pre-batch-2 version is still readable
+    assert sorted(map(tuple, log.read(spark, version=v1).collect())) == after1
