@@ -405,5 +405,93 @@ PROBES.update(
 )
 
 
+
+
+# -- round-4b wave-2 probes -------------------------------------------
+
+
+def probe_concurrency(spark):
+    from vectorsearchutil_spark.operators.intervals import concurrency_by_day
+
+    iv = spark.range(2_500_000).selectExpr(
+        "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,"
+        " pmod(xxhash64(id, 1), 2592000)) AS start_ts",
+    ).selectExpr(
+        "start_ts",
+        "start_ts + make_interval(0,0,0,0,0,0,"
+        " 60 + pmod(xxhash64(start_ts), 7200)) AS end_ts",
+    ).cache()
+    iv.count()
+    t0 = time.time()
+    concurrency_by_day(iv).count()
+    dt = time.time() - t0
+    iv.unpersist()
+    return f"{dt:.1f}s @ 2.5M intervals over 30 days"
+
+
+def probe_snapshot_diff(spark):
+    from vectorsearchutil_spark.operators.diffing import corpus_diff
+
+    docs = _docs(spark, N_DOCS).cache()
+    docs.count()
+    old = docs.filter("doc_id % 10 != 0")
+    new = docs.filter("doc_id % 10 != 3").selectExpr(
+        "doc_id", "source",
+        "IF(doc_id % 7 = 0, reverse(text), text) AS text",
+    )
+    t0 = time.time()
+    corpus_diff(old, new, compare_cols=["text", "source"]).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 2 x {N_DOCS}-doc snapshots"
+
+
+def probe_cdc(spark):
+    from vectorsearchutil_spark.operators.cdc import cdc_apply
+
+    snap = spark.range(2_500_000).selectExpr(
+        "id", "concat('n', id) AS name",
+        "pmod(xxhash64(id), 1000) / 10.0 AS bal",
+    ).cache()
+    changes = spark.range(250_000).selectExpr(
+        "pmod(xxhash64(id, 3), 2600000) AS id",
+        "id AS seq",
+        "IF(id % 5 = 0, 'delete', 'upsert') AS op",
+        "concat('m', id) AS name",
+        "id / 7.0 AS bal",
+    ).cache()
+    snap.count(); changes.count()
+    t0 = time.time()
+    cdc_apply(snap, changes, "id").count()
+    dt = time.time() - t0
+    snap.unpersist(); changes.unpersist()
+    return f"{dt:.1f}s @ 2.5M snapshot + 250k changelog"
+
+
+def probe_ahash(spark):
+    from vectorsearchutil_spark.operators.multimodal import (
+        image_ahash,
+        synthesize_binary,
+    )
+
+    docs = _varied_docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    image_ahash(synthesize_binary(docs)).select("doc_id", "ahash").count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} synthesized images"
+
+
+PROBES.update(
+    {
+        "concurrency": probe_concurrency,
+        "snapshot_diff": probe_snapshot_diff,
+        "cdc": probe_cdc,
+        "ahash": probe_ahash,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
