@@ -92,6 +92,9 @@ HEADLINE = [
     "docs_snapshot_diff",
     "events_ohlc_hourly",
     "customers_cdc_merge",
+    "multimodal_image_ahash",
+    "multimodal_ahash_neardup",
+    "docs_curriculum_order",
 ]
 
 

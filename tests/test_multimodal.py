@@ -127,3 +127,57 @@ def test_image_ahash_identity_and_locality(spark):
     assert hamming(got[1], got[3]) <= 4
     # unrelated content is far
     assert hamming(got[1], got[4]) > 8
+
+
+def test_ahash_neardup_pairs_exact_radius(spark):
+    from vectorsearchutil_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    rows = [
+        (1, "0000000000000000"),
+        (2, "0000000000000001"),   # hamming 1 from id 1
+        (3, "00000000000000ff"),   # hamming 8 from id 1 -> excluded
+        (4, "000000000000007f"),   # hamming 7 from id 1 -> included
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ahash"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ahash_neardup_pairs(df, max_hamming=7, n_bands=8).collect()
+    )
+    assert (1, 2, 1) in got and (1, 4, 7) in got
+    assert all(h <= 7 for _, _, h in got)
+    assert not any({a, b} == {1, 3} for a, b, _ in got)
+
+
+def test_ahash_neardup_pairs_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from vectorsearchutil_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    rng = random.Random(9)
+    base = rng.getrandbits(64)
+    hashes = {0: base}
+    for i in range(1, 60):
+        # cluster around a few anchors so near pairs exist
+        anchor = hashes[rng.randrange(0, i)]
+        flips = rng.randint(0, 6)
+        v = anchor
+        for _ in range(flips):
+            v ^= 1 << rng.randrange(64)
+        hashes[i] = v
+    rows = [(i, format(v, "016x")) for i, v in hashes.items()]
+    df = spark.createDataFrame(rows, ["doc_id", "ahash"])
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ahash_neardup_pairs(df, max_hamming=7, n_bands=8).collect()
+    )
+    exp = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 7
+    )
+    assert got == exp

@@ -5398,6 +5398,113 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_AHASH_PAIRS_ORACLE = """
+WITH s AS (
+  SELECT doc_id, text AS p,
+         list_transform(range(0, 64),
+           i -> ord(substr(text, CAST((i * length(text)) // 64 AS INT) + 1,
+                           1))) AS sm
+  FROM documents WHERE length(text) > 0
+),
+b AS (SELECT doc_id, sm, list_sum(sm) AS tot FROM s),
+h AS (
+  SELECT doc_id,
+         list_transform([0, 1, 2, 3],
+           j -> list_sum(list_transform(range(0, 16),
+             i -> CASE WHEN 64 * sm[CAST(j * 16 + i AS INT) + 1] > tot
+                  THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END))) AS ch
+  FROM b
+)
+SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       CAST(bit_count(xor(a.ch[1], c.ch[1])) + bit_count(xor(a.ch[2], c.ch[2]))
+          + bit_count(xor(a.ch[3], c.ch[3])) + bit_count(xor(a.ch[4], c.ch[4]))
+         AS INT) AS hamming
+FROM h a JOIN h c ON a.doc_id < c.doc_id
+WHERE bit_count(xor(a.ch[1], c.ch[1])) + bit_count(xor(a.ch[2], c.ch[2]))
+    + bit_count(xor(a.ch[3], c.ch[3])) + bit_count(xor(a.ch[4], c.ch[4])) <= 7
+"""
+
+
+@query("multimodal_ahash_neardup", _AHASH_PAIRS_ORACLE)
+def multimodal_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Visually-near-duplicate image pairs: aHash within hamming 7,
+    via 8×8-bit banded blocking (pigeonhole-complete for radius < 8;
+    the oracle brute-forces all pairs). The multimodal twin of the
+    SimHash text dedup path: signatures at scan speed, candidates
+    only where a band collides, exact popcount verify."""
+    from vectorsearchutil_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+        synthesize_binary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = image_ahash(synthesize_binary(docs)).select("doc_id", "ahash")
+    return ahash_neardup_pairs(h, max_hamming=7, n_bands=8)
+
+
+_CURRICULUM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1.0 - len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','is','in','on'], x)))
+                * 1.0 / len(t)), 4) AS quality
+  FROM toks WHERE len(t) > 0
+),
+r AS (
+  SELECT doc_id, source, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id ASC) AS INT) AS pos_in_source
+  FROM q
+)
+SELECT doc_id, source, quality, pos_in_source,
+       CAST(ROW_NUMBER() OVER (ORDER BY pos_in_source, source, doc_id)
+         AS INT) AS global_pos
+FROM r
+"""
+
+
+@query("docs_curriculum_order", _CURRICULUM_ORACLE)
+def docs_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum training-order construction: rank docs by quality
+    within each source (best first, doc_id tie-break), then interleave
+    sources round-robin (global order = (per-source position, source))
+    so every training prefix is source-balanced AND quality-sorted.
+    Two window shuffles over narrow (id, source, quality) rows — text
+    never moves past the scoring projection. The global row_number is
+    the one inherently serial step (the output IS a total order); at
+    100 TB you'd address shards instead (deterministic_shard)."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_score(docs)
+        .filter(F.col("n_tokens") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", F.col("quality_score").alias("quality"))
+    )
+    per_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = q.withColumn(
+        "pos_in_source", F.row_number().over(per_src).cast("int")
+    )
+    glob = Window.partitionBy().orderBy(
+        "pos_in_source", "source", "doc_id"
+    )
+    return ranked.withColumn(
+        "global_pos", F.row_number().over(glob).cast("int")
+    )
+
+
 _AHASH_ORACLE = """
 WITH s AS (
   SELECT doc_id, text AS p,
