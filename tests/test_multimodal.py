@@ -181,3 +181,26 @@ def test_ahash_neardup_pairs_matches_brute_force(spark):
         if bin(hashes[a] ^ hashes[b]).count("1") <= 7
     )
     assert got == exp
+
+
+def test_ahash_neardup_band_cap_drops_stop_bands(spark):
+    from vectorsearchutil_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    # 10 identical all-zero hashes (a stop-band pileup) + one close pair
+    rows = [(i, "0000000000000000") for i in range(10)] + [
+        (100, "ffff00000000000f"),
+        (101, "ffff00000000000e"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "ahash"])
+    capped = ahash_neardup_pairs(
+        df, max_hamming=3, n_bands=4, max_band_freq=5
+    ).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in capped)
+    # the zero-cluster bands exceed the cap -> its 45 pairs vanish;
+    # the distinct pair still surfaces through its rare bands
+    assert got == [(100, 101)]
+    # without a cap the zero cluster dominates
+    full = ahash_neardup_pairs(df, max_hamming=3, n_bands=4).count()
+    assert full == 45 + 1

@@ -493,5 +493,29 @@ PROBES.update(
 )
 
 
+
+
+def probe_ahash_neardup(spark):
+    from vectorsearchutil_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+        synthesize_binary,
+    )
+
+    docs = _varied_docs(spark, N_DOCS).cache()
+    docs.count()
+    h = image_ahash(synthesize_binary(docs)).select("doc_id", "ahash")
+    t0 = time.time()
+    # 16-bit bands at this scale: 8-bit buckets would hold ~500
+    # rows each (quadratic candidates); radius 3 keeps buckets ~2
+    n = ahash_neardup_pairs(h, max_hamming=3, n_bands=4).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} images -> {n} pairs (radius 3, 4 bands)"
+
+
+PROBES.update({"ahash_neardup": probe_ahash_neardup})
+
+
 if __name__ == "__main__":
     main()

@@ -341,6 +341,7 @@ def ahash_neardup_pairs(
     hash_col: str = "ahash",
     max_hamming: int = 3,
     n_bands: int = 4,
+    max_band_freq: int | None = None,
 ) -> DataFrame:
     """Visually-near-duplicate pairs: aHash fingerprints within
     ``max_hamming`` bits, via banded blocking — the multimodal twin
@@ -355,7 +356,14 @@ def ahash_neardup_pairs(
     over band-value buckets, the banded-LSH contract — more bands
     widen the search radius but shrink band width (64/n_bands bits),
     growing buckets: radius 3 wants 4×16-bit bands, radius 7 the
-    8×8-bit layout."""
+    8×8-bit layout.
+
+    ``max_band_freq`` (optional) drops band values shared by more
+    than that many rows from candidate GENERATION — the max_df
+    stop-shingle cap of the n-gram dedup path. It bounds the worst
+    bucket at the cost of completeness for pairs reachable ONLY
+    through a stop band (near-uniform fingerprints); verified pairs
+    that do surface remain exact."""
     assert n_bands in (2, 4, 8, 16) and max_hamming < n_bands
     w = 16 // n_bands  # hex chars per band
     # materialize the narrow (id, hash) signature table: the hash is
@@ -383,6 +391,14 @@ def ahash_neardup_pairs(
             )
         ).alias("_c"),
     ).select("_id", "_h", F.col("_c.j").alias("_j"), F.col("_c.v").alias("_v"))
+    if max_band_freq is not None:
+        keep = (
+            chunks.groupBy("_j", "_v")
+            .count()
+            .filter(F.col("count") <= max_band_freq)
+            .select("_j", "_v")
+        )
+        chunks = chunks.join(F.broadcast(keep), ["_j", "_v"])
     cand = (
         chunks.alias("a")
         .join(
