@@ -171,3 +171,40 @@ def test_neardup_blocked_empty_blocks(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_dim_covariance_matches_numpy(spark):
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.embeddings import dim_covariance
+
+    rng = np.random.RandomState(4)
+    m = rng.randn(200, 6)
+    m[:, 3] = m[:, 0] * 2.0          # redundant dim
+    m[:, 5] = 0.0                    # dead dim
+    rows = [(i, [float(x) for x in m[i]]) for i in range(len(m))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["i"], r["j"]): r["cov"] for r in dim_covariance(df).collect()
+    }
+    ref = np.cov(m, rowvar=False, bias=True)
+    assert len(got) == 6 * 7 // 2
+    for (i, j), c in got.items():
+        assert abs(c - ref[i - 1][j - 1]) < 1e-4  # fixed-point quantization
+    assert got[(6, 6)] == 0.0                     # dead dim: zero variance
+    assert abs(got[(1, 4)] - 2 * ref[0][0]) < 1e-4  # redundancy visible
+
+
+def test_dim_covariance_partition_invariant_bitexact(spark):
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.embeddings import dim_covariance
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (i, [float(x) for x in rng.randn(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, dim_covariance(df).collect()))
+    b = sorted(map(tuple, dim_covariance(df.repartition(16)).collect()))
+    assert a == b  # exact: only longs cross partitions

@@ -136,3 +136,106 @@ def centroid_outliers(
             F.try_divide(F.col("dist") - F.col("_mu"), F.col("_sd")), 3
         ).alias("z"),
     )
+
+
+#: fixed-point scale for the covariance sums (30 fractional bits):
+#: |v| ≤ O(1) embeddings keep per-term magnitudes ≪ 2^33, so even
+#: billions of rows stay far from the 2^63 long limit.
+_COV_FP = float(2**30)
+
+
+def dim_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Dimension-covariance audit over an embedding column: the full
+    upper triangle (i ≤ j) of the d×d covariance matrix — the
+    redundant-dimension / dead-dimension screen run before committing
+    to an embedding config (high |cov| off-diagonal ⇒ correlated
+    dims; tiny var on the diagonal ⇒ dead dims).
+
+    Determinism contract (same discipline as PageRank's fixed-point
+    ranks): every per-row term quantizes to a LONG — floor(vᵢ·vⱼ·2³⁰)
+    for products, floor(vᵢ·2³⁰) for means — and only exact integer
+    sums cross partitions, so any partitioning/engine produces
+    bit-identical sums; the covariance then derives from those ints
+    in a fixed expression order. Cov(i,j) is the quantized
+    E[xy] − E[x]E[y].
+
+    Plan: one mapInPandas pass accumulates a d×d int64 partial per
+    Arrow batch (numpy outer products — the HOF-wall-safe path) and
+    emits ~d²/2 rows per PARTITION; the (i,j) long-sum aggregate is
+    map-side combinable. Means ride a separate narrow posexplode
+    aggregate; both tiny tables broadcast onto the pair output."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    d_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
+    if d_row is None:
+        raise ValueError("dim_covariance: empty input")
+    d = d_row["d"]
+
+    def partials(batches):
+        acc = np.zeros((d, d), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            # per-row quantized outer products, summed as int64
+            for row in m:
+                acc += np.floor(np.outer(row, row) * _COV_FP).astype(np.int64)
+            seen = True
+        if seen:
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"i": iu + 1, "j": ju + 1, "sq": acc[iu, ju]}
+            )
+
+    pair_schema = "i int, j int, sq long"
+    sums = (
+        emb.select(F.col(vec_col).cast("array<double>").alias("v"))
+        .mapInPandas(partials, pair_schema)
+        .groupBy("i", "j")
+        .agg(F.sum("sq").alias("sq"))
+    )
+    means = (
+        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")))
+        .select(
+            (F.col("pos") + 1).alias("i"),
+            F.floor(F.col("col") * F.lit(_COV_FP)).cast("long").alias("q"),
+        )
+        .groupBy("i")
+        .agg(F.sum("q").alias("mq"))
+    )
+    n_df = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    return (
+        sums.join(
+            F.broadcast(means.select(F.col("i"), F.col("mq").alias("mi"))),
+            "i",
+        )
+        .join(
+            F.broadcast(
+                means.select(F.col("i").alias("j"), F.col("mq").alias("mj"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            (
+                F.round(
+                    F.col("sq") / F.lit(_COV_FP) / F.col("n")
+                    - (F.col("mi") / F.lit(_COV_FP) / F.col("n"))
+                    * (F.col("mj") / F.lit(_COV_FP) / F.col("n")),
+                    round_dp,
+                )
+                + F.lit(0.0)  # normalize IEEE -0.0 -> +0.0
+            ).alias("cov"),
+        )
+    )

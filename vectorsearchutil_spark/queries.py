@@ -5398,6 +5398,101 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_DIM_COV_ORACLE = """
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+prod AS (
+  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * v[CAST(u.j AS INT)]
+                        * 1073741824.0) AS BIGINT)) AS sq
+  FROM e, range(1, 65) t(i), range(1, 65) u(j)
+  WHERE u.j >= t.i
+  GROUP BY 1, 2
+),
+m AS (
+  SELECT CAST(t.i AS INT) AS i,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 1073741824.0) AS BIGINT)) AS mq
+  FROM e, range(1, 65) t(i) GROUP BY 1
+)
+SELECT p.i, p.j,
+       ROUND(p.sq / 1073741824.0 / n.n
+             - (a.mq / 1073741824.0 / n.n) * (b.mq / 1073741824.0 / n.n), 6)
+         + 0.0 AS cov
+FROM prod p JOIN m a ON a.i = p.i JOIN m b ON b.i = p.j, n
+"""
+
+
+@query("embeddings_dim_covariance", _DIM_COV_ORACLE)
+def embeddings_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full upper-triangle dimension covariance of the embedding
+    column — the redundant-/dead-dimension audit. Fixed-point long
+    sums (floor(v·v·2³⁰)) make the result bit-identical under any
+    partitioning or engine; one numpy mapInPandas pass emits d²/2
+    partial rows per partition, map-side-combinable long aggregate
+    after (operators/embeddings.py::dim_covariance)."""
+    from vectorsearchutil_spark.operators.embeddings import dim_covariance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dim_covariance(emb)
+
+
+_ATTRIBUTION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts, event_type, value,
+         MAX(CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_touch_ts
+  FROM events
+)
+SELECT user_id, event_id AS purchase_event_id, value AS revenue,
+       last_touch_ts,
+       CASE WHEN last_touch_ts IS NULL THEN 'organic'
+            WHEN ts - last_touch_ts <= INTERVAL 1 HOUR THEN 'attributed'
+            ELSE 'expired' END AS attribution
+FROM seq
+WHERE event_type = 'purchase'
+"""
+
+
+@query("events_attribution", _ATTRIBUTION_ORACLE)
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase claims the user's most
+    recent prior click/view, attributed when within a 1-hour window
+    (else expired; organic when no touch exists). One per-user window
+    (conditional running MAX over prior rows) — no purchase×touch
+    self-join, which is the naive quadratic plan."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.withColumn(
+        "last_touch_ts",
+        F.max(
+            F.when(F.col("event_type").isin("click", "view"), F.col("ts"))
+        ).over(w),
+    )
+    return seq.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("revenue"),
+        "last_touch_ts",
+        F.when(F.col("last_touch_ts").isNull(), F.lit("organic"))
+        .when(
+            F.col("ts").cast("double") - F.col("last_touch_ts").cast("double")
+            <= 3600,
+            F.lit("attributed"),
+        )
+        .otherwise(F.lit("expired"))
+        .alias("attribution"),
+    )
+
+
 _AHASH_PAIRS_ORACLE = """
 WITH s AS (
   SELECT doc_id, text AS p,
