@@ -5398,6 +5398,157 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_over_pairs(pairs, damping=0.85, iters=3)
 
 
+_NEYMAN_ORACLE = """
+WITH c AS (
+  SELECT o_orderkey, o_orderpriority AS grp,
+         CAST(o_totalprice * 100 AS BIGINT) AS cents
+  FROM orders
+),
+st AS (
+  SELECT grp,
+         CAST(COUNT(*) AS DOUBLE) AS nh,
+         CAST(SUM(cents) AS DOUBLE) AS s1,
+         CAST(SUM(cents * cents) AS DOUBLE) AS s2
+  FROM c GROUP BY grp
+),
+wt AS (
+  SELECT grp, sqrt(GREATEST(nh * s2 - s1 * s1, 0.0)) AS w FROM st
+),
+tot AS (
+  SELECT list_reduce(list_prepend(0.0, list(w ORDER BY grp)),
+                     (a, b) -> a + b) AS t
+  FROM wt
+),
+alloc AS (
+  SELECT grp, CAST(FLOOR(1000.0 * w / tot.t) AS INT) AS n_h
+  FROM wt, tot
+),
+ranked AS (
+  SELECT o_orderkey, grp,
+         ROW_NUMBER() OVER (
+           PARTITION BY grp
+           ORDER BY ('0x' || substr(md5('ney:' ||
+                     CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT,
+                    o_orderkey
+         ) AS rk
+  FROM c
+)
+SELECT r.o_orderkey, r.grp
+FROM ranked r JOIN alloc a USING (grp)
+WHERE r.rk <= a.n_h
+"""
+
+
+@query("orders_neyman_sample", _NEYMAN_ORACLE)
+def orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sample (budget 1000): each
+    priority stratum gets n_h ∝ N_h·σ_h — the variance-optimal
+    allocation for estimating mean order value. Stratum moments are
+    EXACT integer cent-sums (long/decimal) cast once to double, so
+    the allocation arithmetic is pure IEEE and identical on any
+    engine; the stratum-weight total folds in sorted group order
+    (five values — no partial-agg order dependence). Rows are then
+    rank-sampled per stratum by deterministic md5 draw: exact n_h per
+    stratum, reproducible under any partitioning."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.operators.sampling import hash_uniform
+
+    o = load_table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("grp"),
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cd = F.col("cents").cast("decimal(18,0)")
+    st = c.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("double").alias("nh"),
+        F.sum("cents").cast("double").alias("s1"),
+        F.sum(cd * cd).cast("double").alias("s2"),
+    )
+    wt = st.select(
+        "grp",
+        F.sqrt(
+            F.greatest(
+                F.col("nh") * F.col("s2") - F.col("s1") * F.col("s1"),
+                F.lit(0.0),
+            )
+        ).alias("w"),
+    )
+    tot = wt.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "w"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["w"],
+        ).alias("t")
+    )
+    alloc = wt.crossJoin(F.broadcast(tot)).select(
+        "grp",
+        F.floor(F.lit(1000.0) * F.col("w") / F.col("t"))
+        .cast("int")
+        .alias("n_h"),
+    )
+    draw = (
+        hash_uniform(F.col("o_orderkey").cast("string"), "ney")
+        * F.lit(4294967296.0)
+    ).cast("long")
+    rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy(draw.asc(), F.col("o_orderkey").asc())
+    )
+    return (
+        c.withColumn("rk", rk)
+        .join(F.broadcast(alloc), "grp")
+        .filter(F.col("rk") <= F.col("n_h"))
+        .select("o_orderkey", "grp")
+    )
+
+
+_WEIGHTED_MEDIAN_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v, l_quantity AS w,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+)
+SELECT grp, MIN(v) AS weighted_median
+FROM r WHERE cum_w >= tot_w / 2
+GROUP BY grp
+"""
+
+
+@query("lineitem_weighted_median", _WEIGHTED_MEDIAN_ORACLE)
+def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the weighted
+    quantile every pricing/usage analysis needs (plain medians
+    over-weight small lines). One per-group running-weight window
+    ordered by (value, stable keys); the winner is the first value
+    whose cumulative weight crosses half the group total. Exact
+    decimal weights — no float threshold ambiguity."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy("l_returnflag")
+    r = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.sum("l_quantity").over(w).alias("cum_w"),
+        F.sum("l_quantity").over(tot).alias("tot_w"),
+    )
+    return (
+        r.filter(F.col("cum_w") >= F.col("tot_w") / 2)
+        .groupBy("grp")
+        .agg(F.min("v").alias("weighted_median"))
+    )
+
+
 _DIM_COV_ORACLE = """
 WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
