@@ -95,6 +95,11 @@ HEADLINE = [
     "multimodal_image_ahash",
     "multimodal_ahash_neardup",
     "docs_curriculum_order",
+    # round 4, session 3
+    "lineitem_weighted_median",
+    "orders_neyman_sample",
+    "events_attribution",
+    "embeddings_dim_covariance",
 ]
 
 

@@ -337,3 +337,67 @@ def test_histogram_quantiles_ignores_nulls(spark, events):
         ).collect()
     }
     assert got == clean
+
+
+def _naive_weighted_median(rows):
+    """Reference definition: min v whose running weight (ordered by
+    v) reaches half the group total."""
+    out = {}
+    by_g: dict = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        tot = sum(w for _, w in vw)
+        cum = 0.0
+        for v, w in sorted(vw):
+            cum += w
+            if cum >= tot / 2:
+                out[g] = v
+                break
+    return out
+
+
+def test_weighted_median_exact_matches_naive(spark):
+    """Histogram refinement is EXACT: equal to the sort-based
+    definition on adversarial inputs — duplicate values straddling
+    bucket boundaries, heavy single values, integer weights."""
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    rows = [
+        ("a", float(v % 97) / 3.0, float(1 + (v * 7) % 5))
+        for v in range(2000)
+    ] + [
+        ("b", 5.0, 100.0),  # one value holds most of the mass
+        ("b", 1.0, 1.0),
+        ("b", 9.0, 1.0),
+        ("c", 4.25, 2.0),  # single-value group (mn == mx)
+        ("d", 1.0, 1.0),  # exact half-crossing tie: W/2 == first row
+        ("d", 2.0, 1.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+    want = _naive_weighted_median(rows)
+    for n_buckets in (4, 4096):
+        got = {
+            r["g"]: r["wm"]
+            for r in weighted_median_exact(
+                df.repartition(16), "g", "v", "w",
+                out_col="wm", n_buckets=n_buckets,
+            ).collect()
+        }
+        assert got == want, n_buckets
+
+
+def test_weighted_median_ignores_nulls(spark):
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1.0), ("a", None, 50.0), ("a", 3.0, 1.0),
+         ("a", 2.0, None)],
+        "g string, v double, w double",
+    )
+    got = weighted_median_exact(df, "g", "v", "w").collect()
+    assert [(r["g"], r["weighted_median"]) for r in got] == [("a", 1.0)]

@@ -517,5 +517,103 @@ def probe_ahash_neardup(spark):
 PROBES.update({"ahash_neardup": probe_ahash_neardup})
 
 
+# -- round-4 session-3 probes: the newest queries read real table
+# layouts, so each probe synthesizes a 25×-sf0.1 copy of exactly the
+# table its registered query function loads and invokes the query
+# unmodified — the probe times the SHIPPED plan, not a re-derivation.
+
+
+def _probe_query(spark, name, table, df, warm_limit=2_000):
+    """Write `df` as `/tmp/probe25_<name>/<table>.parquet`, warm the
+    query's codegen on a small slice dir, then time the full run."""
+    import shutil
+
+    from vectorsearchutil_spark import queries as Q
+
+    base = f"/tmp/probe25_{name}"
+    shutil.rmtree(base, ignore_errors=True)
+    warm = f"{base}_warm"
+    shutil.rmtree(warm, ignore_errors=True)
+    df.write.parquet(f"{base}/{table}.parquet")
+    df.limit(warm_limit).write.parquet(f"{warm}/{table}.parquet")
+    Q.QUERIES[name](spark, warm).count()
+    # min-of-2, same convention as bench.py: the first full run still
+    # pays one-time codegen/worker tails the warm slice didn't cover
+    best, n = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        n = Q.QUERIES[name](spark, base).count()
+        best = min(best, time.time() - t0)
+    return best, n
+
+
+def probe_weighted_median(spark):
+    li = spark.range(15_000_000).selectExpr(
+        "id AS l_orderkey",
+        "cast(pmod(id, 7) AS INT) AS l_linenumber",
+        "cast(1 + pmod(xxhash64(id, 3), 50) AS DOUBLE) AS l_quantity",
+        "pmod(xxhash64(id, 5), 9000000) / 100.0 + 900.0"
+        " AS l_extendedprice",
+        "element_at(array('A','N','R'),"
+        " cast(pmod(xxhash64(id, 7), 3) AS INT) + 1) AS l_returnflag",
+    )
+    dt, n = _probe_query(
+        spark, "lineitem_weighted_median", "lineitem", li
+    )
+    return f"{dt:.1f}s @ 15M lines -> {n} groups"
+
+
+def probe_neyman(spark):
+    o = spark.range(3_750_000).selectExpr(
+        "id AS o_orderkey",
+        "concat(cast(1 + pmod(xxhash64(id, 3), 5) AS STRING), '-PRI')"
+        " AS o_orderpriority",
+        # heavy-tailed price: variance differs sharply by stratum, so
+        # the allocation is non-uniform (the interesting case)
+        "pmod(xxhash64(id, 5), 10000) / 100.0 *"
+        " (1 + pmod(xxhash64(id, 3), 5)) AS o_totalprice",
+    )
+    dt, n = _probe_query(spark, "orders_neyman_sample", "orders", o)
+    return f"{dt:.1f}s @ 3.75M orders -> {n} sampled"
+
+
+def probe_attribution(spark):
+    e = spark.range(2_500_000).selectExpr(
+        "id AS event_id",
+        "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,"
+        " pmod(xxhash64(id, 1), 2592000)) AS ts",
+        "pmod(xxhash64(id, 11), 200000) AS user_id",
+        "element_at(array('view','click','purchase','scroll'),"
+        " cast(pmod(xxhash64(id, 13), 4) AS INT) + 1) AS event_type",
+        "pmod(xxhash64(id, 17), 10000) / 100.0 AS value",
+        "'{}' AS props",
+    )
+    dt, n = _probe_query(spark, "events_attribution", "events", e)
+    return f"{dt:.1f}s @ 2.5M events -> {n} purchases"
+
+
+def probe_dim_covariance(spark):
+    emb = spark.range(50_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cast(pmod(xxhash64(id, i),"
+        " 2000) / 1000.0 - 1.0 AS FLOAT)) AS embedding",
+        "cast(pmod(xxhash64(id, 9), 8) AS INT) AS label",
+    )
+    dt, n = _probe_query(
+        spark, "embeddings_dim_covariance", "embeddings", emb
+    )
+    return f"{dt:.1f}s @ 50k x 64-dim -> {n} cov cells"
+
+
+PROBES.update(
+    {
+        "weighted_median": probe_weighted_median,
+        "neyman": probe_neyman,
+        "attribution": probe_attribution,
+        "dim_covariance": probe_dim_covariance,
+    }
+)
+
+
 if __name__ == "__main__":
     main()

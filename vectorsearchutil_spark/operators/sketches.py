@@ -265,6 +265,109 @@ def histogram_quantiles(
     return out
 
 
+def weighted_median_exact(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    weight_col: str,
+    out_col: str = "weighted_median",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """EXACT weighted median per group via histogram refinement — no
+    per-group global sort. The naive plan (running-weight window
+    partitioned by group) serializes each group through ONE task: at
+    3 return flags × 100 TB that is three executor-killing sorts. This
+    plan never sorts raw rows:
+
+    1. pass 1: per-group min/max/Σw (map-side combinable),
+    2. pass 2: equi-width ``n_buckets`` histogram of weight per
+       bucket (map-side combinable; ≤ n_buckets rows/group),
+    3. the crossing bucket — first whose cumulative weight reaches
+       Σw/2 — found by a window over the HISTOGRAM (≤ n_buckets
+       rows per group, trivially parallel across groups),
+    4. pass 3: only rows in the crossing bucket (≈ rows/n_buckets)
+       aggregate per distinct value; a tiny per-group value window
+       picks the first value whose cumulative weight crosses.
+
+    Exactness: the median is the smallest v with W(≤v) ≥ W/2, and
+    W(≤v) decomposes as (weight in buckets below) + (cumulative
+    within the crossing bucket) — both computed from complete
+    aggregates, so the refined answer is the exact order statistic,
+    not an estimate. Weight sums here are commutative SQL SUMs;
+    the crossing comparison is exact whenever weight sums are (always
+    for integer-valued weights in double/long/decimal — e.g. TPC-H
+    quantities; for arbitrary floats the usual last-ulp summation
+    caveat applies to ties at exactly W/2).
+
+    Degenerate single-value groups land in bucket 0 and refine to
+    one row; groups with zero total weight return their min value
+    (the ≥ 0 crossing is immediate), matching the SQL definition.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).alias("v"),
+        F.col(weight_col).alias("w"),
+    ).filter(F.col("v").isNotNull() & F.col("w").isNotNull())
+    stats = d.groupBy("g").agg(
+        F.min("v").alias("mn"),
+        F.max("v").alias("mx"),
+        F.sum("w").alias("tot"),
+    )
+    b = d.join(F.broadcast(stats), "g").withColumn(
+        "b",
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("v") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * F.lit(n_buckets)
+                ),
+                F.lit(n_buckets - 1),
+            )
+        )
+        .cast("int"),
+    )
+    hist = b.groupBy("g", "b").agg(F.sum("w").alias("bw"))
+    cum_b = (
+        Window.partitionBy("g")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    crossing = (
+        hist.withColumn("cum", F.sum("bw").over(cum_b))
+        .join(F.broadcast(stats.select("g", "tot")), "g")
+        .filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("g")
+        .agg(
+            F.min("b").alias("cb"),
+            F.min_by(F.col("cum") - F.col("bw"), F.col("b")).alias(
+                "w_before"
+            ),
+        )
+    )
+    sub = (
+        b.join(F.broadcast(crossing), "g")
+        .filter(F.col("b") == F.col("cb"))
+        .groupBy("g", "v", "w_before", "tot")
+        .agg(F.sum("w").alias("vw"))
+    )
+    cum_v = (
+        Window.partitionBy("g")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        sub.withColumn("cum", F.col("w_before") + F.sum("vw").over(cum_v))
+        .filter(F.col("cum") >= F.col("tot") / 2)
+        .groupBy("g")
+        .agg(F.min("v").alias(out_col))
+        .select(F.col("g").alias(group_col), out_col)
+    )
+
+
 def kmv_sketch(
     df: DataFrame,
     keys: list[str],
