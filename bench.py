@@ -100,6 +100,7 @@ HEADLINE = [
     "orders_neyman_sample",
     "events_attribution",
     "embeddings_dim_covariance",
+    "embeddings_logreg_train",
 ]
 
 

@@ -107,3 +107,73 @@ def test_mlp_golden_contract_gates(spark, sf_dir, monkeypatch, tmp_path):
             Q.QUERIES["mlp_regressor_predictions"](spark, sf_dir)
     finally:
         shutil.copy(backup, golden_path)
+
+
+# ------------------------------------------------- distributed logreg
+
+
+def _train_weights(df, **kw):
+    from vectorsearchutil_spark.operators.mlops import (
+        logreg_train_fixed_point,
+    )
+
+    return {
+        r["i"]: r["weight"]
+        for r in logreg_train_fixed_point(df, **kw).collect()
+    }
+
+
+def test_logreg_partitioning_invariant_bitwise(emb):
+    """Fixed-point gradient sums: the trained weights are
+    bit-identical under any partitioning (the PageRank contract)."""
+    data = emb.select(
+        "embedding",
+        F.when(F.col("label") == 0, 1.0).otherwise(0.0).alias("y"),
+    )
+    w1 = _train_weights(data, iters=3)
+    w3 = _train_weights(data.repartition(32), iters=3)
+    w4 = _train_weights(data.repartition(3, "y"), iters=3)
+    assert w1 == w3 == w4  # exact float equality, not approx
+
+
+def test_logreg_learns_planted_signal(spark):
+    """On a linearly separable planted signal, training must move
+    scores in the right direction: positives score above negatives
+    and the feature weight has the planted sign."""
+    rows = [
+        ([1.0 if i % 2 else -1.0, ((i * 7) % 13) / 13.0],
+         1.0 if i % 2 else 0.0)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "embedding array<double>, y double")
+    w = _train_weights(df, iters=5, lr=0.5)
+    # i=1 bias, i=2 the separating dim, i=3 noise
+    assert w[2] > 0.05
+    assert abs(w[3]) < w[2] / 2
+    # loss decreases vs the zero-weight start: mean |resid| under the
+    # trained model beats 0.5 (the w=0 prediction is s=0.5 for all)
+    import numpy as np
+
+    X = np.array([[1.0, *r[0]] for r in rows])
+    y = np.array([r[1] for r in rows])
+    z = np.zeros(len(X))
+    for k in range(3):
+        z = z + X[:, k] * w[k + 1]
+    s = 0.5 * (1.0 + z / (1.0 + np.abs(z)))
+    assert np.mean(np.abs(s - y)) < 0.5
+
+
+def test_logreg_edge_inputs(spark):
+    from vectorsearchutil_spark.operators.mlops import (
+        logreg_train_fixed_point,
+    )
+
+    empty = spark.createDataFrame([], "embedding array<double>, y double")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train_fixed_point(empty)
+    # iters=0 returns the zero vector (d+1 rows, all 0.0)
+    one = spark.createDataFrame(
+        [([1.0, 2.0], 1.0)], "embedding array<double>, y double"
+    )
+    w = _train_weights(one, iters=0)
+    assert w == {1: 0.0, 2: 0.0, 3: 0.0}

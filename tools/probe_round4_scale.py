@@ -605,12 +605,26 @@ def probe_dim_covariance(spark):
     return f"{dt:.1f}s @ 50k x 64-dim -> {n} cov cells"
 
 
+def probe_logreg(spark):
+    emb = spark.range(50_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cast(pmod(xxhash64(id, i),"
+        " 2000) / 1000.0 - 1.0 AS FLOAT)) AS embedding",
+        "cast(pmod(xxhash64(id, 9), 8) AS INT) AS label",
+    )
+    dt, n = _probe_query(
+        spark, "embeddings_logreg_train", "embeddings", emb
+    )
+    return f"{dt:.1f}s @ 50k x 64-dim, 3 GD iterations -> {n} weights"
+
+
 PROBES.update(
     {
         "weighted_median": probe_weighted_median,
         "neyman": probe_neyman,
         "attribution": probe_attribution,
         "dim_covariance": probe_dim_covariance,
+        "logreg": probe_logreg,
     }
 )
 

@@ -224,3 +224,113 @@ def mlp_regressor(
 
     scored = data.withColumn("prediction", predict_udf(F.col(vector_col)))
     return FitResult(regr, "r2", r2, scored)
+
+
+# ------------------------------------------------- distributed logreg
+
+#: fixed-point scale for gradient quantization (30 fractional bits):
+#: per-row terms are O(1), so even trillions of rows stay far below
+#: the long limit after the per-partition int64 partial sum.
+_LOGREG_FP = float(2**30)
+
+
+def logreg_train_fixed_point(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    y_col: str = "y",
+    iters: int = 3,
+    lr: float = 0.5,
+) -> DataFrame:
+    """Distributed full-batch logistic-style classifier training —
+    the quality-filter trainer an LLM data pipeline runs over
+    billions of labeled documents, and (unlike the reference's
+    in-process sklearn fit, ``vsu/base/VectorSearchBase.py:219-256``,
+    mirrored by :func:`mlp_classifier`) trained BY the cluster: each
+    iteration is one map-side-combinable aggregate of per-dimension
+    gradient partials; only d+1 longs per partition cross the wire,
+    and the driver holds d+1 weights — nothing else.
+
+    Determinism contract (the PageRank/dim_covariance discipline):
+
+    * the link is the SOFTSIGN sigmoid s = 0.5·(1 + z/(1+|z|)) —
+      every operation is a correctly-rounded IEEE primitive
+      (+,−,×,÷,abs), so unlike exp()-based logistic (libm vs JVM
+      differ in ulps) the per-row score is bit-identical on any
+      engine. A monotone S-curve link yields the same classifier
+      family; saturation is milder, which full-batch GD tolerates.
+    * z folds w·x left-to-right over dimensions (numpy per-dim
+      accumulation ≡ SQL list_reduce order),
+    * per-row gradient terms quantize to longs —
+      floor(x_d·(s−y)·2³⁰) — and only exact integer sums cross
+      partitions, so gradients are partitioning-invariant,
+    * the weight update runs in scalar IEEE on exact inputs; with a
+      power-of-two ``lr`` every step is (long/2³⁰)·lr — one rounding
+      per dimension, identical everywhere.
+
+    The gradient pass is Arrow-batched numpy (the HOF wall, PERF.md
+    round 4: per-row × per-dim lambda expressions evaluate
+    interpreted). A bias dimension (constant 1, weight index 1) is
+    prepended internally. Returns (i, weight): i=1 is the bias,
+    i=k+1 is dimension k — in SQL, list_prepend(1.0, vec) subscript
+    order.
+    """
+    if iters < 0:
+        raise ValueError("iters must be >= 0")
+    base = df.select(
+        F.col(vec_col).cast("array<double>").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    first = base.select(F.size("x").alias("d")).first()
+    if first is None:
+        raise ValueError("logreg_train_fixed_point: empty input")
+    d = int(first["d"]) + 1  # + bias
+    n = float(base.count())
+    spark = base.sparkSession
+
+    w = np.zeros(d, dtype=np.float64)
+    for _ in range(iters):
+        b_w = spark.sparkContext.broadcast(w.copy())
+
+        def partials(batches, _bw=b_w):
+            wv = _bw.value
+            acc = np.zeros(d, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.empty((len(pdf), d), dtype=np.float64)
+                X[:, 0] = 1.0
+                X[:, 1:] = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf["x"]]
+                )
+                # left-to-right fold over dims: bit-equal to the SQL
+                # list_reduce((a,b)->a+b) replay of the same dot
+                z = np.zeros(len(pdf), dtype=np.float64)
+                for k in range(d):
+                    z = z + X[:, k] * wv[k]
+                s = 0.5 * (1.0 + z / (1.0 + np.abs(z)))
+                resid = s - np.asarray(pdf["y"], dtype=np.float64)
+                acc += (
+                    np.floor(X * resid[:, None] * _LOGREG_FP)
+                    .astype(np.int64)
+                    .sum(axis=0)
+                )
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {"i": np.arange(1, d + 1), "q": acc}
+                )
+
+        g = {
+            r["i"]: r["q"]
+            for r in base.mapInPandas(partials, "i int, q long")
+            .groupBy("i")
+            .agg(F.sum("q").alias("q"))
+            .collect()
+        }
+        for k in range(d):
+            w[k] = w[k] - lr * ((float(g.get(k + 1, 0)) / _LOGREG_FP) / n)
+
+    return spark.createDataFrame(
+        [(k + 1, float(w[k])) for k in range(d)], "i int, weight double"
+    )

@@ -7203,6 +7203,102 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup(emb, k=8, iterations=3, threshold=0.30)
 
 
+_LOGREG_ORACLE = """
+WITH x AS (
+  SELECT list_prepend(1.0, embedding::DOUBLE[]) AS x,
+         CASE WHEN label = 0 THEN 1.0 ELSE 0.0 END AS y
+  FROM embeddings
+),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM x),
+-- iter 1: w0 = 0 so z = 0 and s = 0.5 exactly
+g1 AS (
+  SELECT CAST(t.i AS INT) AS i,
+         SUM(CAST(FLOOR(x[CAST(t.i AS INT)] * (0.5 - y)
+                        * 1073741824.0) AS BIGINT)) AS q
+  FROM x, range(1, 66) t(i) GROUP BY 1
+),
+w1 AS (
+  SELECT list(wk ORDER BY i) AS w FROM (
+    SELECT g1.i AS i,
+           0.0 - 0.5 * ((g1.q / 1073741824.0) / n.n) AS wk
+    FROM g1, n)
+),
+-- iter 2
+r2 AS (
+  SELECT x.x, x.y,
+         0.5 * (1.0 + z / (1.0 + abs(z))) - x.y AS resid
+  FROM (
+    SELECT x.x, x.y,
+           list_reduce(
+             list_prepend(0.0, list_transform(range(1, 66),
+               i -> x.x[CAST(i AS INT)] * w1.w[CAST(i AS INT)])),
+             (a, b) -> a + b) AS z
+    FROM x, w1) x
+),
+g2 AS (
+  SELECT CAST(t.i AS INT) AS i,
+         SUM(CAST(FLOOR(x[CAST(t.i AS INT)] * resid
+                        * 1073741824.0) AS BIGINT)) AS q
+  FROM r2, range(1, 66) t(i) GROUP BY 1
+),
+w2 AS (
+  SELECT list(wk ORDER BY i) AS w FROM (
+    SELECT g2.i AS i,
+           w1.w[g2.i] - 0.5 * ((g2.q / 1073741824.0) / n.n) AS wk
+    FROM g2, w1, n)
+),
+-- iter 3
+r3 AS (
+  SELECT x.x, x.y,
+         0.5 * (1.0 + z / (1.0 + abs(z))) - x.y AS resid
+  FROM (
+    SELECT x.x, x.y,
+           list_reduce(
+             list_prepend(0.0, list_transform(range(1, 66),
+               i -> x.x[CAST(i AS INT)] * w2.w[CAST(i AS INT)])),
+             (a, b) -> a + b) AS z
+    FROM x, w2) x
+),
+g3 AS (
+  SELECT CAST(t.i AS INT) AS i,
+         SUM(CAST(FLOOR(x[CAST(t.i AS INT)] * resid
+                        * 1073741824.0) AS BIGINT)) AS q
+  FROM r3, range(1, 66) t(i) GROUP BY 1
+)
+SELECT g3.i AS i,
+       w2.w[g3.i] - 0.5 * ((g3.q / 1073741824.0) / n.n) AS weight
+FROM g3, w2, n
+"""
+
+
+@query("embeddings_logreg_train", _LOGREG_ORACLE)
+def embeddings_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier training: 3 full-batch GD
+    iterations of a softsign-link logistic model over the embedding
+    column (y = label 0 vs rest) — the fastText-style quality-filter
+    trainer, but trained BY the cluster: per iteration one
+    map-side-combinable aggregate ships d+1 gradient LONGS per
+    partition; weights are the only driver state. Fixed-point
+    gradient sums + an algebraic (exp-free) link make the trained
+    weights bit-identical across engines and partitionings — the
+    oracle replays all 3 iterations as unrolled CTEs
+    (operators/mlops.py::logreg_train_fixed_point)."""
+    from vectorsearchutil_spark.operators.mlops import (
+        logreg_train_fixed_point,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    data = emb.select(
+        "embedding",
+        F.when(F.col("label") == 0, F.lit(1.0))
+        .otherwise(F.lit(0.0))
+        .alias("y"),
+    )
+    return logreg_train_fixed_point(
+        data, vec_col="embedding", y_col="y", iters=3, lr=0.5
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
