@@ -101,6 +101,7 @@ HEADLINE = [
     "events_attribution",
     "embeddings_dim_covariance",
     "embeddings_logreg_train",
+    "embeddings_random_projection",
 ]
 
 

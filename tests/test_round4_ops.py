@@ -306,3 +306,74 @@ def test_hard_negatives_ivf_all_probes_equals_exact(spark, sf_dir):
         ranks.setdefault(r["anchor_id"], []).append(r["rank"])
     for rs in ranks.values():
         assert sorted(rs) == list(range(1, len(rs) + 1))
+
+
+# ------------------------------------------------- JL random projection
+
+
+def test_random_projection_preserves_distances(spark):
+    """JL property: squared pairwise distances survive 64→16 within
+    a loose multiplicative band on a deterministic spread-out set."""
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.embeddings import (
+        jl_signs,
+        random_projection,
+    )
+
+    rng_rows = [
+        (
+            i,
+            [
+                float(((i * 37 + d * 11) % 97) / 97.0 - 0.5)
+                for d in range(64)
+            ],
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rng_rows, "vec_id long, embedding array<double>")
+    out = random_projection(df, out_dim=16).collect()
+    P = np.zeros((40, 16))
+    for r in out:
+        P[r["vec_id"], r["dim"] - 1] = r["value"]
+    X = np.array([r[1] for r in rng_rows])
+    # matches the numpy definition with the same sign matrix
+    S = np.array(jl_signs(64, 16), dtype=float)
+    assert np.allclose(P, X @ S.T / 4.0, atol=1e-9)
+    d_hi = np.linalg.norm(X[:, None] - X[None, :], axis=2)
+    d_lo = np.linalg.norm(P[:, None] - P[None, :], axis=2)
+    iu = np.triu_indices(40, 1)
+    ratio = d_lo[iu] / d_hi[iu]
+    # loose JL band for out_dim=16 on 40 points
+    assert 0.4 < ratio.min() and ratio.max() < 1.8
+    assert abs(float(np.median(ratio)) - 1.0) < 0.25
+
+
+def test_random_projection_partitioning_invariant(spark):
+    from vectorsearchutil_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float((i + d) % 7) - 3.0 for d in range(8)]) for i in range(100)],
+        "vec_id long, embedding array<double>",
+    )
+    a = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in random_projection(df, out_dim=4).collect()
+    }
+    b = {
+        (r["vec_id"], r["dim"]): r["value"]
+        for r in random_projection(df.repartition(13), out_dim=4).collect()
+    }
+    assert a == b  # bitwise
+
+
+def test_random_projection_empty_raises(spark):
+    from vectorsearchutil_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="empty"):
+        random_projection(empty)

@@ -629,5 +629,23 @@ PROBES.update(
 )
 
 
+
+
+def probe_random_projection(spark):
+    emb = spark.range(50_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cast(pmod(xxhash64(id, i),"
+        " 2000) / 1000.0 - 1.0 AS FLOAT)) AS embedding",
+        "cast(pmod(xxhash64(id, 9), 8) AS INT) AS label",
+    )
+    dt, n = _probe_query(
+        spark, "embeddings_random_projection", "embeddings", emb
+    )
+    return f"{dt:.1f}s @ 50k x 64 -> 16 dims ({n} coords)"
+
+
+PROBES.update({"random_projection": probe_random_projection})
+
+
 if __name__ == "__main__":
     main()

@@ -248,3 +248,97 @@ def dim_covariance(
             ).alias("cov"),
         )
     )
+
+
+# --------------------------------------------- random projection (JL)
+
+
+def jl_signs(in_dim: int, out_dim: int, seed: str = "jl") -> list[list[int]]:
+    """Deterministic ±1 Achlioptas/JL projection matrix, seeded by an
+    md5 stream: sign(j, i) = +1 iff the low bit of
+    md5("<seed>:<j>:<i>") is set. Derived driver-side with hashlib —
+    the same literal matrix is embedded in the Spark plan and in any
+    replaying oracle, so the projection is part of the declared
+    semantics (no engine-private RNG). Shape: out_dim × in_dim."""
+    import hashlib
+
+    return [
+        [
+            1
+            if hashlib.md5(f"{seed}:{j}:{i}".encode()).digest()[-1] & 1
+            else -1
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_dim: int = 16,
+    seed: str = "jl",
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a signed
+    ±1 projection: out_j = (Σᵢ vᵢ·s(j,i)) / √out_dim. The standard
+    cheap pre-step before ANN indexing / clustering at 100 TB — a
+    64→16 projection cuts every downstream shuffle and BLAS pass 4×
+    while preserving pairwise distances within the JL bound (w.h.p.
+    for out_dim = O(log n / ε²); Achlioptas 2003 shows ±1 entries
+    suffice).
+
+    Output is LONG form (id, dim, value) — one row per projected
+    coordinate — so results hash cross-engine without array
+    stringification. Determinism: the per-coordinate sum folds over
+    input dims left-to-right (numpy dim-ordered accumulation ≡ SQL
+    list_reduce); √out_dim with power-of-4 out_dim divides exactly.
+    The pass is Arrow-batched numpy (64 × out_dim multiplies per row
+    is exactly the interpreted-HOF wall, PERF.md round 4); payload
+    never shuffles — the operator is a narrow projection."""
+    import numpy as np
+    import pandas as pd
+
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("random_projection: empty input")
+    in_dim = int(first["d"])
+    signs = np.asarray(
+        jl_signs(in_dim, out_dim, seed), dtype=np.float64
+    )  # (out_dim, in_dim)
+    scale = float(np.sqrt(float(out_dim)))
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
+            )
+            out = np.zeros((len(pdf), out_dim), dtype=np.float64)
+            # fold input dims in order: bit-equal to the SQL
+            # list_reduce((a,b)->a+b) replay
+            for i in range(in_dim):
+                out = out + X[:, i : i + 1] * signs[:, i]
+            out = out / scale
+            ids = np.repeat(np.asarray(pdf["id"]), out_dim)
+            yield pd.DataFrame(
+                {
+                    "id": ids,
+                    "dim": np.tile(np.arange(1, out_dim + 1), len(pdf)),
+                    "value": out.reshape(-1),
+                }
+            )
+
+    out_schema = f"id long, dim int, value double"
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .filter(F.col("v").isNotNull())
+        .mapInPandas(project, out_schema)
+        .select(
+            F.col("id").alias(id_col), "dim", "value"
+        )
+    )

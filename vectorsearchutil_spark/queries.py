@@ -7299,6 +7299,51 @@ def embeddings_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _jl_oracle() -> str:
+    """The JL oracle embeds the SAME literal ±1 matrix the Spark plan
+    uses (driver-derived, md5-seeded — operators/embeddings.py::
+    jl_signs), so the projection semantics are fully declared."""
+    from vectorsearchutil_spark.operators.embeddings import jl_signs
+
+    signs = jl_signs(64, 16, seed="jl")
+    lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join(f"{v}.0" for v in row) + "]" for row in signs
+        )
+        + "]"
+    )
+    return f"""
+WITH s AS (SELECT {lit} AS sm),
+x AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id, CAST(t.j AS INT) AS dim,
+       list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+         i -> x.v[CAST(i AS INT)]
+              * s.sm[CAST(t.j AS INT)][CAST(i AS INT)])),
+         (a, b) -> a + b) / 4.0 AS value
+FROM x, s, range(1, 17) t(j)
+"""
+
+
+@query("embeddings_random_projection", _jl_oracle())
+def embeddings_random_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Johnson–Lindenstrauss 64→16 reduction with a deterministic
+    md5-seeded ±1 matrix — the cheap pre-step that cuts every
+    downstream ANN/clustering shuffle 4× while preserving pairwise
+    distances within the JL bound. Long-form output (id, dim, value)
+    hashes cross-engine without array stringification; per-coordinate
+    sums fold input dims in a declared order so values are
+    bit-identical (operators/embeddings.py::random_projection)."""
+    from vectorsearchutil_spark.operators.embeddings import (
+        random_projection,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return random_projection(emb, out_dim=16, seed="jl")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
