@@ -102,6 +102,7 @@ HEADLINE = [
     "embeddings_dim_covariance",
     "embeddings_logreg_train",
     "embeddings_random_projection",
+    "docs_unimax_allocation",
 ]
 
 

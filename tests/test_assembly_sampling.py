@@ -190,3 +190,72 @@ def test_weighted_reservoir_global_topk_plan(spark):
     out = weighted_reservoir_sample(df, k=10, weight_col="w", key_col="id")
     assert "TakeOrderedAndProject" in formatted_plan(out)
     assert len(out.collect()) == 10
+
+
+# ------------------------------------------------- UniMax allocation
+
+
+def _docs_with_tokens(spark, sizes):
+    """One doc per (source, n_tokens) pair."""
+    rows = [
+        (i, src, " ".join(["w"] * n))
+        for i, (src, n) in enumerate(sizes)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    )
+
+
+def test_unimax_hand_computed(spark):
+    """caps [5,10,100,100], B=40: the two small sources saturate
+    (5·4<40, 10·3<35), the rest split ⌊25/2⌋=12 each."""
+    from vectorsearchutil_spark.operators.sampling import unimax_allocation
+
+    docs = _docs_with_tokens(
+        spark, [("a", 5), ("b", 10), ("c", 100), ("d", 100)]
+    )
+    got = {
+        r["source"]: (r["tokens"], r["alloc"], r["epochs_used"])
+        for r in unimax_allocation(docs, budget=40).collect()
+    }
+    assert got == {
+        "a": (5, 5, 1.0),
+        "b": (10, 10, 1.0),
+        "c": (100, 12, 0.12),
+        "d": (100, 12, 0.12),
+    }
+
+
+def test_unimax_budget_exceeds_corpus(spark):
+    """B larger than every cap: all sources saturate at cap; with
+    max_epochs=2 caps double."""
+    from vectorsearchutil_spark.operators.sampling import unimax_allocation
+
+    docs = _docs_with_tokens(spark, [("a", 5), ("b", 10)])
+    got = {
+        r["source"]: r["alloc"]
+        for r in unimax_allocation(docs, budget=1000, max_epochs=2).collect()
+    }
+    assert got == {"a": 10, "b": 20}
+
+
+def test_unimax_conservation_and_invariance(spark):
+    """Σ alloc never exceeds B, loses at most n_uncapped to floors,
+    and is identical under any partitioning."""
+    from vectorsearchutil_spark.operators.sampling import unimax_allocation
+
+    sizes = [(f"s{i}", 3 + (i * 17) % 50) for i in range(23)]
+    docs = _docs_with_tokens(spark, sizes)
+    B = 500
+    rows = unimax_allocation(docs, budget=B).collect()
+    total = sum(r["alloc"] for r in rows)
+    n_uncapped = sum(1 for r in rows if r["alloc"] != r["cap"])
+    assert total <= B
+    assert total >= B - max(n_uncapped, 1) or all(
+        r["alloc"] == r["cap"] for r in rows
+    )
+    again = {
+        r["source"]: r["alloc"]
+        for r in unimax_allocation(docs.repartition(7), budget=B).collect()
+    }
+    assert again == {r["source"]: r["alloc"] for r in rows}

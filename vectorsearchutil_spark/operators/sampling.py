@@ -368,3 +368,93 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= F.col("_budget"))
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
+
+
+def unimax_allocation(
+    docs: DataFrame,
+    budget: int,
+    max_epochs: int = 1,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """UniMax per-source token-budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): spread a total token
+    budget UNIFORMLY across sources, capping each source at
+    (corpus tokens × max_epochs); budget freed by capped (small)
+    sources redistributes to the rest — the principled alternative to
+    temperature sampling that never over-epochs low-resource sources.
+
+    Closed-form waterfilling, no iteration: with caps sorted
+    ascending, source k is capped iff cap_k·(m−k+1) < B − Σ_{j<k}
+    cap_j (the capped set is always a prefix of the sort), and every
+    uncapped source gets ⌊(B − Σ_capped cap)/n_uncapped⌋. All-integer
+    arithmetic — exact and engine-invariant.
+
+    Plan: token counts reduce the scan to (source, n) partials
+    (map-side combinable; text never shuffles); everything after runs
+    on ONE ROW PER SOURCE — the global rank window is over aggregated
+    state (≤ thousands of rows at any corpus size), the sanctioned
+    exception to the no-global-window rule. Feed the resulting
+    ``alloc`` into :func:`token_budget_sample` to materialize the
+    actual document selection.
+
+    Output: (source, tokens, cap, alloc, epochs_used).
+    """
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    budget = int(budget)
+    sized = docs.selectExpr(
+        group_col, f"size({tokens_sql(text_col)}) AS _n"
+    )
+    src = sized.groupBy(group_col).agg(
+        F.sum("_n").cast("long").alias("tokens")
+    )
+    src = src.withColumn(
+        "cap", F.col("tokens") * F.lit(int(max_epochs))
+    )
+    rank_w = Window.orderBy("cap", group_col)
+    annotated = src.select(
+        group_col,
+        "tokens",
+        "cap",
+        F.row_number().over(rank_w).alias("_k"),
+        F.coalesce(
+            F.sum("cap").over(
+                rank_w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_cum_before"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_m"),
+    )
+    flagged = annotated.withColumn(
+        "_capped",
+        F.col("cap") * (F.col("_m") - F.col("_k") + 1)
+        < F.lit(budget) - F.col("_cum_before"),
+    )
+    totals = flagged.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("_capped"), F.col("cap"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("_capped_total"),
+        F.sum(F.when(F.col("_capped"), 0).otherwise(1))
+        .cast("long")
+        .alias("_n_uncapped"),
+    )
+    return (
+        flagged.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "alloc",
+            F.when(F.col("_capped"), F.col("cap")).otherwise(
+                F.expr(
+                    f"(cast({budget} AS BIGINT) - _capped_total)"
+                    " div greatest(_n_uncapped, 1L)"
+                )
+            ),
+        )
+        .withColumn(
+            "epochs_used", F.round(F.col("alloc") / F.col("tokens"), 4)
+        )
+        .select(group_col, "tokens", "cap", "alloc", "epochs_used")
+    )

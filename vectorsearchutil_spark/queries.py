@@ -7344,6 +7344,65 @@ def embeddings_random_projection(
     return random_projection(emb, out_dim=16, seed="jl")
 
 
+_UNIMAX_ORACLE = """
+WITH sized AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n
+  FROM documents
+),
+src AS (
+  SELECT source, CAST(SUM(n) AS BIGINT) AS tokens,
+         CAST(SUM(n) AS BIGINT) * 1 AS cap
+  FROM sized GROUP BY source
+),
+a AS (
+  SELECT source, tokens, cap,
+         ROW_NUMBER() OVER (ORDER BY cap, source) AS k,
+         COALESCE(SUM(cap) OVER (ORDER BY cap, source
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before,
+         COUNT(*) OVER () AS m
+  FROM src
+),
+f AS (
+  SELECT *, cap * (m - k + 1) < 26000 - cum_before AS capped FROM a
+),
+c AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN capped THEN cap END), 0)
+              AS BIGINT) AS capped_total,
+         CAST(SUM(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_uncapped
+  FROM f
+)
+SELECT f.source, f.tokens, f.cap,
+       CASE WHEN f.capped THEN f.cap
+            ELSE (26000 - c.capped_total)
+                 // GREATEST(c.n_uncapped, 1) END AS alloc,
+       ROUND((CASE WHEN f.capped THEN f.cap
+              ELSE (26000 - c.capped_total)
+                   // GREATEST(c.n_uncapped, 1) END)
+             / f.tokens, 4) + 0.0 AS epochs_used
+FROM f, c
+"""
+
+
+@query("docs_unimax_allocation", _UNIMAX_ORACLE)
+def docs_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture allocation (Chung et al. 2023): a 26k-token
+    budget spread uniformly over sources with a 1-epoch cap —
+    small sources saturate at their corpus size and the freed budget
+    redistributes, closed-form (no iteration) via a rank window over
+    ONE ROW PER SOURCE. The scan reduces to (source, token) partials;
+    the selection itself is :func:`token_budget_sample` fed with the
+    ``alloc`` column (driver-verified as docs_token_budget_mixture)."""
+    from vectorsearchutil_spark.operators.sampling import (
+        unimax_allocation,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unimax_allocation(docs, budget=26000, max_epochs=1)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
