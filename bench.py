@@ -103,6 +103,7 @@ HEADLINE = [
     "embeddings_logreg_train",
     "embeddings_random_projection",
     "docs_unimax_allocation",
+    "docs_duplicate_spans",
 ]
 
 

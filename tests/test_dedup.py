@@ -234,3 +234,60 @@ def test_incremental_ingest_dedup(spark):
     assert out[10]["verdict"] == "exact_dup" and out[10]["matched_id"] == 1
     assert out[11]["verdict"] == "near_dup" and out[11]["matched_id"] == 1
     assert out[12]["verdict"] == "new" and out[12]["matched_id"] is None
+
+
+# ------------------------------------------------- duplicate spans
+
+
+def _spans(df, **kw):
+    from vectorsearchutil_spark.operators.dedup import duplicate_spans
+
+    return {
+        (r["id_a"], r["id_b"]): (r["longest_span"], r["n_spans"])
+        for r in duplicate_spans(df, **kw).collect()
+    }
+
+
+def test_duplicate_spans_finds_exact_run(spark):
+    """A 12-token run shared mid-document is recovered exactly;
+    unrelated docs produce no pair."""
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9 s10 s11 s12"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {shared} a4 a5"),
+            (2, f"b1 {shared} b2 b3 b4 b5 b6"),
+            (3, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12 c13"),
+        ],
+        "doc_id long, text string",
+    )
+    assert _spans(df, width=4, min_span=12) == {(1, 2): (12, 1)}
+
+
+def test_duplicate_spans_two_separate_runs(spark):
+    """Two disjoint shared runs at different offsets count as two
+    spans; longest_span is the max."""
+    r1 = "p1 p2 p3 p4 p5 p6"
+    r2 = "q1 q2 q3 q4 q5 q6 q7 q8"
+    df = spark.createDataFrame(
+        [
+            (1, f"{r1} x1 x2 x3 {r2}"),
+            (2, f"{r2} y1 y2 y3 y4 y5 {r1}"),
+        ],
+        "doc_id long, text string",
+    )
+    assert _spans(df, width=3, min_span=6) == {(1, 2): (8, 2)}
+
+
+def test_duplicate_spans_partitioning_invariant_and_short_docs(spark):
+    shared = " ".join(f"t{i}" for i in range(20))
+    rows = [(i, f"u{i} {shared} v{i}") for i in range(10)] + [
+        (100, "tiny"),
+        (101, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = _spans(df, width=8, min_span=12, max_df=100)
+    b = _spans(df.repartition(7), width=8, min_span=12, max_df=100)
+    assert a == b
+    # all 45 pairs of the 10 carriers share the 20-token run
+    assert len(a) == 45
+    assert all(v == (20, 1) for v in a.values())

@@ -647,5 +647,41 @@ def probe_random_projection(spark):
 PROBES.update({"random_projection": probe_random_projection})
 
 
+
+
+def probe_duplicate_spans(spark):
+    from vectorsearchutil_spark.operators.dedup import duplicate_spans
+
+    # 10% of docs carry a 40-token block shared with exactly ONE
+    # partner doc (6.25k disjoint pairs) — bounded-frequency
+    # duplication, the regime max_df declares. (A block shared by
+    # thousands of docs is stop content: with the default max_df=50
+    # it is dropped before the join; an earlier probe that disabled
+    # the cap produced 19.5M pairs / 645M match rows in 125 s —
+    # quadratic by construction, which is WHY the cap exists.)
+    docs = spark.range(N_DOCS).selectExpr(
+        "id AS doc_id",
+        "concat("
+        " concat_ws(' ', transform(sequence(1, 20 +"
+        "   cast(pmod(xxhash64(id, 5), 60) AS INT)),"
+        "   i -> concat('u', id, '_', i))),"
+        " IF(id % 10 < 2,"
+        "    concat(' ', concat_ws(' ', transform(sequence(1, 40),"
+        "      i -> concat('blk', id div 10, '_', i)))), ''),"
+        " ' ', concat_ws(' ', transform(sequence(1, 20),"
+        "   i -> concat('v', id, '_', i)))"
+        ") AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = duplicate_spans(docs, width=8, min_span=12).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} duplicate-span pairs"
+
+
+PROBES.update({"duplicate_spans": probe_duplicate_spans})
+
+
 if __name__ == "__main__":
     main()

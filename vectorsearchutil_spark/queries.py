@@ -7403,6 +7403,59 @@ def docs_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unimax_allocation(docs, budget=26000, max_epochs=1)
 
 
+_DUP_SPANS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, CAST(u.p AS INT) AS p,
+         (('0x' || substr(md5(array_to_string(
+           t[CAST(u.p AS INT) + 1 : CAST(u.p AS INT) + 8], ' ')),
+           1, 15))::BIGINT) AS h
+  FROM t, unnest(range(0, GREATEST(len(t) - 7, 0))) u(p)
+  WHERE len(t) >= 8
+),
+f AS (SELECT h FROM g0 GROUP BY h HAVING COUNT(*) <= 50),
+g AS (SELECT g0.* FROM g0 JOIN f USING (h)),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.p AS pa,
+         a.p - b.p AS delta
+  FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, delta,
+         pa - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, delta ORDER BY pa) AS island
+  FROM m
+),
+s AS (
+  SELECT id_a, id_b, COUNT(*) + 7 AS span
+  FROM r GROUP BY id_a, id_b, delta, island
+)
+SELECT id_a, id_b, CAST(MAX(span) AS INT) AS longest_span,
+       CAST(COUNT(*) AS INT) AS n_spans
+FROM s WHERE span >= 12 GROUP BY id_a, id_b
+"""
+
+
+@query("docs_duplicate_spans", _DUP_SPANS_ORACLE)
+def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest shared token span per document pair (exact-substring
+    dedup at span granularity, Lee et al. 2022): positioned 8-gram
+    anchors, stop-gram cap before the self-join, gaps-and-islands
+    run reconstruction per (pair, offset-delta) — reports WHICH run
+    of ≥12 tokens two docs share, the unit boilerplate scrubbing
+    actually cuts (operators/dedup.py::duplicate_spans)."""
+    from vectorsearchutil_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(
+        docs, width=8, min_span=12, max_df=50
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
