@@ -564,3 +564,92 @@ def test_streaming_cdc_upsert_versions_and_time_travel(spark, tmp_path):
     assert final == expected == [(2, "b", 2.0), (3, "c", 3.0)]
     # time travel: the pre-batch-2 version is still readable
     assert sorted(map(tuple, log.read(spark, version=v1).collect())) == after1
+
+
+def test_streaming_attribution_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Replaying the events table in (ts, event_id) order through
+    three micro-batches reproduces the batch events_attribution
+    window query row-for-row — per-user last-touch state must carry
+    across batches."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    expected = sorted(
+        (
+            r["user_id"],
+            r["purchase_event_id"],
+            r["revenue"],
+            r["last_touch_ts"],
+            r["attribution"],
+        )
+        for r in Q.QUERIES["events_attribution"](spark, sf_dir).collect()
+    )
+    assert expected, "no purchases at this sf — vacuous test"
+
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn(
+            "_ord",
+            F.row_number().over(
+                Window.orderBy("ts", "event_id")
+            ),
+        )
+    )
+    n = events.count()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.drop("_ord").schema)
+            .parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_attribution(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
+        events.filter(
+            (F.col("_ord") > lo) & (F.col("_ord") <= hi)
+        ).drop("_ord").coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+    got = sorted(
+        (
+            r["user_id"],
+            r["purchase_event_id"],
+            r["revenue"],
+            r["last_touch_ts"],
+            r["attribution"],
+        )
+        for r in spark.read.parquet(out)
+        .select(
+            "user_id",
+            "purchase_event_id",
+            "revenue",
+            F.timestamp_micros("last_touch_us").alias("last_touch_ts"),
+            "attribution",
+        )
+        .collect()
+    )
+    assert got == expected

@@ -171,3 +171,93 @@ def streaming_token_budget(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTRIB_STATE_SCHEMA = StructType(
+    [StructField("last_touch_us", LongType())]
+)
+
+ATTRIB_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_event_id", LongType()),
+        StructField("revenue", DoubleType()),
+        StructField("last_touch_us", LongType()),
+        StructField("attribution", StringType()),
+    ]
+)
+
+
+def streaming_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_s: float = 3600.0,
+) -> DataFrame:
+    """Live last-touch attribution — the streaming twin of the batch
+    ``events_attribution`` window query. State per user is ONE long:
+    the microsecond timestamp of the latest prior click/view. Each
+    purchase is attributed against the state AS OF its position in
+    the (ts, event_id) order, exactly like the batch query's
+    rows-preceding conditional MAX window, so replaying the batch
+    order through micro-batches reproduces the batch output
+    row-for-row (tested; state must carry across batches).
+
+    Numeric parity: the batch query compares
+    ``ts.cast(double) − touch.cast(double) ≤ window``; Spark's
+    timestamp→double cast is micros/1e6 as ONE double division, so
+    the stream stores exact micros and replays the identical float
+    expression — no ulp drift at the window boundary.
+
+    Input must be narrow (event_id, ts, user_id, event_type, value).
+    Output: attributed purchases; ``last_touch_us`` is the exact
+    state (NULL → 'organic'), convertible with timestamp_micros().
+    """
+    touches = set(touch_types)
+    win = float(window_s)
+
+    def _attribute(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        (last_us,) = state.get if state.exists else (None,)
+        out: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            ts_us = pdf["ts"].astype("int64") // 1000
+            for (_, row), t_us in zip(pdf.iterrows(), ts_us):
+                if row["event_type"] == "purchase":
+                    if last_us is None:
+                        label = "organic"
+                    else:
+                        # exact replay of the batch double expression
+                        dt = float(t_us) / 1e6 - float(last_us) / 1e6
+                        label = "attributed" if dt <= win else "expired"
+                    out.append(
+                        (
+                            int(user_id),
+                            int(row["event_id"]),
+                            float(row["value"]),
+                            None if last_us is None else int(last_us),
+                            label,
+                        )
+                    )
+                if row["event_type"] in touches:
+                    t = int(t_us)
+                    last_us = t if last_us is None else max(last_us, t)
+        state.update((last_us,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in ATTRIB_OUTPUT_SCHEMA]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attribute,
+        outputStructType=ATTRIB_OUTPUT_SCHEMA,
+        stateStructType=ATTRIB_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
