@@ -104,6 +104,8 @@ HEADLINE = [
     "embeddings_random_projection",
     "docs_unimax_allocation",
     "docs_duplicate_spans",
+    "events_value_winsorized",
+    "events_basket_lift",
 ]
 
 

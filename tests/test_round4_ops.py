@@ -377,3 +377,54 @@ def test_random_projection_empty_raises(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="empty"):
         random_projection(empty)
+
+
+# ----------------------------------------- winsorize / basket lift
+
+
+def test_winsorize_bounds_and_flags(spark, sf_dir):
+    from vectorsearchutil_spark import queries as Q
+
+    rows = Q.QUERIES["events_value_winsorized"](spark, sf_dir).collect()
+    assert rows
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, rs in by_type.items():
+        vals = [r["value_w"] for r in rs]
+        lo, hi = min(vals), max(vals)
+        # clipped rows sit exactly at the bound; ~90% are unclipped
+        n_clip = sum(r["clipped_lo"] or r["clipped_hi"] for r in rs)
+        assert n_clip <= 0.11 * len(rs) + 2
+        for r in rs:
+            if r["clipped_lo"]:
+                assert r["value_w"] == lo
+            if r["clipped_hi"]:
+                assert r["value_w"] == hi
+
+
+def test_basket_lift_hand_case(spark, tmp_path, monkeypatch):
+    """3 users: u1 {A,B}, u2 {A,B}, u3 {A}. support(A,B)=2/3,
+    lift = (2·3)/(3·2) = 1.0."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark import queries as Q
+
+    ev = spark.createDataFrame(
+        [
+            (1, 1, "A", 0.0), (2, 1, "B", 0.0), (3, 1, "A", 0.0),
+            (4, 2, "A", 0.0), (5, 2, "B", 0.0),
+            (6, 3, "A", 0.0),
+        ],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    d = str(tmp_path)
+    ev.withColumn("ts", F.current_timestamp()).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(f"{d}/events.parquet")
+    rows = Q.QUERIES["events_basket_lift"](spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["type_a"], r["type_b"], r["n_ab"]) == ("A", "B", 2)
+    assert r["support"] == round(2 / 3, 6)
+    assert r["lift"] == 1.0

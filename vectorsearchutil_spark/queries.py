@@ -7456,6 +7456,127 @@ def docs_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WINSORIZE_ORACLE = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type,
+       ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) + 0.0
+         AS value_w,
+       e.value < b.lo AS clipped_lo,
+       e.value > b.hi AS clipped_hi
+FROM events e JOIN b USING (event_type)
+"""
+
+
+@query("events_value_winsorized", _WINSORIZE_ORACLE)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) value column per event type — the
+    robust-scaling step that keeps heavy-tail outliers from dominating
+    downstream statistics. Exact interpolated percentiles via Spark's
+    ``percentile`` aggregate (distributed counting state, merged — not
+    a per-group sort; its state grows with per-group DISTINCT values,
+    so at extreme cardinality the sketch path
+    ``histogram_quantiles`` is the stand-in); the tiny per-type bound
+    table broadcasts back onto the scan."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(bounds), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")),
+            6,
+        ).alias("value_w"),
+        (F.col("value") < F.col("lo")).alias("clipped_lo"),
+        (F.col("value") > F.col("hi")).alias("clipped_hi"),
+    )
+
+
+_BASKET_ORACLE = """
+WITH ut AS (
+  SELECT DISTINCT user_id, event_type FROM events
+),
+n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+  FROM ut GROUP BY event_type
+),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM ut a JOIN ut b USING (user_id)
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b, p.n_ab,
+       ROUND(p.n_ab / (n.n * 1.0), 6) + 0.0 AS support,
+       ROUND((p.n_ab * n.n) / (ta.n_t * 1.0 * tb.n_t), 6) + 0.0
+         AS lift
+FROM p
+JOIN t ta ON ta.event_type = p.type_a
+JOIN t tb ON tb.event_type = p.type_b, n
+"""
+
+
+@query("events_basket_lift", _BASKET_ORACLE)
+def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for every type pair,
+    the users exhibiting both, support, and lift
+    n_ab·N / (n_a·n_b) — which behaviors co-occur beyond chance. The
+    (user, type) distinct projection is the only full shuffle; the
+    self-join fans out per user by their DISTINCT type count (small
+    by construction — types, not events), and the tiny per-type
+    marginals broadcast onto the pair aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_df = ev.agg(
+        F.count_distinct("user_id").cast("long").alias("n")
+    )
+    t = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(t.select(F.col("event_type").alias("type_a"),
+                                 F.col("n_t").alias("_na"))),
+            "type_a",
+        )
+        .join(
+            F.broadcast(t.select(F.col("event_type").alias("type_b"),
+                                 F.col("n_t").alias("_nb"))),
+            "type_b",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(F.col("n_ab") / (F.col("n") * F.lit(1.0)), 6)
+            .alias("support"),
+            F.round(
+                (F.col("n_ab") * F.col("n"))
+                / (F.col("_na") * F.lit(1.0) * F.col("_nb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
