@@ -106,6 +106,8 @@ HEADLINE = [
     "docs_duplicate_spans",
     "events_value_winsorized",
     "events_basket_lift",
+    "docs_calibrated_quality",
+    "embeddings_dim_drift_psi",
 ]
 
 

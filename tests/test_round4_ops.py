@@ -428,3 +428,64 @@ def test_basket_lift_hand_case(spark, tmp_path, monkeypatch):
     assert (r["type_a"], r["type_b"], r["n_ab"]) == ("A", "B", 2)
     assert r["support"] == round(2 / 3, 6)
     assert r["lift"] == 1.0
+
+
+# ----------------------------------------- calibration / drift PSI
+
+
+def test_calibrated_quality_source_fair(spark, sf_dir):
+    """The top-quartile cut takes ~25% from EVERY source — the whole
+    point vs a global threshold."""
+    from vectorsearchutil_spark import queries as Q
+
+    rows = Q.QUERIES["docs_calibrated_quality"](spark, sf_dir).collect()
+    by_src: dict = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r["keep_top_quartile"])
+    assert len(by_src) > 1
+    for src, keeps in by_src.items():
+        frac = sum(keeps) / len(keeps)
+        assert 0.15 <= frac <= 0.35, (src, frac)
+
+
+def test_dim_drift_psi_detects_planted_shift(spark, tmp_path):
+    """Identical halves → PSI ≈ 0 everywhere; shifting ONE dimension
+    in the odd half makes exactly that dimension's PSI stand out."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark import queries as Q
+
+    emb = spark.range(2000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), d -> cast(pmod(xxhash64(id div 2, d),"
+        " 1000) / 500.0 - 1.0 AS FLOAT)) AS embedding",
+        "cast(0 AS INT) AS label",
+    )
+    # consecutive (even, odd) ids share a vector → halves identical
+    d = str(tmp_path / "same")
+    emb.write.parquet(f"{d}/embeddings.parquet")
+    base = {
+        r["i"]: r["psi"]
+        for r in Q.QUERIES["embeddings_dim_drift_psi"](spark, d).collect()
+    }
+    assert max(abs(v) for v in base.values()) < 1e-6
+
+    shifted = emb.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") % 2 == 1,
+            F.expr(
+                "transform(embedding, (x, d) ->"
+                " IF(d = 7, cast(least(x + 0.8, 0.999) AS FLOAT), x))"
+            ),
+        ).otherwise(F.col("embedding")),
+    )
+    d2 = str(tmp_path / "shift")
+    shifted.write.parquet(f"{d2}/embeddings.parquet")
+    moved = {
+        r["i"]: r["psi"]
+        for r in Q.QUERIES["embeddings_dim_drift_psi"](spark, d2).collect()
+    }
+    assert moved[8] > 0.5  # dim index 7 → i = 8 (1-based)
+    others = [abs(v) for k, v in moved.items() if k != 8]
+    assert max(others) < 1e-6

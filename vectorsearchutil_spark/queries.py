@@ -7577,6 +7577,189 @@ def events_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CALIBRATED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1.0 - len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','is','in','on'], x)))
+                * 1.0 / len(t)), 4) AS quality
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, source, quality,
+       ROUND(PERCENT_RANK() OVER (PARTITION BY source
+             ORDER BY quality, doc_id), 6) + 0.0 AS pct_in_source,
+       PERCENT_RANK() OVER (PARTITION BY source
+             ORDER BY quality, doc_id) >= 0.75 AS keep_top_quartile
+FROM q
+"""
+
+
+@query("docs_calibrated_quality", _CALIBRATED_ORACLE)
+def docs_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-fair quality calibration: raw quality scores are not
+    comparable across sources (a news corpus's median beats a web
+    crawl's p90), so a single global threshold silently drops entire
+    sources. Re-expressing each doc's quality as its PERCENTILE
+    WITHIN ITS SOURCE makes one threshold (here: top quartile) take
+    the same fraction from every source. One narrow window per
+    source over (id, source, quality) rows — text never shuffles;
+    source count × docs-per-source parallelism, no global window."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_score(docs)
+        .filter(F.col("n_tokens") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source", F.col("quality_score").alias("quality")
+        )
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    pr = F.percent_rank().over(w)
+    return q.select(
+        "doc_id",
+        "source",
+        "quality",
+        F.round(pr, 6).alias("pct_in_source"),
+        (pr >= 0.75).alias("keep_top_quartile"),
+    )
+
+
+_DRIFT_ORACLE = """
+WITH a AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 0
+),
+b AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id % 2 = 1
+),
+ha AS (
+  SELECT CAST(t.i AS INT) AS i,
+         LEAST(GREATEST(CAST(FLOOR((v[CAST(t.i AS INT)] + 1.0) * 5.0)
+               AS INT), 0), 9) AS bin,
+         COUNT(*) AS c
+  FROM a, range(1, 65) t(i) GROUP BY 1, 2
+),
+hb AS (
+  SELECT CAST(t.i AS INT) AS i,
+         LEAST(GREATEST(CAST(FLOOR((v[CAST(t.i AS INT)] + 1.0) * 5.0)
+               AS INT), 0), 9) AS bin,
+         COUNT(*) AS c
+  FROM b, range(1, 65) t(i) GROUP BY 1, 2
+),
+na AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM a),
+nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b),
+bins AS (
+  SELECT CAST(t.i AS INT) AS i, CAST(u.b AS INT) AS bin
+  FROM range(1, 65) t(i), range(0, 10) u(b)
+),
+j AS (
+  SELECT bins.i, bins.bin,
+         (COALESCE(ha.c, 0) + 0.5) / (na.n + 5.0) AS pa,
+         (COALESCE(hb.c, 0) + 0.5) / (nb.n + 5.0) AS pb
+  FROM bins
+  LEFT JOIN ha ON ha.i = bins.i AND ha.bin = bins.bin
+  LEFT JOIN hb ON hb.i = bins.i AND hb.bin = bins.bin, na, nb
+)
+SELECT i,
+       ROUND(list_reduce(list_prepend(0.0,
+         list(ROUND((pa - pb) * ln(pa / pb), 9) ORDER BY bin)),
+         (x, y) -> x + y), 6) + 0.0 AS psi
+FROM j GROUP BY i
+"""
+
+
+@query("embeddings_dim_drift_psi", _DRIFT_ORACLE)
+def embeddings_dim_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension population-stability index between two corpus
+    snapshots (even/odd vec_id halves as stand-ins) — the drift
+    monitor run before retraining on a refreshed corpus: PSI =
+    Σ_bins (p_A − p_B)·ln(p_A/p_B) over a fixed 10-bin [-1, 1)
+    histogram, +0.5 Laplace smoothing so empty bins stay finite.
+    Each half reduces to (dim, bin, count) partials (map-side
+    combinable; vectors never shuffle); the 64×10 joined histogram is
+    driver-trivial. Per-bin summands round to 9dp before a
+    bin-ordered fold — the cross-engine determinism seam for the
+    ln() term (libm vs JVM agree well inside 9dp)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def hist(half):
+        return (
+            half.select(
+                F.posexplode(
+                    F.col("embedding").cast("array<double>")
+                ).alias("pos", "x")
+            )
+            .select(
+                (F.col("pos") + 1).alias("i"),
+                F.least(
+                    F.greatest(
+                        F.floor((F.col("x") + 1.0) * 5.0).cast("int"),
+                        F.lit(0),
+                    ),
+                    F.lit(9),
+                ).alias("bin"),
+            )
+            .groupBy("i", "bin")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+    a_half = emb.filter(F.col("vec_id") % 2 == 0)
+    b_half = emb.filter(F.col("vec_id") % 2 == 1)
+    ha, hb = hist(a_half), hist(b_half)
+    na = a_half.agg(F.count(F.lit(1)).cast("double").alias("n_a"))
+    nb = b_half.agg(F.count(F.lit(1)).cast("double").alias("n_b"))
+    bins = (
+        emb.sparkSession.range(1, 65)
+        .select(F.col("id").cast("int").alias("i"))
+        .crossJoin(
+            emb.sparkSession.range(0, 10).select(
+                F.col("id").cast("int").alias("bin")
+            )
+        )
+    )
+    j = (
+        bins.join(ha.withColumnRenamed("c", "ca"), ["i", "bin"], "left")
+        .join(hb.withColumnRenamed("c", "cb"), ["i", "bin"], "left")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "i",
+            "bin",
+            ((F.coalesce(F.col("ca"), F.lit(0)) + 0.5)
+             / (F.col("n_a") + 5.0)).alias("pa"),
+            ((F.coalesce(F.col("cb"), F.lit(0)) + 0.5)
+             / (F.col("n_b") + 5.0)).alias("pb"),
+        )
+    )
+    summand = F.round(
+        (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb")), 9
+    )
+    return (
+        j.groupBy("i")
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bin", summand.alias("s")))
+                    ),
+                    lambda e: e["s"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_psi")
+        )
+        .select("i", F.round(F.col("_psi"), 6).alias("psi"))
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
