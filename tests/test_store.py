@@ -373,3 +373,35 @@ def test_ann_index_query_and_pruning(spark, tmp_path):
     vs2 = VectorStore(spark, path=path)
     again = vs2.query_ann(qvec, k=5, n_probe=4, index_path=vs._ivf_path)
     assert [r["id"] for r in again.collect()] == exact
+
+
+def test_ann_index_incremental_add(spark, tmp_path):
+    """add_to_ann_index after an append: only new rows are assigned
+    (existing centroids, no retrain), all-probes search equals exact
+    over the UNION, and a second call is a no-op."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (f"doc {i}", [float(x) for x in rng.randn(16)]) for i in range(300)
+    ]
+    df1 = spark.createDataFrame(rows[:200], ["target", "vector"])
+    df2 = spark.createDataFrame(rows[200:], ["target", "vector"])
+    path = str(tmp_path / "annstore.parquet")
+    vs = VectorStore(spark, path=path)
+    vs.set_data(df1)
+    vs.build_ann_index(n_lists=4)
+
+    vs.set_data(df2, append=True)
+    added = vs.add_to_ann_index()
+    assert added == 100
+    assert vs.add_to_ann_index() == 0  # idempotent
+
+    qvec = rows[250][1]
+    exact = [r["id"] for r in vs.query(qvec, k=5).collect()]
+    approx_all = [
+        r["id"] for r in vs.query_ann(qvec, k=5, n_probe=4).collect()
+    ]
+    assert approx_all == exact
+    # the appended rows are reachable through the pruned probe path
+    assert exact[0] in approx_all

@@ -548,6 +548,50 @@ class VectorStore:
         )
         self._ivf_path = index_path
 
+    def add_to_ann_index(self, index_path: str | None = None) -> int:
+        """Incremental IVF maintenance: assign ONLY the store rows not
+        yet in the index to the EXISTING centroids and append them to
+        their list partitions — the faiss ``index.add()`` posture
+        after ``set_data(append)``, without re-reading or re-writing
+        the indexed corpus. Centroids are NOT retrained (quantization
+        drifts only if the append distribution does; rebuild with
+        :meth:`build_ann_index` then, exactly like faiss re-training).
+
+        The unindexed set derives from a column-pruned id scan of the
+        lists (an id-only anti-join, not a vector read); the append
+        writes only the new rows, partition-wise. Idempotent: a second
+        call appends nothing. Plain-parquet appends are not atomic
+        under concurrent writers — use the manifest-log/Delta ACID
+        backends for that regime. Returns the number of rows added."""
+        import os
+
+        from vectorsearchutil_spark.operators.similarity import (
+            build_ivf_index,
+        )
+
+        index_path = index_path or getattr(self, "_ivf_path", None)
+        if index_path is None or self._df is None:
+            return 0
+        lists_path = os.path.join(index_path, "lists")
+        indexed_ids = self.spark.read.parquet(lists_path).select("id")
+        fresh = self.data.join(indexed_ids, "id", "left_anti")
+        cents = self.spark.read.parquet(
+            os.path.join(index_path, "centroids")
+        ).select(
+            F.col("centroid_id"), F.col("centroid_vec")
+        )
+        indexed = build_ivf_index(
+            fresh, cents, vector_col="vector", id_col="id"
+        ).persist()
+        n = indexed.count()
+        if n:
+            indexed.write.mode("append").partitionBy(
+                "centroid_id"
+            ).parquet(lists_path)
+        indexed.unpersist()
+        self._ivf_path = index_path
+        return n
+
     def query_ann(
         self,
         q: str | Sequence[float],
