@@ -108,6 +108,7 @@ HEADLINE = [
     "events_basket_lift",
     "docs_calibrated_quality",
     "embeddings_dim_drift_psi",
+    "docs_pareto_frontier",
 ]
 
 

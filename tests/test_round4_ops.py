@@ -489,3 +489,54 @@ def test_dim_drift_psi_detects_planted_shift(spark, tmp_path):
     assert moved[8] > 0.5  # dim index 7 → i = 8 (1-based)
     others = [abs(v) for k, v in moved.items() if k != 8]
     assert max(others) < 1e-6
+
+
+# --------------------------------------------------- Pareto frontier
+
+
+def test_pareto_frontier_matches_naive(spark):
+    """Aggregated-sweep skyline equals the O(n²) dominance definition
+    on adversarial inputs: duplicate points, ties on each axis, a
+    strictly-dominated chain."""
+    from vectorsearchutil_spark.operators.skyline import pareto_frontier_2d
+
+    pts = [
+        (1, 10, 0.9), (2, 10, 0.9),   # duplicate frontier point
+        (3, 10, 0.5),                  # dominated at same x
+        (4, 5, 0.7), (5, 5, 0.7),      # shorter, lower quality — frontier
+        (6, 20, 0.9),                  # same max as x=10 but longer → out
+        (7, 20, 0.95),                 # longer but strictly better → in
+        (8, 3, 0.1),                   # shortest → always in
+        (9, 30, 0.2),                  # dominated by nearly everything
+    ]
+    df = spark.createDataFrame(pts, "id long, n int, q double")
+    naive = {
+        p[0]
+        for p in pts
+        if not any(
+            o[1] <= p[1] and o[2] >= p[2] and (o[1] < p[1] or o[2] > p[2])
+            for o in pts
+        )
+    }
+    got = {
+        r["id"]
+        for r in pareto_frontier_2d(df, "q", "n").collect()
+    }
+    assert got == naive == {1, 2, 4, 5, 7, 8}
+    # partitioning-invariant
+    got2 = {
+        r["id"]
+        for r in pareto_frontier_2d(df.repartition(5), "q", "n").collect()
+    }
+    assert got2 == naive
+
+
+def test_pareto_frontier_nulls_excluded(spark):
+    from vectorsearchutil_spark.operators.skyline import pareto_frontier_2d
+
+    df = spark.createDataFrame(
+        [(1, 5, 0.5), (2, None, 0.9), (3, 4, None)],
+        "id long, n int, q double",
+    )
+    got = {r["id"] for r in pareto_frontier_2d(df, "q", "n").collect()}
+    assert got == {1}

@@ -7760,6 +7760,56 @@ def embeddings_dim_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PARETO_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1.0 - len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','is','in','on'], x)))
+                * 1.0 / len(t)), 4) AS quality
+  FROM toks WHERE len(t) > 0
+)
+SELECT p.doc_id, p.n_tokens, p.quality
+FROM q p
+WHERE NOT EXISTS (
+  SELECT 1 FROM q o
+  WHERE o.n_tokens <= p.n_tokens AND o.quality >= p.quality
+    AND (o.n_tokens < p.n_tokens OR o.quality > p.quality)
+)
+"""
+
+
+@query("docs_pareto_frontier", _PARETO_ORACLE)
+def docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents Pareto-optimal in (quality ↑, length ↓) — no doc is
+    both shorter and better. The oracle is the textbook O(n²)
+    NOT EXISTS skyline; the plan collapses dominance to a running-max
+    sweep over per-length best-quality AGGREGATES (bounded by
+    distinct lengths, not rows) and semi-joins survivors back
+    (operators/skyline.py::pareto_frontier_2d)."""
+    from vectorsearchutil_spark.operators.skyline import (
+        pareto_frontier_2d,
+    )
+    from vectorsearchutil_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_score(docs)
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("quality_score").alias("quality"),
+        )
+    )
+    return pareto_frontier_2d(q, maximize_col="quality", minimize_col="n_tokens")
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
