@@ -109,6 +109,8 @@ HEADLINE = [
     "docs_calibrated_quality",
     "embeddings_dim_drift_psi",
     "docs_pareto_frontier",
+    "events_value_mad_outliers",
+    "docs_ngram_diversity",
 ]
 
 

@@ -540,3 +540,55 @@ def test_pareto_frontier_nulls_excluded(spark):
     )
     got = {r["id"] for r in pareto_frontier_2d(df, "q", "n").collect()}
     assert got == {1}
+
+
+# ------------------------------------------- MAD / n-gram diversity
+
+
+def test_mad_outliers_resist_contamination(spark, tmp_path):
+    """A planted extreme block must be flagged WITHOUT dragging the
+    threshold (the failure mode of mean/stddev z-scores)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark import queries as Q
+
+    normal = [(i, 1, "A", 100.0 + (i % 7)) for i in range(200)]
+    spikes = [(1000 + i, 1, "A", 10_000.0) for i in range(20)]
+    ev = spark.createDataFrame(
+        normal + spikes,
+        "event_id long, user_id long, event_type string, value double",
+    )
+    d = str(tmp_path)
+    ev.withColumn("ts", F.current_timestamp()).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(f"{d}/events.parquet")
+    got = {
+        r["event_id"]
+        for r in Q.QUERIES["events_value_mad_outliers"](spark, d).collect()
+    }
+    assert got == {1000 + i for i in range(20)}
+
+
+def test_ngram_diversity_orders_sources(spark, tmp_path):
+    """A copy-paste source scores far lower TTR than a varied one."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark import queries as Q
+
+    rep = [(i, "rep", "the same exact line again and again") for i in range(30)]
+    var = [
+        (100 + i, "var", " ".join(f"u{i}w{j}" for j in range(7)))
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        rep + var, "doc_id long, source string, text string"
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["source"]: (r["trigram_ttr"], r["token_ttr"])
+        for r in Q.QUERIES["docs_ngram_diversity"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["var"][0] == 1.0 and got["var"][1] == 1.0
+    assert got["rep"][0] < 0.05 and got["rep"][1] < 0.05

@@ -7810,6 +7810,163 @@ def docs_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pareto_frontier_2d(q, maximize_col="quality", minimize_col="n_tokens")
 
 
+_MAD_ORACLE = """
+WITH r1 AS (
+  SELECT event_type AS grp, value AS v, event_id,
+         SUM(1.0) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type) AS tot
+  FROM events
+),
+med AS (
+  SELECT grp, MIN(v) AS med FROM r1
+  WHERE cum >= tot / 2.0 GROUP BY grp
+),
+r2 AS (
+  SELECT e.event_type AS grp, ABS(e.value - m.med) AS av, e.event_id,
+         SUM(1.0) OVER (PARTITION BY e.event_type
+                        ORDER BY ABS(e.value - m.med), e.event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY e.event_type) AS tot
+  FROM events e JOIN med m ON m.grp = e.event_type
+),
+mad AS (
+  SELECT grp, MIN(av) AS mad FROM r2
+  WHERE cum >= tot / 2.0 GROUP BY grp
+)
+SELECT e.event_id, e.event_type, e.value,
+       ROUND(0.6745 * (e.value - m.med) / d.mad, 4) + 0.0
+         AS robust_z
+FROM events e
+JOIN med m ON m.grp = e.event_type
+JOIN mad d ON d.grp = e.event_type
+WHERE ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+"""
+
+
+@query("events_value_mad_outliers", _MAD_ORACLE)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outliers via median absolute deviation: the
+    modified z-score 0.6745·(v − median)/MAD flags |z| > 3.5
+    (Iglewicz–Hoaglin) — unlike mean/stddev screens, the outliers
+    themselves cannot drag the threshold. BOTH medians (value, then
+    |v − median|) run as exact histogram refinement
+    (sketches.py::weighted_median_exact with unit weights — never a
+    per-group raw sort; the oracle is the naive window definition);
+    the two tiny per-type tables broadcast onto the scan."""
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        F.col("event_type").alias("grp"),
+        F.col("value").alias("v"),
+        F.lit(1.0).alias("w"),
+    )
+    med = weighted_median_exact(base, "grp", "v", "w", out_col="med")
+    with_med = base.join(F.broadcast(med), "grp").withColumn(
+        "av", F.abs(F.col("v") - F.col("med"))
+    )
+    mad = weighted_median_exact(
+        with_med.select("grp", F.col("av").alias("v"), "w"),
+        "grp",
+        "v",
+        "w",
+        out_col="mad",
+    )
+    z = F.lit(0.6745) * (F.col("v") - F.col("med")) / F.col("mad")
+    return (
+        with_med.join(F.broadcast(mad), "grp")
+        .filter(F.abs(z) > 3.5)
+        .select(
+            "event_id",
+            F.col("grp").alias("event_type"),
+            F.col("v").alias("value"),
+            F.round(z, 4).alias("robust_z"),
+        )
+    )
+
+
+_DIVERSITY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+tri AS (
+  SELECT source,
+         array_to_string(t[CAST(u.p AS INT) + 1 : CAST(u.p AS INT) + 3],
+                         ' ') AS g
+  FROM toks, unnest(range(0, GREATEST(len(t) - 2, 0))) u(p)
+  WHERE len(t) >= 3
+),
+uni AS (
+  SELECT source, CAST(u.p AS INT) AS p, t[CAST(u.p AS INT) + 1] AS w
+  FROM toks, unnest(range(0, len(t))) u(p)
+)
+SELECT t.source,
+       CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       CAST(COUNT(DISTINCT t.g) AS BIGINT) AS d_trigrams,
+       ROUND(COUNT(DISTINCT t.g) / (COUNT(*) * 1.0), 6) + 0.0
+         AS trigram_ttr,
+       ROUND(ANY_VALUE(u.d_uni) / (ANY_VALUE(u.n_uni) * 1.0), 6) + 0.0
+         AS token_ttr
+FROM tri t
+JOIN (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_uni,
+         CAST(COUNT(DISTINCT w) AS BIGINT) AS d_uni
+  FROM uni GROUP BY source
+) u ON u.source = t.source
+GROUP BY t.source
+"""
+
+
+@query("docs_ngram_diversity", _DIVERSITY_ORACLE)
+def docs_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram diversity (type/token ratios at n=1 and
+    n=3) — the repetitiveness audit that catches template-generated
+    or self-repeating sources before they skew training. Exact
+    distincts here (one shuffle of distinct grams); at 100 TB swap
+    the COUNT(DISTINCT) for the mergeable HLL sketch
+    (sketches.py::hll_distinct) — same query shape, fixed state."""
+    docs = load_table(spark, sf_dir, "documents")
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    toks = docs.selectExpr("source", f"{tokens_sql('text')} AS _t")
+    tri = toks.filter(F.expr("size(_t) >= 3")).selectExpr(
+        "source",
+        """explode(transform(sequence(0, size(_t) - 3),
+             p -> concat_ws(' ', slice(_t, p + 1, 3)))) AS g""",
+    )
+    uni = toks.selectExpr("source", "explode(_t) AS w")
+    t_stats = tri.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        F.count_distinct("g").cast("long").alias("d_trigrams"),
+    )
+    u_stats = uni.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_uni"),
+        F.count_distinct("w").cast("long").alias("_d_uni"),
+    )
+    return (
+        t_stats.join(u_stats, "source")
+        .select(
+            "source",
+            "n_trigrams",
+            "d_trigrams",
+            F.round(
+                F.col("d_trigrams") / (F.col("n_trigrams") * F.lit(1.0)),
+                6,
+            ).alias("trigram_ttr"),
+            F.round(
+                F.col("_d_uni") / (F.col("_n_uni") * F.lit(1.0)), 6
+            ).alias("token_ttr"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
