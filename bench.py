@@ -111,6 +111,7 @@ HEADLINE = [
     "docs_pareto_frontier",
     "events_value_mad_outliers",
     "docs_ngram_diversity",
+    "events_trend_by_type",
 ]
 
 

@@ -177,3 +177,50 @@ def test_logreg_edge_inputs(spark):
     )
     w = _train_weights(one, iters=0)
     assert w == {1: 0.0, 2: 0.0, 3: 0.0}
+
+
+# ------------------------------------------------- grouped OLS trend
+
+
+def test_ols_trend_recovers_planted_slope(spark):
+    """y = 2.5·day + 10 exactly → slope 2.5, intercept 10 (within
+    the declared 2^-12 quantization bias); flat group → slope 0;
+    single-x group → NULL slope."""
+    from vectorsearchutil_spark.operators.mlops import ols_trend_by_group
+
+    us_day = 86_400_000_000
+    rows = (
+        [("lin", i * us_day, 10.0 + 2.5 * i) for i in range(50)]
+        + [("flat", i * us_day, 7.0) for i in range(50)]
+        + [("point", 0, 3.0), ("point", 0, 5.0)]
+    )
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    got = {
+        r["g"]: (r["slope_per_unit"], r["intercept"])
+        for r in ols_trend_by_group(df, "g", "x", "y").collect()
+    }
+    assert abs(got["lin"][0] - 2.5) < 1e-3
+    assert abs(got["lin"][1] - 10.0) < 0.05
+    assert abs(got["flat"][0]) < 1e-3
+    assert got["point"][0] is None and got["point"][1] is None
+
+
+def test_ols_trend_partitioning_invariant_bitwise(spark):
+    from vectorsearchutil_spark.operators.mlops import ols_trend_by_group
+
+    rows = [
+        ("g" + str(i % 3), i * 1_000_000, ((i * 37) % 101) / 7.0)
+        for i in range(5000)
+    ]
+    df = spark.createDataFrame(rows, "g string, x long, y double")
+    a = {
+        r["g"]: (r["slope_per_unit"], r["intercept"])
+        for r in ols_trend_by_group(df, "g", "x", "y").collect()
+    }
+    b = {
+        r["g"]: (r["slope_per_unit"], r["intercept"])
+        for r in ols_trend_by_group(
+            df.repartition(17), "g", "x", "y"
+        ).collect()
+    }
+    assert a == b  # exact equality — fixed-point sums

@@ -334,3 +334,105 @@ def logreg_train_fixed_point(
     return spark.createDataFrame(
         [(k + 1, float(w[k])) for k in range(d)], "i int, weight double"
     )
+
+
+# ------------------------------------------------- grouped OLS trend
+
+#: fixed-point scales for the trend sums: y-quantization (20 frac
+#: bits) and centered-product quantization (12 frac bits — products
+#: are range_days × y_range per row, so 2^12 keeps per-row terms
+#: ≲ 2^40 and exabyte-scale groups inside the long limit).
+_TREND_Y_FP = float(2**20)
+_TREND_P_FP = float(2**12)
+
+
+def ols_trend_by_group(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+    us_per_unit: float = 86_400_000_000.0,
+) -> DataFrame:
+    """Per-group least-squares trend (slope + intercept) of y over
+    time — the grouped regression behind every "is this metric
+    drifting" dashboard, computed in THREE map-side-combinable
+    aggregate passes over narrow (group, x, y) rows; nothing sorts,
+    nothing collects beyond per-group scalars.
+
+    ``x_col`` must be exact integers (e.g. epoch microseconds);
+    slopes are per ``us_per_unit`` (default: per day). Why not
+    regr_slope(): float Σxy accumulates in partition order, so two
+    runs of the same query can disagree in the last ulps. Here every
+    cross-partition sum is a LONG — x centers on the exact per-group
+    min, y and the centered products quantize via floor to fixed
+    point (the PageRank/logreg discipline) — so slope and intercept
+    are bit-identical on any engine or partitioning, replayable by a
+    SQL oracle:
+
+    * pass 1: n, min(x), Σ floor(y·2²⁰)            (exact)
+    * pass 2: Σ floor(xd·2²⁰), xd = (x−x₀)/unit     (exact longs)
+    * pass 3: Σ floor(dx·dy·2¹²), Σ floor(dx·dx·2¹²) on the
+      broadcast means                               (exact longs)
+    * slope = Σ_q(dx·dy)/Σ_q(dx·dx) — one double division.
+
+    Quantization bias of the floor() is deterministic and bounded by
+    2⁻¹² per row relative to true OLS (negligible for monitoring);
+    groups with zero x-variance return NULL slope (try_divide).
+    """
+    g = F.col(group_col)
+    base = df.select(
+        g.alias("g"),
+        F.col(x_col).cast("long").alias("x"),
+        F.col(y_col).cast("double").alias("y"),
+    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    a1 = base.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.min("x").alias("x0"),
+        F.sum(F.floor(F.col("y") * F.lit(_TREND_Y_FP)).cast("long"))
+        .alias("qy"),
+    )
+    xd = (F.col("x") - F.col("x0")).cast("double") / F.lit(
+        float(us_per_unit)
+    )
+    a2 = (
+        base.join(F.broadcast(a1.select("g", "x0")), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(F.floor(xd * F.lit(_TREND_Y_FP)).cast("long"))
+            .alias("qx")
+        )
+    )
+    means = (
+        a1.join(a2, "g")
+        .select(
+            "g",
+            "n",
+            "x0",
+            ((F.col("qy") / F.lit(_TREND_Y_FP)) / F.col("n")).alias("my"),
+            ((F.col("qx") / F.lit(_TREND_Y_FP)) / F.col("n")).alias("mx"),
+        )
+    )
+    dx = xd - F.col("mx")
+    dy = F.col("y") - F.col("my")
+    a3 = (
+        base.join(F.broadcast(means), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(F.floor(dx * dy * F.lit(_TREND_P_FP)).cast("long"))
+            .alias("sxy"),
+            F.sum(F.floor(dx * dx * F.lit(_TREND_P_FP)).cast("long"))
+            .alias("sxx"),
+            F.first("n").alias("n"),
+            F.first("my").alias("my"),
+            F.first("mx").alias("mx"),
+        )
+    )
+    slope = F.try_divide(
+        F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    )
+    return a3.select(
+        F.col("g").alias(group_col),
+        "n",
+        F.round(slope, 6).alias("slope_per_unit"),
+        F.round(F.col("my") - slope * F.col("mx"), 6).alias("intercept"),
+    )

@@ -7967,6 +7967,72 @@ def docs_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TREND_ORACLE = """
+WITH base AS (
+  SELECT event_type AS g, epoch_us(ts) AS x, value AS y FROM events
+),
+a1 AS (
+  SELECT g, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS x0,
+         CAST(SUM(CAST(FLOOR(y * 1048576.0) AS BIGINT)) AS BIGINT) AS qy
+  FROM base GROUP BY g
+),
+a2 AS (
+  SELECT b.g,
+         CAST(SUM(CAST(FLOOR(CAST(b.x - a1.x0 AS DOUBLE)
+           / 86400000000.0 * 1048576.0) AS BIGINT)) AS BIGINT) AS qx
+  FROM base b JOIN a1 ON a1.g = b.g GROUP BY b.g
+),
+m AS (
+  SELECT a1.g, a1.n, a1.x0,
+         (a1.qy / 1048576.0) / a1.n AS my,
+         (a2.qx / 1048576.0) / a1.n AS mx
+  FROM a1 JOIN a2 ON a2.g = a1.g
+),
+a3 AS (
+  SELECT b.g,
+         CAST(SUM(CAST(FLOOR((CAST(b.x - m.x0 AS DOUBLE)
+           / 86400000000.0 - m.mx) * (b.y - m.my) * 4096.0)
+           AS BIGINT)) AS BIGINT) AS sxy,
+         CAST(SUM(CAST(FLOOR((CAST(b.x - m.x0 AS DOUBLE)
+           / 86400000000.0 - m.mx) * (CAST(b.x - m.x0 AS DOUBLE)
+           / 86400000000.0 - m.mx) * 4096.0)
+           AS BIGINT)) AS BIGINT) AS sxx,
+         ANY_VALUE(m.n) AS n, ANY_VALUE(m.my) AS my,
+         ANY_VALUE(m.mx) AS mx
+  FROM base b JOIN m ON m.g = b.g GROUP BY b.g
+)
+SELECT g AS event_type, n,
+       ROUND(CAST(sxy AS DOUBLE) / CAST(NULLIF(sxx, 0) AS DOUBLE), 6)
+         + 0.0 AS slope_per_unit,
+       ROUND(my - (CAST(sxy AS DOUBLE) / CAST(NULLIF(sxx, 0) AS DOUBLE))
+             * mx, 6) + 0.0 AS intercept
+FROM a3
+"""
+
+
+@query("events_trend_by_type", _TREND_ORACLE)
+def events_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type least-squares trend of value over time (slope per
+    day + intercept) — grouped regression as three narrow
+    map-side-combinable passes with fixed-point long sums, so unlike
+    float regr_slope() the result is bit-identical under any
+    partitioning and replayable by the SQL oracle
+    (operators/mlops.py::ols_trend_by_group)."""
+    from vectorsearchutil_spark.operators.mlops import ols_trend_by_group
+
+    ev = load_table(spark, sf_dir, "events")
+    return ols_trend_by_group(
+        ev.select(
+            "event_type",
+            F.unix_micros(F.col("ts")).alias("x_us"),
+            "value",
+        ),
+        group_col="event_type",
+        x_col="x_us",
+        y_col="value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
