@@ -683,5 +683,116 @@ def probe_duplicate_spans(spark):
 PROBES.update({"duplicate_spans": probe_duplicate_spans})
 
 
+# -- round-4 session-3 wave 2: query-level probes over synthesized
+# 25x tables (same _probe_query mechanics)
+
+
+def _events25(spark):
+    return spark.range(2_500_000).selectExpr(
+        "id AS event_id",
+        "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,"
+        " pmod(xxhash64(id, 1), 2592000)) AS ts",
+        "pmod(xxhash64(id, 11), 200000) AS user_id",
+        "element_at(array('view','click','purchase','scroll','buy2'),"
+        " cast(pmod(xxhash64(id, 13), 5) AS INT) + 1) AS event_type",
+        "pmod(xxhash64(id, 17), 10000) / 100.0 AS value",
+        "'{}' AS props",
+    )
+
+
+def _docs25(spark):
+    return spark.range(N_DOCS).selectExpr(
+        "id AS doc_id",
+        "concat('src', pmod(xxhash64(id, 3), 20)) AS source",
+        "concat_ws(' ', transform(sequence(1, 20 +"
+        " cast(pmod(xxhash64(id, 5), 160) AS INT)),"
+        " i -> concat('w', pmod(xxhash64(id, i), 5000)))) AS text",
+    )
+
+
+def probe_winsorize(spark):
+    dt, n = _probe_query(
+        spark, "events_value_winsorized", "events", _events25(spark)
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} rows"
+
+
+def probe_basket(spark):
+    dt, n = _probe_query(
+        spark, "events_basket_lift", "events", _events25(spark)
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} type pairs"
+
+
+def probe_mad(spark):
+    dt, n = _probe_query(
+        spark, "events_value_mad_outliers", "events", _events25(spark)
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} outliers"
+
+
+def probe_trend(spark):
+    dt, n = _probe_query(
+        spark, "events_trend_by_type", "events", _events25(spark)
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} groups"
+
+
+def probe_diversity(spark):
+    dt, n = _probe_query(
+        spark, "docs_ngram_diversity", "documents", _docs25(spark)
+    )
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} sources"
+
+
+def probe_calibrated(spark):
+    dt, n = _probe_query(
+        spark, "docs_calibrated_quality", "documents", _docs25(spark)
+    )
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} rows"
+
+
+def probe_pareto(spark):
+    dt, n = _probe_query(
+        spark, "docs_pareto_frontier", "documents", _docs25(spark)
+    )
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} frontier docs"
+
+
+def probe_unimax(spark):
+    dt, n = _probe_query(
+        spark, "docs_unimax_allocation", "documents", _docs25(spark)
+    )
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} sources"
+
+
+def probe_drift_psi(spark):
+    emb = spark.range(50_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cast(pmod(xxhash64(id, i),"
+        " 2000) / 1000.0 - 1.0 AS FLOAT)) AS embedding",
+        "cast(pmod(xxhash64(id, 9), 8) AS INT) AS label",
+    )
+    dt, n = _probe_query(
+        spark, "embeddings_dim_drift_psi", "embeddings", emb
+    )
+    return f"{dt:.1f}s @ 50k x 64 -> {n} dims"
+
+
+PROBES.update(
+    {
+        "winsorize": probe_winsorize,
+        "basket": probe_basket,
+        "mad": probe_mad,
+        "trend": probe_trend,
+        "diversity": probe_diversity,
+        "calibrated": probe_calibrated,
+        "pareto": probe_pareto,
+        "unimax": probe_unimax,
+        "drift_psi": probe_drift_psi,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
