@@ -8136,6 +8136,15 @@ _ROUND4_WINDOW = [
     # 4. sliding regression overlap (r1/r2-verified)
     "tpch_q1_pricing_summary",
 ]
+# Entries added AFTER this window was frozen (sessions 2-3: bigram LM,
+# PMI, ed-1 fuzzy join, PageRank, Markov, sweep-line concurrency,
+# snapshot diff, OHLC, CDC merge, curriculum, aHash pair ops, weighted
+# median, Neyman, attribution, dim covariance, logreg, JL projection,
+# UniMax, duplicate spans, winsorize, basket lift, calibration, drift
+# PSI, Pareto, MAD, diversity, OLS trend) intentionally queue BEHIND
+# it: the window must first close the 36 never-driver-checked r1-r3
+# entries. They are all strict-green in CORRECTNESS_SELF_r04 and are
+# the round-5 window's front-load, with a fresh regression overlap.
 
 
 def _reorder_for_driver_window() -> None:
