@@ -347,3 +347,71 @@ def test_ohlc_single_aggregate_no_window(spark, sf_dir):
     tree = plan.partition("\n\n")[0]
     assert "Window" not in tree
     assert tree.count("Exchange") == 1
+
+
+# ------------------------------------------- session-3 plan posture
+
+
+def test_weighted_median_never_sorts_raw_rows(spark, sf_dir):
+    """The refinement plan's only Sorts feed windows over AGGREGATED
+    state (histogram buckets / crossing-bucket distinct values) —
+    every Sort sits above an Aggregate, never directly on the scan."""
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        Q.QUERIES["lineitem_weighted_median"](spark, sf_dir)
+    )
+    # raw-row sort would appear as a Sort whose child scans lineitem
+    # without an intervening partial aggregate; assert every window's
+    # input went through HashAggregate first
+    assert "WindowGroupLimit" not in plan  # no top-k shortcut hides it
+    before_first_window = plan.split("Window")[0]
+    assert "HashAggregate" in before_first_window
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        Q.QUERIES["events_value_winsorized"](spark, sf_dir)
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pareto_semi_join_broadcast_no_cartesian(spark, sf_dir):
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q.QUERIES["docs_pareto_frontier"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_logreg_gradient_is_partial_aggregated(spark, sf_dir):
+    """The per-iteration gradient aggregate must partial-aggregate
+    (map-side combine) so only d+1 longs per partition shuffle."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("embedding").cast("array<double>").alias("x"))
+
+    def fake(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame({"i": [1], "q": [0]})
+
+    agg = (
+        base.mapInPandas(fake, "i int, q long")
+        .groupBy("i")
+        .agg(F.sum("q"))
+    )
+    plan = formatted_plan(agg)
+    # partial + final HashAggregate pair around the exchange
+    assert plan.count("HashAggregate") >= 2
