@@ -112,6 +112,7 @@ HEADLINE = [
     "events_value_mad_outliers",
     "docs_ngram_diversity",
     "events_trend_by_type",
+    "events_seasonality",
 ]
 
 

@@ -8033,6 +8033,64 @@ def events_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEASONALITY_ORACLE = """
+WITH b AS (
+  SELECT event_type, dayofweek(ts) + 1 AS dow, hour(ts) AS hod, value
+  FROM events
+),
+cell AS (
+  SELECT event_type, dow, hod,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(value) AS avg_raw
+  FROM b GROUP BY 1, 2, 3
+),
+tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_tot
+  FROM b GROUP BY 1
+)
+SELECT c.event_type, c.dow, c.hod, c.n,
+       ROUND(c.avg_raw, 6) + 0.0 AS avg_value,
+       ROUND(c.n * 168.0 / t.n_tot, 4) + 0.0 AS load_factor
+FROM cell c JOIN tot t USING (event_type)
+"""
+
+
+@query("events_seasonality", _SEASONALITY_ORACLE)
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile per event type: activity and mean
+    value per (day-of-week, hour) cell, with a load factor normalized
+    so 1.0 = uniform traffic (n·168/total) — the fingerprint behind
+    anomaly baselines and capacity planning. One partial-aggregated
+    pass to ≤ type×168 cells; the per-type totals broadcast back.
+    AVG parity note: both engines divide an order-independent
+    SUM(double) — exact for this data's 2-dp values scaled under
+    2^53 — by an exact count; round(6) seals residue."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_type",
+        F.dayofweek("ts").alias("dow"),
+        F.hour("ts").alias("hod"),
+        "value",
+    )
+    cell = b.groupBy("event_type", "dow", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("_avg"),
+    )
+    tot = b.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("_n_tot")
+    )
+    return cell.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "dow",
+        "hod",
+        "n",
+        F.round(F.col("_avg"), 6).alias("avg_value"),
+        F.round(F.col("n") * F.lit(168.0) / F.col("_n_tot"), 4).alias(
+            "load_factor"
+        ),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
