@@ -113,6 +113,7 @@ HEADLINE = [
     "docs_ngram_diversity",
     "events_trend_by_type",
     "events_seasonality",
+    "events_running_distinct_hll",
 ]
 
 

@@ -401,3 +401,31 @@ def test_weighted_median_ignores_nulls(spark):
     )
     got = weighted_median_exact(df, "g", "v", "w").collect()
     assert [(r["g"], r["weighted_median"]) for r in got] == [("a", 1.0)]
+
+
+def test_hll_running_distinct_monotone_and_merge_consistent(spark):
+    """The cumulative estimate is non-decreasing and the final day's
+    value equals the whole-corpus (single-group) HLL estimate — the
+    register max-merge algebra."""
+    from vectorsearchutil_spark.operators.sketches import (
+        hll_distinct,
+        hll_running_distinct,
+    )
+    import pyspark.sql.functions as F
+
+    ev = spark.range(20_000).selectExpr(
+        "date_add(date '2024-01-01', cast(pmod(xxhash64(id, 1), 10)"
+        " AS INT)) AS day",
+        "pmod(xxhash64(id, 3), 3000) AS user_id",
+    )
+    run = sorted(
+        (r["day"], r["est_distinct"])
+        for r in hll_running_distinct(ev, "day", "user_id").collect()
+    )
+    assert len(run) == 10
+    vals = [v for _, v in run]
+    assert all(a <= b for a, b in zip(vals, vals[1:]))
+    whole = hll_distinct(
+        ev.withColumn("g", F.lit(1)), ["g"], "user_id"
+    ).collect()[0]["est_distinct"]
+    assert vals[-1] == whole

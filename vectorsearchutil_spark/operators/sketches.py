@@ -575,3 +575,47 @@ def heavy_hitters_exact(
         .agg(F.count(F.lit(1)).alias(out_col))
         .filter(F.col(out_col) >= F.lit(phi) * F.lit(float(total)))
     )
+
+
+def hll_running_distinct(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    b: int = 8,
+    out_col: str = "est_distinct",
+) -> DataFrame:
+    """Cumulative distinct-so-far per period ("users ever seen, by
+    day") — the query exact running COUNT(DISTINCT) cannot scale:
+    its running state is every value seen. HLL registers merge with
+    max(), so the cumulative sketch is a running MAX over a
+    (period × m) grid — m longs of state per period regardless of
+    corpus size, and the same register table that answers the
+    per-period question answers the cumulative one.
+
+    Plan: per-period registers (≤ m rows/period after partial agg) →
+    dense period×bucket grid (tiny) → per-bucket running max window
+    (m partitions, rows = periods) → the standard ordered-fold
+    estimate per period. Raw rows shuffle once, into the register
+    aggregate."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    m = 1 << b
+    regs = hll_registers(df, [order_col], value_col, b)
+    periods = df.select(order_col).distinct()
+    buckets = spark.range(m).select(
+        F.col("id").cast("bigint").alias("bucket")
+    )
+    grid = periods.crossJoin(F.broadcast(buckets))
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        grid.join(regs, [order_col, "bucket"], "left")
+        .withColumn("_cmj", F.max("mj").over(w))
+        .filter(F.col("_cmj").isNotNull())
+        .select(order_col, "bucket", F.col("_cmj").alias("mj"))
+    )
+    return hll_estimate(cum, [order_col], b, out_col)

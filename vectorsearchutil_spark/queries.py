@@ -8091,6 +8091,110 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RUNNING_DISTINCT_ORACLE = """
+WITH h AS (
+  SELECT CAST(ts AS DATE) AS day,
+         user_id,
+         ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+           AS hv
+  FROM events
+),
+parts AS (SELECT day, hv & 255 AS bucket, hv >> 8 AS rem FROM h),
+regs AS (
+  SELECT day, bucket,
+         MAX(CASE WHEN rem = 0 THEN 53
+                  ELSE 52 - length(bin(rem)) + 1 END) AS mj
+  FROM parts GROUP BY 1, 2
+),
+days AS (SELECT DISTINCT day FROM h),
+grid AS (
+  SELECT d.day, CAST(u.b AS BIGINT) AS bucket
+  FROM days d, range(0, 256) u(b)
+),
+cum AS (
+  SELECT g.day, g.bucket,
+         MAX(r.mj) OVER (PARTITION BY g.bucket ORDER BY g.day
+                         ROWS UNBOUNDED PRECEDING) AS mj
+  FROM grid g
+  LEFT JOIN regs r ON r.day = g.day AND r.bucket = g.bucket
+),
+folded AS (
+  SELECT day, SUM(power(2.0, -mj)) AS hsum,
+         COUNT(*) AS nonzero, 256 - COUNT(*) AS zeros
+  FROM cum WHERE mj IS NOT NULL GROUP BY day
+),
+est AS (
+  SELECT day, zeros,
+         (0.7213 / (1 + 1.079 / 256)) * 256 * 256 / (hsum + zeros)
+           AS raw
+  FROM folded
+),
+fin AS (
+  SELECT day,
+         CASE WHEN raw <= 2.5 * 256 AND zeros > 0
+              THEN 256.0 * ln(256.0 / zeros) ELSE raw END AS e
+  FROM est
+),
+firsts AS (SELECT user_id, MIN(day) AS first_day FROM h GROUP BY 1),
+newbie AS (
+  SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+  FROM firsts GROUP BY 1
+),
+exact AS (
+  SELECT d.day,
+         CAST(SUM(nb.n_new) OVER (ORDER BY d.day
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS exact_distinct
+  FROM days d LEFT JOIN newbie nb ON nb.day = d.day
+)
+SELECT f.day, ROUND(f.e, 2) + 0.0 AS est_distinct, x.exact_distinct
+FROM fin f JOIN exact x USING (day)
+"""
+
+
+@query("events_running_distinct_hll", _RUNNING_DISTINCT_ORACLE)
+def events_running_distinct_hll(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cumulative "users ever seen, by day" — exact running
+    COUNT(DISTINCT) carries every seen value as state; HLL registers
+    merge with max(), so the cumulative sketch is a running MAX over
+    a day×256 grid (256 longs/day of state at any corpus size;
+    sketches.py::hll_running_distinct). Joined against the exact
+    cumulative count (computed scalably too: min-day per user +
+    running sum of first-appearance counts) for visible error."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.operators.sketches import (
+        hll_running_distinct,
+    )
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    est = hll_running_distinct(ev, "day", "user_id", b=8)
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    newbie = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_new")
+    )
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    exact = (
+        days.join(newbie, "day", "left")
+        .withColumn(
+            "exact_distinct",
+            F.sum(F.coalesce(F.col("_n_new"), F.lit(0)))
+            .over(w)
+            .cast("long"),
+        )
+        .select("day", "exact_distinct")
+    )
+    return est.join(exact, "day").select(
+        "day", "est_distinct", "exact_distinct"
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
