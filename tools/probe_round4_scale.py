@@ -794,5 +794,27 @@ PROBES.update(
 )
 
 
+def probe_seasonality(spark):
+    dt, n = _probe_query(
+        spark, "events_seasonality", "events", _events25(spark)
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} cells"
+
+
+def probe_running_distinct(spark):
+    dt, n = _probe_query(
+        spark, "events_running_distinct_hll", "events", _events25(spark)
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} days"
+
+
+PROBES.update(
+    {
+        "seasonality": probe_seasonality,
+        "running_distinct": probe_running_distinct,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
