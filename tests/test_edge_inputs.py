@@ -113,3 +113,46 @@ def test_vector_ops_on_degenerate_embeddings(frames):
         ).count()
         == 0
     )
+
+
+def test_session3_ops_on_degenerate_inputs(frames, spark):
+    """Session-3 operators under the same sweep: empty frames,
+    single rows, nulls — execute and stay well-formed."""
+    from vectorsearchutil_spark.operators.dedup import duplicate_spans
+    from vectorsearchutil_spark.operators.mlops import ols_trend_by_group
+    from vectorsearchutil_spark.operators.sampling import unimax_allocation
+    from vectorsearchutil_spark.operators.sketches import (
+        hll_running_distinct,
+        weighted_median_exact,
+    )
+    from vectorsearchutil_spark.operators.skyline import pareto_frontier_2d
+
+    empty_docs = frames["empty_docs"]
+    null_docs = frames["null_docs"]
+    one_doc = frames["one_doc"]
+
+    assert duplicate_spans(empty_docs).count() == 0
+    assert duplicate_spans(null_docs).count() == 0
+    assert duplicate_spans(one_doc).count() == 0
+
+    assert unimax_allocation(empty_docs, budget=100).count() == 0
+    assert unimax_allocation(one_doc, budget=100).count() == 1
+
+    wm_empty = spark.createDataFrame([], "g string, v double, w double")
+    assert weighted_median_exact(wm_empty, "g", "v", "w").count() == 0
+    one = spark.createDataFrame([("a", 1.5, 2.0)], "g string, v double, w double")
+    got = weighted_median_exact(one, "g", "v", "w").collect()
+    assert [(r["g"], r["weighted_median"]) for r in got] == [("a", 1.5)]
+
+    trend_empty = spark.createDataFrame([], "g string, x long, y double")
+    assert ols_trend_by_group(trend_empty, "g", "x", "y").count() == 0
+    trend_null = spark.createDataFrame(
+        [("a", None, 1.0), ("a", 5, None)], "g string, x long, y double"
+    )
+    assert ols_trend_by_group(trend_null, "g", "x", "y").count() == 0
+
+    sky_empty = spark.createDataFrame([], "id long, n int, q double")
+    assert pareto_frontier_2d(sky_empty, "q", "n").count() == 0
+
+    rd_empty = spark.createDataFrame([], "day date, user_id long")
+    assert hll_running_distinct(rd_empty, "day", "user_id").count() == 0
