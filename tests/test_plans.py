@@ -415,3 +415,40 @@ def test_logreg_gradient_is_partial_aggregated(spark, sf_dir):
     plan = formatted_plan(agg)
     # partial + final HashAggregate pair around the exchange
     assert plan.count("HashAggregate") >= 2
+
+
+def test_neyman_rank_sample_has_group_limit(spark, sf_dir):
+    """The literal rank bound restores the WindowGroupLimit pushdown
+    the data-dependent n_h blocks — each partition keeps ≤ max_n rows
+    per stratum before the window shuffle."""
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(Q.QUERIES["orders_neyman_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_calibrated_quality_windows_over_aggregates(spark, sf_dir):
+    """The percent-rank window runs over per-(source, quality)
+    aggregates, never raw docs: a HashAggregate precedes the first
+    Window."""
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    plan = formatted_plan(
+        Q.QUERIES["docs_calibrated_quality"](spark, sf_dir)
+    )
+    # the Window sits inside the broadcast (pct-table) branch, above
+    # the (source, quality) count aggregate; the probe side never
+    # windows. Formatted plans print branches out of line, so assert
+    # structurally: a Window exists, an aggregate exists, and the
+    # join is broadcast.
+    assert "Window" in plan and "HashAggregate" in plan
+    assert "BroadcastHashJoin" in plan
+    # the window's direct lineage contains the count aggregate: the
+    # logical plan nests Aggregate under Window
+    logical = Q.QUERIES["docs_calibrated_quality"](
+        spark, sf_dir
+    )._jdf.queryExecution().optimizedPlan().toString()
+    w = logical.find("Window")
+    assert w >= 0 and "Aggregate" in logical[w:]

@@ -5495,8 +5495,16 @@ def orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rk = F.row_number().over(
         Window.partitionBy("grp").orderBy(draw.asc(), F.col("o_orderkey").asc())
     )
+    # rank <= LITERAL first: the data-dependent n_h bound cannot push
+    # a WindowGroupLimit, so each stratum would full-sort in one task;
+    # bounding by the (collected, #strata-sized) max allocation keeps
+    # only max_n rows per partition before the window shuffle
+    # (plan-asserted), then the exact per-stratum cut applies.
+    max_row = alloc.agg(F.max("n_h").alias("m")).first()
+    max_n = int(max_row["m"]) if max_row and max_row["m"] is not None else 0
     return (
         c.withColumn("rk", rk)
+        .filter(F.col("rk") <= F.lit(max_n))
         .join(F.broadcast(alloc), "grp")
         .filter(F.col("rk") <= F.col("n_h"))
         .select("o_orderkey", "grp")
@@ -7593,9 +7601,9 @@ q AS (
 )
 SELECT doc_id, source, quality,
        ROUND(PERCENT_RANK() OVER (PARTITION BY source
-             ORDER BY quality, doc_id), 6) + 0.0 AS pct_in_source,
+             ORDER BY quality), 6) + 0.0 AS pct_in_source,
        PERCENT_RANK() OVER (PARTITION BY source
-             ORDER BY quality, doc_id) >= 0.75 AS keep_top_quartile
+             ORDER BY quality) >= 0.75 AS keep_top_quartile
 FROM q
 """
 
@@ -7607,9 +7615,15 @@ def docs_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl's p90), so a single global threshold silently drops entire
     sources. Re-expressing each doc's quality as its PERCENTILE
     WITHIN ITS SOURCE makes one threshold (here: top quartile) take
-    the same fraction from every source. One narrow window per
-    source over (id, source, quality) rows — text never shuffles;
-    source count × docs-per-source parallelism, no global window."""
+    the same fraction from every source.
+
+    Scale shape: percent_rank ties on quality (standard value
+    semantics), so pct = count(quality' < q)/(n−1) computes from
+    per-(source, quality) AGGREGATES — the window runs over ≤
+    distinct-quality rows per source (quality rounds to 4dp → ≤ 10⁴),
+    never raw docs; a naive per-source percent_rank window would sort
+    a source's entire corpus in ONE task (the weighted-median
+    lesson). The tiny pct table broadcasts back onto the scan."""
     from pyspark.sql import Window
 
     from vectorsearchutil_spark.operators.textanalysis import quality_score
@@ -7623,14 +7637,29 @@ def docs_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", F.col("quality_score").alias("quality")
         )
     )
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    pr = F.percent_rank().over(w)
-    return q.select(
+    counts = q.groupBy("source", "quality").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("quality")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tot = Window.partitionBy("source")
+    pct_tbl = counts.select(
+        "source",
+        "quality",
+        (
+            F.coalesce(F.sum("_c").over(w), F.lit(0))
+            / (F.sum("_c").over(tot) - F.lit(1))
+        ).alias("_pct"),
+    )
+    return q.join(F.broadcast(pct_tbl), ["source", "quality"]).select(
         "doc_id",
         "source",
         "quality",
-        F.round(pr, 6).alias("pct_in_source"),
-        (pr >= 0.75).alias("keep_top_quartile"),
+        F.round(F.col("_pct"), 6).alias("pct_in_source"),
+        (F.col("_pct") >= 0.75).alias("keep_top_quartile"),
     )
 
 
