@@ -114,6 +114,7 @@ HEADLINE = [
     "events_trend_by_type",
     "events_seasonality",
     "events_running_distinct_hll",
+    "events_incident_overlap_join",
 ]
 
 

@@ -102,3 +102,79 @@ def test_sessions_from_events_intervals(spark):
         (7, 2, base + 50 * m, base + 50 * m),
         (8, 1, base, base),
     ]
+
+
+# ------------------------------------------- interval overlap join
+
+
+def _naive_overlap(L, R):
+    out = set()
+    for lid, ls, le in L:
+        for rid, rs, re in R:
+            if ls < re and rs < le:
+                out.add((lid, rid))
+    return out
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketed join ≡ naive predicate on adversarial cases:
+    boundary-exact ends, spans crossing many buckets, point
+    intervals, disjoint pairs."""
+    from vectorsearchutil_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+
+    def ts(s):
+        return float(s)
+
+    L = [
+        (1, 0.0, 3600.0),          # exactly one bucket
+        (2, 3600.0, 7200.0),       # boundary-adjacent to 1 (half-open: no overlap)
+        (3, 100.0, 90_000.0),      # crosses 25 buckets
+        (4, 5000.0, 5000.0),       # point interval
+        (5, 50_000.0, 50_001.0),
+    ]
+    R = [
+        (10, 1800.0, 5400.0),      # overlaps 1, 2, 3
+        (11, 3599.999, 3600.0),    # sliver at the boundary
+        (12, 89_999.0, 95_000.0),  # overlaps 3 only
+        (13, 200_000.0, 300_000.0),# disjoint
+        (14, 4000.0, 6000.0),      # contains the point of 4
+    ]
+    ldf = spark.createDataFrame(
+        [(i, s, e) for i, s, e in L], "lid long, start_ts double, end_ts double"
+    ).selectExpr("lid", "timestamp_seconds(start_ts) AS start_ts",
+                 "timestamp_seconds(end_ts) AS end_ts")
+    rdf = spark.createDataFrame(
+        [(i, s, e) for i, s, e in R], "rid long, start_ts double, end_ts double"
+    ).selectExpr("rid", "timestamp_seconds(start_ts) AS start_ts",
+                 "timestamp_seconds(end_ts) AS end_ts")
+    for bucket_s in (60, 3600, 100_000):
+        got = {
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(
+                ldf, rdf, bucket_s=bucket_s
+            ).collect()
+        }
+        assert got == _naive_overlap(L, R), bucket_s
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    from vectorsearchutil_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    ldf = spark.range(100).selectExpr(
+        "id AS lid",
+        "timestamp_seconds(id * 100) AS start_ts",
+        "timestamp_seconds(id * 100 + 500) AS end_ts",
+    )
+    rdf = spark.range(100).selectExpr(
+        "id AS rid",
+        "timestamp_seconds(id * 150) AS start_ts",
+        "timestamp_seconds(id * 150 + 300) AS end_ts",
+    )
+    plan = formatted_plan(interval_overlap_join(ldf, rdf, bucket_s=600))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

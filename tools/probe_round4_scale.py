@@ -816,5 +816,25 @@ PROBES.update(
 )
 
 
+def probe_overlap_join(spark):
+    ev = spark.range(2_500_000).selectExpr(
+        "id AS event_id",
+        "timestamp '2024-01-01' + make_interval(0,0,0,0,0,0,"
+        " pmod(xxhash64(id, 1), 2592000)) AS ts",
+        "pmod(xxhash64(id, 11), 200000) AS user_id",
+        "element_at(array('view','click','purchase','scroll','error'),"
+        " cast(pmod(xxhash64(id, 13), 5) AS INT) + 1) AS event_type",
+        "pmod(xxhash64(id, 17), 10000) / 100.0 AS value",
+        "'{}' AS props",
+    )
+    dt, n = _probe_query(
+        spark, "events_incident_overlap_join", "events", ev
+    )
+    return f"{dt:.1f}s @ 2.5M events -> {n} session-incident pairs"
+
+
+PROBES.update({"overlap_join": probe_overlap_join})
+
+
 if __name__ == "__main__":
     main()

@@ -102,3 +102,75 @@ def concurrency_by_day(
         .cast("int")
         .alias("n_starts"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str = "start_ts",
+    left_end: str = "end_ts",
+    right_start: str = "start_ts",
+    right_end: str = "end_ts",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join WITHOUT a nested loop: pairs where
+    [l_start, l_end) ∩ [r_start, r_end) ≠ ∅. Spark plans a bare
+    overlap predicate (s_l < e_r AND s_r < e_l) as a
+    BroadcastNestedLoopJoin — O(|L|·|R|) and a driver OOM once
+    neither side broadcasts. This is the standard time-bucket
+    equi-join reduction (DuckDB/Postgres range-join literature):
+
+    1. each interval explodes to the ``bucket_s``-wide buckets it
+       covers (rows ∝ span/bucket_s — size the bucket near the
+       typical span; a 30× skew cap would go here for pathological
+       spans);
+    2. pairs equi-join ON BUCKET — a hash join, shuffled by time
+       locality;
+    3. the exact overlap predicate verifies inside the bucket, and
+       the CANONICAL-BUCKET guard (bucket == bucket(max(starts)))
+       emits each pair exactly once with NO distinct shuffle — the
+       later start of any overlapping pair lies in their first
+       common bucket.
+
+    Columns: every left column (prefixed ``l_`` on collision) plus
+    every right column; callers project. Timestamps compare as
+    epoch-second doubles (Spark's timestamp cast).
+    """
+    def to_s(c):
+        return F.col(c).cast("double")
+
+    def buckets(df, s_col, e_col):
+        b0 = F.floor(to_s(s_col) / F.lit(float(bucket_s)))
+        # half-open end: an interval ending exactly on a boundary
+        # does not cover the next bucket; degenerate (empty/point)
+        # intervals still get their start bucket
+        b1 = F.floor(
+            (F.greatest(to_s(e_col), to_s(s_col)) - F.lit(1e-9))
+            / F.lit(float(bucket_s))
+        )
+        return df.withColumn(
+            "_bucket", F.explode(F.sequence(b0.cast("long"), b1.cast("long")))
+        )
+
+    lcols = set(left.columns)
+    r = right
+    for c in right.columns:
+        if c in lcols:
+            r = r.withColumnRenamed(c, f"r_{c}")
+    rs = f"r_{right_start}" if right_start in lcols else right_start
+    re_ = f"r_{right_end}" if right_end in lcols else right_end
+
+    lb = buckets(left, left_start, left_end)
+    rb = buckets(r, rs, re_)
+    canonical = F.floor(
+        F.greatest(to_s(left_start), to_s(rs)) / F.lit(float(bucket_s))
+    ).cast("long")
+    return (
+        lb.join(rb, "_bucket")
+        .filter(
+            (to_s(left_start) < to_s(re_))
+            & (to_s(rs) < to_s(left_end))
+            & (F.col("_bucket") == canonical)
+        )
+        .drop("_bucket")
+    )

@@ -8224,6 +8224,79 @@ def events_running_distinct_hll(
     )
 
 
+_OVERLAP_JOIN_ORACLE = """
+WITH marked AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN LAG(ts) OVER w IS NULL
+               OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+iv AS (
+  SELECT user_id, sid, MIN(ts) AS s, MAX(ts) AS e
+  FROM sess GROUP BY user_id, sid
+),
+inc AS (
+  SELECT event_id AS incident_id,
+         ts - INTERVAL 10 MINUTE AS s,
+         ts + INTERVAL 10 MINUTE AS e
+  FROM events WHERE event_type = 'error'
+)
+SELECT iv.user_id, CAST(iv.sid AS BIGINT) AS session_id,
+       inc.incident_id,
+       ROUND(epoch(LEAST(iv.e, inc.e)) - epoch(GREATEST(iv.s, inc.s)),
+             3) + 0.0 AS overlap_s
+FROM iv JOIN inc
+  ON epoch(iv.s) < epoch(inc.e) AND epoch(inc.s) < epoch(iv.e)
+"""
+
+
+@query("events_incident_overlap_join", _OVERLAP_JOIN_ORACLE)
+def events_incident_overlap_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Which user sessions overlapped an error-incident window (error
+    ts ± 10 min) — an interval-overlap join, which Spark plans as a
+    BroadcastNestedLoopJoin from the bare predicate (O(L·R), driver
+    OOM once neither side broadcasts). The operator reduces it to a
+    time-bucket HASH join with a canonical-bucket guard emitting each
+    pair exactly once, no distinct shuffle
+    (operators/intervals.py::interval_overlap_join; oracle is the
+    naive predicate join)."""
+    from vectorsearchutil_spark.operators.intervals import (
+        interval_overlap_join,
+        sessions_from_events,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessions_from_events(ev)
+    incidents = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("incident_id"),
+        (F.col("ts") - F.expr("INTERVAL 10 MINUTES")).alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("end_ts"),
+    )
+    joined = interval_overlap_join(
+        sessions, incidents, bucket_s=3600
+    )
+    overlap = (
+        F.least(F.col("end_ts"), F.col("r_end_ts")).cast("double")
+        - F.greatest(F.col("start_ts"), F.col("r_start_ts")).cast("double")
+    )
+    return joined.select(
+        "user_id",
+        F.col("session_id").cast("long").alias("session_id"),
+        "incident_id",
+        F.round(overlap, 3).alias("overlap_s"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
