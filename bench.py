@@ -115,6 +115,7 @@ HEADLINE = [
     "events_seasonality",
     "events_running_distinct_hll",
     "events_incident_overlap_join",
+    "ann_ivf_search_filtered",
 ]
 
 

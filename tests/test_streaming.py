@@ -653,3 +653,46 @@ def test_streaming_attribution_matches_batch_twin(spark, sf_dir, tmp_path):
         .collect()
     )
     assert got == expected
+
+
+def test_streaming_value_histogram_matches_batch(spark, sf_dir, tmp_path):
+    """Per-(type, bucket) counts are additive state: replaying the
+    events table through three micro-batches in complete mode equals
+    the one-shot batch histogram exactly."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.sources.readers import load_table
+    from vectorsearchutil_spark.streaming.windows import (
+        streaming_value_histogram,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    expected = sorted(
+        tuple(r)
+        for r in streaming_value_histogram(events).collect()
+    )
+
+    src = str(tmp_path / "src")
+    n = events.count()
+    for k in range(3):
+        events.filter(F.col("event_id") % 3 == k).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming_value_histogram(stream)
+        .writeStream.format("memory")
+        .queryName("hist_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM hist_counts").collect()
+    )
+    assert got == expected

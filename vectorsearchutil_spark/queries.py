@@ -8297,6 +8297,88 @@ def events_incident_overlap_join(
     )
 
 
+_IVF_FILTERED_ORACLE = f"""
+WITH {_CENTROIDS_CTE},
+assigned AS (
+  SELECT e.vec_id, e.embedding, e.label, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                    c.label ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+),
+lists AS (
+  SELECT vec_id, embedding, centroid_id FROM assigned
+  WHERE rn = 1 AND label % 2 = 0
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+  SELECT q.query_id, q.qv, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(q.qv::DOUBLE[], c.cvec) ASC, c.label ASC
+         ) AS rn
+  FROM q CROSS JOIN centroids c
+),
+pr AS (SELECT query_id, qv, centroid_id FROM probes WHERE rn <= 3),
+cand AS (
+  SELECT p.query_id, l.vec_id,
+         list_distance(l.embedding::DOUBLE[], p.qv::DOUBLE[]) AS d
+  FROM lists l JOIN pr p ON l.centroid_id = p.centroid_id
+),
+ranked AS (
+  SELECT query_id, vec_id, d,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY d ASC, vec_id ASC
+         ) AS rank
+  FROM cand
+)
+SELECT query_id, vec_id, ROUND(d, 4) AS distance, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("ann_ivf_search_filtered", _IVF_FILTERED_ORACLE)
+def ann_ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN: metadata predicate (label % 2 = 0) applied to
+    the probed lists BEFORE distance ranking — PRE-filter semantics,
+    the correct filtered-vector-search contract (post-filtering a
+    top-k under-returns when the predicate is selective). At scale
+    the predicate rides the partition-pruned list scan — Catalyst
+    pushes it to parquet alongside the centroid_id pruning, so the
+    filter costs a row-group skip, not a rescan."""
+    from vectorsearchutil_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label_idx").alias("centroid_id"),
+        F.col("label_vec").alias("centroid_vec"),
+    ).cache()
+    indexed = build_ivf_index(
+        emb, cents, vector_col="embedding", id_col="vec_id"
+    ).filter(F.col("label") % 2 == 0)
+    qs = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+    out = ivf_search(
+        indexed, cents, qs, k=5, n_probe=3,
+        vector_col="embedding", id_col="vec_id",
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("distance"), 4).alias("distance"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------

@@ -167,3 +167,22 @@ def streaming_segment_dedup(
         F.col(id_col), F.col("idx"), F.md5(F.col("seg")).alias("seg_hash")
     )
     return segs.dropDuplicates(["seg_hash"])
+
+
+def streaming_value_histogram(events, width: float = 25.0, bins: int = 20):
+    """Streaming twin of the batch ``events_value_histogram``: the
+    per-(type, bucket) counts are pure additive state — ``bins``
+    longs per type regardless of stream length — so a plain streaming
+    aggregate in update/complete mode IS the mergeable histogram
+    sketch; each micro-batch folds in with + (test: exact replay ≡
+    batch). The live distribution monitor a drift alarm (PSI vs a
+    broadcast baseline) reads from."""
+    from pyspark.sql import functions as F
+
+    bucket = F.least(
+        F.floor(F.col("value") / F.lit(float(width))),
+        F.lit(int(bins) - 1),
+    ).cast("int")
+    return events.groupBy(
+        F.col("event_type"), bucket.alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
