@@ -140,17 +140,20 @@ def interval_overlap_join(
         return F.col(c).cast("double")
 
     def buckets(df, s_col, e_col):
-        b0 = F.floor(to_s(s_col) / F.lit(float(bucket_s)))
+        b0 = F.floor(to_s(s_col) / F.lit(float(bucket_s))).cast("long")
         # half-open end: an interval ending exactly on a boundary
-        # does not cover the next bucket; degenerate (empty/point)
-        # intervals still get their start bucket
-        b1 = F.floor(
-            (F.greatest(to_s(e_col), to_s(s_col)) - F.lit(1e-9))
-            / F.lit(float(bucket_s))
+        # does not cover the next bucket. Clamp to >= b0: for point
+        # intervals sitting ON a boundary the end-epsilon lands one
+        # bucket below the start, and Spark's sequence(hi, lo) would
+        # silently generate a DESCENDING range with a spurious row.
+        b1 = F.greatest(
+            b0,
+            F.floor(
+                (F.greatest(to_s(e_col), to_s(s_col)) - F.lit(1e-9))
+                / F.lit(float(bucket_s))
+            ).cast("long"),
         )
-        return df.withColumn(
-            "_bucket", F.explode(F.sequence(b0.cast("long"), b1.cast("long")))
-        )
+        return df.withColumn("_bucket", F.explode(F.sequence(b0, b1)))
 
     lcols = set(left.columns)
     r = right
