@@ -132,6 +132,7 @@ def test_interval_overlap_join_matches_naive(spark):
         (2, 3600.0, 7200.0),       # boundary-adjacent to 1 (half-open: no overlap)
         (3, 100.0, 90_000.0),      # crosses 25 buckets
         (4, 5000.0, 5000.0),       # point interval
+        (6, 7200.0, 7200.0),       # point interval ON a bucket boundary
         (5, 50_000.0, 50_001.0),
     ]
     R = [
@@ -140,6 +141,7 @@ def test_interval_overlap_join_matches_naive(spark):
         (12, 89_999.0, 95_000.0),  # overlaps 3 only
         (13, 200_000.0, 300_000.0),# disjoint
         (14, 4000.0, 6000.0),      # contains the point of 4
+        (15, 7000.0, 7300.0),      # contains the boundary point of 6
     ]
     ldf = spark.createDataFrame(
         [(i, s, e) for i, s, e in L], "lid long, start_ts double, end_ts double"
