@@ -592,3 +592,24 @@ def test_ngram_diversity_orders_sources(spark, tmp_path):
     }
     assert got["var"][0] == 1.0 and got["var"][1] == 1.0
     assert got["rep"][0] < 0.05 and got["rep"][1] < 0.05
+
+
+def test_calibrated_quality_single_doc_source(spark, tmp_path):
+    """A one-doc source must calibrate to pct 0 (the PERCENT_RANK
+    definition), not divide by n-1 = 0."""
+    from vectorsearchutil_spark import queries as Q
+
+    docs = spark.createDataFrame(
+        [(1, "solo", "alpha beta gamma delta"),
+         (2, "big", "one two three four"),
+         (3, "big", "five six seven eight nine ten")],
+        "doc_id long, source string, text string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    got = {
+        r["doc_id"]: r["pct_in_source"]
+        for r in Q.QUERIES["docs_calibrated_quality"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == 0.0

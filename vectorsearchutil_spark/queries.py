@@ -7646,13 +7646,19 @@ def docs_calibrated_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     tot = Window.partitionBy("source")
+    n_src = F.sum("_c").over(tot)
     pct_tbl = counts.select(
         "source",
         "quality",
-        (
+        # single-row sources: PERCENT_RANK is defined as 0 (and the
+        # n−1 denominator would be 0) — match the SQL definition
+        F.when(
+            n_src > 1,
             F.coalesce(F.sum("_c").over(w), F.lit(0))
-            / (F.sum("_c").over(tot) - F.lit(1))
-        ).alias("_pct"),
+            / (n_src - F.lit(1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("_pct"),
     )
     return q.join(F.broadcast(pct_tbl), ["source", "quality"]).select(
         "doc_id",
