@@ -613,3 +613,23 @@ def test_calibrated_quality_single_doc_source(spark, tmp_path):
         ).collect()
     }
     assert got[1] == 0.0
+
+
+def test_mad_outliers_zero_mad_group_yields_none(spark, tmp_path):
+    """A group where >half the values are identical has MAD 0 —
+    declared: no outliers, and under ANSI the division must never
+    evaluate (this crashed before the guard)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark import queries as Q
+
+    ev = spark.createDataFrame(
+        [(i, 1, "Z", 50.0) for i in range(60)]
+        + [(100 + i, 1, "Z", 9999.0) for i in range(5)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    d = str(tmp_path)
+    ev.withColumn("ts", F.current_timestamp()).withColumn(
+        "props", F.lit("{}")
+    ).write.parquet(f"{d}/events.parquet")
+    assert Q.QUERIES["events_value_mad_outliers"](spark, d).count() == 0

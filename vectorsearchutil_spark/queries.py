@@ -7876,7 +7876,8 @@ SELECT e.event_id, e.event_type, e.value,
 FROM events e
 JOIN med m ON m.grp = e.event_type
 JOIN mad d ON d.grp = e.event_type
-WHERE ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
+WHERE d.mad > 0
+  AND ABS(0.6745 * (e.value - m.med) / d.mad) > 3.5
 """
 
 
@@ -7915,6 +7916,10 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = F.lit(0.6745) * (F.col("v") - F.col("med")) / F.col("mad")
     return (
         with_med.join(F.broadcast(mad), "grp")
+        # a zero-MAD group (over half its values identical) has an
+        # undefined modified z — declared: no outliers. Under ANSI
+        # the bare division would RAISE, so the guard precedes it.
+        .filter(F.col("mad") > 0)
         .filter(F.abs(z) > 3.5)
         .select(
             "event_id",
