@@ -259,3 +259,19 @@ def test_unimax_conservation_and_invariance(spark):
         for r in unimax_allocation(docs.repartition(7), budget=B).collect()
     }
     assert again == {r["source"]: r["alloc"] for r in rows}
+
+
+def test_unimax_all_empty_source_null_epochs(spark):
+    """A zero-token source allocates 0 with NULL epochs_used — the
+    bare ANSI division raised before the try_divide guard."""
+    from vectorsearchutil_spark.operators.sampling import unimax_allocation
+
+    docs = spark.createDataFrame(
+        [(1, "empty", ""), (2, "full", "a b c d")],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (r["alloc"], r["epochs_used"])
+        for r in unimax_allocation(docs, budget=10).collect()
+    }
+    assert got == {"empty": (0, None), "full": (4, 1.0)}

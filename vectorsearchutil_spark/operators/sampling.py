@@ -454,7 +454,11 @@ def unimax_allocation(
             ),
         )
         .withColumn(
-            "epochs_used", F.round(F.col("alloc") / F.col("tokens"), 4)
+            # a source whose docs are all empty has tokens = 0: its
+            # allocation is 0 and epochs_used is undefined — NULL,
+            # matching DuckDB's x/0 (the bare ANSI division raises)
+            "epochs_used",
+            F.round(F.try_divide(F.col("alloc"), F.col("tokens")), 4),
         )
         .select(group_col, "tokens", "cap", "alloc", "epochs_used")
     )
