@@ -116,6 +116,7 @@ HEADLINE = [
     "events_running_distinct_hll",
     "events_incident_overlap_join",
     "ann_ivf_search_filtered",
+    "knn_binary_rerank",
 ]
 
 

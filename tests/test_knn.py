@@ -56,3 +56,22 @@ def test_knn_cosine_descending(spark, sf_dir):
     scores = [r["distance"] for r in top]
     assert scores == sorted(scores, reverse=True)
     assert top[0]["vec_id"] == 0  # self-similarity == 1
+
+
+def test_binary_rerank_recall_and_plan(spark, sf_dir):
+    """Self-match always survives the hamming prefilter (its code is
+    identical → hamming 0); the prefilter compiles to TakeOrdered,
+    not a full sort; recall@10 vs exact is substantial."""
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+
+    df = Q.QUERIES["knn_binary_rerank"](spark, sf_dir)
+    rows = df.collect()
+    assert rows[0]["vec_id"] == 0 and rows[0]["hamming"] == 0
+    exact = {
+        r["vec_id"]
+        for r in Q.QUERIES["knn_single"](spark, sf_dir).collect()
+    }
+    got = {r["vec_id"] for r in rows}
+    assert len(got & exact) >= 5  # ≥50% recall@10 on this corpus
+    assert "TakeOrderedAndProject" in formatted_plan(df)

@@ -8390,6 +8390,94 @@ def ann_ivf_search_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BQ_ORACLE = """
+WITH c AS (
+  SELECT vec_id, embedding,
+         list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 64),
+           i -> CASE WHEN embedding[CAST(i AS INT) + 1] > 0
+                THEN CASE WHEN i = 63 THEN (-9223372036854775807 - 1)
+                     ELSE (1::BIGINT << CAST(i AS INT)) END
+                ELSE 0::BIGINT END)),
+           (a, b) -> a | b) AS code
+  FROM embeddings
+),
+q AS (SELECT embedding AS qv, code AS qcode FROM c WHERE vec_id = 0),
+h AS (
+  SELECT c.vec_id, c.embedding, q.qv,
+         CAST(bit_count(xor(c.code, q.qcode)) AS INT) AS hamming
+  FROM c, q
+),
+cand AS (
+  SELECT vec_id, embedding, qv, hamming FROM (
+    SELECT h.*, ROW_NUMBER() OVER (ORDER BY hamming, vec_id) AS rn
+    FROM h
+  ) WHERE rn <= 40
+)
+SELECT vec_id, hamming,
+       ROUND(list_distance(embedding::DOUBLE[], qv::DOUBLE[]), 4)
+         AS distance,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY list_distance(embedding::DOUBLE[], qv::DOUBLE[]),
+                  vec_id) AS INT) AS rank
+FROM cand QUALIFY rank <= 10
+"""
+
+
+@query("knn_binary_rerank", _BQ_ORACLE)
+def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized kNN: 1-bit sign codes (64 dims → ONE long,
+    32× smaller than float32) prefilter by hamming distance
+    (TakeOrdered top-40 — popcount on longs, no float math in the
+    scan), then exact L2 reranks only the candidates. The modern
+    memory-bandwidth-bound search mode: the first pass reads 8 bytes
+    per vector, the exact pass touches 40 rows regardless of corpus
+    size. Candidate count (4× k) trades recall for scan cost —
+    declared, like n_probe."""
+    from vectorsearchutil_spark.functions.vector import l2_distance
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coded = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        "aggregate(transform(sequence(0, 63),"
+        " i -> IF(element_at(embedding, i + 1) > 0D,"
+        " IF(i = 63, -9223372036854775807L - 1L, shiftleft(1L, i)),"
+        " 0L)), 0L, (a, b) -> a | b) AS code",
+    )
+    qrow = coded.filter(F.col("vec_id") == 0).select(
+        "embedding", "code"
+    ).first()
+    qv, qcode = list(qrow["embedding"]), int(qrow["code"])
+    cand = (
+        coded.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("code").bitwiseXOR(F.lit(qcode))
+            ).cast("int"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(40)
+    )
+    d = l2_distance(
+        F.col("embedding"),
+        F.array(*[F.lit(float(x)) for x in qv]),
+    )
+    from pyspark.sql import Window
+
+    ranked = cand.withColumn("_d", d).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("_d").asc(), F.col("vec_id").asc()))
+        .cast("int"),
+    )
+    return ranked.filter(F.col("rank") <= 10).select(
+        "vec_id",
+        "hamming",
+        F.round(F.col("_d"), 4).alias("distance"),
+        "rank",
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
