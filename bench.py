@@ -117,6 +117,7 @@ HEADLINE = [
     "events_incident_overlap_join",
     "ann_ivf_search_filtered",
     "knn_binary_rerank",
+    "text_gopher_repetition",
 ]
 
 

@@ -259,3 +259,38 @@ def test_token_pmi_vocab_cap_and_support(spark):
     assert [(r["w1"], r["w2"], r["n_ab"]) for r in out] == [("a", "b", 10)]
     # min_support above n_ab -> empty
     assert ta.token_pmi_pairs(df, vocab_k=2, min_support=11).count() == 0
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Hand-verifiable repetition: 'a b a b a b' → top 2-gram 'a b'
+    ×3 of 5 grams, frac 2·3/6 = 1.0; dup-5-gram coverage counts
+    overlapping repeats once."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        gopher_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),                     # 6 tokens
+            (2, "x1 x2 x3 x4 x5 x6 x7 x8"),        # all distinct
+            (3, "p q r s t p q r s t"),            # 5-gram repeated, disjoint
+            (4, "w w w w w w w"),                   # 7 tokens, overlapping dups
+            (5, "solo"),                            # too short for both
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["top_2gram_frac"],
+            r["dup_5gram_frac"],
+        )
+        for r in gopher_repetition_signals(docs).collect()
+    }
+    assert got[1] == (6, 1.0, 0.0)          # no repeated 5-gram
+    assert got[2][1] < 0.3 and got[2][2] == 0.0
+    # doc 3: "p q r s t" at pos 0 and 5 → covers [0,4] and [5,9] = all 10
+    assert got[3] == (10, round(2 * 2 / 10, 6), 1.0)
+    # doc 4: all 3 5-grams identical ("w w w w w") at 0,1,2 → union [0,6] = 7
+    assert got[4] == (7, round(2 * 6 / 7, 6), 1.0)
+    assert got[5] == (1, 0.0, 0.0)

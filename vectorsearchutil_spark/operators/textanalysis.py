@@ -941,3 +941,108 @@ def token_entropy(
             4,
         ).alias("entropy_bits"),
     )
+
+
+def gopher_repetition_signals(
+    df: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """The Gopher repetition family (Rae et al. 2021 §A1.1), token
+    form: per document, (a) the fraction of tokens claimed by the
+    single most-frequent 2-gram, and (b) the fraction of token
+    POSITIONS covered by any 5-gram occurring twice or more —
+    coverage, not occurrence count, so overlapping repeats are not
+    double-counted. Complements :func:`repetition_ratio` (a global
+    distinct/total ratio): these catch one dominant template line
+    and dense local loops respectively.
+
+    Coverage is an interval union: each duplicated 5-gram at
+    position p covers [p, p+4]; per doc, intervals sort by start and
+    each contributes (end − max(prev_max_end, start−1)) when
+    positive — the gaps-and-islands union, windowed PER DOC (the
+    doc id is high-cardinality, so the window parallelizes by
+    construction). All-integer arithmetic; docs shorter than the
+    gram drop out of that signal (LEFT join keeps them with 0).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    toks = df.selectExpr(
+        id_col, f"{tokens_sql(text_col)} AS _toks"
+    ).withColumn("n_tokens", F.size("_toks"))
+    base = toks.select(id_col, "n_tokens")
+
+    big = (
+        toks.filter(F.col("n_tokens") >= 2)
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            "explode(transform(sequence(0, n_tokens - 2),"
+            " p -> concat(element_at(_toks, p + 1), ' ',"
+            " element_at(_toks, p + 2)))) AS g",
+        )
+        .groupBy(id_col, "n_tokens", "g")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col, "n_tokens")
+        .agg(F.max("_c").alias("_maxc"))
+        .select(
+            id_col,
+            (F.lit(2) * F.col("_maxc") / F.col("n_tokens")).alias(
+                "top_2gram_frac"
+            ),
+        )
+    )
+
+    grams5 = toks.filter(F.col("n_tokens") >= 5).selectExpr(
+        id_col,
+        "n_tokens",
+        "posexplode(transform(sequence(0, n_tokens - 5),"
+        " p -> concat_ws(' ', slice(_toks, p + 1, 5)))) AS (p, g)",
+    )
+    dup_pos = (
+        grams5.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy(id_col, "g"))
+        )
+        .filter(F.col("_df") >= 2)
+        .select(id_col, "n_tokens", "p")
+    )
+    w = Window.partitionBy(id_col).orderBy("p")
+    prev_end = F.max(F.col("p") + 4).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cov = (
+        dup_pos.withColumn(
+            "_contrib",
+            F.greatest(
+                F.lit(0),
+                (F.col("p") + 4)
+                - F.greatest(
+                    F.coalesce(prev_end, F.col("p") - 1),
+                    F.col("p") - 1,
+                ),
+            ),
+        )
+        .groupBy(id_col, "n_tokens")
+        .agg(F.sum("_contrib").alias("_cov"))
+        .select(
+            id_col,
+            (F.col("_cov") / F.col("n_tokens")).alias("dup_5gram_frac"),
+        )
+    )
+    return (
+        base.join(big, id_col, "left")
+        .join(cov, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.coalesce("top_2gram_frac", F.lit(0.0)), 6).alias(
+                "top_2gram_frac"
+            ),
+            F.round(F.coalesce("dup_5gram_frac", F.lit(0.0)), 6).alias(
+                "dup_5gram_frac"
+            ),
+        )
+    )

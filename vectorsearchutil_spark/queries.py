@@ -8478,6 +8478,74 @@ def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GOPHER_REP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+base AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+big AS (
+  SELECT doc_id, 2.0 * MAX(c) / ANY_VALUE(n) AS f FROM (
+    SELECT doc_id, len(t) AS n,
+           t[CAST(u.p AS INT) + 1] || ' ' || t[CAST(u.p AS INT) + 2]
+             AS g,
+           COUNT(*) AS c
+    FROM toks, unnest(range(0, GREATEST(len(t) - 1, 0))) u(p)
+    WHERE len(t) >= 2
+    GROUP BY doc_id, n, g
+  ) GROUP BY doc_id
+),
+g5 AS (
+  SELECT doc_id, len(t) AS n, CAST(u.p AS INT) AS p,
+         array_to_string(t[CAST(u.p AS INT) + 1 : CAST(u.p AS INT) + 5],
+                         ' ') AS g
+  FROM toks, unnest(range(0, GREATEST(len(t) - 4, 0))) u(p)
+  WHERE len(t) >= 5
+),
+dup AS (
+  SELECT doc_id, n, p FROM (
+    SELECT g5.*, COUNT(*) OVER (PARTITION BY doc_id, g) AS df FROM g5
+  ) WHERE df >= 2
+),
+cov AS (
+  SELECT doc_id,
+         SUM(GREATEST(0, (p + 4)
+             - GREATEST(COALESCE(pe, p - 1), p - 1))) AS c,
+         ANY_VALUE(n) AS n
+  FROM (
+    SELECT doc_id, n, p,
+           MAX(p + 4) OVER (PARTITION BY doc_id ORDER BY p
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM dup
+  ) GROUP BY doc_id
+)
+SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+       ROUND(COALESCE(big.f, 0), 6) + 0.0 AS top_2gram_frac,
+       ROUND(COALESCE(cov.c * 1.0 / cov.n, 0), 6) + 0.0
+         AS dup_5gram_frac
+FROM base b
+LEFT JOIN big USING (doc_id)
+LEFT JOIN cov USING (doc_id)
+"""
+
+
+@query("text_gopher_repetition", _GOPHER_REP_ORACLE)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition family (Rae et al. 2021 §A1.1), token form:
+    most-frequent-2-gram token fraction + duplicated-5-gram POSITION
+    COVERAGE (interval union per doc — overlapping repeats counted
+    once), the filters that catch one dominant template line and
+    dense local loops. Per-doc windows only — parallel by the doc
+    key (operators/textanalysis.py::gopher_repetition_signals)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        gopher_repetition_signals,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return gopher_repetition_signals(docs)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
