@@ -836,5 +836,30 @@ def probe_overlap_join(spark):
 PROBES.update({"overlap_join": probe_overlap_join})
 
 
+def probe_binary_rerank(spark):
+    emb = spark.range(500_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), i -> cast(pmod(xxhash64(id, i),"
+        " 2000) / 1000.0 - 1.0 AS FLOAT)) AS embedding",
+        "cast(pmod(xxhash64(id, 9), 8) AS INT) AS label",
+    )
+    dt, n = _probe_query(
+        spark, "knn_binary_rerank", "embeddings", emb
+    )
+    return f"{dt:.1f}s @ 500k x 64 (1-bit codes + rerank) -> {n} hits"
+
+
+def probe_gopher(spark):
+    dt, n = _probe_query(
+        spark, "text_gopher_repetition", "documents", _docs25(spark)
+    )
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} rows"
+
+
+PROBES.update(
+    {"binary_rerank": probe_binary_rerank, "gopher": probe_gopher}
+)
+
+
 if __name__ == "__main__":
     main()
