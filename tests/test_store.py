@@ -405,3 +405,41 @@ def test_ann_index_incremental_add(spark, tmp_path):
     assert approx_all == exact
     # the appended rows are reachable through the pruned probe path
     assert exact[0] in approx_all
+
+
+def test_ann_index_compaction(spark, tmp_path):
+    """Incremental appends accumulate one file per touched partition
+    per call; optimize_ann_index coalesces to one file per list via
+    staged swap and results are unchanged."""
+    import glob
+    import os
+
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    rows = [
+        (f"doc {i}", [float(x) for x in rng.randn(8)]) for i in range(300)
+    ]
+    path = str(tmp_path / "annstore.parquet")
+    vs = VectorStore(spark, path=path)
+    vs.set_data(spark.createDataFrame(rows[:150], ["target", "vector"]))
+    vs.build_ann_index(n_lists=4)
+    for lo, hi in ((150, 200), (200, 250), (250, 300)):
+        vs.set_data(
+            spark.createDataFrame(rows[lo:hi], ["target", "vector"]),
+            append=True,
+        )
+        vs.add_to_ann_index()
+
+    lists = os.path.join(vs._ivf_path, "lists")
+    files = lambda: len(  # noqa: E731
+        glob.glob(os.path.join(lists, "**", "*.parquet"), recursive=True)
+    )
+    before = files()
+    qvec = rows[275][1]
+    exact = [r["id"] for r in vs.query(qvec, k=5).collect()]
+    n_after = vs.optimize_ann_index()
+    assert n_after == files() <= 4  # one file per list
+    assert before > n_after
+    got = [r["id"] for r in vs.query_ann(qvec, k=5, n_probe=4).collect()]
+    assert got == exact

@@ -592,6 +592,54 @@ class VectorStore:
         self._ivf_path = index_path
         return n
 
+    def optimize_ann_index(
+        self,
+        index_path: str | None = None,
+        target_files_per_list: int = 1,
+    ) -> int:
+        """Compact the IVF lists after incremental appends — every
+        :meth:`add_to_ann_index` call lands one parquet file per
+        touched partition, and small files are THE operational tax of
+        incremental ingestion (footer reads and task scheduling start
+        to dominate the probe scans). Rewrites the lists directory
+        coalesced to ``target_files_per_list`` file(s) per centroid
+        partition via a staged swap: write to ``lists__compact``,
+        then atomically rename over the old directory (the store's
+        staged-swap discipline — a crash leaves either the old or the
+        new complete directory, never a mix). Returns the number of
+        data files after compaction."""
+        import glob
+        import os
+        import shutil
+
+        index_path = index_path or getattr(self, "_ivf_path", None)
+        if index_path is None:
+            return 0
+        lists_path = os.path.join(index_path, "lists")
+        staged = lists_path + "__compact"
+        shutil.rmtree(staged, ignore_errors=True)
+        (
+            self.spark.read.parquet(lists_path)
+            .repartition(target_files_per_list, "centroid_id")
+            .write.mode("overwrite")
+            .partitionBy("centroid_id")
+            .parquet(staged)
+        )
+        old = lists_path + "__old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(lists_path, old)
+        os.rename(staged, lists_path)
+        shutil.rmtree(old, ignore_errors=True)
+        return len(
+            [
+                p
+                for p in glob.glob(
+                    os.path.join(lists_path, "**", "*.parquet"),
+                    recursive=True,
+                )
+            ]
+        )
+
     def query_ann(
         self,
         q: str | Sequence[float],
