@@ -861,5 +861,32 @@ PROBES.update(
 )
 
 
+def probe_token_budget(spark):
+    # TWO sources only — the dominant-source skew case the two-level
+    # prefix sum exists for (one window per source would serialize
+    # ~1.25M narrow rows through a single task)
+    from vectorsearchutil_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.range(N_DOCS * 20).selectExpr(
+        "id AS doc_id",
+        "IF(id % 20 = 0, 'small', 'big') AS source",
+        "repeat('w ', 10 + cast(pmod(xxhash64(id, 5), 90) AS INT))"
+        " AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = token_budget_sample(
+        docs, {"big": 40_000_000, "small": 2_000_000}
+    ).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 2.5M docs / 2 sources -> {n} admitted"
+
+
+PROBES.update({"token_budget": probe_token_budget})
+
+
 if __name__ == "__main__":
     main()

@@ -341,12 +341,22 @@ def token_budget_sample(
     one over-long doc mid-prefix stops the group (budget is a hard
     cap, matching how sequence budgets behave in practice).
 
-    Plan shape: token counts reduce the scan to (id, group, n) before
-    the one window shuffle on the group key; text never moves. Output:
+    Plan shape: token counts reduce the scan to (id, group, n)
+    narrow rows; the running sum is TWO-LEVEL (the weighted-median /
+    sweep-line discipline): rows bucket by their draw's leading bits,
+    per-(group, bucket) token totals cumulate over the tiny bucket
+    HISTOGRAM, and each row's cum_tokens = its bucket's carry-in +
+    a within-(group, bucket) running sum — so the per-row window is
+    keyed by (group, bucket), parallel across 4096 buckets, instead
+    of serializing each group's entire corpus through one task's
+    sort. Output identical to the single-window definition, exactly:
+    buckets partition the draw order monotonically and token counts
+    are ints, so every prefix sum is the same exact value. Output:
     (id, group, n_tokens, cum_tokens).
     """
     from vectorsearchutil_spark.functions.text import tokens_sql
 
+    n_buckets = 4096
     budget_items = sorted(budgets.items())
     budget_df = docs.sparkSession.createDataFrame(
         budget_items, f"{group_col} string, _budget long"
@@ -356,15 +366,40 @@ def token_budget_sample(
         group_col,
         f"size({tokens_sql(text_col)}) AS n_tokens",
     )
-    u = hash_uniform(F.col(id_col).cast("string"), seed)
-    win = (
+    u = F.round(
+        hash_uniform(F.col(id_col).cast("string"), seed), 12
+    )
+    sized = sized.withColumn("_u", u).withColumn(
+        "_b",
+        F.least(
+            F.floor(F.col("_u") * F.lit(float(n_buckets))),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    hist = sized.groupBy(group_col, "_b").agg(
+        F.sum("n_tokens").alias("_bt")
+    )
+    carry_w = (
         Window.partitionBy(group_col)
-        .orderBy(F.round(u, 12).asc(), F.col(id_col).asc())
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = hist.select(
+        group_col,
+        "_b",
+        F.coalesce(F.sum("_bt").over(carry_w), F.lit(0)).alias("_carry"),
+    )
+    inner_w = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy(F.col("_u").asc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        sized.join(F.broadcast(budget_df), group_col)
-        .withColumn("cum_tokens", F.sum("n_tokens").over(win))
+        sized.join(carry, [group_col, "_b"])
+        .join(F.broadcast(budget_df), group_col)
+        .withColumn(
+            "cum_tokens", F.col("_carry") + F.sum("n_tokens").over(inner_w)
+        )
         .filter(F.col("cum_tokens") <= F.col("_budget"))
         .select(id_col, group_col, "n_tokens", "cum_tokens")
     )
