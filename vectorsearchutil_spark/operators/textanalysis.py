@@ -695,27 +695,43 @@ def pack_context_windows(
     doc: token count, global start offset, first/last window index,
     and how many windows the doc touches.
 
-    The running offset is ONE prefix-sum window over (n_tokens) —
-    rows carry only (id, count), never text. The global orderBy is
-    the honest cost; at 100 TB you run this per shard/source (swap
-    the window spec for partitionBy(source)) since windows never
-    cross shard boundaries in a real loader anyway.
+    The running offset is a TWO-LEVEL prefix sum (the sweep-line /
+    token-budget discipline): ids bucket into 1024-id blocks, block
+    token totals cumulate over the tiny block histogram, and each
+    row's offset = block carry-in + a within-block running sum — the
+    per-row window keys on the block, parallel across blocks, instead
+    of one task sorting the whole corpus. Offsets are identical to
+    the single-window definition (integer sums over the same monotone
+    id order). Windows never cross shard boundaries in a real loader,
+    so per-source variants just add the source to every key.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from vectorsearchutil_spark.functions.text import tokens_sql
 
-    win = (
-        Window.orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
     sized = df.selectExpr(
         id_col, f"size({tokens_sql(text_col)}) AS n_tokens"
+    ).withColumn("_blk", F.floor(F.col(id_col) / F.lit(1024)))
+    hist = sized.groupBy("_blk").agg(F.sum("n_tokens").alias("_bt"))
+    carry_w = Window.orderBy("_blk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = hist.select(
+        "_blk",
+        F.coalesce(F.sum("_bt").over(carry_w), F.lit(0)).alias("_carry"),
+    )
+    inner_w = (
+        Window.partitionBy("_blk")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        sized.withColumn(
-            "start_offset", F.coalesce(F.sum("n_tokens").over(win), F.lit(0))
+        sized.join(carry, "_blk")
+        .withColumn(
+            "start_offset",
+            F.col("_carry")
+            + F.coalesce(F.sum("n_tokens").over(inner_w), F.lit(0)),
         )
         .select(
             id_col,
