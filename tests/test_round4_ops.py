@@ -633,3 +633,37 @@ def test_mad_outliers_zero_mad_group_yields_none(spark, tmp_path):
         "props", F.lit("{}")
     ).write.parquet(f"{d}/events.parquet")
     assert Q.QUERIES["events_value_mad_outliers"](spark, d).count() == 0
+
+
+def test_deciles_two_level_equals_ntile(spark, tmp_path):
+    """The arithmetic NTILE reconstruction equals F.ntile exactly —
+    duplicate balances, n < k, and n % k != 0 all covered."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark import queries as Q
+
+    for n in (7, 23, 100):
+        rows = [
+            (i, float((i * 13) % 9))  # heavy balance ties
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "c_custkey long, c_acctbal double")
+        (
+            df.withColumn("c_name", F.lit("x"))
+            .withColumn("c_nationkey", F.lit(0))
+        ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+        got = {
+            r["c_custkey"]: r["decile"]
+            for r in Q.QUERIES["customers_acctbal_deciles"](
+                spark, str(tmp_path)
+            ).collect()
+        }
+        w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        want = {
+            r["c_custkey"]: r["d"]
+            for r in df.select(
+                "c_custkey", F.ntile(10).over(w).cast("int").alias("d")
+            ).collect()
+        }
+        assert got == want, n

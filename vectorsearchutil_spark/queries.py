@@ -2695,16 +2695,49 @@ FROM customer
 
 @query("customers_acctbal_deciles", _NTILE_ORACLE)
 def customers_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Account-balance deciles via ntile — the analytics bucketing
-    window. Single unpartitioned window: fine at dimension scale;
-    for a 100 TB fact you'd ntile within partitions or use
-    approx quantile cutoffs instead of a global sort."""
+    """Account-balance deciles — exact NTILE(10) semantics (first
+    n mod k buckets take the extra row) WITHOUT the global sort:
+    rank = (count of strictly-greater balances, cumulated over the
+    DISTINCT-VALUE histogram — bounded by the cents domain, ~1.1M
+    rows at any corpus size) + a within-value row_number partitioned
+    by the balance (parallel across values); the bucket then derives
+    from rank and n arithmetically. The two-level discipline applied
+    to ranking: the only serial window runs over aggregated values,
+    never customer rows. Oracle stays the NTILE definition."""
     from pyspark.sql import Window
 
-    c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    return c.select(
-        "c_custkey", F.ntile(10).over(w).cast("int").alias("decile")
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    vals = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("_c"))
+    vw = (
+        Window.orderBy(F.col("c_acctbal").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vcum = vals.select(
+        "c_acctbal",
+        F.coalesce(F.sum("_c").over(vw), F.lit(0)).alias("_before"),
+    )
+    inner = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    n_df = c.agg(F.count(F.lit(1)).alias("_n"))
+    rank = F.col("_before") + F.row_number().over(inner)
+    q = F.expr("_n div 10")
+    r = F.expr("_n % 10")
+    thr = r * (q + 1)
+    decile = F.when(
+        rank <= thr, (rank - 1) / (q + 1)
+    ).otherwise(
+        # lazy branch: q = 0 implies every rank <= thr (= n), so the
+        # division by q never evaluates for n < 10
+        r + (rank - thr - 1) / q
+    )
+    return (
+        c.join(F.broadcast(vcum), "c_acctbal")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "c_custkey",
+            (F.floor(decile) + 1).cast("int").alias("decile"),
+        )
     )
 
 
