@@ -118,6 +118,7 @@ HEADLINE = [
     "ann_ivf_search_filtered",
     "knn_binary_rerank",
     "text_gopher_repetition",
+    "dedup_minhash_recall",
 ]
 
 

@@ -888,5 +888,22 @@ def probe_token_budget(spark):
 PROBES.update({"token_budget": probe_token_budget})
 
 
+def probe_deciles(spark):
+    cust = spark.range(3_750_000).selectExpr(
+        "id AS c_custkey",
+        "concat('c', id) AS c_name",
+        "cast(pmod(xxhash64(id, 3), 25) AS INT) AS c_nationkey",
+        # heavy ties: only 1.1M distinct cent values, like real money
+        "pmod(xxhash64(id, 5), 1100000) / 100.0 - 999.0 AS c_acctbal",
+    )
+    dt, n = _probe_query(
+        spark, "customers_acctbal_deciles", "customer", cust
+    )
+    return f"{dt:.1f}s @ 3.75M customers -> {n} rows"
+
+
+PROBES.update({"deciles": probe_deciles})
+
+
 if __name__ == "__main__":
     main()

@@ -8579,6 +8579,96 @@ def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_repetition_signals(docs)
 
 
+_MINHASH_RECALL_ORACLE = """
+WITH doctoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+  FROM doctoks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || '_' || toks[i+1] || '_' || toks[i+2] AS shingle
+  FROM sh0
+),
+hashed AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 12))::BIGINT AS h1,
+         ('0x' || substr(md5(shingle), 17, 12))::BIGINT AS h2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, s.i, MIN(h1 + s.i * h2) AS h
+  FROM hashed, range(0, 16) s(i)
+  GROUP BY doc_id, s.i
+),
+bands AS (
+  SELECT doc_id, i // 4 AS band_idx,
+         md5(string_agg(h::VARCHAR, '|' ORDER BY i)) AS band_val
+  FROM sig GROUP BY doc_id, i // 4
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+),
+found AS (
+  SELECT i.id_a, i.id_b
+  FROM inter i
+  JOIN cand c ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+)
+SELECT CAST(t.n AS BIGINT) AS n_true, CAST(f.n AS BIGINT) AS n_found,
+       ROUND(f.n * 1.0 / NULLIF(t.n, 0), 4) + 0.0 AS recall
+FROM (SELECT COUNT(*) AS n FROM truth) t,
+     (SELECT COUNT(*) AS n FROM found) f
+"""
+
+
+@query("dedup_minhash_recall", _MINHASH_RECALL_ORACLE)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured LSH retrieval quality: recall of the banded-MinHash
+    near-dup path against the exact n-gram-Jaccard truth at the same
+    threshold — the ann_ivf_recall analog for dedup (precision is 1
+    by construction: LSH candidates are exact-verified). Re-runs the
+    two registered pipelines verbatim and joins their counts; tune
+    bands/rows until this says what your S-curve promised."""
+    truth = dedup_ngram_jaccard(spark, sf_dir)
+    found = dedup_minhash_lsh(spark, sf_dir)
+    t = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    f = found.agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    return t.crossJoin(f).select(
+        "n_true",
+        "n_found",
+        F.round(
+            F.try_divide(
+                F.col("n_found") * F.lit(1.0),
+                F.nullif(F.col("n_true"), F.lit(0)),
+            ),
+            4,
+        ).alias("recall"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
