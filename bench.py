@@ -119,6 +119,7 @@ HEADLINE = [
     "knn_binary_rerank",
     "text_gopher_repetition",
     "dedup_minhash_recall",
+    "docs_scrub_spans",
 ]
 
 

@@ -291,3 +291,60 @@ def test_duplicate_spans_partitioning_invariant_and_short_docs(spark):
     # all 45 pairs of the 10 carriers share the 20-token run
     assert len(a) == 45
     assert all(v == (20, 1) for v in a.values())
+
+
+def test_scrub_duplicate_spans_first_wins(spark):
+    """The lower id keeps its text; the higher id loses the UNION of
+    its shared runs; clean docs pass through (token-normalized)."""
+    from vectorsearchutil_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    block1 = " ".join(f"s{i}" for i in range(12))
+    block2 = " ".join(f"t{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 {block1} a3"),
+            (2, f"b1 {block1} b2 {block2} b3"),   # loses block1 to 1
+            (3, f"{block2} c1 c2 c3 c4 c5 c6"),   # loses block2 to 2
+            (4, "clean doc with nothing shared at all whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_duplicate_spans(
+            df, width=4, min_span=12, max_df=50
+        ).collect()
+    }
+    assert got[1] == (f"a1 a2 {block1} a3", 0)
+    assert got[2] == ("b1 b2 " + block2 + " b3", 12)
+    assert got[3] == ("c1 c2 c3 c4 c5 c6", 12)
+    assert got[4][1] == 0 and got[4][0].startswith("clean doc")
+
+
+def test_scrub_union_of_overlapping_spans(spark):
+    """A doc sharing overlapping runs with TWO partners loses the
+    union once, not double."""
+    from vectorsearchutil_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    run = " ".join(f"u{i}" for i in range(16))
+    part1 = " ".join(f"u{i}" for i in range(12))         # prefix
+    part2 = " ".join(f"u{i}" for i in range(4, 16))      # suffix
+    df = spark.createDataFrame(
+        [
+            (1, f"x1 {part1} x2 x3 x4 x5 x6 x7 x8 x9"),
+            (2, f"y1 {part2} y2 y3 y4 y5 y6 y7 y8 y9"),
+            (5, f"z1 z2 {run} z3"),  # loses [0,15] once (union)
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_duplicate_spans(
+            df, width=4, min_span=12, max_df=50
+        ).collect()
+    }
+    assert got[5] == ("z1 z2 z3", 16)

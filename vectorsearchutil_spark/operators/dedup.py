@@ -1202,3 +1202,122 @@ def duplicate_spans(
             F.count(F.lit(1)).cast("int").alias("n_spans"),
         )
     )
+
+
+def scrub_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    width: int = 8,
+    min_span: int = 12,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut the shared spans :func:`duplicate_spans` found — the scrub
+    step of exact-substring dedup (Lee et al. 2022): for every
+    detected pair the LOWER id keeps its text, the higher id loses
+    the duplicated token run (first-wins, the store's dedup
+    convention). A doc in many pairs loses the UNION of its spans —
+    the same interval-union window as the detector, keyed by the doc
+    (parallel by construction) — and its text rebuilds from the
+    surviving token positions. Token counts shuffle; text itself
+    moves only once, in the final rebuild join.
+
+    Pass a precomputed ``spans`` frame (id_a, id_b, …) to decouple
+    detect from scrub; otherwise the detector runs with the given
+    parameters. Spans must be recovered with positions here, so the
+    scrub re-derives per-pair runs restricted to docs that lost a
+    pair. Returns (id, text, n_removed_tokens) with scrubbed text
+    for EVERY input doc (zero removed for clean ones).
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    if spans is None:
+        spans = duplicate_spans(
+            docs,
+            width=width,
+            min_span=min_span,
+            max_df=max_df,
+            text_col=text_col,
+            id_col=id_col,
+        )
+    losers = spans.select(F.col("id_b").alias(id_col)).distinct()
+
+    toks = docs.selectExpr(
+        id_col, f"{tokens_sql(text_col)} AS _toks"
+    )
+    # positioned anchors, only for docs on either side of a pair
+    # (the verify set): losers need their run positions, winners
+    # anchor them
+    sides = (
+        spans.select(F.col("id_a").alias(id_col))
+        .unionByName(spans.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    grams = (
+        toks.join(sides, id_col, "left_semi")
+        .filter(F.expr(f"size(_toks) >= {int(width)}"))
+        .selectExpr(
+            id_col,
+            f"""posexplode(transform(
+                  sequence(0, size(_toks) - {int(width)}),
+                  p -> cast(conv(substring(md5(
+                    concat_ws(' ', slice(_toks, p + 1, {int(width)}))),
+                    1, 15), 16, 10) AS BIGINT)
+                )) AS (p, h)""",
+        )
+    )
+    a = grams.selectExpr(f"{id_col} AS id_a", "p AS pa", "h")
+    b = grams.selectExpr(f"{id_col} AS id_b", "p AS pb", "h")
+    matches = (
+        a.join(b, "h")
+        .join(
+            F.broadcast(spans.select("id_a", "id_b")), ["id_a", "id_b"]
+        )
+        .select(
+            "id_a", "id_b", "pb", (F.col("pa") - F.col("pb")).alias("delta")
+        )
+    )
+    run_w = Window.partitionBy("id_a", "id_b", "delta").orderBy("pb")
+    runs = (
+        matches.withColumn(
+            "_island", F.col("pb") - F.row_number().over(run_w)
+        )
+        .groupBy("id_a", "id_b", "delta", "_island")
+        .agg(
+            F.min("pb").alias("_s"),
+            (F.max("pb") + F.lit(int(width) - 1)).alias("_e"),
+        )
+        .filter(F.col("_e") - F.col("_s") + 1 >= int(min_span))
+        .select(F.col("id_b").alias(id_col), "_s", "_e")
+    )
+    # union of removal intervals per losing doc (gaps-and-islands)
+    cov_w = Window.partitionBy(id_col).orderBy("_s")
+    prev_end = F.max("_e").over(
+        cov_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    removed = (
+        runs.withColumn(
+            "_cut_from",
+            F.greatest(F.col("_s"), F.coalesce(prev_end + 1, F.col("_s"))),
+        )
+        .filter(F.col("_e") >= F.col("_cut_from"))
+        .select(
+            id_col,
+            F.sequence(F.col("_cut_from"), F.col("_e")).alias("_gone"),
+        )
+        .groupBy(id_col)
+        .agg(F.array_sort(F.flatten(F.collect_list("_gone"))).alias("_gone"))
+    )
+    return (
+        toks.join(removed, id_col, "left")
+        .selectExpr(
+            id_col,
+            "concat_ws(' ', filter(transform(_toks, (t, i) ->"
+            " IF(_gone IS NOT NULL AND array_contains(_gone, i), NULL, t)),"
+            " x -> x IS NOT NULL)) AS " + text_col,
+            "coalesce(size(_gone), 0) AS n_removed_tokens",
+        )
+    )

@@ -8669,6 +8669,87 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCRUB_SPANS_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+g0 AS (
+  SELECT doc_id, CAST(u.p AS INT) AS p,
+         (('0x' || substr(md5(array_to_string(
+           t[CAST(u.p AS INT) + 1 : CAST(u.p AS INT) + 8], ' ')),
+           1, 15))::BIGINT) AS h
+  FROM t, unnest(range(0, GREATEST(len(t) - 7, 0))) u(p)
+  WHERE len(t) >= 8
+),
+f AS (SELECT h FROM g0 GROUP BY h HAVING COUNT(*) <= 50),
+g AS (SELECT g0.* FROM g0 JOIN f USING (h)),
+m AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.p AS pb,
+         a.p - b.p AS delta
+  FROM g a JOIN g b USING (h) WHERE a.doc_id < b.doc_id
+),
+r AS (
+  SELECT id_a, id_b, delta, pb,
+         pb - ROW_NUMBER() OVER (
+           PARTITION BY id_a, id_b, delta ORDER BY pb) AS island
+  FROM m
+),
+runs AS (
+  SELECT id_b, MIN(pb) AS s, MAX(pb) + 7 AS e
+  FROM r GROUP BY id_a, id_b, delta, island
+  HAVING MAX(pb) + 7 - MIN(pb) + 1 >= 12
+),
+cut AS (
+  SELECT id_b, GREATEST(s, COALESCE(pe + 1, s)) AS cf, e FROM (
+    SELECT id_b, s, e,
+           MAX(e) OVER (PARTITION BY id_b ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+    FROM runs
+  ) WHERE e >= GREATEST(s, COALESCE(pe + 1, s))
+),
+gone AS (
+  SELECT id_b AS doc_id,
+         list(CAST(u.x AS INT) ORDER BY CAST(u.x AS INT)) AS gone
+  FROM cut, unnest(range(cf, e + 1)) u(x)
+  GROUP BY id_b
+)
+SELECT t.doc_id,
+       COALESCE(array_to_string(list_filter(
+         list_transform(range(0, len(t.t)),
+           i -> CASE WHEN gone.gone IS NULL
+                      OR NOT list_contains(gone.gone, CAST(i AS INT))
+                THEN t.t[CAST(i AS INT) + 1] END),
+         x -> x IS NOT NULL), ' '), '') AS text,
+       CAST(COALESCE(len(gone.gone), 0) AS INT) AS n_removed_tokens
+FROM t LEFT JOIN gone USING (doc_id)
+"""
+
+
+@query("docs_scrub_spans", _SCRUB_SPANS_ORACLE)
+def docs_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub half of exact-substring dedup: every ≥12-token run
+    two docs share (duplicate_spans, same anchors) is CUT from the
+    higher-id doc — first-wins, the store's convention — overlapping
+    runs removed once via the per-doc interval union, text rebuilt
+    from surviving token positions
+    (operators/dedup.py::scrub_duplicate_spans). Returns every doc,
+    scrubbed or untouched, with its removed-token count."""
+    from vectorsearchutil_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = scrub_duplicate_spans(
+        docs, width=8, min_span=12, max_df=50
+    )
+    return out.select(
+        "doc_id", "text", F.col("n_removed_tokens").cast("int")
+        .alias("n_removed_tokens")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
