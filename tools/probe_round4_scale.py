@@ -905,5 +905,36 @@ def probe_deciles(spark):
 PROBES.update({"deciles": probe_deciles})
 
 
+def probe_scrub_spans(spark):
+    from vectorsearchutil_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    docs = spark.range(N_DOCS).selectExpr(
+        "id AS doc_id",
+        "concat("
+        " concat_ws(' ', transform(sequence(1, 20 +"
+        "   cast(pmod(xxhash64(id, 5), 60) AS INT)),"
+        "   i -> concat('u', id, '_', i))),"
+        " IF(id % 10 < 2,"
+        "    concat(' ', concat_ws(' ', transform(sequence(1, 40),"
+        "      i -> concat('blk', id div 10, '_', i)))), ''),"
+        " ' ', concat_ws(' ', transform(sequence(1, 20),"
+        "   i -> concat('v', id, '_', i)))"
+        ") AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    out = scrub_duplicate_spans(docs, width=8, min_span=12)
+    from pyspark.sql import functions as F
+    removed = out.agg(F.sum("n_removed_tokens")).first()[0]
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {removed} tokens scrubbed"
+
+
+PROBES.update({"scrub_spans": probe_scrub_spans})
+
+
 if __name__ == "__main__":
     main()

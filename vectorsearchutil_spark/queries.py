@@ -8715,15 +8715,18 @@ gone AS (
   FROM cut, unnest(range(cf, e + 1)) u(x)
   GROUP BY id_b
 )
-SELECT t.doc_id,
-       COALESCE(array_to_string(list_filter(
-         list_transform(range(0, len(t.t)),
-           i -> CASE WHEN gone.gone IS NULL
-                      OR NOT list_contains(gone.gone, CAST(i AS INT))
-                THEN t.t[CAST(i AS INT) + 1] END),
-         x -> x IS NOT NULL), ' '), '') AS text,
+SELECT d.doc_id,
+       CASE WHEN gone.gone IS NULL THEN d.text
+            ELSE COALESCE(array_to_string(list_filter(
+              list_transform(range(0, len(t.t)),
+                i -> CASE WHEN NOT list_contains(gone.gone,
+                               CAST(i AS INT))
+                     THEN t.t[CAST(i AS INT) + 1] END),
+              x -> x IS NOT NULL), ' '), '') END AS text,
        CAST(COALESCE(len(gone.gone), 0) AS INT) AS n_removed_tokens
-FROM t LEFT JOIN gone USING (doc_id)
+FROM documents d
+JOIN t ON t.doc_id = d.doc_id
+LEFT JOIN gone ON gone.doc_id = d.doc_id
 """
 
 
