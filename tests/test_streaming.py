@@ -696,3 +696,51 @@ def test_streaming_value_histogram_matches_batch(spark, sf_dir, tmp_path):
         tuple(r) for r in spark.sql("SELECT * FROM hist_counts").collect()
     )
     assert got == expected
+
+
+def test_streaming_drift_monitor_flags_shift(spark, sf_dir, tmp_path):
+    """Baseline = real events; live stream = values shifted +200 for
+    one type. The PSI monitor over the streaming histogram flags
+    exactly that type; identical streams flag nothing."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.sources.readers import load_table
+    from vectorsearchutil_spark.streaming.windows import (
+        histogram_psi,
+        streaming_value_histogram,
+    )
+
+    events = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+    baseline = streaming_value_histogram(events)
+
+    shifted = events.withColumn(
+        "value",
+        F.when(
+            F.col("event_type") == "click", F.col("value") + 200.0
+        ).otherwise(F.col("value")),
+    )
+    src = str(tmp_path / "src")
+    shifted.coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(shifted.schema).parquet(src)
+    q = (
+        streaming_value_histogram(stream)
+        .writeStream.format("memory")
+        .queryName("drift_hist")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    live = spark.sql("SELECT * FROM drift_hist")
+    verdicts = {
+        r["event_type"]: (r["psi"], r["drift_alert"])
+        for r in histogram_psi(live, baseline).collect()
+    }
+    assert verdicts["click"][1] is True
+    for t, (psi, alert) in verdicts.items():
+        if t != "click":
+            assert alert is False and abs(psi) < 0.05, (t, psi)

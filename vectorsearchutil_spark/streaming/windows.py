@@ -186,3 +186,85 @@ def streaming_value_histogram(events, width: float = 25.0, bins: int = 20):
     return events.groupBy(
         F.col("event_type"), bucket.alias("bucket")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def histogram_psi(
+    current,
+    baseline,
+    keys=("event_type",),
+    bins: int = 20,
+    alert_threshold: float = 0.2,
+):
+    """Population-stability index of a live histogram against a
+    broadcast baseline — the drift alarm wired onto
+    ``streaming_value_histogram``: call from foreachBatch (or on the
+    complete-mode sink table) with the frozen baseline counts; PSI >
+    0.2 is the conventional retrain/alert line. Laplace-smoothed
+    (+0.5 per bin) so empty bins stay finite; per-bin summands round
+    to 9dp before a bin-ordered fold (the dim_drift_psi determinism
+    seam). Inputs: (keys..., bucket, n) frames."""
+    from pyspark.sql import functions as F
+
+    keys = list(keys)
+
+    def tot(df, name):
+        return df.groupBy(*keys).agg(
+            F.sum("n").cast("double").alias(name)
+        )
+
+    kb = [*keys, "bucket"]
+    # the dense grid derives from the SAME plan as `current` (a
+    # memory-sink table in streaming use), and joining a frame onto
+    # its own lineage trips conflicting-attribute analysis — and key
+    # cardinality is small by definition (histogram group keys), so
+    # materialize the key set and rebuild it lineage-free
+    spark = current.sparkSession
+    key_rows = current.select(*keys).distinct().collect()
+    keys_df = spark.createDataFrame(
+        key_rows, current.select(*keys).schema
+    )
+    grid = keys_df.crossJoin(
+        spark.range(int(bins)).select(
+            F.col("id").cast("int").alias("bucket")
+        )
+    )
+    j = (
+        grid.join(current.withColumnRenamed("n", "_nc"), kb, "left")
+        .join(baseline.withColumnRenamed("n", "_nb"), kb, "left")
+        .join(F.broadcast(tot(current, "_tc")), keys)
+        .join(F.broadcast(tot(baseline, "_tb")), keys)
+        .select(
+            *kb,
+            (
+                (F.coalesce(F.col("_nc"), F.lit(0)) + 0.5)
+                / (F.col("_tc") + 0.5 * bins)
+            ).alias("pc"),
+            (
+                (F.coalesce(F.col("_nb"), F.lit(0)) + 0.5)
+                / (F.col("_tb") + 0.5 * bins)
+            ).alias("pb"),
+        )
+    )
+    summand = F.round(
+        (F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb")), 9
+    )
+    return (
+        j.groupBy(*keys)
+        .agg(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bucket", summand.alias("s")))
+                    ),
+                    lambda e: e["s"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("_psi")
+        )
+        .select(
+            *keys,
+            F.round(F.col("_psi"), 6).alias("psi"),
+            (F.col("_psi") > alert_threshold).alias("drift_alert"),
+        )
+    )
