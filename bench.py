@@ -120,6 +120,7 @@ HEADLINE = [
     "text_gopher_repetition",
     "dedup_minhash_recall",
     "docs_scrub_spans",
+    "events_time_to_convert",
 ]
 
 

@@ -8753,6 +8753,91 @@ def docs_scrub_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TIME_TO_CONVERT_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_id, ts,
+         MAX(CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS last_touch_ts
+  FROM events
+),
+conv AS (
+  SELECT s.user_id,
+         epoch(e.ts) - epoch(s.last_touch_ts) AS dt_s
+  FROM seq s JOIN events e ON e.event_id = s.event_id
+  WHERE e.event_type = 'purchase'
+    AND s.last_touch_ts IS NOT NULL
+    AND epoch(e.ts) - epoch(s.last_touch_ts) <= 3600
+),
+med AS (
+  SELECT MIN(dt_s) AS m FROM (
+    SELECT dt_s,
+           SUM(1.0) OVER (ORDER BY dt_s, user_id
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           COUNT(*) OVER () AS tot
+    FROM conv
+  ) WHERE cum >= tot / 2.0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       ROUND(AVG(conv.dt_s), 3) + 0.0 AS mean_s,
+       ROUND(ANY_VALUE(med.m), 3) + 0.0 AS median_s
+FROM conv, med
+"""
+
+
+@query("events_time_to_convert", _TIME_TO_CONVERT_ORACLE)
+def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Touch-to-purchase latency for ATTRIBUTED conversions — the
+    funnel-speed KPI, composed from this engine's own pieces:
+    last-touch attribution supplies (purchase, last_touch) pairs, the
+    exact median comes from histogram refinement
+    (weighted_median_exact with unit weights), never a global sort.
+    One-row output: conversions, mean and exact median seconds."""
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    att = events_attribution(spark, sf_dir)
+    conv = (
+        att.filter(F.col("attribution") == "attributed")
+        .join(
+            load_table(spark, sf_dir, "events").select(
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("ts").alias("_pts"),
+            ),
+            "purchase_event_id",
+        )
+        .select(
+            "user_id",
+            (
+                F.col("_pts").cast("double")
+                - F.col("last_touch_ts").cast("double")
+            ).alias("dt_s"),
+        )
+    )
+    med = weighted_median_exact(
+        conv.select(
+            F.lit(1).alias("g"), F.col("dt_s").alias("v"),
+            F.lit(1.0).alias("w"),
+        ),
+        "g",
+        "v",
+        "w",
+        out_col="m",
+    )
+    stats = conv.agg(
+        F.count(F.lit(1)).cast("long").alias("n_conversions"),
+        F.round(F.avg("dt_s"), 3).alias("mean_s"),
+    )
+    return stats.crossJoin(F.broadcast(med.select("m"))).select(
+        "n_conversions",
+        "mean_s",
+        F.round(F.col("m"), 3).alias("median_s"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
