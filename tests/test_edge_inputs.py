@@ -156,3 +156,47 @@ def test_session3_ops_on_degenerate_inputs(frames, spark):
 
     rd_empty = spark.createDataFrame([], "day date, user_id long")
     assert hll_running_distinct(rd_empty, "day", "user_id").count() == 0
+
+
+def test_session3_wave3_ops_on_degenerate_inputs(frames, spark):
+    from vectorsearchutil_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+    from vectorsearchutil_spark.operators.intervals import (
+        interval_overlap_join,
+    )
+    from vectorsearchutil_spark.streaming.windows import histogram_psi
+
+    empty_docs = frames["empty_docs"]
+    null_docs = frames["null_docs"]
+    one_doc = frames["one_doc"]
+
+    assert scrub_duplicate_spans(empty_docs).count() == 0
+    # null/short docs pass through untouched with 0 removed
+    got = {
+        r["doc_id"]: r["n_removed_tokens"]
+        for r in scrub_duplicate_spans(null_docs).collect()
+    }
+    assert got == {0: 0, 1: 0}
+    assert scrub_duplicate_spans(one_doc).count() == 1
+
+    iv_schema = "id long, start_ts timestamp, end_ts timestamp"
+    empty_iv = spark.createDataFrame([], iv_schema)
+    one_iv = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "id long, start_ts string, end_ts string",
+    ).selectExpr(
+        "id", "cast(start_ts AS timestamp) AS start_ts",
+        "cast(end_ts AS timestamp) AS end_ts",
+    )
+    assert interval_overlap_join(empty_iv, one_iv).count() == 0
+    assert interval_overlap_join(one_iv, empty_iv).count() == 0
+
+    hist_schema = "event_type string, bucket int, n long"
+    empty_hist = spark.createDataFrame([], hist_schema)
+    base = spark.createDataFrame([("a", 0, 10)], hist_schema)
+    # empty current: no keys -> empty verdicts, no crash
+    assert histogram_psi(empty_hist, base).count() == 0
+    # empty baseline: Laplace smoothing keeps PSI finite
+    rows = histogram_psi(base, empty_hist).collect()
+    assert len(rows) == 1 and rows[0]["psi"] is not None

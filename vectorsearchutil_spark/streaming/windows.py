@@ -232,7 +232,11 @@ def histogram_psi(
         grid.join(current.withColumnRenamed("n", "_nc"), kb, "left")
         .join(baseline.withColumnRenamed("n", "_nb"), kb, "left")
         .join(F.broadcast(tot(current, "_tc")), keys)
-        .join(F.broadcast(tot(baseline, "_tb")), keys)
+        # LEFT: a key absent from the baseline (brand-new event type)
+        # is the loudest drift signal — an inner join would silently
+        # drop it from the report. Zero baseline mass smooths to the
+        # Laplace floor and produces a large finite PSI.
+        .join(F.broadcast(tot(baseline, "_tb")), keys, "left")
         .select(
             *kb,
             (
@@ -241,7 +245,7 @@ def histogram_psi(
             ).alias("pc"),
             (
                 (F.coalesce(F.col("_nb"), F.lit(0)) + 0.5)
-                / (F.col("_tb") + 0.5 * bins)
+                / (F.coalesce(F.col("_tb"), F.lit(0.0)) + 0.5 * bins)
             ).alias("pb"),
         )
     )
