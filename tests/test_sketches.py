@@ -429,3 +429,36 @@ def test_hll_running_distinct_monotone_and_merge_consistent(spark):
         ev.withColumn("g", F.lit(1)), ["g"], "user_id"
     ).collect()[0]["est_distinct"]
     assert vals[-1] == whole
+
+
+def test_weighted_quantile_generalization(spark):
+    """quantile=q returns the smallest v with W(≤v) ≥ q·W — checked
+    against the naive definition at several q."""
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    rows = [
+        ("a", float(v % 53) / 7.0, float(1 + (v * 11) % 4))
+        for v in range(999)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double, w double")
+
+    def naive(q):
+        vw = sorted((v, w) for _, v, w in rows)
+        tot = sum(w for _, w in vw)
+        cum = 0.0
+        for v, w in vw:
+            cum += w
+            if cum >= tot * q:
+                return v
+
+    for q in (0.1, 0.25, 0.5, 0.9, 1.0):
+        got = weighted_median_exact(
+            df, "g", "v", "w", out_col="x", quantile=q
+        ).collect()[0]["x"]
+        assert got == naive(q), q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="quantile"):
+        weighted_median_exact(df, "g", "v", "w", quantile=0.0)

@@ -272,6 +272,7 @@ def weighted_median_exact(
     weight_col: str,
     out_col: str = "weighted_median",
     n_buckets: int = 4096,
+    quantile: float = 0.5,
 ) -> DataFrame:
     """EXACT weighted median per group via histogram refinement — no
     per-group global sort. The naive plan (running-weight window
@@ -302,7 +303,13 @@ def weighted_median_exact(
     Degenerate single-value groups land in bucket 0 and refine to
     one row; groups with zero total weight return their min value
     (the ≥ 0 crossing is immediate), matching the SQL definition.
+
+    ``quantile`` generalizes the W/2 crossing to any exact weighted
+    quantile q ∈ (0, 1]: the answer is the smallest v with
+    W(≤v) ≥ q·W — same refinement, same exactness argument.
     """
+    if not 0.0 < quantile <= 1.0:
+        raise ValueError("quantile must be in (0, 1]")
     from pyspark.sql import Window
 
     d = df.select(
@@ -339,7 +346,7 @@ def weighted_median_exact(
     crossing = (
         hist.withColumn("cum", F.sum("bw").over(cum_b))
         .join(F.broadcast(stats.select("g", "tot")), "g")
-        .filter(F.col("cum") >= F.col("tot") / 2)
+        .filter(F.col("cum") >= F.col("tot") * F.lit(float(quantile)))
         .groupBy("g")
         .agg(
             F.min("b").alias("cb"),
@@ -361,7 +368,7 @@ def weighted_median_exact(
     )
     return (
         sub.withColumn("cum", F.col("w_before") + F.sum("vw").over(cum_v))
-        .filter(F.col("cum") >= F.col("tot") / 2)
+        .filter(F.col("cum") >= F.col("tot") * F.lit(float(quantile)))
         .groupBy("g")
         .agg(F.min("v").alias(out_col))
         .select(F.col("g").alias(group_col), out_col)
