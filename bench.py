@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_minhash_recall",
     "docs_scrub_spans",
     "events_time_to_convert",
+    "lineitem_weighted_quantiles",
 ]
 
 

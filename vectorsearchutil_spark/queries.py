@@ -8840,6 +8840,50 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_WEIGHTED_QUANTILES_ORACLE = """
+WITH r AS (
+  SELECT l_returnflag AS grp, l_extendedprice AS v,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                               ORDER BY l_extendedprice, l_orderkey,
+                                        l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS cum_w,
+         SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tot_w
+  FROM lineitem
+)
+SELECT grp, CAST(0.5 AS DOUBLE) AS q, MIN(v) AS weighted_quantile
+FROM r WHERE cum_w >= tot_w * 0.5 GROUP BY grp
+UNION ALL
+SELECT grp, CAST(0.9 AS DOUBLE) AS q, MIN(v) AS weighted_quantile
+FROM r WHERE cum_w >= tot_w * 0.9 GROUP BY grp
+"""
+
+
+@query("lineitem_weighted_quantiles", _WEIGHTED_QUANTILES_ORACLE)
+def lineitem_weighted_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantity-weighted p50 AND p90 price per return flag — the
+    generalized histogram refinement at two crossings (smallest v
+    with W(≤v) ≥ q·W), still never sorting raw rows; the oracle is
+    the naive running-weight definition at each q."""
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("v"),
+        F.col("l_quantity").alias("w"),
+    )
+    out = None
+    for q in (0.5, 0.9):
+        one = weighted_median_exact(
+            li, "grp", "v", "w", out_col="weighted_quantile", quantile=q
+        ).select("grp", F.lit(float(q)).alias("q"), "weighted_quantile")
+        out = one if out is None else out.unionByName(one)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
