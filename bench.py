@@ -122,6 +122,7 @@ HEADLINE = [
     "docs_scrub_spans",
     "events_time_to_convert",
     "lineitem_weighted_quantiles",
+    "docs_tfidf_cosine_pairs",
 ]
 
 

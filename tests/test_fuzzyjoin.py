@@ -94,3 +94,38 @@ def test_corpus_diff_null_vs_empty_not_confused(spark):
     )
     (row,) = corpus_diff(old, new).collect()
     assert row["status"] == "changed"  # NULL != '' under the sentinel
+
+
+def test_tfidf_cosine_catches_reordering(spark):
+    """Token reordering scores 1.0; unrelated docs never pair; the
+    result is partitioning-invariant bitwise."""
+    from vectorsearchutil_spark.operators.fuzzyjoin import (
+        tfidf_cosine_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),      # reordered → cos 1.0
+            (3, "alpha beta zeta eta"),          # partial overlap
+            (4, "totally different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.05).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert (1, 4) not in got and (2, 4) not in got
+    # the shared tokens (alpha, beta) are the LOW-idf ones — the
+    # overlap scores weakly by design: idf down-weights what is
+    # common. Hand value: 2·ln(4/3)² / (1.0613 · 2.0024) ≈ 0.078
+    assert 0.05 <= got[(1, 3)] < 0.12
+    again = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(
+            df.repartition(7), threshold=0.05
+        ).collect()
+    }
+    assert again == got

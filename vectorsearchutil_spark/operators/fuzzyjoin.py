@@ -85,3 +85,117 @@ def fuzzy_pairs_ed1(
         F.col("_s2").alias("str_b"),
         F.levenshtein(F.col("_s"), F.col("_s2")).cast("int").alias("dist"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame,
+    threshold: float = 0.6,
+    max_df: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sparse TF-IDF cosine similarity self-join — the record-linkage
+    scorer that catches token REORDERINGS and partial overlaps
+    edit-distance blocking (fuzzy_pairs_ed1) cannot: "alpha beta
+    gamma" vs "gamma beta alpha" scores 1.0. Fully relational sparse
+    algebra — vectors never materialize:
+
+    * the vector space is tokens with df ≤ ``max_df`` (df-capped
+      stop-wording: frequent tokens carry ~zero idf AND blow the
+      posting join up quadratically — one declared cap does both
+      jobs, the ngram-jaccard discipline);
+    * candidate = any pair sharing ≥1 surviving token, surfaced BY
+      the scoring join itself (one equi-join on token, Σ df²
+      bounded);
+    * dot products cross partitions as FIXED-POINT longs
+      (floor(w_a·w_b·2³⁰) — associative, partition-invariant);
+      per-doc norms fold token-sorted (deterministic order), and
+      weights round to 9dp up front so libm-vs-JVM ln() ulps cannot
+      reach the quantizer.
+
+    Returns (id_a, id_b, cosine) for pairs with rounded cosine ≥
+    ``threshold``.
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.text import tokens_sql
+
+    fp = float(2**30)
+    toks = docs.selectExpr(
+        id_col, f"explode({tokens_sql(text_col)}) AS _tok"
+    )
+    tf = toks.groupBy(id_col, "_tok").agg(
+        F.count(F.lit(1)).alias("_tf")
+    )
+    dfq = tf.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    n_docs = docs.select(id_col).distinct().count()
+    w = (
+        tf.join(dfq.filter(F.col("_df") <= int(max_df)), "_tok")
+        .select(
+            id_col,
+            "_tok",
+            F.round(
+                F.col("_tf")
+                * F.log(F.lit(float(n_docs)) / F.col("_df")),
+                9,
+            ).alias("_w"),
+        )
+    )
+    norms = w.groupBy(id_col).agg(
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("_tok", "_w"))
+                    ),
+                    lambda e: e["_w"] * e["_w"],
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_norm")
+    )
+    a = w.select(
+        F.col(id_col).alias("id_a"), "_tok", F.col("_w").alias("_wa")
+    )
+    b = w.select(
+        F.col(id_col).alias("id_b"), "_tok", F.col("_w").alias("_wb")
+    )
+    dot = (
+        a.join(b, "_tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum(
+                F.floor(F.col("_wa") * F.col("_wb") * F.lit(fp)).cast(
+                    "long"
+                )
+            ).alias("_dotq")
+        )
+    )
+    cos = (F.col("_dotq") / F.lit(fp)) / (
+        F.col("_na") * F.col("_nb")
+    )
+    return (
+        dot.join(
+            F.broadcast(
+                norms.select(
+                    F.col(id_col).alias("id_a"),
+                    F.col("_norm").alias("_na"),
+                )
+            ),
+            "id_a",
+        )
+        .join(
+            F.broadcast(
+                norms.select(
+                    F.col(id_col).alias("id_b"),
+                    F.col("_norm").alias("_nb"),
+                )
+            ),
+            "id_b",
+        )
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= float(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -8884,6 +8884,61 @@ def lineitem_weighted_quantiles(
     return out
 
 
+_TFIDF_COSINE_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, u.t AS tok
+  FROM (SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x != '') AS t
+        FROM documents), unnest(t) u(t)
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+w AS (
+  SELECT tf.doc_id, tf.tok,
+         ROUND(tf.tf * ln(n.n / dfq.df), 9) AS w
+  FROM tf JOIN dfq USING (tok), n
+  WHERE dfq.df <= 50
+),
+norms AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list_prepend(0.0,
+           list(w * w ORDER BY tok)), (a, b) -> a + b)) AS nrm
+  FROM w GROUP BY doc_id
+),
+dot AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(SUM(CAST(FLOOR(a.w * b.w * 1073741824.0) AS BIGINT))
+              AS BIGINT) AS dq
+  FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d.id_a, d.id_b,
+       ROUND((d.dq / 1073741824.0) / (na.nrm * nb.nrm), 6) + 0.0
+         AS cosine
+FROM dot d
+JOIN norms na ON na.doc_id = d.id_a
+JOIN norms nb ON nb.doc_id = d.id_b
+WHERE ROUND((d.dq / 1073741824.0) / (na.nrm * nb.nrm), 6) >= 0.6
+"""
+
+
+@query("docs_tfidf_cosine_pairs", _TFIDF_COSINE_ORACLE)
+def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs — the record-linkage
+    scorer that survives token REORDERING (edit-distance and
+    positional-anchor methods don't). Pure sparse relational algebra:
+    df-capped postings, one token equi-join, fixed-point dot sums,
+    token-sorted norm folds
+    (operators/fuzzyjoin.py::tfidf_cosine_pairs)."""
+    from vectorsearchutil_spark.operators.fuzzyjoin import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_cosine_pairs(docs, threshold=0.6, max_df=50)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
