@@ -936,5 +936,38 @@ def probe_scrub_spans(spark):
 PROBES.update({"scrub_spans": probe_scrub_spans})
 
 
+def probe_tfidf_cosine(spark):
+    from vectorsearchutil_spark.operators.fuzzyjoin import (
+        tfidf_cosine_pairs,
+    )
+
+    # per-doc unique filler (df=1) + a 40-token block shared by
+    # exactly one partner (df=2) — every token survives the df cap,
+    # and 12.5k REORDERED near-dup pairs are planted (the partner
+    # shuffles its block: cosine ignores order)
+    docs = spark.range(N_DOCS).selectExpr(
+        "id AS doc_id",
+        "concat("
+        " concat_ws(' ', transform(sequence(1, 20),"
+        "   i -> concat('u', id, '_', i))),"
+        " IF(id % 10 < 2,"
+        "    concat(' ', concat_ws(' ', transform(sequence(1, 40),"
+        "      i -> concat('blk', id div 10, '_',"
+        "      IF(id % 10 = 0, i, 41 - i))))), ''),"
+        " ' ', concat_ws(' ', transform(sequence(1, 10),"
+        "   i -> concat('v', id, '_', i)))"
+        ") AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = tfidf_cosine_pairs(docs, threshold=0.3, max_df=50).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ {N_DOCS} docs -> {n} reordered near-dup pairs"
+
+
+PROBES.update({"tfidf_cosine": probe_tfidf_cosine})
+
+
 if __name__ == "__main__":
     main()

@@ -121,8 +121,16 @@ def tfidf_cosine_pairs(
     from vectorsearchutil_spark.functions.text import tokens_sql
 
     fp = float(2**30)
+    # tokens join/aggregate as 60-bit md5-prefix LONGS (the span-
+    # anchor economics: 8-byte keys vs variable strings through every
+    # shuffle); collisions (~distinct²/2^61) merge two tokens' mass —
+    # declared, like every hash-keyed operator here, and the oracle
+    # hashes identically
     toks = docs.selectExpr(
-        id_col, f"explode({tokens_sql(text_col)}) AS _tok"
+        id_col,
+        f"""explode(transform({tokens_sql(text_col)},
+             t -> cast(conv(substring(md5(t), 1, 15), 16, 10)
+                  AS BIGINT))) AS _tok""",
     )
     tf = toks.groupBy(id_col, "_tok").agg(
         F.count(F.lit(1)).alias("_tf")

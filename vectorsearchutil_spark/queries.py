@@ -8886,7 +8886,8 @@ def lineitem_weighted_quantiles(
 
 _TFIDF_COSINE_ORACLE = """
 WITH toks AS (
-  SELECT doc_id, u.t AS tok
+  SELECT doc_id,
+         (('0x' || substr(md5(u.t), 1, 15))::BIGINT) AS tok
   FROM (SELECT doc_id,
                list_filter(string_split(text, ' '), x -> x != '') AS t
         FROM documents), unnest(t) u(t)
