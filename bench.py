@@ -123,6 +123,7 @@ HEADLINE = [
     "events_time_to_convert",
     "lineitem_weighted_quantiles",
     "docs_tfidf_cosine_pairs",
+    "orders_abc_analysis",
 ]
 
 

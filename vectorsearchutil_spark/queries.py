@@ -8940,6 +8940,95 @@ def docs_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_cosine_pairs(docs, threshold=0.6, max_df=50)
 
 
+_ABC_ORACLE = """
+WITH rev AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS t FROM rev),
+r AS (
+  SELECT o_custkey, cents,
+         CAST(SUM(cents) OVER (ORDER BY cents DESC, o_custkey
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM rev
+)
+SELECT r.o_custkey, r.cents AS revenue_cents,
+       ROUND(r.cum * 1.0 / tot.t, 6) + 0.0 AS cum_share,
+       CASE WHEN r.cum * 100 <= tot.t * 80 THEN 'A'
+            WHEN r.cum * 100 <= tot.t * 95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM r, tot
+"""
+
+
+@query("orders_abc_analysis", _ABC_ORACLE)
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto revenue classification: customers ranked by
+    revenue, class A while cumulative share ≤ 80%, B ≤ 95%, C after.
+    Exact integer cents end-to-end (order-free sums, exact threshold
+    comparisons cum·100 ≤ t·80), and the cumulative runs TWO-LEVEL:
+    per-revenue-bucket totals cumulate over the bucket histogram and
+    rows finish with a within-bucket window keyed by the bucket —
+    the token-budget discipline for cumulative-share reports, no
+    global single-task sort."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    # ROUND before the long cast: Spark's cast truncates while
+    # DuckDB's rounds, and 2-dp prices ×100 sit one ulp off integral
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+    n_buckets = 4096
+    stats = rev.agg(
+        F.max("cents").alias("_mx"), F.sum("cents").alias("_t")
+    )
+    b = rev.crossJoin(F.broadcast(stats)).withColumn(
+        "_b",
+        F.least(
+            F.floor(
+                (F.col("_mx") - F.col("cents"))
+                / F.greatest(F.col("_mx"), F.lit(1))
+                * F.lit(n_buckets)
+            ),
+            F.lit(n_buckets - 1),
+        ).cast("int"),
+    )
+    hist = b.groupBy("_b").agg(F.sum("cents").alias("_bt"))
+    carry_w = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = hist.select(
+        "_b",
+        F.coalesce(F.sum("_bt").over(carry_w), F.lit(0)).alias("_carry"),
+    )
+    inner_w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("cents").desc(), F.col("o_custkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.col("_carry") + F.sum("cents").over(inner_w)
+    return (
+        b.join(F.broadcast(carry), "_b")
+        .withColumn("_cum", cum)
+        .select(
+            "o_custkey",
+            F.col("cents").alias("revenue_cents"),
+            F.round(F.col("_cum") * 1.0 / F.col("_t"), 6).alias(
+                "cum_share"
+            ),
+            F.when(F.col("_cum") * 100 <= F.col("_t") * 80, "A")
+            .when(F.col("_cum") * 100 <= F.col("_t") * 95, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
