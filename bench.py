@@ -124,6 +124,7 @@ HEADLINE = [
     "lineitem_weighted_quantiles",
     "docs_tfidf_cosine_pairs",
     "orders_abc_analysis",
+    "events_cohort_ltv",
 ]
 
 

@@ -9029,6 +9029,101 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LTV_ORACLE = """
+WITH cohorts AS (
+  SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day FROM events
+  GROUP BY 1
+),
+sized AS (
+  SELECT c.cohort_day, CAST(COUNT(*) AS BIGINT) AS cohort_users
+  FROM cohorts c GROUP BY 1
+),
+rev AS (
+  SELECT c.cohort_day,
+         datediff('day', c.cohort_day, CAST(e.ts AS DATE)) AS age_d,
+         CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+           AS cents
+  FROM events e JOIN cohorts c USING (user_id)
+  WHERE e.event_type = 'purchase'
+    AND datediff('day', c.cohort_day, CAST(e.ts AS DATE)) <= 7
+  GROUP BY 1, 2
+),
+grid AS (
+  SELECT s.cohort_day, s.cohort_users, CAST(u.a AS INT) AS age_d
+  FROM sized s, unnest(range(0, 8)) u(a)
+)
+SELECT g.cohort_day, g.age_d,
+       ROUND(CAST(SUM(COALESCE(r.cents, 0)) OVER (
+                PARTITION BY g.cohort_day ORDER BY g.age_d
+                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             / 100.0 / g.cohort_users, 4) + 0.0 AS cum_ltv
+FROM grid g
+LEFT JOIN rev r ON r.cohort_day = g.cohort_day AND r.age_d = g.age_d
+"""
+
+
+@query("events_cohort_ltv", _LTV_ORACLE)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per user by
+    cohort age (days 0-7) — the payback-period readout next to the
+    retention triangle. Exact integer cents (order-free sums); the
+    cumulative runs over the dense (cohort × 8 ages) GRID — per-day
+    aggregates, never raw purchases — so the window input is 8 rows
+    per cohort at any event volume."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cohorts = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("cohort_day")
+    )
+    sized = cohorts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(F.broadcast(cohorts), "user_id")
+        .withColumn(
+            "age_d",
+            F.datediff(F.col("ts").cast("date"), F.col("cohort_day")),
+        )
+        .filter(F.col("age_d") <= 7)
+        .groupBy("cohort_day", "age_d")
+        .agg(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    grid = sized.crossJoin(
+        F.broadcast(
+            e.sparkSession.range(0, 8).select(
+                F.col("id").cast("int").alias("age_d")
+            )
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(rev, ["cohort_day", "age_d"], "left")
+        .withColumn(
+            "_cum",
+            F.sum(F.coalesce(F.col("cents"), F.lit(0)))
+            .over(w)
+            .cast("long"),
+        )
+        .select(
+            "cohort_day",
+            "age_d",
+            F.round(
+                F.col("_cum") / 100.0 / F.col("cohort_users"), 4
+            ).alias("cum_ltv"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
