@@ -125,6 +125,7 @@ HEADLINE = [
     "docs_tfidf_cosine_pairs",
     "orders_abc_analysis",
     "events_cohort_ltv",
+    "docs_length_quality_histogram",
 ]
 
 

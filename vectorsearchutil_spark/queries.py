@@ -9124,6 +9124,71 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JOINT_HIST_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1.0 - len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','is','in','on'], x)))
+                * 1.0 / len(t)), 4) AS quality
+  FROM toks WHERE len(t) > 0
+),
+b AS (
+  SELECT LEAST(CAST(n_tokens // 20 AS INT), 9) AS len_bin,
+         LEAST(GREATEST(CAST(FLOOR(quality * 10) AS INT), 0), 9)
+           AS q_bin
+  FROM q
+),
+tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM b)
+SELECT len_bin, q_bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(COUNT(*) / tot.n, 6) + 0.0 AS frac
+FROM b, tot GROUP BY len_bin, q_bin, tot.n
+"""
+
+
+@query("docs_length_quality_histogram", _JOINT_HIST_ORACLE)
+def docs_length_quality_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Joint (length, quality) 2-D histogram — the profiling readout
+    curation thresholds are actually chosen from: a single global
+    quality cut looks very different once you can SEE that short docs
+    dominate the low-quality mass. ≤100 cells from one
+    partial-aggregated pass; per-cell corpus fraction attached from a
+    broadcast total."""
+    from vectorsearchutil_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_score(docs).filter(F.col("n_tokens") > 0)
+    b = q.select(
+        F.least(
+            (F.col("n_tokens") / 20).cast("int"), F.lit(9)
+        ).alias("len_bin"),
+        F.least(
+            F.greatest(
+                F.floor(F.col("quality_score") * 10).cast("int"),
+                F.lit(0),
+            ),
+            F.lit(9),
+        ).alias("q_bin"),
+    )
+    cells = b.groupBy("len_bin", "q_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    tot = b.agg(F.count(F.lit(1)).cast("double").alias("_n"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "len_bin",
+        "q_bin",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n"), 6).alias("frac"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry ordering — driver-verification coverage
 # --------------------------------------------------------------------------
