@@ -182,17 +182,36 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    summary = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n": len(timings),
+        "sf": sf_val,
+        "queries": timings,
+    }
+    # The driver records only the TAIL of stdout; round 4's single
+    # giant JSON line was head-truncated and BENCH_r04.json carried
+    # "parsed": null (VERDICT r4 #2). Fix: per-query detail goes to
+    # stderr and bench_detail.json; stdout carries exactly ONE final
+    # compact JSON line, so any tail capture contains it whole. The
+    # per-query dict is inlined only while it fits a conservative
+    # tail budget; past that it is replaced by the file pointer.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "bench_detail.json"), "w") as f:
+        json.dump(summary, f, indent=1, sort_keys=True)
+    print(json.dumps(summary), file=sys.stderr)
+    line = json.dumps(summary)
+    if len(line) > 3000:
+        compact = dict(summary)
+        compact.pop("queries")
+        compact["queries_file"] = "bench_detail.json"
+        compact["top5"] = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
         )
-    )
+        line = json.dumps(compact)
+    print(line)
 
 
 if __name__ == "__main__":

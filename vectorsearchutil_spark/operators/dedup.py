@@ -1227,7 +1227,10 @@ def scrub_duplicate_spans(
     detect from scrub; otherwise the detector runs with the given
     parameters. Spans must be recovered with positions here, so the
     scrub re-derives per-pair runs restricted to docs that lost a
-    pair. Returns (id, text, n_removed_tokens) for EVERY input doc:
+    pair, under the SAME full-corpus ``max_df`` stop-gram filter the
+    detector applies (pass the detector's ``width``/``max_df`` when
+    supplying a precomputed ``spans``, or the recovered runs diverge
+    from the detected ones). Returns (id, text, n_removed_tokens) for EVERY input doc:
     losers get token-rebuilt scrubbed text, untouched docs keep
     their ORIGINAL text verbatim with zero removed.
     """
@@ -1261,9 +1264,8 @@ def scrub_duplicate_spans(
         .unionByName(spans.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    grams = (
-        toks.join(sides, id_col, "left_semi")
-        .filter(F.expr(f"size(_toks) >= {int(width)}"))
+    grams_all = (
+        toks.filter(F.expr(f"size(_toks) >= {int(width)}"))
         .selectExpr(
             id_col,
             f"""posexplode(transform(
@@ -1273,6 +1275,23 @@ def scrub_duplicate_spans(
                     1, 15), 16, 10) AS BIGINT)
                 )) AS (p, h)""",
         )
+    )
+    # the SAME df <= max_df stop-gram filter the detector applies,
+    # computed over the FULL corpus (not just pair-side docs) so the
+    # scrub cuts exactly the runs the detector reported: without it,
+    # a detected pair that ALSO shares a >= min_span run of frequent
+    # grams (boilerplate — the operator's stated target) would lose
+    # tokens the detector/oracle exclude, and the unfiltered
+    # self-join reopens the sum(df^2) blow-up the cap exists to
+    # prevent (ADVICE r4 high). Window-over-h keeps the grams
+    # hash-distributed on the join key, as in the detector.
+    grams = (
+        grams_all.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("_df") <= int(max_df))
+        .join(sides, id_col, "left_semi")
+        .select(id_col, "p", "h")
     )
     a = grams.selectExpr(f"{id_col} AS id_a", "p AS pa", "h")
     b = grams.selectExpr(f"{id_col} AS id_b", "p AS pb", "h")

@@ -710,9 +710,33 @@ def pack_context_windows(
 
     from vectorsearchutil_spark.functions.text import tokens_sql
 
-    sized = df.selectExpr(
-        id_col, f"size({tokens_sql(text_col)}) AS n_tokens"
-    ).withColumn("_blk", F.floor(F.col(id_col) / F.lit(1024)))
+    # NUMERIC ids are a documented requirement: the packing order is
+    # ascending numeric id, and the two-level block decomposition is
+    # floor(id/1024). A non-numeric id must fail LOUDLY, not cast to
+    # NULL and collapse every row into one serial block (ADVICE r4
+    # low): coalesce short-circuits, so raise_error fires only on the
+    # first id whose bigint cast is null. Numeric-STRING ids are
+    # accepted and ordered numerically ('10' packs after '9'), which
+    # is the same order the block math needs.
+    _idn = F.coalesce(
+        F.col(id_col).cast("bigint"),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "pack_context_windows requires numeric ids; got "
+                    f"non-numeric {id_col}="
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("bigint"),
+    )
+    sized = (
+        df.selectExpr(
+            id_col, f"size({tokens_sql(text_col)}) AS n_tokens"
+        )
+        .withColumn("_idn", _idn)
+        .withColumn("_blk", F.floor(F.col("_idn") / F.lit(1024)))
+    )
     hist = sized.groupBy("_blk").agg(F.sum("n_tokens").alias("_bt"))
     carry_w = Window.orderBy("_blk").rowsBetween(
         Window.unboundedPreceding, -1
@@ -723,7 +747,7 @@ def pack_context_windows(
     )
     inner_w = (
         Window.partitionBy("_blk")
-        .orderBy(id_col)
+        .orderBy("_idn")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (

@@ -9302,9 +9302,53 @@ _ROUND4_WINDOW = [
 # entries. They are all strict-green in CORRECTNESS_SELF_r04 and are
 # the round-5 window's front-load, with a fresh regression overlap.
 
+#: Round-5 driver window. Composition (VERDICT r4 "Next round" #1):
+#:   1. ALL 43 entries added after the r4 window froze — the only
+#:      registry entries no driver round has ever checked. Green here
+#:      => cumulative driver coverage 188/188 and the registry is
+#:      closed.
+#:   2. 7 rotating veterans as regression overlap (ADVICE r3 #4 /
+#:      VERDICT r4 #3: one overlap query was not enough), one per
+#:      operator family and spanning rounds: tpch_q1 (r1 agg),
+#:      docs_pack_windows (r4; the judge's sub-second-regression
+#:      watch item), dedup_minhash_lsh (r1 dedup), knn_batch (r1
+#:      ANN), events_sessionize (r1 window), store_ingest_append
+#:      (r1 ingest/sink), zeroshot_softmax (r1 reference surface).
+#: Registry growth is FROZEN until this rotation closes (VERDICT r4
+#: #3): 43 + 7 exactly fills the ~50-row window, so any new entry
+#: would either queue unchecked or evict a backlog row.
+_ROUND5_WINDOW = [
+    # 1. never driver-checked (sessions 2-3 backlog; closes 188/188)
+    "ann_ivf_search_filtered", "customers_cdc_merge",
+    "customers_fuzzy_name_pairs", "dedup_minhash_recall",
+    "docs_bigram_logprob", "docs_calibrated_quality",
+    "docs_curriculum_order", "docs_duplicate_spans",
+    "docs_length_quality_histogram", "docs_ngram_diversity",
+    "docs_pareto_frontier", "docs_scrub_spans", "docs_snapshot_diff",
+    "docs_tfidf_cosine_pairs", "docs_unimax_allocation",
+    "docs_vocab_oov", "embeddings_dim_covariance",
+    "embeddings_dim_drift_psi", "embeddings_logreg_train",
+    "embeddings_random_projection", "events_attribution",
+    "events_basket_lift", "events_cohort_ltv",
+    "events_incident_overlap_join", "events_markov_transitions",
+    "events_ohlc_hourly", "events_running_distinct_hll",
+    "events_seasonality", "events_session_concurrency",
+    "events_time_to_convert", "events_trend_by_type",
+    "events_value_mad_outliers", "events_value_winsorized",
+    "graph_pagerank_neardup", "knn_binary_rerank",
+    "lineitem_weighted_median", "lineitem_weighted_quantiles",
+    "multimodal_ahash_neardup", "multimodal_image_ahash",
+    "orders_abc_analysis", "orders_neyman_sample",
+    "text_gopher_repetition", "text_token_pmi",
+    # 2. sliding regression overlap (driver-green veterans)
+    "tpch_q1_pricing_summary", "docs_pack_windows",
+    "dedup_minhash_lsh", "knn_batch", "events_sessionize",
+    "store_ingest_append", "zeroshot_softmax",
+]
+
 
 def _reorder_for_driver_window() -> None:
-    head = [n for n in _ROUND4_WINDOW if n in QUERIES]
+    head = [n for n in _ROUND5_WINDOW if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(head)]
     ordering = head + rest
     assert sorted(ordering) == sorted(QUERIES), "registry reorder lost entries"

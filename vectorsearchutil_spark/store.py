@@ -618,10 +618,25 @@ class VectorStore:
         lists_path = os.path.join(index_path, "lists")
         staged = lists_path + "__compact"
         shutil.rmtree(staged, ignore_errors=True)
+        # repartition BY KEY ONLY: repartition(N, "centroid_id") sets
+        # the TOTAL partition count (N=1 funneled the whole rewrite
+        # through one task — a scale bottleneck; ADVICE r4 low) and
+        # never meant files-per-list anyway. Hash-distributing on
+        # centroid_id gives one task per populated list at default
+        # parallelism; files per list is controlled by an explicit
+        # split key when >1 is requested, so the parameter does what
+        # its name says.
+        lists_df = self.spark.read.parquet(lists_path)
+        n = max(1, int(target_files_per_list))
+        if n > 1:
+            lists_df = lists_df.withColumn(
+                "_split",
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n)),
+            ).repartition("centroid_id", "_split").drop("_split")
+        else:
+            lists_df = lists_df.repartition("centroid_id")
         (
-            self.spark.read.parquet(lists_path)
-            .repartition(target_files_per_list, "centroid_id")
-            .write.mode("overwrite")
+            lists_df.write.mode("overwrite")
             .partitionBy("centroid_id")
             .parquet(staged)
         )

@@ -223,8 +223,16 @@ def streaming_attribution(
         (user_id,) = key
         (last_us,) = state.get if state.exists else (None,)
         out: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(
+        # ONE concat+sort over the whole micro-batch group: a group
+        # whose batch data spans multiple Arrow chunks
+        # (maxRecordsPerBatch) is NOT globally ordered chunk-by-chunk,
+        # and sorting chunks independently could attribute a purchase
+        # against state updated out of event-time order (ADVICE r4
+        # medium). Group data is already materialized per key and the
+        # state is one long, so the concat adds no asymptotic cost.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"], kind="mergesort"
             )
             ts_us = pdf["ts"].astype("int64") // 1000
