@@ -363,7 +363,21 @@ def ahash_neardup_pairs(
     stop-shingle cap of the n-gram dedup path. It bounds the worst
     bucket at the cost of completeness for pairs reachable ONLY
     through a stop band (near-uniform fingerprints); verified pairs
-    that do surface remain exact."""
+    that do surface remain exact.
+
+    Measured at the 125k-image probe (radius 3, 4 bands; r5): band
+    frequencies are long-tailed — p50=2, p99=73, max=2026, with the
+    top buckets all DEGENERATE values (0x0000, 0xAAAA, 0x5555: flat
+    or periodic images), and Σ bucket² = 41M candidate rows, 6.2 s
+    end-to-end. Capping at 2000 (~p99.97) saved 10% for a 0.3% pair
+    loss; 500 saved 29% but lost 29% of pairs (the degenerate-image
+    near-dups are REAL near-dups here). Default therefore stays
+    ``None`` — at this shape the uncapped cost is inherent banded-LSH
+    Σ bucket², not waste — but on corpora with heavy flat-image
+    boilerplate set ``max_band_freq`` ≈ the p99.9 band frequency
+    (≈ 50× the mean bucket) to bound the quadratic term; the
+    degenerate buckets are exactly where Σ bucket² turns O(N²) at
+    cluster scale."""
     assert n_bands in (2, 4, 8, 16) and max_hamming < n_bands
     w = 16 // n_bands  # hex chars per band
     # materialize the narrow (id, hash) signature table: the hash is
