@@ -142,7 +142,15 @@ def streaming_token_budget(
         budget = int(budgets.get(source, 0))
         (cum,) = state.get if state.exists else (0,)
         out: list[pd.DataFrame] = []
-        for pdf in pdfs:
+        # same chunk-ordering discipline as streaming_attribution
+        # (ADVICE r4 medium): a source whose micro-batch data spans
+        # multiple Arrow chunks is NOT globally order_col-ordered
+        # chunk-by-chunk, and greedy-prefix admission is
+        # order-sensitive — concat the whole group and sort ONCE.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [pd.concat(chunks, ignore_index=True)] if chunks else []
+        ):
             pdf = pdf.sort_values(order_col, kind="mergesort")
             admitted = []
             for _, row in pdf.iterrows():
