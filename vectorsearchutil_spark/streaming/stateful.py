@@ -17,6 +17,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -141,34 +142,36 @@ def streaming_token_budget(
         (source,) = key
         budget = int(budgets.get(source, 0))
         (cum,) = state.get if state.exists else (0,)
+        # chunk-ordering discipline (ADVICE r4 medium, both stateful
+        # ops): a source whose micro-batch data spans multiple Arrow
+        # chunks is NOT globally order_col-ordered chunk-by-chunk,
+        # and greedy-prefix admission is order-sensitive — concat the
+        # whole group and sort ONCE. The admission itself is a
+        # cumsum: cum advances over EVERY doc in order, a doc is
+        # admitted iff its inclusive cumulative stays within budget —
+        # vectorized (the iterrows form cost 2.6x at the 25x probe).
         out: list[pd.DataFrame] = []
-        # same chunk-ordering discipline as streaming_attribution
-        # (ADVICE r4 medium): a source whose micro-batch data spans
-        # multiple Arrow chunks is NOT globally order_col-ordered
-        # chunk-by-chunk, and greedy-prefix admission is
-        # order-sensitive — concat the whole group and sort ONCE.
         chunks = [pdf for pdf in pdfs if len(pdf)]
-        for pdf in (
-            [pd.concat(chunks, ignore_index=True)] if chunks else []
-        ):
-            pdf = pdf.sort_values(order_col, kind="mergesort")
-            admitted = []
-            for _, row in pdf.iterrows():
-                cum += int(row["n_tokens"])
-                if cum <= budget:
-                    admitted.append(
-                        (int(row["doc_id"]), source,
-                         int(row["n_tokens"]), cum)
-                    )
-            if admitted:
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values(
+                order_col, kind="mergesort"
+            )
+            cums = int(cum) + pdf["n_tokens"].astype("int64").cumsum()
+            mask = (cums <= budget).to_numpy()
+            if mask.any():
                 out.append(
                     pd.DataFrame(
-                        admitted,
-                        columns=[
-                            "doc_id", "source", "n_tokens", "cum_tokens"
-                        ],
+                        {
+                            "doc_id": pdf["doc_id"].to_numpy()[mask]
+                            .astype("int64"),
+                            "source": source,
+                            "n_tokens": pdf["n_tokens"].to_numpy()[mask]
+                            .astype("int64"),
+                            "cum_tokens": cums.to_numpy()[mask],
+                        }
                     )
                 )
+            cum = int(cums.iloc[-1])
         state.update((cum,))
         yield from iter(out)
 
@@ -243,32 +246,60 @@ def streaming_attribution(
             pdf = pd.concat(chunks, ignore_index=True).sort_values(
                 ["ts", "event_id"], kind="mergesort"
             )
-            ts_us = pdf["ts"].astype("int64") // 1000
-            for (_, row), t_us in zip(pdf.iterrows(), ts_us):
-                if row["event_type"] == "purchase":
-                    if last_us is None:
-                        label = "organic"
-                    else:
-                        # exact replay of the batch double expression
-                        dt = float(t_us) / 1e6 - float(last_us) / 1e6
-                        label = "attributed" if dt <= win else "expired"
-                    out.append(
-                        (
-                            int(user_id),
-                            int(row["event_id"]),
-                            float(row["value"]),
-                            None if last_us is None else int(last_us),
-                            label,
-                        )
-                    )
-                if row["event_type"] in touches:
-                    t = int(t_us)
-                    last_us = t if last_us is None else max(last_us, t)
+            # vectorized replay of the row loop (iterrows cost 3x at
+            # the 25x probe): each purchase attributes against the
+            # max touch timestamp STRICTLY BEFORE it in (ts,
+            # event_id) order, seeded with the carried state. NaN is
+            # "no touch yet"; np.fmax treats NaN as identity, so
+            # fmax.accumulate IS the running max over touches only,
+            # and the shift-by-one keeps same-row purchase/touch
+            # mutually exclusive semantics. Timestamps in micros are
+            # < 2^53, exact in the float64 lane; the dt expression is
+            # the identical two-division float form the batch twin
+            # compiles, so the window boundary cannot drift an ulp.
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            et = pdf["event_type"].to_numpy()
+            touch_ts = np.where(
+                np.isin(et, list(touches)),
+                ts_us.astype("float64"),
+                np.nan,
+            )
+            run = np.fmax.accumulate(touch_ts)
+            prior = np.concatenate(([np.nan], run[:-1]))
+            if last_us is not None:
+                prior = np.fmax(prior, float(last_us))
+            is_p = et == "purchase"
+            if is_p.any():
+                pr = prior[is_p]
+                t = ts_us[is_p]
+                organic = np.isnan(pr)
+                dt = t.astype("float64") / 1e6 - pr / 1e6
+                label = np.where(
+                    organic,
+                    "organic",
+                    np.where(dt <= win, "attributed", "expired"),
+                )
+                frame = pd.DataFrame(
+                    {
+                        "user_id": np.int64(user_id),
+                        "purchase_event_id": pdf["event_id"]
+                        .to_numpy()[is_p].astype("int64"),
+                        "revenue": pdf["value"].to_numpy()[is_p]
+                        .astype("float64"),
+                        "last_touch_us": pd.Series(pr)
+                        .astype("object")
+                        .where(~organic, None)
+                        .map(lambda v: v if v is None else int(v)),
+                        "attribution": label,
+                    }
+                )
+                out.append(frame)
+            if not np.isnan(run[-1]):
+                t = int(run[-1])
+                last_us = t if last_us is None else max(last_us, t)
         state.update((last_us,))
         if out:
-            yield pd.DataFrame(
-                out, columns=[f.name for f in ATTRIB_OUTPUT_SCHEMA]
-            )
+            yield pd.concat(out, ignore_index=True)
 
     return events.groupBy("user_id").applyInPandasWithState(
         _attribute,
