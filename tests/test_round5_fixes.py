@@ -1,0 +1,256 @@
+"""Regression tests pinning the round-5 fixes (ADVICE r4): the
+scrub's full-corpus stop-gram filter, pack_context_windows numeric-id
+enforcement, optimize_ann_index files-per-list semantics, and the
+stateful streaming chunk-ordering discipline under a tiny Arrow
+batch size (the multi-chunk case the defects hid in)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_scrub_excludes_stop_gram_runs(spark):
+    """A detected pair that ALSO shares a boilerplate run of frequent
+    grams (df > max_df) must lose only the rare run the detector
+    reported — the stop-gram filter applies to the scrub's gram
+    table too, computed over the FULL corpus (ADVICE r4 high)."""
+    from vectorsearchutil_spark.operators.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(12))   # in 8 docs: df=8
+    rare = " ".join(f"r{i}" for i in range(12))     # in 2 docs: df=2
+    rows = [
+        (1, f"x1 {boiler} {rare} x2"),
+        (2, f"y1 {rare} y2 {boiler} y3"),
+    ] + [(i, f"z{i}a {boiler} z{i}b") for i in range(3, 9)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kw = dict(width=4, min_span=12, max_df=5)
+    spans = {
+        (r["id_a"], r["id_b"]): (r["longest_span"], r["n_spans"])
+        for r in duplicate_spans(df, **kw).collect()
+    }
+    # detector: ONLY the rare run pairs 1-2; boilerplate grams are
+    # stop-filtered so the 8 boilerplate carriers produce no pairs
+    assert spans == {(1, 2): (12, 1)}
+
+    got = {
+        r["doc_id"]: (r["text"], r["n_removed_tokens"])
+        for r in scrub_duplicate_spans(df, **kw).collect()
+    }
+    # loser (doc 2) loses exactly the 12 rare tokens — the
+    # boilerplate run survives because its grams are stop-filtered
+    assert got[2][1] == 12
+    assert "b0" in got[2][0] and "b11" in got[2][0]
+    assert "r0" not in got[2][0]
+    # winner and boilerplate-only docs untouched
+    assert got[1][1] == 0
+    assert all(got[i][1] == 0 for i in range(3, 9))
+
+
+def test_pack_context_windows_rejects_non_numeric_ids(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_context_windows,
+    )
+
+    bad = spark.createDataFrame(
+        [("a", "one two three"), ("b", "four five")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(Exception, match="requires numeric ids"):
+        pack_context_windows(bad, capacity=4).collect()
+
+
+def test_pack_context_windows_numeric_string_ids_order_numerically(
+    spark,
+):
+    """Numeric-string ids pack in NUMERIC order ('9' before '10'),
+    matching the block decomposition's arithmetic."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_context_windows,
+    )
+
+    df = spark.createDataFrame(
+        [("10", "t1 t2 t3"), ("9", "u1 u2")],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["n_tokens"])
+        for r in pack_context_windows(df, capacity=4).collect()
+    }
+    assert got["9"] == (0, 2)
+    assert got["10"] == (2, 3)
+
+
+def test_optimize_ann_index_files_per_list(spark, tmp_path):
+    """target_files_per_list > 1 yields up to that many files per
+    centroid partition (split-key controlled), and query results are
+    unchanged (ADVICE r4 low: the old repartition(N, key) collapsed
+    the whole rewrite into N total partitions)."""
+    import glob
+    import os
+    from collections import Counter
+
+    import numpy as np
+
+    from vectorsearchutil_spark.store import VectorStore
+
+    rng = np.random.RandomState(23)
+    rows = [
+        (f"doc {i}", [float(x) for x in rng.randn(8)])
+        for i in range(400)
+    ]
+    path = str(tmp_path / "annstore.parquet")
+    vs = VectorStore(spark, path=path)
+    vs.set_data(spark.createDataFrame(rows, ["target", "vector"]))
+    vs.build_ann_index(n_lists=4)
+
+    qvec = rows[123][1]
+    exact = [r["id"] for r in vs.query_ann(qvec, k=5, n_probe=4).collect()]
+
+    n_files = vs.optimize_ann_index(target_files_per_list=2)
+    lists = os.path.join(vs._ivf_path, "lists")
+    per_list = Counter(
+        os.path.basename(os.path.dirname(p))
+        for p in glob.glob(
+            os.path.join(lists, "**", "*.parquet"), recursive=True
+        )
+    )
+    assert sum(per_list.values()) == n_files
+    assert per_list and all(1 <= c <= 2 for c in per_list.values())
+    # with ~100 rows per list, both hash splits are populated
+    assert any(c == 2 for c in per_list.values())
+    got = [r["id"] for r in vs.query_ann(qvec, k=5, n_probe=4).collect()]
+    assert got == exact
+
+
+@pytest.fixture()
+def tiny_arrow_batches(spark):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, "7")
+    yield
+    if old is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, old)
+
+
+def test_token_budget_multichunk_global_order(
+    spark, tmp_path, tiny_arrow_batches
+):
+    """With Arrow batches of 7 rows and SHUFFLED arrival, one
+    source's micro-batch data spans many chunks: admission must
+    still follow the GLOBAL order_col order (the per-chunk-sort
+    defect, ADVICE r4 medium applied to token budget)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.streaming.stateful import (
+        streaming_token_budget,
+    )
+
+    docs = spark.range(100).selectExpr(
+        "id AS doc_id",
+        "'s0' AS source",
+        "pmod(xxhash64(id, 3), 50) + 5 AS n_tokens",
+        "id AS _ord",
+    )
+    budget = {"s0": 900}
+    # expected: greedy prefix over _ord order
+    rows = sorted(
+        ((r["doc_id"], r["n_tokens"]) for r in docs.collect()),
+    )
+    cum, expected = 0, {}
+    for doc_id, n in rows:
+        cum += n
+        if cum <= budget["s0"]:
+            expected[doc_id] = cum
+
+    src = str(tmp_path / "src")
+    docs.orderBy(F.expr("xxhash64(doc_id, 9)")).coalesce(1).write.parquet(
+        src
+    )
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (
+        streaming_token_budget(stream, budget, order_col="_ord")
+        .writeStream.format("memory")
+        .queryName("tb_multichunk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["doc_id"]: r["cum_tokens"]
+        for r in spark.table("tb_multichunk").collect()
+    }
+    assert got == expected
+
+
+def test_attribution_multichunk_global_order(
+    spark, tmp_path, tiny_arrow_batches
+):
+    """Purchases attribute against the touch-state as of their
+    position in GLOBAL (ts, event_id) order even when the user's
+    micro-batch data spans many Arrow chunks (ADVICE r4 medium)."""
+    import pyspark.sql.functions as F
+
+    from vectorsearchutil_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    # one user, alternating touches and purchases; a purchase right
+    # after a long gap is 'expired', early ones 'organic'
+    events = spark.range(60).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(cast(1700000000000000 + "
+        "  CASE WHEN id < 3 THEN id * 1000000 "
+        "       ELSE id * 1000000000 END AS BIGINT)) AS ts",
+        "cast(7 AS BIGINT) AS user_id",
+        "CASE WHEN pmod(id, 3) = 2 THEN 'purchase' "
+        "     WHEN pmod(id, 3) = 1 THEN 'click' "
+        "     ELSE 'other' END AS event_type",
+        "cast(id AS DOUBLE) AS value",
+    )
+    # expected via the same semantics computed serially
+    rows = sorted(
+        (
+            (int(r["ts"].timestamp() * 1_000_000), r["event_id"],
+             r["event_type"], r["value"])
+            for r in events.collect()
+        )
+    )
+    last, expected = None, {}
+    for t_us, eid, et, val in rows:
+        if et == "purchase":
+            if last is None:
+                expected[eid] = (None, "organic")
+            else:
+                dt = t_us / 1e6 - last / 1e6
+                expected[eid] = (
+                    last, "attributed" if dt <= 3600.0 else "expired"
+                )
+        if et == "click":
+            last = t_us if last is None else max(last, t_us)
+
+    src = str(tmp_path / "src")
+    events.orderBy(F.expr("xxhash64(event_id, 5)")).coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema(events.schema).parquet(src)
+    q = (
+        streaming_attribution(stream)
+        .writeStream.format("memory")
+        .queryName("attr_multichunk")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["purchase_event_id"]: (r["last_touch_us"], r["attribution"])
+        for r in spark.table("attr_multichunk").collect()
+    }
+    assert got == expected

@@ -719,7 +719,7 @@ def pack_context_windows(
     # accepted and ordered numerically ('10' packs after '9'), which
     # is the same order the block math needs.
     _idn = F.coalesce(
-        F.col(id_col).cast("bigint"),
+        F.expr(f"try_cast({id_col} AS BIGINT)"),
         F.raise_error(
             F.concat(
                 F.lit(

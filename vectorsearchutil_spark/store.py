@@ -623,22 +623,31 @@ class VectorStore:
         # through one task — a scale bottleneck; ADVICE r4 low) and
         # never meant files-per-list anyway. Hash-distributing on
         # centroid_id gives one task per populated list at default
-        # parallelism; files per list is controlled by an explicit
-        # split key when >1 is requested, so the parameter does what
-        # its name says.
-        lists_df = self.spark.read.parquet(lists_path)
+        # parallelism; files per list is controlled with
+        # maxRecordsPerFile sized to the LARGEST list (enforced per
+        # output file, so it survives AQE coalescing tasks together —
+        # a split-key repartition does not), so the parameter does
+        # what its name says: the biggest list lands in exactly
+        # `target_files_per_list` files, smaller lists in
+        # proportionally fewer.
+        lists_df = self.spark.read.parquet(lists_path).repartition(
+            "centroid_id"
+        )
+        writer = lists_df.write.mode("overwrite")
         n = max(1, int(target_files_per_list))
         if n > 1:
-            lists_df = lists_df.withColumn(
-                "_split",
-                F.pmod(F.xxhash64(F.col("id")), F.lit(n)),
-            ).repartition("centroid_id", "_split").drop("_split")
-        else:
-            lists_df = lists_df.repartition("centroid_id")
+            biggest = (
+                lists_df.groupBy("centroid_id")
+                .count()
+                .agg(F.max("count"))
+                .collect()[0][0]
+                or 1
+            )
+            writer = writer.option(
+                "maxRecordsPerFile", max(1, -(-int(biggest) // n))
+            )
         (
-            lists_df.write.mode("overwrite")
-            .partitionBy("centroid_id")
-            .parquet(staged)
+            writer.partitionBy("centroid_id").parquet(staged)
         )
         old = lists_path + "__old"
         shutil.rmtree(old, ignore_errors=True)
