@@ -452,3 +452,121 @@ def test_calibrated_quality_windows_over_aggregates(spark, sf_dir):
     )._jdf.queryExecution().optimizedPlan().toString()
     w = logical.find("Window")
     assert w >= 0 and "Aggregate" in logical[w:]
+
+
+# -- round-5 window plan pins: the 43-query rotation's scale posture --
+
+
+def test_mad_outliers_windows_over_aggregates(spark, sf_dir):
+    """Both medians come from histogram refinement: every Window input
+    passed through a partial aggregate, bounds broadcast back — no
+    raw-row sort, no sort-merge join of the fact table."""
+    plan = formatted_plan(
+        Q.QUERIES["events_value_mad_outliers"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    before_first_window = plan.split("Window")[0]
+    assert "HashAggregate" in before_first_window
+
+
+def test_ahash_neardup_cached_signatures_no_cartesian(spark, sf_dir):
+    """The banded self-join runs off the CACHED narrow signature
+    table (the 132 s -> 1.9 s Catalyst-inlining fix) and never goes
+    cartesian — candidates come from (band, value) equi-joins."""
+    plan = formatted_plan(
+        Q.QUERIES["multimodal_ahash_neardup"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tfidf_cosine_pairs_equi_joins_only(spark, sf_dir):
+    """Sparse cosine via token-postings equi-join: no cartesian and
+    no nested-loop anywhere — the pair space is the df-capped
+    posting-list join, not an all-pairs comparison."""
+    plan = formatted_plan(
+        Q.QUERIES["docs_tfidf_cosine_pairs"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_anchor_equi_join(spark, sf_dir):
+    """Span detection joins 60-bit gram anchors (equi), never raw
+    text: no cartesian, and the only join inputs are the narrow
+    (id, pos, hash) projections."""
+    plan = formatted_plan(
+        Q.QUERIES["docs_duplicate_spans"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_attribution_windows_partitioned_by_user(spark, sf_dir):
+    """The batch attribution window is per-user — a global
+    unpartitioned window over raw events would serialize the whole
+    table through one task."""
+    plan = formatted_plan(Q.QUERIES["events_attribution"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the window spec names the user partition key
+    window_section = plan.split("Window")[1] if "Window" in plan else ""
+    assert "user_id" in window_section
+
+
+def test_binary_rerank_take_ordered(spark, sf_dir):
+    """Hamming prefilter + exact rerank ends in TakeOrderedAndProject
+    — top-k never global-sorts the candidate set."""
+    plan = formatted_plan(Q.QUERIES["knn_binary_rerank"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incident_overlap_bucketed_equi_join(spark, sf_dir):
+    """Interval overlap joins through canonical buckets (equi-join
+    keys), NOT the bare range predicate Spark would nested-loop."""
+    plan = formatted_plan(
+        Q.QUERIES["events_incident_overlap_join"](spark, sf_dir)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "events_basket_lift",
+        "embeddings_dim_covariance",
+        "text_token_pmi",
+        "events_running_distinct_hll",
+        "orders_abc_analysis",
+        "events_cohort_ltv",
+        "events_time_to_convert",
+        "docs_ngram_diversity",
+        "dedup_minhash_recall",
+        "text_gopher_repetition",
+        "lineitem_weighted_quantiles",
+        "embeddings_dim_drift_psi",
+        "embeddings_random_projection",
+        "docs_unimax_allocation",
+        "docs_curriculum_order",
+        "events_trend_by_type",
+        "events_seasonality",
+        "customers_cdc_merge",
+        "docs_scrub_spans",
+        "orders_neyman_sample",
+    ],
+)
+def test_window_queries_no_cartesian_no_sortmerge_fact_join(
+    spark, sf_dir, name
+):
+    """Blanket scale pin for the round-5 rotation: no cartesian
+    products, and any nested-loop join is broadcast-bounded (the
+    sanctioned 1-row aggregate / label / grid cross joins) — a
+    CartesianProduct or an unbounded nested loop is how an operator
+    silently goes quadratic at 100x."""
+    plan = formatted_plan(Q.QUERIES[name](spark, sf_dir))
+    assert "CartesianProduct" not in plan
