@@ -387,10 +387,24 @@ def ahash_neardup_pairs(
     # band/verify reference and planning+eval time explodes (measured
     # 132 s -> 1.9 s at sf0.01; same discipline as dedup.py's cached
     # shingle tables)
-    hashed = hashed.select(id_col, hash_col).cache()
+    # ... and decode the hex ONCE here: the four 16-bit verify chunks
+    # become long columns of the cached table, so the per-candidate
+    # popcount downstream is pure long xor+bit_count — conv(substring)
+    # per CANDIDATE row was the hot loop (3.3M candidates x 16 string
+    # decodes cost ~6 s at sf0.1; longs are nanoseconds)
+    hashed = hashed.select(
+        id_col,
+        hash_col,
+        *[
+            F.conv(F.substring(F.col(hash_col), j * 4 + 1, 4), 16, 10)
+            .cast("long")
+            .alias(f"_q{j}")
+            for j in range(4)
+        ],
+    ).cache()
     chunks = hashed.select(
         F.col(id_col).alias("_id"),
-        F.col(hash_col).alias("_h"),
+        *[F.col(f"_q{j}") for j in range(4)],
         F.explode(
             F.array(
                 *[
@@ -404,7 +418,12 @@ def ahash_neardup_pairs(
                 ]
             )
         ).alias("_c"),
-    ).select("_id", "_h", F.col("_c.j").alias("_j"), F.col("_c.v").alias("_v"))
+    ).select(
+        "_id",
+        *[f"_q{j}" for j in range(4)],
+        F.col("_c.j").alias("_j"),
+        F.col("_c.v").alias("_v"),
+    )
     if max_band_freq is not None:
         keep = (
             chunks.groupBy("_j", "_v")
@@ -413,36 +432,42 @@ def ahash_neardup_pairs(
             .select("_j", "_v")
         )
         chunks = chunks.join(F.broadcast(keep), ["_j", "_v"])
-    cand = (
-        chunks.alias("a")
-        .join(
-            chunks.select(
-                F.col("_id").alias("_id2"), "_j", F.col("_v").alias("_v2")
-            ).alias("b"),
-            (F.col("a._j") == F.col("b._j")) & (F.col("a._v") == F.col("_v2")),
-        )
-        .filter(F.col("_id") < F.col("_id2"))
-        .select("_id", "_id2")
-        .distinct()
-    )
-    h = hashed.select(F.col(id_col).alias("_id"), F.col(hash_col).alias("_h"))
-    attached = cand.join(h, "_id").join(
-        h.select(F.col("_id").alias("_id2"), F.col("_h").alias("_h2")), "_id2"
-    )
+    # verify BEFORE distinct: both sides of the band join carry the
+    # pre-decoded 16-bit verify chunks, so the exact popcount runs
+    # inside the join's codegen stage over the raw candidate stream
+    # (long xor+bit_count only) and only TRUE pairs reach the dedup
+    # shuffle. The previous shape
+    # (distinct on candidates, then two joins back to the signature
+    # table) shuffled the entire sum-of-bucket^2 candidate set —
+    # 3.3M rows for 5k images at radius 7's 8-bit bands (only 256
+    # bucket values), 4.2 s of the query's 3.2 s wall; filtering
+    # first cuts the distinct input to the answer size (~120 rows)
+    # and deletes both re-join stages. Results are bit-identical:
+    # the popcount per pair does not depend on which band matched.
     dist = sum(
         F.bit_count(
-            F.conv(F.substring("_h", j * 4 + 1, 4), 16, 10).cast("long").bitwiseXOR(
-                F.conv(F.substring("_h2", j * 4 + 1, 4), 16, 10).cast("long")
-            )
+            F.col(f"_q{j}").bitwiseXOR(F.col(f"_r{j}"))
         )
         for j in range(4)
     )
     return (
-        attached.withColumn("_d", dist.cast("int"))
+        chunks.alias("a")
+        .join(
+            chunks.select(
+                F.col("_id").alias("_id2"),
+                *[F.col(f"_q{j}").alias(f"_r{j}") for j in range(4)],
+                "_j",
+                F.col("_v").alias("_v2"),
+            ).alias("b"),
+            (F.col("a._j") == F.col("b._j")) & (F.col("a._v") == F.col("_v2")),
+        )
+        .filter(F.col("_id") < F.col("_id2"))
+        .withColumn("_d", dist.cast("int"))
         .filter(F.col("_d") <= max_hamming)
         .select(
             F.col("_id").alias("id_a"),
             F.col("_id2").alias("id_b"),
             F.col("_d").alias("hamming"),
         )
+        .distinct()
     )
