@@ -254,3 +254,78 @@ def test_attribution_multichunk_global_order(
         for r in spark.table("attr_multichunk").collect()
     }
     assert got == expected
+
+
+@pytest.mark.parametrize(
+    "max_hamming,n_bands",
+    [(1, 2), (1, 4), (3, 4), (3, 8), (7, 8), (7, 16)],
+)
+def test_ahash_neardup_brute_force_all_band_layouts(
+    spark, max_hamming, n_bands
+):
+    """The verify-before-distinct restructure must stay exact across
+    every band layout: pigeonhole completeness is per-layout, and the
+    pre-decoded long chunks must reproduce the full 64-bit hamming
+    regardless of band width."""
+    import itertools
+    import random
+
+    from vectorsearchutil_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+    )
+
+    rng = random.Random(max_hamming * 31 + n_bands)
+    hashes = {0: rng.getrandbits(64)}
+    for i in range(1, 40):
+        v = hashes[rng.randrange(0, i)]
+        for _ in range(rng.randint(0, max_hamming + 2)):
+            v ^= 1 << rng.randrange(64)
+        hashes[i] = v
+    df = spark.createDataFrame(
+        [(i, format(v, "016x")) for i, v in hashes.items()],
+        ["doc_id", "ahash"],
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in ahash_neardup_pairs(
+            df, max_hamming=max_hamming, n_bands=n_bands
+        ).collect()
+    )
+    exp = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= max_hamming
+    )
+    assert got == exp
+
+
+def test_pack_context_windows_matches_brute_force(spark):
+    """Offsets equal the single-pass cumulative definition over
+    ascending numeric ids — including negative ids (floor-division
+    blocks) and ids straddling the 1024 block boundary."""
+    import random
+
+    from vectorsearchutil_spark.operators.textanalysis import (
+        pack_context_windows,
+    )
+
+    rng = random.Random(42)
+    ids = rng.sample(range(-3000, 5000), 300)
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(rng.randint(1, 30))))
+        for i in ids
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"],
+            r["first_window"], r["last_window"], r["n_windows"],
+        )
+        for r in pack_context_windows(df, capacity=64).collect()
+    }
+    off = 0
+    for i, text in sorted(rows):
+        n = len(text.split())
+        first, last = off // 64, (off + n - 1) // 64
+        assert got[i] == (n, off, first, last, last - first + 1), i
+        off += n
