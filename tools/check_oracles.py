@@ -16,13 +16,14 @@ from __future__ import annotations
 import decimal
 import json
 import math
+import os
 import sys
 import time
 
 ROOT = "/root/repo"
 sys.path.insert(0, ROOT)
 
-SF_DIR = "/root/testdata/sf0.01"
+SF_DIR = os.environ.get("CHECK_ORACLES_SF_DIR", "/root/testdata/sf0.01")
 
 
 class DriverIncompatible(Exception):

@@ -7904,8 +7904,8 @@ mad AS (
   WHERE cum >= tot / 2.0 GROUP BY grp
 )
 SELECT e.event_id, e.event_type, e.value,
-       ROUND(0.6745 * (e.value - m.med) / d.mad, 4) + 0.0
-         AS robust_z
+       FLOOR((0.6745 * (e.value - m.med) / d.mad) * 10000 + 0.5)
+         / 10000.0 + 0.0 AS robust_z
 FROM events e
 JOIN med m ON m.grp = e.event_type
 JOIN mad d ON d.grp = e.event_type
@@ -7958,7 +7958,15 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.col("grp").alias("event_type"),
             F.col("v").alias("value"),
-            F.round(z, 4).alias("robust_z"),
+            # floor(z·1e4 + 0.5)/1e4, NOT F.round: Spark rounds the
+            # exact binary expansion (BigDecimal HALF_UP) while DuckDB
+            # rounds the scaled double, so a quotient landing on a
+            # .xxxx5 boundary flips the last digit between engines
+            # (first seen at sf0.1: 3.8522 vs 3.8523). The floor form
+            # is the same IEEE ops on both sides — bit-deterministic.
+            (F.floor(z * 10000 + F.lit(0.5)) / 10000.0).alias(
+                "robust_z"
+            ),
         )
     )
 
