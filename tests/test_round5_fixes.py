@@ -329,3 +329,42 @@ def test_pack_context_windows_matches_brute_force(spark):
         first, last = off // 64, (off + n - 1) // 64
         assert got[i] == (n, off, first, last, last - first + 1), i
         off += n
+
+
+def test_mad_zscore_rounding_matches_duckdb_on_boundary(spark, tmp_path):
+    """Cross-engine rounding determinism (found by the sf0.1 sweep):
+    a z-score landing on a decimal half-way boundary must round the
+    same way on Spark and DuckDB. F.round (BigDecimal HALF_UP on the
+    exact binary expansion) vs DuckDB ROUND (round of the scaled
+    double) flip the last digit on such values; the query's floor-form
+    floor(z*1e4+0.5)/1e4 is identical IEEE arithmetic in both."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from vectorsearchutil_spark import queries as Q
+
+    # value domain engineered so one z-score sits on a .xxxx5
+    # boundary: group median 10.0, MAD 2.0 => z = 0.6745*(v-10)/2.
+    # v = 10 + 2*4.15975/0.6745 gives z ≈ 4.15975 (a 5 in the 5th
+    # decimal) — beyond the 3.5 cutoff so the row is emitted.
+    vals = [10.0] * 3 + [8.0, 12.0] * 5
+    vals.append(10.0 + 2 * 4.15975 / 0.6745)
+    rows = [(i, "t", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    d = str(tmp_path)
+    df.write.mode("overwrite").parquet(f"{d}/events.parquet")
+
+    got = {
+        r["event_id"]: r["robust_z"]
+        for r in Q.QUERIES["events_value_mad_outliers"](spark, d).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    sql = entry_mod.oracle_sql()["events_value_mad_outliers"]
+    want = {eid: z for eid, _t, _v, z in con.execute(sql).fetchall()}
+
+    assert got == want
+    assert len(got) >= 1  # the boundary row actually came out
