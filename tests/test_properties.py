@@ -399,3 +399,52 @@ def test_token_entropy_bounds(spark, token_lists):
     for r in token_entropy(docs).collect():
         hi = math.log2(r["n_distinct"]) + 5e-5
         assert -5e-5 <= r["entropy_bits"] <= hi
+
+
+wq_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                       # group
+        st.floats(-1e6, 1e6, allow_nan=False,
+                  allow_infinity=False),         # value (dups likely
+                                                 # via small grid too)
+        st.integers(1, 9),                       # integer weight
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(wq_rows, st.sampled_from([0.1, 0.5, 0.9, 1.0]))
+def test_weighted_quantile_exact_matches_bruteforce(spark, rows, q):
+    """Histogram-refinement weighted quantile ≡ the order-statistic
+    definition (smallest v with W(≤v) ≥ q·W) on arbitrary grouped
+    integer-weighted data — the exactness claim in the docstring,
+    checked per group against a python brute force."""
+    from vectorsearchutil_spark.operators.sketches import (
+        weighted_median_exact,
+    )
+
+    df = spark.createDataFrame(
+        rows, "g int, v double, w int"
+    ).repartition(5)
+    got = {
+        r["g"]: r["wq"]
+        for r in weighted_median_exact(
+            df, "g", "v", "w", out_col="wq", quantile=q
+        ).collect()
+    }
+
+    by_g = {}
+    for g, v, w in rows:
+        by_g.setdefault(g, []).append((v, w))
+    for g, vw in by_g.items():
+        tot = sum(w for _, w in vw)
+        cum = 0
+        want = None
+        for v, w in sorted(vw):
+            cum += w
+            if cum >= q * tot:
+                want = v
+                break
+        assert got[g] == want, (g, q, sorted(vw), got[g], want)
