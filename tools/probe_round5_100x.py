@@ -163,5 +163,113 @@ def main():
             print(f"{name}: FAILED {type(e).__name__}: {e}", flush=True)
 
 
+
+
+# -- wave 2: the remaining top-cost bench families at 100x ------------
+
+def probe_fuzzy_pairs_100x(spark):
+    from vectorsearchutil_spark.operators.fuzzyjoin import fuzzy_pairs_ed1
+
+    # 1.5M 10-char keys at ~12% density of a 1.25e7 space: 4x the
+    # strings AND ~4x the neighbor density of the 25x probe, so the
+    # pair output grows ~16x — the honest quadratic-output regime.
+    df = spark.range(1_500_000).selectExpr(
+        "id AS k",
+        "concat('u', lpad(cast(pmod(id * 37, 12500000) as string),"
+        " 9, '0')) AS s",
+    ).cache()
+    df.count()
+    t0 = time.time()
+    n = fuzzy_pairs_ed1(df, "k", "s").count()
+    dt = time.time() - t0
+    df.unpersist()
+    return f"{dt:.1f}s @ 1.5M strings -> {n} ed<=1 pairs (25x: 4.1s @ 375k -> 188716)"
+
+
+def probe_pagerank_100x(spark):
+    from vectorsearchutil_spark.operators.graph import pagerank_over_pairs
+
+    pairs = spark.range(8_000_000).selectExpr(
+        "pmod(xxhash64(id, 1), 800000) AS id_a",
+        "800000 + pmod(xxhash64(id, 2), 800000) AS id_b",
+    ).cache()
+    pairs.count()
+    t0 = time.time()
+    pagerank_over_pairs(pairs, iters=3).count()
+    dt = time.time() - t0
+    pairs.unpersist()
+    return f"{dt:.1f}s @ 8M edges / 1.6M nodes, 3 iters (25x: 8.9s @ 2M edges)"
+
+
+def probe_duplicate_spans_100x(spark):
+    from vectorsearchutil_spark.operators.dedup import duplicate_spans
+
+    # same bounded-frequency regime as the 25x probe: 10% of docs
+    # share one 40-token block with exactly ONE partner (25k pairs)
+    docs = spark.range(N_DOCS).selectExpr(
+        "id AS doc_id",
+        "concat("
+        " concat_ws(' ', transform(sequence(1, 20 +"
+        "   cast(pmod(xxhash64(id, 5), 60) AS INT)),"
+        "   i -> concat('u', id, '_', i))),"
+        " IF(id % 10 < 2,"
+        "    concat(' ', concat_ws(' ', transform(sequence(1, 40),"
+        "      i -> concat('blk', id div 10, '_', i)))), ''),"
+        " ' ', concat_ws(' ', transform(sequence(1, 20),"
+        "   i -> concat('v', id, '_', i)))"
+        ") AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = duplicate_spans(docs, width=8, min_span=12).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 500k docs -> {n} span pairs (25x: 7.7s @ 125k -> 12500)"
+
+
+def probe_connected_components_100x(spark):
+    from vectorsearchutil_spark.operators.dedup import connected_components
+
+    # 8M edges / 4M nodes in ~1.3M small components (forced
+    # distributed path — above the 2M driver_max_edges gate)
+    pairs = spark.range(8_000_000).selectExpr(
+        "pmod(xxhash64(id, 1), 4000000) AS id_a",
+        "pmod(xxhash64(id, 2), 4000000) AS id_b",
+    ).where("id_a != id_b").cache()
+    pairs.count()
+    t0 = time.time()
+    n = connected_components(pairs).count()
+    dt = time.time() - t0
+    pairs.unpersist()
+    return f"{dt:.1f}s @ 8M edges / 4M nodes -> {n} labelled nodes (distributed path)"
+
+
+def probe_semdedup_100x(spark):
+    from vectorsearchutil_spark.operators.similarity import semdedup
+
+    emb = spark.range(500_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> pmod(xxhash64(id, j), 1000)"
+        " / 1000.0) AS embedding",
+    ).cache()
+    emb.count()
+    t0 = time.time()
+    semdedup(emb, k=32, iterations=2, threshold=0.95).count()
+    dt = time.time() - t0
+    emb.unpersist()
+    return f"{dt:.1f}s @ 500k x 64-dim, k=32 (25x: 8.7s @ 125k)"
+
+
+PROBES.update(
+    {
+        "fuzzy_pairs_100x": probe_fuzzy_pairs_100x,
+        "pagerank_100x": probe_pagerank_100x,
+        "duplicate_spans_100x": probe_duplicate_spans_100x,
+        "connected_components_100x": probe_connected_components_100x,
+        "semdedup_100x": probe_semdedup_100x,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
