@@ -1,0 +1,40 @@
+"""Registry-wide empty-input sweep: every ``queries()`` entry must
+EXECUTE against 0-row copies of all ten tables (empty-in → empty-out
+at the query surface; operator-level model fits may raise a declared
+ValueError, but no registry query may die with an IndexError /
+TypeError / ZeroDivisionError). This is the systematic version of the
+hand-picked degenerate sweep in test_edge_inputs.py — it found 22
+crashing queries when first run (probe-vector fetches subscripting
+None, k-means/PQ/MLP fits indexing empty arrays, PageRank dividing by
+a zero node count, an ingest cutoff int()-ing a null max)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from vectorsearchutil_spark import queries as Q
+
+SRC_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("empty_sf"))
+    for p in glob.glob(f"{SRC_SF}/*.parquet"):
+        spark.read.parquet(p).limit(0).write.mode("overwrite").parquet(
+            os.path.join(d, os.path.basename(p))
+        )
+    return d
+
+
+def test_every_query_executes_on_empty_tables(spark, empty_sf):
+    crashed = {}
+    for name, fn in Q.QUERIES.items():
+        try:
+            fn(spark, empty_sf).count()
+        except Exception as e:  # noqa: BLE001 — collecting the sweep
+            crashed[name] = f"{type(e).__name__}: {e}"
+    assert not crashed, f"queries crashing on empty input: {crashed}"

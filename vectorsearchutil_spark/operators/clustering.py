@@ -172,6 +172,16 @@ def _kmeans_driver(
     import numpy as np
 
     rows = work.orderBy(id_col).collect()
+    spark = work.sparkSession
+    if not rows:
+        # empty-in, empty-out (Spark convention): no data, no
+        # clusters — found by the registry-wide empty-input sweep
+        return (
+            spark.createDataFrame(
+                [], f"{id_col} long, cluster int, distance double"
+            ),
+            spark.createDataFrame([], "cid int, cv array<double>"),
+        )
     ids = [r[0] for r in rows]
     X = np.array([r[1] for r in rows], dtype=np.float64)
     cents = [X[i].tolist() for i in range(min(k, len(ids)))]
@@ -192,7 +202,6 @@ def _kmeans_driver(
     C = np.array(cents, dtype=np.float64)
     a = assign(C)
     dist = np.sqrt(((X - C[a]) ** 2).sum(axis=1))
-    spark = work.sparkSession
     assignments = spark.createDataFrame(
         [
             (int(i), int(c), float(d))

@@ -174,7 +174,9 @@ def dim_covariance(
     spark = emb.sparkSession
     d_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if d_row is None:
-        raise ValueError("dim_covariance: empty input")
+        # empty-in, empty-out (no rows → no covariance cells); the
+        # dimension is unknowable here so no matrix pass can start
+        return spark.createDataFrame([], "i int, j int, cov double")
     d = d_row["d"]
 
     def partials(batches):
@@ -301,7 +303,11 @@ def random_projection(
 
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
-        raise ValueError("random_projection: empty input")
+        # empty-in, empty-out: no rows to project (the JL matrix
+        # needs the input dim, which empty input cannot declare)
+        return df.sparkSession.createDataFrame(
+            [], "id long, dim int, value double"
+        )
     in_dim = int(first["d"])
     signs = np.asarray(
         jl_signs(in_dim, out_dim, seed), dtype=np.float64

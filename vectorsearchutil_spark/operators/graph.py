@@ -56,6 +56,12 @@ def pagerank(
     deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).cache()
     nodes = e.select(F.col("_dst").alias("_id")).distinct()
     n_nodes = nodes.count()  # scalar: sizes the teleport term
+    if n_nodes == 0:
+        # empty-in, empty-out: no edges, no ranks (the teleport term
+        # would divide by zero) — registry-wide empty-input sweep
+        return edges.sparkSession.createDataFrame(
+            [], "node long, degree long, pagerank double"
+        )
     base = (1.0 - damping) / float(n_nodes)
 
     ranks = nodes.withColumn("_r", F.lit(1.0 / float(n_nodes)))

@@ -203,6 +203,10 @@ def mlp_regressor(
             )
 
     rows = data.select(id_col, vector_col, y_col).orderBy(id_col).collect()
+    if not rows:
+        # fitted-model contract: empty training data is a declared
+        # error (mirrors sklearn), not an IndexError
+        raise ValueError("mlp_regressor: empty input")
     X = np.array([r[1] for r in rows], dtype=np.float64)
     y = np.array([r[2] for r in rows], dtype=np.float64)
     X_tr, X_te, y_tr, y_te = _split(X, y, seed)

@@ -98,6 +98,11 @@ def pq_train(
                 .drop("_u")
             )
     rows = work.select(id_col, vector_col).orderBy(id_col).collect()
+    if not rows:
+        # a codebook is a fitted model — an empty corpus has no dim
+        # and no centroids, so this is a declared error, not a crash
+        # (callers that want empty-in/empty-out guard before training)
+        raise ValueError("pq_train: empty input")
     X = np.array([r[1] for r in rows], dtype=np.float64)
     dim = X.shape[1]
     if dim % m:

@@ -53,6 +53,16 @@ def query(name: str, oracle: str | None = None):
     return deco
 
 
+def _probe_vec(df: DataFrame) -> list:
+    """First row's single (vector) column — or a 1-dim dummy when the
+    table is EMPTY: with zero rows the distance expression never
+    evaluates, so the plan still executes and yields an empty result
+    with the query's declared schema (empty-in, empty-out; found by
+    the registry-wide empty-input sweep)."""
+    row = df.first()
+    return list(row[0]) if row is not None else [0.0]
+
+
 # --------------------------------------------------------------------------
 # kNN — reference A5/A6 (vsu/base/VectorSearchBase.py:193-213)
 # --------------------------------------------------------------------------
@@ -79,7 +89,7 @@ def knn_single(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over a narrow scan — no shuffle.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))
     out = knn(emb, qv, k=10, vector_col="embedding", id_col="vec_id", metric="l2")
     return out.select(
         "vec_id", "label", F.round(F.col("distance"), 4).alias("distance")
@@ -144,7 +154,7 @@ def knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine-similarity top-10 (the metric option the reference gets
     implicitly for unit-norm CLIP vectors, vsu/image/_classes.py:43)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 1).select("embedding").first()[0]
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 1).select("embedding"))
     out = knn(emb, qv, k=10, vector_col="embedding", id_col="vec_id", metric="cosine")
     return out.select(
         "vec_id", "label", F.round(F.col("distance"), 4).alias("score")
@@ -1182,6 +1192,10 @@ def _mlp_classifier_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.mlops import mlp_classifier
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.first() is None:  # no training data: no model, no rows
+        return spark.createDataFrame(
+            [], "vec_id long, true_label int, pred_label int"
+        )
     fit = mlp_classifier(
         emb, y_col="label", vector_col="embedding", id_col="vec_id"
     )
@@ -1196,6 +1210,8 @@ def _mlp_regressor_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.mlops import mlp_regressor
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.first() is None:  # no training data: no model, no rows
+        return spark.createDataFrame([], "vec_id long, prediction double")
     fit = mlp_regressor(
         emb, y_col="label", vector_col="embedding", id_col="vec_id"
     )
@@ -1355,7 +1371,7 @@ def store_query_with_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("option2"),
         F.col("embedding").alias("vector"),
     )
-    qv = emb.filter(F.col("vec_id") == 2).first()["embedding"]
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 2).select("embedding"))
     res = knn(store, qv, k=5, vector_col="vector", id_col="id").select(
         "id", "target", "option1", "option2",
         F.round(F.col("distance"), 4).alias("distance"),
@@ -3138,7 +3154,7 @@ def knn_filtered_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.knn import knn_filtered
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))
     out = knn_filtered(
         emb, qv, F.col("label").isin(1, 2, 3), k=10,
         vector_col="embedding", id_col="vec_id",
@@ -4219,7 +4235,7 @@ def knn_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rv",
         F.transform(F.col("q8"), lambda x: x * F.col("scale")),
     )
-    qv = dq.filter(F.col("vec_id") == 0).select("rv").first()[0]
+    qv = _probe_vec(dq.filter(F.col("vec_id") == 0).select("rv"))
     out = knn(dq, qv, k=10, vector_col="rv", id_col="vec_id")
     return out.select(
         "vec_id", "label", F.round(F.col("distance"), 4).alias("distance")
@@ -4408,9 +4424,9 @@ def knn_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    qv = emb.filter(F.col("vec_id") == 0).select(
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
-    ).first()[0]
+    ))
     qlit = lit_vector(qv)
     scored = emb.select(
         "vec_id",
@@ -4988,7 +5004,8 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≥ 0.8. Store-side scans join against BROADCAST incoming buckets,
     so at 100 TB the store never shuffles for an append."""
     docs = load_table(spark, sf_dir, "documents")
-    cut = int(docs.agg(F.floor(0.8 * F.max("doc_id"))).first()[0])
+    cut_row = docs.agg(F.floor(0.8 * F.max("doc_id"))).first()
+    cut = int(cut_row[0]) if cut_row[0] is not None else 0  # empty corpus
     existing = docs.filter(F.col("doc_id") < cut)
     incoming = docs.filter(F.col("doc_id") >= cut)
     return _dd.incremental_ingest_dedup(
@@ -6255,6 +6272,10 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.pq import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.first() is None:  # no corpus: no codebook, no codes
+        return spark.createDataFrame(
+            [], "vec_id long, codes string, qerr double"
+        )
     books = pq_train(emb, m=8, k=16, iterations=2)
     return pq_encode(emb, books).select(
         "vec_id",
@@ -6288,8 +6309,10 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.first() is None:  # no corpus: no codebook, no candidates
+        return spark.createDataFrame([], "vec_id long, adc double")
     books = pq_train(emb, m=8, k=16, iterations=2)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))
     codes = pq_encode(emb, books)
     return pq_adc_topk(codes, books, list(qv), k=10)
 
@@ -6323,8 +6346,10 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.first() is None:  # no corpus: no codebook, no candidates
+        return spark.createDataFrame([], "vec_id long, distance double")
     books = pq_train(emb, m=8, k=16, iterations=2)
-    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))
     codes = pq_encode(emb, books)
     return pq_search_rerank(emb, codes, books, list(qv), k=10, shortlist=50)
 
@@ -6396,9 +6421,11 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_idx").cast("long").alias("centroid_id"),
         F.col("label_vec").alias("centroid_vec"),
     )
+    if emb.first() is None:  # no corpus: no codebook, no candidates
+        return spark.createDataFrame([], "vec_id long, adc double")
     books = pq_train(emb, m=8, k=16, iterations=2)
     qv = [float(v) for v in
-          emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]]
+          _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))]
     enc = ivfpq_encode(emb, cents, books)
     return ivfpq_search(enc, cents, books, qv, k=10, n_probe=3)
 
@@ -7329,6 +7356,8 @@ def embeddings_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.first() is None:  # no training data: no model, no weights
+        return spark.createDataFrame([], "i int, weight double")
     data = emb.select(
         "embedding",
         F.when(F.col("label") == 0, F.lit(1.0))
@@ -8488,7 +8517,10 @@ def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = coded.filter(F.col("vec_id") == 0).select(
         "embedding", "code"
     ).first()
-    qv, qcode = list(qrow["embedding"]), int(qrow["code"])
+    if qrow is None:  # empty corpus: dummies never evaluate (0 rows)
+        qv, qcode = [0.0], 0
+    else:
+        qv, qcode = list(qrow["embedding"]), int(qrow["code"])
     cand = (
         coded.withColumn(
             "hamming",
