@@ -20,21 +20,25 @@ from vectorsearchutil_spark import queries as Q
 SRC_SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module")
-def empty_sf(spark, tmp_path_factory):
-    d = str(tmp_path_factory.mktemp("empty_sf"))
+@pytest.fixture(scope="module", params=[0, 1], ids=["empty", "one-row"])
+def tiny_sf(request, spark, tmp_path_factory):
+    n = request.param
+    d = str(tmp_path_factory.mktemp(f"tiny_sf_{n}"))
     for p in glob.glob(f"{SRC_SF}/*.parquet"):
-        spark.read.parquet(p).limit(0).write.mode("overwrite").parquet(
+        spark.read.parquet(p).limit(n).write.mode("overwrite").parquet(
             os.path.join(d, os.path.basename(p))
         )
     return d
 
 
-def test_every_query_executes_on_empty_tables(spark, empty_sf):
+def test_every_query_executes_on_tiny_tables(spark, tiny_sf):
+    """n=0 and n=1 sweeps: n=1 additionally exposes one-point fits
+    (empty test split), zero-variance strata (the Neyman ANSI
+    divide), single-class classifiers, and one-row windows."""
     crashed = {}
     for name, fn in Q.QUERIES.items():
         try:
-            fn(spark, empty_sf).count()
+            fn(spark, tiny_sf).count()
         except Exception as e:  # noqa: BLE001 — collecting the sweep
             crashed[name] = f"{type(e).__name__}: {e}"
-    assert not crashed, f"queries crashing on empty input: {crashed}"
+    assert not crashed, f"queries crashing on tiny input: {crashed}"

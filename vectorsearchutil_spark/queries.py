@@ -1192,7 +1192,10 @@ def _mlp_classifier_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.mlops import mlp_classifier
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.first() is None:  # no training data: no model, no rows
+    # degenerate corpora: no rows, or a single class — the classifier
+    # fit is undefined (the operator raises its declared ValueError),
+    # so the query surface answers empty-in/degenerate-in → empty-out
+    if emb.select("label").distinct().limit(2).count() < 2:
         return spark.createDataFrame(
             [], "vec_id long, true_label int, pred_label int"
         )
@@ -5470,7 +5473,7 @@ tot AS (
   FROM wt
 ),
 alloc AS (
-  SELECT grp, CAST(FLOOR(1000.0 * w / tot.t) AS INT) AS n_h
+  SELECT grp, CAST(FLOOR(1000.0 * w / NULLIF(tot.t, 0)) AS INT) AS n_h
   FROM wt, tot
 ),
 ranked AS (
@@ -5534,7 +5537,10 @@ def orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     alloc = wt.crossJoin(F.broadcast(tot)).select(
         "grp",
-        F.floor(F.lit(1000.0) * F.col("w") / F.col("t"))
+        # try_divide: an all-zero-variance corpus (e.g. one row per
+        # stratum) has t = 0 — the allocation is undefined, so NULL
+        # n_h samples nothing instead of raising ANSI DIVIDE_BY_ZERO
+        F.floor(F.try_divide(F.lit(1000.0) * F.col("w"), F.col("t")))
         .cast("int")
         .alias("n_h"),
     )
