@@ -20,21 +20,39 @@ from vectorsearchutil_spark import queries as Q
 SRC_SF = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(scope="module", params=[0, 1], ids=["empty", "one-row"])
+@pytest.fixture(
+    scope="module",
+    params=["empty", "one-row", "null-cols"],
+    ids=["empty", "one-row", "null-cols"],
+)
 def tiny_sf(request, spark, tmp_path_factory):
-    n = request.param
-    d = str(tmp_path_factory.mktemp(f"tiny_sf_{n}"))
+    import pyspark.sql.functions as F
+
+    mode = request.param
+    d = str(tmp_path_factory.mktemp(f"tiny_sf_{mode}"))
     for p in glob.glob(f"{SRC_SF}/*.parquet"):
-        spark.read.parquet(p).limit(n).write.mode("overwrite").parquet(
+        df = spark.read.parquet(p).limit(0 if mode == "empty" else 1)
+        if mode == "null-cols":
+            # keep the key column, null every payload column at type
+            df = df.select(
+                F.col(df.columns[0]),
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in df.schema.fields[1:]
+                ],
+            )
+        df.write.mode("overwrite").parquet(
             os.path.join(d, os.path.basename(p))
         )
     return d
 
 
 def test_every_query_executes_on_tiny_tables(spark, tiny_sf):
-    """n=0 and n=1 sweeps: n=1 additionally exposes one-point fits
+    """n=0, n=1, and null-payload sweeps: n=1 exposes one-point fits
     (empty test split), zero-variance strata (the Neyman ANSI
-    divide), single-class classifiers, and one-row windows."""
+    divide), single-class classifiers, and one-row windows; the
+    null-payload fixture exposes every UDF/collect site that assumed
+    a non-null vector/text/binary cell (26 crashes when first run)."""
     crashed = {}
     for name, fn in Q.QUERIES.items():
         try:

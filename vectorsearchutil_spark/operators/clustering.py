@@ -250,7 +250,11 @@ def kmeans(
     either path ('driver' / 'distributed')."""
     # narrow working set — each Lloyd's round re-reads (id, vector)
     # only (at 100 TB: persist MEMORY_AND_DISK or checkpoint)
-    work = df.select(id_col, vector_col)
+    # NULL vectors cannot be assigned or averaged — standard SQL
+    # null semantics: they are not part of the clustering population
+    work = df.select(id_col, vector_col).filter(
+        F.col(vector_col).isNotNull()
+    )
     if strategy == "auto":
         if n_rows is None:
             # cache BEFORE counting: the sizing pass doubles as cache

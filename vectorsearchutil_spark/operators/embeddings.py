@@ -172,6 +172,7 @@ def dim_covariance(
     import pandas as pd
 
     spark = emb.sparkSession
+    emb = emb.filter(F.col(vec_col).isNotNull())
     d_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
     if d_row is None:
         # empty-in, empty-out (no rows → no covariance cells); the
@@ -301,6 +302,7 @@ def random_projection(
     import numpy as np
     import pandas as pd
 
+    df = df.filter(F.col(vec_col).isNotNull())
     first = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if first is None:
         # empty-in, empty-out: no rows to project (the JL matrix

@@ -59,7 +59,12 @@ def knn(
 
     lit_query = lit_vector(query_vector)
     dist, asc = _distance(metric, F.col(vector_col), lit_query)
-    ranked = corpus.withColumn("distance", dist)
+    # NULL vectors yield NULL distances, which ascending order puts
+    # FIRST — they would displace real neighbors; they are not
+    # search candidates at all
+    ranked = corpus.filter(F.col(vector_col).isNotNull()).withColumn(
+        "distance", dist
+    )
     order = [
         F.col("distance").asc() if asc else F.col("distance").desc(),
         F.col(id_col).asc(),

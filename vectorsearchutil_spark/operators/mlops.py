@@ -202,7 +202,12 @@ def mlp_regressor(
                 hidden=hidden_layer_sizes[0], seed=1, max_iter=max_iter
             )
 
-    rows = data.select(id_col, vector_col, y_col).orderBy(id_col).collect()
+    rows = (
+        data.select(id_col, vector_col, y_col)
+        .filter(F.col(vector_col).isNotNull() & F.col(y_col).isNotNull())
+        .orderBy(id_col)
+        .collect()
+    )
     if not rows:
         # fitted-model contract: empty training data is a declared
         # error (mirrors sklearn), not an IndexError

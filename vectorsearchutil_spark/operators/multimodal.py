@@ -91,7 +91,11 @@ def decode_image_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
                 out["payload_len"].append(plen)
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", content_col).mapInPandas(decode, META_SCHEMA)
+    # a NULL payload is "no media": not decodable, not an error —
+    # drop it JVM-side so the Arrow batch never sees None blobs
+    return df.select("doc_id", content_col).filter(
+        F.col(content_col).isNotNull()
+    ).mapInPandas(decode, META_SCHEMA)
 
 
 def decode_image_pixels(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -171,7 +175,11 @@ def frame_sample(
                     out["frame_hash"].append(frame.hex())
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", content_col).mapInPandas(sample, FRAME_SCHEMA)
+    # a NULL payload is "no media": not decodable, not an error —
+    # drop it JVM-side so the Arrow batch never sees None blobs
+    return df.select("doc_id", content_col).filter(
+        F.col(content_col).isNotNull()
+    ).mapInPandas(sample, FRAME_SCHEMA)
 
 
 AUDIO_MAGIC = b"AUD1"
@@ -245,7 +253,11 @@ def decode_audio_meta(df: DataFrame, content_col: str = "audio") -> DataFrame:
                 out["duration_ms"].append(dur)
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", content_col).mapInPandas(
+    # a NULL payload is "no media": not decodable, not an error —
+    # drop it JVM-side so the Arrow batch never sees None blobs
+    return df.select("doc_id", content_col).filter(
+        F.col(content_col).isNotNull()
+    ).mapInPandas(
         decode, AUDIO_META_SCHEMA
     )
 
@@ -279,7 +291,11 @@ def resample_audio(
                 )
             yield pd.DataFrame(out)
 
-    return df.select("doc_id", content_col).mapInPandas(
+    # a NULL payload is "no media": not decodable, not an error —
+    # drop it JVM-side so the Arrow batch never sees None blobs
+    return df.select("doc_id", content_col).filter(
+        F.col(content_col).isNotNull()
+    ).mapInPandas(
         resample, AUDIO_RESAMPLE_SCHEMA
     )
 

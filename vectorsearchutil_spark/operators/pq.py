@@ -79,7 +79,9 @@ def pq_train(
 
     from vectorsearchutil_spark.operators.sampling import hash_uniform
 
-    work = df.select(id_col, vector_col)
+    work = df.select(id_col, vector_col).filter(
+        F.col(vector_col).isNotNull()
+    )
     if train_limit is not None:
         if n_rows is None:
             n_rows = work.count()
@@ -237,7 +239,9 @@ def _pq_encode_matrix(
                 }
             )
 
-    out = df.select(id_col, vector_col).mapInPandas(
+    out = df.select(id_col, vector_col).filter(
+        F.col(vector_col).isNotNull()
+    ).mapInPandas(
         encode, schema=f"{id_col} long, codes array<int>, qerr double"
     )
     # rounding stays JVM-side: F.round is half-up; np.round is not
@@ -361,7 +365,9 @@ def ivfpq_encode(
                 }
             )
 
-    out = df.select(id_col, vector_col).mapInPandas(
+    out = df.select(id_col, vector_col).filter(
+        F.col(vector_col).isNotNull()
+    ).mapInPandas(
         encode,
         schema=(
             f"{id_col} long, {centroid_id_col} long,"

@@ -46,7 +46,13 @@ def _collect_matrix(
     Zero rows yield a (0, 0) 2-D matrix — ``np.array([])`` is 1-D and
     every ``axis=1`` reduction downstream would raise AxisError (the
     empty-input class ADVICE r3 found in the blocked path)."""
-    rows = df.select(id_col, vector_col).collect()
+    rows = (
+        df.select(id_col, vector_col)
+        # a NULL vector cannot participate in any distance — drop it
+        # here so the object-dtype row doesn't poison the matrix
+        .filter(F.col(vector_col).isNotNull())
+        .collect()
+    )
     ids = np.array([r[0] for r in rows], dtype=np.int64)
     mat = np.array([r[1] for r in rows], dtype=np.float64)
     if mat.ndim == 1:
@@ -115,6 +121,7 @@ def neardup_pairs_matrix(
 
     return (
         df.select(id_col, vector_col)
+        .filter(F.col(vector_col).isNotNull())
         .mapInPandas(compute, out_schema)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
@@ -143,7 +150,7 @@ def neardup_pairs_blocked(
     knob, this is the exact distributed fallback.
     """
     spark = df.sparkSession
-    rows = df.select(
+    rows = df.filter(F.col(vector_col).isNotNull()).select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vector_col).alias("_vec"),
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))
@@ -495,6 +502,10 @@ def mmr_rerank(
         ]
     )
 
+    candidates = candidates.filter(
+        F.col(vector_col).isNotNull()  # null vectors cannot diversify
+    )
+
     def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
@@ -650,7 +661,7 @@ def cosine_lsh_pairs(
                 out.append([f"{t}:{int(s)}" for t, s in enumerate(sigs)])
             yield pd.Series(out)
 
-    signed = df.select(
+    signed = df.filter(F.col(vector_col).isNotNull()).select(
         F.col(id_col),
         F.explode(bucket_udf(F.col(vector_col))).alias("bucket"),
     )

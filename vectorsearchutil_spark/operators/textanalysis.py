@@ -850,6 +850,8 @@ def pack_bins_next_fit(
 
     sized = df.selectExpr(
         id_col, group_col, f"size({tokens_sql(text_col)}) AS _n"
+    ).filter(  # null text/group: nothing to pack, no bin membership
+        F.col("_n").isNotNull() & F.col(group_col).isNotNull()
     )
     return sized.groupBy(group_col).applyInPandas(pack, out_schema)
 
@@ -941,6 +943,8 @@ def pack_bins_first_fit_decreasing(
 
     sized = df.selectExpr(
         id_col, group_col, f"size({tokens_sql(text_col)}) AS _n"
+    ).filter(  # null text/group: nothing to pack, no bin membership
+        F.col("_n").isNotNull() & F.col(group_col).isNotNull()
     )
     return sized.groupBy(group_col).applyInPandas(pack, out_schema)
 

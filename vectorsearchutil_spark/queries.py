@@ -60,7 +60,9 @@ def _probe_vec(df: DataFrame) -> list:
     with the query's declared schema (empty-in, empty-out; found by
     the registry-wide empty-input sweep)."""
     row = df.first()
-    return list(row[0]) if row is not None else [0.0]
+    if row is None or row[0] is None:  # no rows, or a NULL payload
+        return [0.0]
+    return list(row[0])
 
 
 # --------------------------------------------------------------------------
@@ -1195,7 +1197,16 @@ def _mlp_classifier_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate corpora: no rows, or a single class — the classifier
     # fit is undefined (the operator raises its declared ValueError),
     # so the query surface answers empty-in/degenerate-in → empty-out
-    if emb.select("label").distinct().limit(2).count() < 2:
+    if (
+        emb.filter(
+            F.col("label").isNotNull() & F.col("embedding").isNotNull()
+        )
+        .select("label")
+        .distinct()
+        .limit(2)
+        .count()
+        < 2
+    ):
         return spark.createDataFrame(
             [], "vec_id long, true_label int, pred_label int"
         )
@@ -1213,7 +1224,12 @@ def _mlp_regressor_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.mlops import mlp_regressor
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.first() is None:  # no training data: no model, no rows
+    if (
+        emb.filter(
+            F.col("label").isNotNull() & F.col("embedding").isNotNull()
+        ).first()
+        is None
+    ):  # no (usable) training data: no model, no rows
         return spark.createDataFrame([], "vec_id long, prediction double")
     fit = mlp_regressor(
         emb, y_col="label", vector_col="embedding", id_col="vec_id"
@@ -6278,7 +6294,8 @@ def embeddings_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.pq import pq_encode, pq_train
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.first() is None:  # no corpus: no codebook, no codes
+    if emb.filter(F.col("embedding").isNotNull()).first() is None:
+        # no (usable) corpus: no codebook, no codes
         return spark.createDataFrame(
             [], "vec_id long, codes string, qerr double"
         )
@@ -6315,7 +6332,8 @@ def knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.first() is None:  # no corpus: no codebook, no candidates
+    if emb.filter(F.col("embedding").isNotNull()).first() is None:
+        # no (usable) corpus: no codebook, no candidates
         return spark.createDataFrame([], "vec_id long, adc double")
     books = pq_train(emb, m=8, k=16, iterations=2)
     qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))
@@ -6352,7 +6370,8 @@ def knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.first() is None:  # no corpus: no codebook, no candidates
+    if emb.filter(F.col("embedding").isNotNull()).first() is None:
+        # no (usable) corpus: no codebook, no candidates
         return spark.createDataFrame([], "vec_id long, distance double")
     books = pq_train(emb, m=8, k=16, iterations=2)
     qv = _probe_vec(emb.filter(F.col("vec_id") == 0).select("embedding"))
@@ -6427,7 +6446,8 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label_idx").cast("long").alias("centroid_id"),
         F.col("label_vec").alias("centroid_vec"),
     )
-    if emb.first() is None:  # no corpus: no codebook, no candidates
+    if emb.filter(F.col("embedding").isNotNull()).first() is None:
+        # no (usable) corpus: no codebook, no candidates
         return spark.createDataFrame([], "vec_id long, adc double")
     books = pq_train(emb, m=8, k=16, iterations=2)
     qv = [float(v) for v in
@@ -7362,7 +7382,8 @@ def embeddings_logreg_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.first() is None:  # no training data: no model, no weights
+    if emb.filter(F.col("embedding").isNotNull()).first() is None:
+        # no (usable) training data: no model, no weights
         return spark.createDataFrame([], "i int, weight double")
     data = emb.select(
         "embedding",
@@ -8511,7 +8532,9 @@ def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared, like n_probe."""
     from vectorsearchutil_spark.functions.vector import l2_distance
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()  # null rows have no code
+    )
     coded = emb.selectExpr(
         "vec_id",
         "embedding",
@@ -8523,7 +8546,9 @@ def knn_binary_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     qrow = coded.filter(F.col("vec_id") == 0).select(
         "embedding", "code"
     ).first()
-    if qrow is None:  # empty corpus: dummies never evaluate (0 rows)
+    if qrow is None or qrow["embedding"] is None or qrow["code"] is None:
+        # empty corpus / null payload: dummies never evaluate (the
+        # null-vector rows are filtered out of the candidate scan)
         qv, qcode = [0.0], 0
     else:
         qv, qcode = list(qrow["embedding"]), int(qrow["code"])
