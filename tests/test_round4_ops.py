@@ -369,14 +369,19 @@ def test_random_projection_partitioning_invariant(spark):
     assert a == b  # bitwise
 
 
-def test_random_projection_empty_raises(spark):
+def test_random_projection_empty_in_empty_out(spark):
+    """Round-5 contract change: empty (or all-null) input yields an
+    EMPTY typed result instead of raising — the registry-wide
+    empty-input sweep made empty-in/empty-out the uniform query
+    surface convention for transforms."""
     from vectorsearchutil_spark.operators.embeddings import (
         random_projection,
     )
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
-    with pytest.raises(ValueError, match="empty"):
-        random_projection(empty)
+    out = random_projection(empty)
+    assert out.count() == 0
+    assert out.columns == ["id", "dim", "value"]
 
 
 # ----------------------------------------- winsorize / basket lift
