@@ -1132,7 +1132,11 @@ _MULTIMODAL_ORACLE = """
 SELECT doc_id,
        CAST((length(text) * 7 + 13) % 512 + 1 AS INT) AS width,
        CAST((length(text) * 11 + 17) % 512 + 1 AS INT) AS height,
-       CAST(length(text) AS INT) AS payload_len
+       -- payload_len is the decoded payload's BYTE length (binary
+       -- metadata measures bytes): strlen = DuckDB byte count, which
+       -- diverges from length() (chars) on multi-byte text — found
+       -- by the round-5 unicode-fixture parity sweep
+       CAST(strlen(text) AS INT) AS payload_len
 FROM documents
 """
 
