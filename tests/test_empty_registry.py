@@ -22,8 +22,8 @@ SRC_SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(
     scope="module",
-    params=["empty", "one-row", "null-cols"],
-    ids=["empty", "one-row", "null-cols"],
+    params=["empty", "one-row", "null-cols", "nan-inf"],
+    ids=["empty", "one-row", "null-cols", "nan-inf"],
 )
 def tiny_sf(request, spark, tmp_path_factory):
     import pyspark.sql.functions as F
@@ -31,19 +31,56 @@ def tiny_sf(request, spark, tmp_path_factory):
     mode = request.param
     d = str(tmp_path_factory.mktemp(f"tiny_sf_{mode}"))
     for p in glob.glob(f"{SRC_SF}/*.parquet"):
-        df = spark.read.parquet(p).limit(0 if mode == "empty" else 1)
-        if mode == "null-cols":
-            # keep the key column, null every payload column at type
-            df = df.select(
-                F.col(df.columns[0]),
-                *[
-                    F.lit(None).cast(f.dataType).alias(f.name)
-                    for f in df.schema.fields[1:]
-                ],
-            )
-        df.write.mode("overwrite").parquet(
-            os.path.join(d, os.path.basename(p))
-        )
+        name = os.path.basename(p)
+        if mode == "nan-inf":
+            # full sf0.001 rows with NaN/±Inf salted into the float
+            # payloads — exercises ANSI casts, Decimal rounding, and
+            # np matrix paths against non-finite values
+            df = spark.read.parquet(p)
+            if name == "events.parquet":
+                df = df.withColumn(
+                    "value",
+                    F.expr(
+                        "CASE CAST(pmod(event_id, 11) AS INT)"
+                        " WHEN 0 THEN double('NaN')"
+                        " WHEN 1 THEN double('Infinity')"
+                        " WHEN 2 THEN double('-Infinity')"
+                        " ELSE value END"
+                    ),
+                )
+            elif name == "embeddings.parquet":
+                df = df.withColumn(
+                    "embedding",
+                    F.expr(
+                        "CASE WHEN pmod(vec_id, 13) = 0 THEN"
+                        " transform(embedding, (x, i) ->"
+                        " IF(i = 0, float('NaN'), x))"
+                        " WHEN pmod(vec_id, 13) = 1 THEN"
+                        " transform(embedding, (x, i) ->"
+                        " IF(i = 1, float('Infinity'), x))"
+                        " ELSE embedding END"
+                    ),
+                )
+            elif name == "orders.parquet":
+                df = df.withColumn(
+                    "o_totalprice",
+                    F.expr(
+                        "IF(pmod(o_orderkey, 97) = 0,"
+                        " double('NaN'), o_totalprice)"
+                    ),
+                )
+        else:
+            df = spark.read.parquet(p).limit(0 if mode == "empty" else 1)
+            if mode == "null-cols":
+                # keep the key column, null every payload column
+                df = df.select(
+                    F.col(df.columns[0]),
+                    *[
+                        F.lit(None).cast(f.dataType).alias(f.name)
+                        for f in df.schema.fields[1:]
+                    ],
+                )
+        df.write.mode("overwrite").parquet(os.path.join(d, name))
     return d
 
 

@@ -78,6 +78,19 @@ def cosine_similarity(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def finite_vector(col: Column | str) -> Column:
+    """True when the vector is non-null and every component is finite
+    (no NaN / ±Inf) — the "participates in distances" predicate. A
+    non-finite component poisons any distance, centroid, or codebook
+    it touches (np.argmin over NaN, Decimal rounding, ANSI casts all
+    die), so fit/collect chokepoints exclude such rows, exactly like
+    NULL payloads (round-5 NaN/Inf registry sweep)."""
+    c = _as_double(col)
+    return c.isNotNull() & ~F.exists(
+        c, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+
+
 def lit_vector(values) -> Column:
     """Literal array<double> column from a Python sequence, built as
     ONE parsed SQL expression. ``F.array(*[F.lit(v) ...])`` costs a
@@ -86,5 +99,20 @@ def lit_vector(values) -> Column:
     once. ``repr(float)`` is the shortest round-tripping decimal, and
     Java's Double.parseDouble is correctly rounded, so the JVM sees
     bit-identical doubles."""
-    body = ", ".join(f"{float(v)!r}D" for v in values)
+    body = ", ".join(lit_double_sql(v) for v in values)
     return F.expr(f"array({body})")
+
+
+def lit_double_sql(v) -> str:
+    """One double as SQL literal text. repr gives 'nan'/'inf'/'-inf',
+    which the SQL parser reads as COLUMN NAMES — the non-finite
+    literals must be spelled explicitly (found by the round-5 NaN/Inf
+    registry sweep via a NaN-poisoned probe vector)."""
+    f = float(v)
+    if f != f:
+        return "double('NaN')"
+    if f == float("inf"):
+        return "double('Infinity')"
+    if f == float("-inf"):
+        return "double('-Infinity')"
+    return f"{f!r}D"

@@ -250,10 +250,12 @@ def kmeans(
     either path ('driver' / 'distributed')."""
     # narrow working set — each Lloyd's round re-reads (id, vector)
     # only (at 100 TB: persist MEMORY_AND_DISK or checkpoint)
-    # NULL vectors cannot be assigned or averaged — standard SQL
-    # null semantics: they are not part of the clustering population
+    from vectorsearchutil_spark.functions.vector import finite_vector
+
+    # NULL or non-finite vectors cannot be assigned or averaged —
+    # they are not part of the clustering population
     work = df.select(id_col, vector_col).filter(
-        F.col(vector_col).isNotNull()
+        finite_vector(F.col(vector_col))
     )
     if strategy == "auto":
         if n_rows is None:

@@ -58,18 +58,24 @@ def quantize_int8(
     with_scale = df.withColumn(
         scale_col, F.try_divide(absmax, F.lit(127.0))
     )
+    # clamp BEFORE the int cast and squash NaN (nanvl) so non-finite
+    # components (x=±Inf -> ±Inf quotient; NaN scale or x -> NaN)
+    # quantize to the clamp edge / 0 instead of an ANSI CAST_OVERFLOW
     q = F.transform(
         F.col(vector_col).cast("array<double>"),
         lambda x: F.least(
-            F.lit(127),
+            F.lit(127.0),
             F.greatest(
-                F.lit(-127),
+                F.lit(-127.0),
                 F.coalesce(
-                    F.round(F.try_divide(x, F.col(scale_col)), 0),
+                    F.nanvl(
+                        F.round(F.try_divide(x, F.col(scale_col)), 0),
+                        F.lit(None).cast("double"),
+                    ),
                     F.lit(0.0),
-                ).cast("int"),
+                ),
             ),
-        ),
+        ).cast("int"),
     )
     return with_scale.withColumn(out_col, q)
 

@@ -40,7 +40,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vectorsearchutil_spark.functions.vector import l2_distance, l2_squared
+from vectorsearchutil_spark.functions.vector import (
+    finite_vector,
+    l2_distance,
+    l2_squared,
+    lit_double_sql,
+)
 from vectorsearchutil_spark.operators.clustering import _round_half_up
 
 Codebooks = list[list[list[float]]]  # [subspace][code][dim/m]
@@ -80,7 +85,7 @@ def pq_train(
     from vectorsearchutil_spark.operators.sampling import hash_uniform
 
     work = df.select(id_col, vector_col).filter(
-        F.col(vector_col).isNotNull()
+        finite_vector(F.col(vector_col))
     )
     if train_limit is not None:
         if n_rows is None:
@@ -240,7 +245,7 @@ def _pq_encode_matrix(
             )
 
     out = df.select(id_col, vector_col).filter(
-        F.col(vector_col).isNotNull()
+        finite_vector(F.col(vector_col))
     ).mapInPandas(
         encode, schema=f"{id_col} long, codes array<int>, qerr double"
     )
@@ -280,7 +285,7 @@ def pq_adc_topk(
     Ordering is (4dp-rounded adc, id) so the cut is engine-stable."""
     dtab = adc_table(books, query)
     body = ", ".join(
-        "array(" + ", ".join(f"{float(v)!r}D" for v in row) + ")"
+        "array(" + ", ".join(lit_double_sql(v) for v in row) + ")"
         for row in dtab
     )
     dt = F.expr(f"array({body})")
@@ -366,7 +371,7 @@ def ivfpq_encode(
             )
 
     out = df.select(id_col, vector_col).filter(
-        F.col(vector_col).isNotNull()
+        finite_vector(F.col(vector_col))
     ).mapInPandas(
         encode,
         schema=(

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vectorsearchutil_spark.operators.knn import knn, knn_batch
@@ -51,6 +51,14 @@ def query(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _finite_or_null(c: Column) -> Column:
+    """Keep NULLs (SQL-transparent) but drop NaN/±Inf — a non-finite
+    measure poisons ANSI casts (floor(-Inf) -> long-min -> INT
+    overflow) and cents arithmetic; it cannot participate in value
+    aggregates, the same convention as non-finite vectors."""
+    return c.isNull() | (~F.isnan(c) & (F.abs(c) != F.lit(float("inf"))))
 
 
 def _probe_vec(df: DataFrame) -> list:
@@ -1201,10 +1209,11 @@ def _mlp_classifier_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degenerate corpora: no rows, or a single class — the classifier
     # fit is undefined (the operator raises its declared ValueError),
     # so the query surface answers empty-in/degenerate-in → empty-out
+    from vectorsearchutil_spark.functions.vector import finite_vector
+
+    emb = emb.filter(finite_vector(F.col("embedding")))
     if (
-        emb.filter(
-            F.col("label").isNotNull() & F.col("embedding").isNotNull()
-        )
+        emb.filter(F.col("label").isNotNull())
         .select("label")
         .distinct()
         .limit(2)
@@ -1228,12 +1237,11 @@ def _mlp_regressor_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vectorsearchutil_spark.operators.mlops import mlp_regressor
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if (
-        emb.filter(
-            F.col("label").isNotNull() & F.col("embedding").isNotNull()
-        ).first()
-        is None
-    ):  # no (usable) training data: no model, no rows
+    from vectorsearchutil_spark.functions.vector import finite_vector
+
+    emb = emb.filter(finite_vector(F.col("embedding")))
+    if emb.filter(F.col("label").isNotNull()).first() is None:
+        # no (usable) training data: no model, no rows
         return spark.createDataFrame([], "vec_id long, prediction double")
     fit = mlp_regressor(
         emb, y_col="label", vector_col="embedding", id_col="vec_id"
@@ -3345,7 +3353,9 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bound equi-width histogram (20 buckets of width 25,
     clamped): single partial-aggregated groupBy on a computed bucket
     key — the one-pass histogram shape that scales to any row count."""
-    e = load_table(spark, sf_dir, "events")
+    e = load_table(spark, sf_dir, "events").filter(
+        _finite_or_null(F.col("value"))
+    )
     bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("int")
     return (
         e.groupBy(bucket.alias("bucket"))
@@ -5527,7 +5537,9 @@ def orders_neyman_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from vectorsearchutil_spark.operators.sampling import hash_uniform
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        _finite_or_null(F.col("o_totalprice"))
+    )
     c = o.select(
         "o_orderkey",
         F.col("o_orderpriority").alias("grp"),
@@ -9050,7 +9062,9 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     global single-task sort."""
     from pyspark.sql import Window
 
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        _finite_or_null(F.col("o_totalprice"))
+    )
     # ROUND before the long cast: Spark's cast truncates while
     # DuckDB's rounds, and 2-dp prices ×100 sit one ulp off integral
     rev = o.groupBy("o_custkey").agg(
