@@ -76,9 +76,22 @@ def main():
     import duckdb
 
     import __spark_entry__ as entrymod
-    from vectorsearchutil_spark.session import get_spark
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("CHECK_ORACLES_VANILLA"):
+        # driver simulation: a bone-stock SparkSession (default 200
+        # shuffle partitions, no engine conf) — de-risks the external
+        # gate against any get_spark conf the results might lean on
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[32]")
+            .appName("oracle-check-vanilla")
+            .getOrCreate()
+        )
+    else:
+        from vectorsearchutil_spark.session import get_spark
+
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
