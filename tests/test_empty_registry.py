@@ -22,8 +22,8 @@ SRC_SF = "/root/testdata/sf0.001"
 
 @pytest.fixture(
     scope="module",
-    params=["empty", "one-row", "null-cols", "nan-inf"],
-    ids=["empty", "one-row", "null-cols", "nan-inf"],
+    params=["empty", "one-row", "null-cols", "nan-inf", "skew-dup"],
+    ids=["empty", "one-row", "null-cols", "nan-inf", "skew-dup"],
 )
 def tiny_sf(request, spark, tmp_path_factory):
     import pyspark.sql.functions as F
@@ -69,6 +69,42 @@ def tiny_sf(request, spark, tmp_path_factory):
                         " double('NaN'), o_totalprice)"
                     ),
                 )
+        elif mode == "skew-dup":
+            # constant keys + constant measures + mass-duplicate text
+            # and identical vectors: zero-variance groups (sigma = 0
+            # denominators), single-partition windows, all-pairs dedup
+            df = spark.read.parquet(p)
+            if name == "events.parquet":
+                df = df.withColumn(
+                    "user_id",
+                    F.lit(1).cast(df.schema["user_id"].dataType),
+                ).withColumn("value", F.lit(42.0))
+            elif name == "documents.parquet":
+                df = df.withColumn(
+                    "text",
+                    F.expr(
+                        "element_at(array("
+                        "'alpha beta gamma delta epsilon',"
+                        "'alpha beta gamma delta zeta',"
+                        "'one two three'),"
+                        " cast(pmod(doc_id, 3) as int) + 1)"
+                    ),
+                )
+            elif name == "embeddings.parquet":
+                first = df.orderBy("vec_id").select("embedding").first()[0]
+                lit = (
+                    "array("
+                    + ",".join(
+                        f"CAST({float(x)!r} AS FLOAT)" for x in first
+                    )
+                    + ")"
+                )
+                df = df.withColumn("embedding", F.expr(lit))
+            elif name == "orders.parquet":
+                df = df.withColumn(
+                    "o_custkey",
+                    F.lit(7).cast(df.schema["o_custkey"].dataType),
+                ).withColumn("o_totalprice", F.lit(100.0))
         else:
             df = spark.read.parquet(p).limit(0 if mode == "empty" else 1)
             if mode == "null-cols":

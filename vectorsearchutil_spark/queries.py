@@ -4627,9 +4627,9 @@ WITH stats AS (
   FROM events GROUP BY event_type
 )
 SELECT e.event_id, e.event_type,
-       ROUND((e.value - s.mu) / s.sigma, 2) AS z
+       ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 2) AS z
 FROM events e JOIN stats s ON e.event_type = s.event_type
-WHERE ABS(ROUND((e.value - s.mu) / s.sigma, 2)) >= 2.5
+WHERE ABS(ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 2)) >= 2.5
 """
 
 
@@ -4645,7 +4645,12 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = e.groupBy("event_type").agg(
         F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
     )
-    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 2)
+    # try_divide: a constant-valued type has sigma = 0 — its z is
+    # undefined (NULL, filtered), not an ANSI DIVIDE_BY_ZERO (found
+    # by the zero-variance skew sweep)
+    z = F.round(
+        F.try_divide(F.col("value") - F.col("mu"), F.col("sigma")), 2
+    )
     return (
         e.join(F.broadcast(stats), "event_type")
         .withColumn("z", z)
