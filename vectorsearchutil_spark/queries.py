@@ -2115,7 +2115,8 @@ SELECT ROUND(
          100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
                           THEN l.l_extendedprice * (1 - l.l_discount)
                           ELSE 0 END)
-         / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_revenue_pct
+         / NULLIF(SUM(l.l_extendedprice * (1 - l.l_discount)), 0), 4)
+         AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
@@ -2138,9 +2139,9 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(disc), 4).alias(
-                "promo_revenue_pct"
-            )
+            F.round(
+                F.try_divide(100.0 * F.sum(promo), F.sum(disc)), 4
+            ).alias("promo_revenue_pct")
         )
     )
 
@@ -2604,7 +2605,7 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q8_ORACLE = """
 SELECT l_year,
        ROUND(SUM(CASE WHEN cust_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / SUM(volume), 4) AS mkt_share
+             / NULLIF(SUM(volume), 0), 4) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS l_year,
          l.l_extendedprice * (1 - l.l_discount) AS volume,
@@ -2641,8 +2642,14 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.year("o_orderdate").alias("l_year"))
         .agg(
             F.round(
-                F.sum(F.when(F.col("n_name") == "NATION_3", vol).otherwise(0.0))
-                / F.sum(vol),
+                F.try_divide(
+                    F.sum(
+                        F.when(
+                            F.col("n_name") == "NATION_3", vol
+                        ).otherwise(0.0)
+                    ),
+                    F.sum(vol),
+                ),
                 4,
             ).alias("mkt_share")
         )
@@ -4026,7 +4033,7 @@ def events_sequence_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q2_ORACLE = """
 WITH supply AS (
   SELECT l_partkey, l_suppkey,
-         MIN(l_extendedprice / l_quantity) AS unit_cost
+         MIN(l_extendedprice / NULLIF(l_quantity, 0)) AS unit_cost
   FROM lineitem GROUP BY l_partkey, l_suppkey
 ),
 eligible AS (
@@ -4070,7 +4077,9 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_type") == "LARGE") & (F.col("p_size") <= 25)
     )
     supply = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+        F.min(
+            F.try_divide(F.col("l_extendedprice"), F.col("l_quantity"))
+        ).alias("unit_cost")
     )
     dims = (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
@@ -4346,7 +4355,7 @@ scored AS (
          SUM(
            ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * 2.2
-           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))
+           / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / NULLIF(s.avgdl, 0)))
          ) AS score,
          COUNT(*) AS n_terms
   FROM tf
@@ -4396,7 +4405,15 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contrib",
             F.log(1 + (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5))
             * F.col("tf") * 2.2
-            / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl"))),
+            / (
+                F.col("tf")
+                + 1.2
+                * (
+                    0.25
+                    + 0.75
+                    * F.try_divide(F.col("dl"), F.col("avgdl"))
+                )
+            ),
         )
         .groupBy("doc_id")
         .agg(
@@ -9047,7 +9064,7 @@ r AS (
   FROM rev
 )
 SELECT r.o_custkey, r.cents AS revenue_cents,
-       ROUND(r.cum * 1.0 / tot.t, 6) + 0.0 AS cum_share,
+       ROUND(r.cum * 1.0 / NULLIF(tot.t, 0), 6) + 0.0 AS cum_share,
        CASE WHEN r.cum * 100 <= tot.t * 80 THEN 'A'
             WHEN r.cum * 100 <= tot.t * 95 THEN 'B'
             ELSE 'C' END AS abc_class
@@ -9112,9 +9129,9 @@ def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "o_custkey",
             F.col("cents").alias("revenue_cents"),
-            F.round(F.col("_cum") * 1.0 / F.col("_t"), 6).alias(
-                "cum_share"
-            ),
+            F.round(
+                F.try_divide(F.col("_cum") * 1.0, F.col("_t")), 6
+            ).alias("cum_share"),
             F.when(F.col("_cum") * 100 <= F.col("_t") * 80, "A")
             .when(F.col("_cum") * 100 <= F.col("_t") * 95, "B")
             .otherwise("C")
