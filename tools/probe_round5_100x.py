@@ -271,5 +271,65 @@ PROBES.update(
 )
 
 
+
+
+# -- wave 3: a third point on the scaling curve (400x = 16x the 25x
+# suite) for the signature linear/sublinear families ----------------
+
+def probe_weighted_median_400x(spark):
+    li = spark.range(240_000_000).selectExpr(
+        "id AS l_orderkey",
+        "cast(pmod(id, 7) AS INT) AS l_linenumber",
+        "cast(1 + pmod(xxhash64(id, 3), 50) AS DOUBLE) AS l_quantity",
+        "pmod(xxhash64(id, 5), 9000000) / 100.0 + 900.0"
+        " AS l_extendedprice",
+        "element_at(array('A','N','R'),"
+        " cast(pmod(xxhash64(id, 7), 3) AS INT) + 1) AS l_returnflag",
+    )
+    dt, n = _probe_query(
+        spark, "lineitem_weighted_median", "lineitem", li
+    )
+    return f"{dt:.1f}s @ 240M lines -> {n} groups (100x: 14.7s @ 60M)"
+
+
+def probe_token_budget_400x(spark):
+    from vectorsearchutil_spark.operators.sampling import (
+        token_budget_sample,
+    )
+
+    docs = spark.range(40_000_000).selectExpr(
+        "id AS doc_id",
+        "concat('s', pmod(xxhash64(id, 3), 2)) AS source",
+        "repeat('w ', 20 + cast(pmod(xxhash64(id, 5), 200) AS INT))"
+        " AS text",
+    ).cache()
+    docs.count()  # same warm-cache discipline as the 100x probe
+    t0 = time.time()
+    n = token_budget_sample(
+        docs, {"s0": 160_000_000, "s1": 100_000_000}, seed="tb400"
+    ).count()
+    dt = time.time() - t0
+    return f"{dt:.1f}s @ 40M docs / 2 sources -> {n} admitted (100x: 16.3s @ 10M)"
+
+
+def probe_mad_400x(spark):
+    e = spark.range(40_000_000).selectExpr(
+        "id AS event_id",
+        "concat('t', pmod(xxhash64(id, 7), 5)) AS event_type",
+        "pmod(xxhash64(id, 13), 1000000) / 100.0 AS value",
+    )
+    dt, n = _probe_query(spark, "events_value_mad_outliers", "events", e)
+    return f"{dt:.1f}s @ 40M events -> {n} outliers (100x: 10.9s @ 10M)"
+
+
+PROBES.update(
+    {
+        "weighted_median_400x": probe_weighted_median_400x,
+        "token_budget_400x": probe_token_budget_400x,
+        "mad_400x": probe_mad_400x,
+    }
+)
+
+
 if __name__ == "__main__":
     main()
