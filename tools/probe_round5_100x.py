@@ -330,6 +330,24 @@ PROBES.update(
     }
 )
 
+def probe_ngram_jaccard_100x(spark):
+    from vectorsearchutil_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _varied_docs(spark, N_DOCS).cache()
+    docs.count()
+    t0 = time.time()
+    n = ngram_jaccard_pairs(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return (
+        f"{dt:.1f}s @ 500k varied docs -> {n} pairs"
+        " (inverted-index build + max_df-capped join cost)"
+    )
+
+
+PROBES.update({"ngram_jaccard_100x": probe_ngram_jaccard_100x})
+
+
 
 if __name__ == "__main__":
     main()
