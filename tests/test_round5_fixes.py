@@ -368,3 +368,53 @@ def test_mad_zscore_rounding_matches_duckdb_on_boundary(spark, tmp_path):
 
     assert got == want
     assert len(got) >= 1  # the boundary row actually came out
+
+
+def test_zeroshot_arrow_strategy_bit_identical(spark):
+    """The size-gated Arrow zeroshot path (the 302s -> 16s fix at
+    2M x 100 labels) must produce BIT-IDENTICAL predictions and
+    cosine scores to the expression path — the numpy form accumulates
+    dot/norm folds one dim at a time in the same order with the same
+    two roundings. Softmax probs may differ only by the documented
+    Math.exp-vs-libm last ulp (<= 1e-12 relative)."""
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.operators.zeroshot import zeroshot
+
+    emb = spark.range(2000).selectExpr(
+        "id",
+        "transform(sequence(1, 16), j -> pmod(xxhash64(id, j), 1000)"
+        " / 1000.0) AS vector",
+    )
+    labels = spark.range(5).selectExpr(
+        "cast(id AS int) AS label_idx",
+        "concat('L', id) AS label",
+        "transform(sequence(1, 16), j -> pmod(xxhash64(id + 9, j),"
+        " 1000) / 1000.0) AS label_vec",
+    )
+    for softmax in (False, True):
+        expr_out = {
+            r["id"]: r
+            for r in zeroshot(emb, labels, softmax=softmax).collect()
+        }
+        arrow_out = {
+            r["id"]: r
+            for r in zeroshot(
+                emb, labels, softmax=softmax, strategy="arrow"
+            ).collect()
+        }
+        assert set(expr_out) == set(arrow_out)
+        for i, a in expr_out.items():
+            b = arrow_out[i]
+            assert a["zeroshot_pred"] == b["zeroshot_pred"]
+            assert a["score"] == b["score"]  # exact, not approx
+            if softmax:
+                assert abs(a["prob"] - b["prob"]) <= 1e-12 * abs(a["prob"])
+
+    # the auto gate: small n_rows stays on the expression plan (no
+    # mapInPandas in it), big n_rows flips to Arrow
+    small = zeroshot(emb, labels, n_rows=2000)
+    big = zeroshot(emb, labels, n_rows=10_000_000)
+    assert "mapInPandas" not in small._jdf.queryExecution().toString()
+    assert "FlatMapGroupsInPandas" in big._jdf.queryExecution().toString() or \
+        "MapInPandas" in big._jdf.queryExecution().toString()

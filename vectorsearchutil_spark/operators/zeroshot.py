@@ -68,6 +68,8 @@ def zeroshot(
     label_idx_col: str = "label_idx",
     label_vec_col: str = "label_vec",
     softmax: bool = False,
+    strategy: str = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-row prediction: data columns + ``zeroshot_pred`` (+ score).
 
@@ -83,6 +85,23 @@ def zeroshot(
     expansion, no window shuffle, no join-back — the corpus is
     scanned once and never moves (the shape that survives 100 TB).
     """
+    if strategy == "auto" and n_rows is not None:
+        lrow = labels.agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max(F.size(F.col(label_vec_col))).alias("d"),
+        ).first()
+        if n_rows * lrow["k"] * (lrow["d"] or 0) > _ZEROSHOT_BLAS_CELLS:
+            strategy = "arrow"
+    if strategy == "arrow":
+        # size-gated Arrow path (the interpreted-HOF wall: measured
+        # 302 s -> seconds at 2M rows × 100 labels); bit-identical
+        # scores, see _zeroshot_arrow. Callers that know their scale
+        # pass n_rows (a metadata-cheap count for parquet sources) or
+        # force strategy="arrow"; the default plan is unchanged.
+        return _zeroshot_arrow(
+            data, labels, vector_col, id_col, label_col,
+            label_idx_col, label_vec_col, softmax,
+        )
     labels_row = labels.agg(
         F.array_sort(
             F.collect_list(
@@ -133,3 +152,103 @@ def zeroshot(
             *data.columns, pred, score, (F.lit(1.0) / sumexp).alias("prob")
         )
     return out.select(*data.columns, pred, score)
+
+
+#: rows × labels × dim cells beyond which the interpreted-HOF scoring
+#: loses to the Arrow path (same wall as clustering._ASSIGN_BLAS_CELLS:
+#: HOF lambdas run outside codegen; measured at 2M×100×64 the
+#: expression form took 302 s vs seconds for the Arrow form)
+_ZEROSHOT_BLAS_CELLS = 50_000_000
+
+
+def _zeroshot_arrow(
+    data: DataFrame,
+    labels: DataFrame,
+    vector_col: str,
+    id_col: str,
+    label_col: str,
+    label_idx_col: str,
+    label_vec_col: str,
+    softmax: bool,
+) -> DataFrame:
+    """Arrow/numpy form of ``zeroshot`` — bit-identical dot/norm math.
+
+    The JVM expression folds Σ xⱼ·lⱼ (and Σ xⱼ²) sequentially in dim
+    order with separate multiply and add roundings; this path
+    accumulates ``acc += X[:, j] * L[c, j]`` one dim at a time in the
+    same order (numpy has no FMA contraction on doubles), so cosine
+    scores and therefore predictions are IDENTICAL to the expression
+    path — not merely close (strategy-equality test-asserted).
+    Softmax probabilities also accumulate exp terms in label-index
+    order; Math.exp vs libm exp may differ in the last ulp, which is
+    the one documented (and tested: ≤1e-12 relative) divergence.
+    Zero-norm rows (score undefined — NULL on the expression path)
+    keep NaN scores and fall back to the lowest label index."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StringType, StructField
+
+    labs = sorted(
+        (r[label_idx_col], r[label_col], list(r[label_vec_col]))
+        for r in labels.collect()
+    )
+    names = [lab for _, lab, _ in labs]
+    L = np.array([v for _, _, v in labs], dtype=np.float64)
+    k, d = L.shape
+    # label norms: same sequential fold, python floats ARE doubles
+    lnorm = []
+    for _, _, v in labs:
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        lnorm.append(acc**0.5)
+    lnorm = np.array(lnorm, dtype=np.float64)
+
+    fields = list(data.schema.fields) + [
+        StructField("zeroshot_pred", StringType()),
+        StructField("score", DoubleType()),
+    ]
+    if softmax:
+        fields.append(StructField("prob", DoubleType()))
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(fields)
+
+    def score_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vector_col]), dtype=np.float64)
+            n = len(X)
+            dots = np.zeros((n, k), dtype=np.float64)
+            xsq = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                xj = X[:, j]
+                xsq += xj * xj
+                for c in range(k):
+                    dots[:, c] += xj * L[c, j]
+            xnorm = np.sqrt(xsq)
+            denom = xnorm[:, None] * lnorm[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = np.where(denom > 0.0, dots / denom, np.nan) * 100.0
+            # argmax, ties (and all-NaN rows) to the LOWEST index:
+            # scan labels in idx order keeping strict improvements
+            best = np.zeros(n, dtype=np.int64)
+            bests = S[:, 0].copy()
+            for c in range(1, k):
+                upd = S[:, c] > bests  # NaN compares False: keeps idx
+                best[upd] = c
+                bests[upd] = S[upd, c]
+            out = pdf.copy()
+            out["zeroshot_pred"] = [names[c] for c in best]
+            out["score"] = bests
+            if softmax:
+                smax = bests
+                accp = np.zeros(n, dtype=np.float64)
+                for c in range(k):
+                    accp = accp + np.exp(S[:, c] - smax)
+                out["prob"] = 1.0 / accp
+            yield out
+
+    return data.mapInPandas(score_batches, out_schema)
