@@ -379,6 +379,7 @@ def build_ivf_index(
     id_col: str = "vec_id",
     centroid_id_col: str = "centroid_id",
     centroid_vec_col: str = "centroid_vec",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (IVF list id).
 
@@ -391,6 +392,22 @@ def build_ivf_index(
     queries prune partitions (the Spark analog of faiss IVF lists —
     reference index at vsu/base/VectorSearchBase.py:54-59).
     """
+    if n_rows is not None:
+        # rows x k x dim beyond the HOF wall: reuse the k-means
+        # assignment's gated Arrow path (bit-identical argmin and
+        # tie-break — clustering._assign_blas, strategy-equality
+        # test-asserted). Same 18.7x class of win as zeroshot's
+        # Arrow path; the default plan (and every oracle) unchanged.
+        from vectorsearchutil_spark.operators.clustering import _assign
+
+        cents = sorted(
+            (int(r[centroid_id_col]), list(r[centroid_vec_col]))
+            for r in centroids.collect()
+        )
+        assigned = _assign(df, cents, vector_col, id_col, n_rows=n_rows)
+        return assigned.select(
+            *df.columns, F.col("cid").alias(centroid_id_col)
+        )
     cents_row = centroids.agg(
         F.array_sort(
             F.collect_list(

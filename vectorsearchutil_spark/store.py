@@ -530,15 +530,20 @@ class VectorStore:
                     "index_path= required for cache-mode stores"
                 )
             index_path = base.rstrip("/") + "__ivf"
+        # one sizing count feeds BOTH gates (k-means driver/distributed
+        # and the assignment's expression/Arrow path — the HOF wall)
+        n_rows = self.data.count()
         _, centroids = kmeans(
-            self.data, k=n_lists, vector_col="vector", id_col="id"
+            self.data, k=n_lists, vector_col="vector", id_col="id",
+            n_rows=n_rows,
         )
         cents = centroids.select(
             F.col("cid").alias("centroid_id"),
             F.col("cv").alias("centroid_vec"),
         )
         indexed = build_ivf_index(
-            self.data, cents, vector_col="vector", id_col="id"
+            self.data, cents, vector_col="vector", id_col="id",
+            n_rows=n_rows,
         )
         indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(
             os.path.join(index_path, "lists")
@@ -581,7 +586,8 @@ class VectorStore:
             F.col("centroid_id"), F.col("centroid_vec")
         )
         indexed = build_ivf_index(
-            fresh, cents, vector_col="vector", id_col="id"
+            fresh, cents, vector_col="vector", id_col="id",
+            n_rows=fresh.count(),
         ).persist()
         n = indexed.count()
         if n:
