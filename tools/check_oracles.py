@@ -111,6 +111,17 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if os.environ.get("CHECK_ORACLES_PENDING"):
+        # round-6 staging lane: validate the PENDING registry (kept
+        # out of __spark_entry__ while the live registry is frozen)
+        # through the same driver-strict gate
+        from vectorsearchutil_spark.queries_pending import (
+            PENDING_ORACLES,
+            PENDING_QUERIES,
+        )
+
+        qs = {**qs, **PENDING_QUERIES}
+        oracles = {**oracles, **PENDING_ORACLES}
     failures = 0
     report: dict[str, dict] = {}
     for name, fn in qs.items():

@@ -63,3 +63,53 @@ def salted_broadcast_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
     return b.join(F.broadcast(s), [key, "_salt"]).drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+    target_share: float = 0.02,
+) -> DataFrame:
+    """Shuffle-key skew diagnostic: per-key row share and the salt
+    factor that would flatten it — the measurement you run BEFORE
+    reaching for :func:`salted_sum_count` / AQE skew hints. For the
+    ``top_n`` heaviest keys (by count desc, key asc): rows, share of
+    the table, and ``suggested_salt`` = ceil(share / target_share)
+    clamped to ≥1 — the replication needed so no reducer holds more
+    than ``target_share`` of the rows.
+
+    Scale shape: one partial-aggregated count per key (the same
+    shuffle any groupBy pays — map-side combine ships one row per key
+    per task), a broadcast 1-row total, and a global top-n that plans
+    as TakeOrderedAndProject. NULL keys count as a real group (NULL
+    is the classic skew culprit) and print as the string '<null>'.
+    """
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    counts = df.groupBy(
+        F.coalesce(F.col(key_col).cast("string"), F.lit("<null>")).alias(
+            "key"
+        )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            round_half_up(
+                F.col("n_rows").cast("double") / F.col("_total"), 6
+            ).alias("share"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(
+                    F.col("n_rows").cast("double")
+                    / F.col("_total")
+                    / F.lit(float(target_share))
+                ),
+            ).cast("int").alias("suggested_salt"),
+        )
+        .orderBy(F.col("n_rows").desc(), F.col("key").asc())
+        .limit(int(top_n))
+    )

@@ -116,3 +116,18 @@ def lit_double_sql(v) -> str:
     if f == float("-inf"):
         return "double('-Infinity')"
     return f"{f!r}D"
+
+
+def round_half_up(col, dp: int):
+    """Cross-engine-deterministic decimal rounding:
+    ``floor(x·10^dp + 0.5) / 10^dp`` — the SAME IEEE ops in Spark and
+    any SQL engine, unlike ``F.round``/``ROUND`` which diverge on
+    half-way-boundary doubles (Spark rounds the exact binary
+    expansion via BigDecimal HALF_UP; DuckDB rounds the scaled
+    double — found as a real sf0.1 flip in the MAD z-score, round 5).
+    Oracles must spell the identical floor form.
+    """
+    from pyspark.sql import functions as F
+
+    scale = float(10 ** dp)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)

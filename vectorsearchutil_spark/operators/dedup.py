@@ -1381,3 +1381,63 @@ def scrub_duplicate_spans(
         .withColumn("n_removed_tokens", F.lit(0))
     )
     return clean.unionByName(rebuilt)
+
+
+def keep_best_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Quality-aware duplicate survivor election: group near-dup
+    pairs into clusters (:func:`connected_components`) and keep, per
+    cluster, the member with the HIGHEST ``score_col`` (ties break by
+    ``id_col`` ascending) — plus every un-paired document untouched.
+    The production variant of ``dedup_canonical_docs``' min-id rule:
+    real pipelines keep the longest / highest-quality duplicate, not
+    the first-seen one (keep-longest is the common heuristic; pass
+    a model quality score for the learned variant).
+
+    Output: the surviving rows of ``docs`` (all original columns).
+
+    Scale shape: clusters are a vanishing fraction of a deduped
+    corpus, so the (node → component) map and the per-cluster argmax
+    run on the small cluster-member table; the survivors-to-drop set
+    broadcasts into one anti-join and the corpus itself never
+    shuffles. The per-cluster argmax is max_by (one aggregate), not
+    a raw-row window.
+    """
+    cc = connected_components(pairs, src=src, dst=dst)
+    members = cc.join(
+        docs.select(
+            F.col(id_col).cast("long").alias("node"),
+            # NULL score ranks lowest (it cannot win the argmax);
+            # -inf keeps the struct comparison total under ANSI
+            F.coalesce(
+                F.col(score_col).cast("double"), F.lit(float("-inf"))
+            ).alias("_score"),
+        ),
+        "node",
+    )
+    # argmax by (score desc, id asc) as ONE aggregate: max_by over
+    # struct(score, -node) — struct ordering compares score first,
+    # then -node, so the max is highest-score / lowest-id
+    best = members.groupBy("component").agg(
+        F.max_by(
+            F.col("node"),
+            F.struct(
+                F.col("_score").alias("_s"),
+                (-F.col("node")).alias("_nid"),
+            ),
+        ).alias("keep_id")
+    )
+    losers = members.join(
+        best, "component"
+    ).filter(F.col("node") != F.col("keep_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(
+        F.broadcast(losers), docs[id_col] == losers[id_col], "left_anti"
+    )

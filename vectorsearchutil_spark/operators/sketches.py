@@ -626,3 +626,145 @@ def hll_running_distinct(
         .select(order_col, "bucket", F.col("_cmj").alias("mj"))
     )
     return hll_estimate(cum, [order_col], b, out_col)
+
+
+def tdigest_centroids(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 32,
+    n_centroids: int = 64,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """t-digest-lite: a MERGEABLE equi-depth centroid sketch.
+
+    Rows hash into ``n_buckets`` deterministic buckets (md5 of the
+    id — partitioning-independent); within a bucket, rows rank by
+    (value, id) and split into ``n_centroids`` equi-count slices;
+    each (bucket, slice) centroid keeps ``(n, sum_fp)`` — count and
+    a FIXED-POINT value sum (floor(v*scale + 0.5) as long), so the
+    centroid mean is bit-identical across engines regardless of
+    summation order (the cross-engine float-sum trap). State is
+    n_buckets × n_centroids rows — constant, mergeable (union the
+    centroid tables of two corpora), the t-digest contract without
+    its sequential insert loop.
+
+    Scale shape: ONE shuffle on the bucket key; ``n_buckets`` is the
+    parallelism knob (set ≈ corpus_rows / task_target at 100 TB so
+    each per-bucket sort fits a task — this is a window over a
+    CHOSEN-cardinality key, not a low-cardinality serial wall).
+    NULL and non-finite values are excluded (they cannot rank).
+
+    Output: (bucket, slice, n, mean) with mean = (sum_fp/n)/scale.
+    """
+    from pyspark.sql import Window
+
+    v = F.col(value_col).cast("double")
+    rows = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        v.alias("_v"),
+        F.floor(v * F.lit(float(fp_scale)) + F.lit(0.5))
+        .cast("long")
+        .alias("_v_fp"),
+    ).filter(
+        F.col("_v").isNotNull()
+        & ~F.isnan("_v")
+        & (F.abs("_v") != F.lit(float("inf")))
+    ).withColumn(
+        "bucket",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("_id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("long")
+            % n_buckets
+        ).cast("int"),
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("_v"), F.col("_id"))
+    cnt = Window.partitionBy("bucket")
+    ranked = rows.select(
+        "bucket",
+        "_v_fp",
+        F.row_number().over(w).alias("_rk"),
+        F.count(F.lit(1)).over(cnt).alias("_bn"),
+    )
+    return (
+        ranked.withColumn(
+            "slice",
+            F.floor(
+                (F.col("_rk") - 1) * F.lit(int(n_centroids)) / F.col("_bn")
+            ).cast("int"),
+        )
+        .groupBy("bucket", "slice")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("_v_fp").cast("bigint").alias("sum_fp"),
+        )
+        .select(
+            "bucket",
+            "slice",
+            "n",
+            (
+                (F.col("sum_fp").cast("double") / F.col("n").cast("double"))
+                / F.lit(float(fp_scale))
+            ).alias("mean"),
+        )
+    )
+
+
+def tdigest_quantiles(
+    centroids: DataFrame,
+    qs: list[float],
+    round_dp: int = 4,
+) -> DataFrame:
+    """Quantile estimates from a :func:`tdigest_centroids` table (or
+    a UNION of several — the sketch merges by concatenation): order
+    centroids by (mean, bucket, slice), take the running count, and
+    for each q return the mean of the first centroid whose running
+    count reaches ceil(q·N). Exact at the slice boundaries, within
+    one slice-width everywhere else — the standard digest trade.
+
+    The centroid table is tiny (buckets × slices ≤ a few k rows), so
+    the ordered scan and the per-q argmin are driver-light
+    aggregates; floor-form rounding keeps the estimate bit-identical
+    across engines.
+    """
+    from pyspark.sql import Window
+
+    scale = float(10 ** round_dp)
+    ordw = Window.orderBy("mean", "bucket", "slice").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = centroids.select(
+        "bucket", "slice", "mean", F.sum("n").over(ordw).alias("cum")
+    )
+    total = centroids.agg(F.sum("n").alias("N"))
+    qdf = cum.crossJoin(F.broadcast(total)).crossJoin(
+        F.broadcast(
+            centroids.sparkSession.range(1)
+            .select(
+                F.explode(
+                    F.array(*[F.lit(float(q)) for q in qs])
+                ).alias("q")
+            )
+        )
+    )
+    return (
+        qdf.filter(
+            F.col("cum")
+            >= F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("q") * F.col("N").cast("double")),
+            )
+        )
+        .groupBy("q")
+        .agg(F.min_by("mean", "cum").alias("_est"))
+        .select(
+            "q",
+            (
+                F.floor(F.col("_est") * F.lit(scale) + F.lit(0.5))
+                / F.lit(scale)
+            ).alias("est"),
+        )
+    )

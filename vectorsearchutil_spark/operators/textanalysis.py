@@ -1090,3 +1090,138 @@ def gopher_repetition_signals(
             ),
         )
     )
+
+
+def benchmark_contamination(
+    train: "DataFrame",
+    bench: "DataFrame",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+) -> "DataFrame":
+    """Benchmark-contamination screen (the GPT-3 §C / LLaMA
+    decontamination step): for every training document, the fraction
+    of its distinct word ``n``-grams that also occur anywhere in the
+    held-out benchmark split. Complements the registry's
+    ``docs_decontamination`` (which counts shared shingles for HITS
+    only): this emits EVERY training doc with its contamination
+    RATIO — the quantity pipelines threshold on (usually 13-gram,
+    drop at ratio > 0).
+
+    Output: (id, n_grams, n_contaminated, contamination_ratio).
+    Docs shorter than ``n`` tokens have zero grams and ratio 0.0 by
+    convention (nothing to leak).
+
+    Scale shape: one shingle pass per side; the benchmark collapses
+    to a distinct-gram set that BROADCASTS (benchmarks are ~1e6
+    grams vs a 100 TB corpus), so the training side takes a map-side
+    semi-join + one per-doc aggregate — the corpus text itself never
+    shuffles.
+    """
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.functions.vector import round_half_up
+    from vectorsearchutil_spark.operators.dedup import _shingle_table
+
+    tr = _shingle_table(train, text_col, id_col, n, None)
+    ev = _shingle_table(bench, text_col, id_col, n, None).select(
+        "shingle"
+    ).distinct()
+    per_doc = (
+        tr.join(F.broadcast(ev.withColumn("_hit", F.lit(1))),
+                "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("int")
+            .alias("n_contaminated"),
+        )
+    )
+    # LEFT join back so sub-n-token docs appear with 0 grams
+    return (
+        train.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            round_half_up(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("n_contaminated").cast("double"),
+                        F.col("n_grams").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+def truncation_stats(
+    df: "DataFrame",
+    ctx_lengths: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Tokenizer-aware truncation loss: for each candidate context
+    length, how much of the corpus a fixed-window trainer would
+    DROP. Uses the BPE-ish regex pre-tokenizer (same convention as
+    :func:`bpe_token_stats`) so counts approximate real tokenizer
+    output, not whitespace words.
+
+    Output, one row per ctx length: (ctx_len, n_docs, n_truncated,
+    total_tokens, lost_tokens, lost_frac) where lost_tokens =
+    Σ max(0, tokens − ctx).
+
+    Scale shape: one narrow token-count projection (no text shuffle),
+    then an explode over the tiny ctx-length literal array and a
+    |ctx_lengths|-group aggregate — partial aggregation does almost
+    all the work map-side.
+    """
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    cnt = df.select(
+        F.col(id_col),
+        F.size(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BPE_PATTERN), 0
+            )
+        ).alias("_n_tok"),
+    )
+    ctxs = F.array(*[F.lit(int(c)) for c in sorted(ctx_lengths)])
+    return (
+        cnt.withColumn("ctx_len", F.explode(ctxs))
+        .groupBy("ctx_len")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(
+                (F.col("_n_tok") > F.col("ctx_len")).cast("int")
+            ).cast("bigint").alias("n_truncated"),
+            F.sum("_n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(
+                F.greatest(F.lit(0), F.col("_n_tok") - F.col("ctx_len"))
+            ).cast("bigint").alias("lost_tokens"),
+        )
+        .select(
+            "ctx_len",
+            "n_docs",
+            "n_truncated",
+            "total_tokens",
+            "lost_tokens",
+            round_half_up(
+                F.coalesce(
+                    F.try_divide(
+                        F.col("lost_tokens").cast("double"),
+                        F.col("total_tokens").cast("double"),
+                    ),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("lost_frac"),
+        )
+    )

@@ -1,0 +1,389 @@
+"""Round-6 PENDING query registry.
+
+The live registry is FROZEN at 188 entries until the round-5 driver
+window closes the 43-query rotation (VERDICT r4 "Next round" #1/#3:
+new entries must not outgrow the ~50-row driver window again). These
+six operators are the round-6 wave, fully implemented and
+oracle-checked NOW — ``CHECK_ORACLES_PENDING=1
+python tools/check_oracles.py`` runs them through the same
+driver-strict gate — but kept OUT of ``__spark_entry__.queries()``
+so the frozen registry stays bit-identical for the external gate.
+Round 6 promotes them by moving each ``@pending_query`` to
+``@query`` (same names, same oracles) once CORRECTNESS_r05 lands
+188/188.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vectorsearchutil_spark.sources.readers import load_table
+
+PENDING_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+PENDING_ORACLES: dict[str, str] = {}
+
+
+def pending_query(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from vectorsearchutil_spark.session import (
+                ensure_package_on_executors,
+            )
+
+            ensure_package_on_executors(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        PENDING_QUERIES[name] = wrapped
+        if oracle is not None:
+            PENDING_ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# 1. Benchmark-contamination screen (per-doc 8-gram overlap RATIO —
+#    complements docs_decontamination's hits-only shared count)
+# --------------------------------------------------------------------------
+
+_CONTAM_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || '_' || t[i+1] || '_' || t[i+2] || '_' || t[i+3] || '_' ||
+         t[i+4] || '_' || t[i+5] || '_' || t[i+6] || '_' || t[i+7]
+           AS shingle
+  FROM sh0
+),
+ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+agg AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_grams,
+         SUM(CASE WHEN e.shingle IS NOT NULL THEN 1 ELSE 0 END)
+           AS n_contaminated
+  FROM sh s LEFT JOIN ev e ON s.shingle = e.shingle
+  WHERE s.doc_id >= 50
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_grams, 0) AS INT) AS n_grams,
+       CAST(COALESCE(a.n_contaminated, 0) AS INT) AS n_contaminated,
+       floor(COALESCE(CAST(a.n_contaminated AS DOUBLE)
+                      / CAST(a.n_grams AS DOUBLE), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS contamination_ratio
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+WHERE d.doc_id >= 50
+"""
+
+
+@pending_query("docs_benchmark_contamination", _CONTAM_ORACLE)
+def docs_benchmark_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-training-doc benchmark contamination ratio: the fraction
+    of each train doc's (doc_id ≥ 50) distinct 8-gram shingles that
+    appear anywhere in the held-out slice (doc_id < 50) — the
+    quantity decontamination pipelines threshold on. EVERY train doc
+    is emitted (ratio 0.0 when clean or sub-8-token)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        benchmark_contamination,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") >= 50),
+        docs.filter(F.col("doc_id") < 50),
+        n=8,
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. Quality-aware duplicate survivor (keep BEST, not first)
+# --------------------------------------------------------------------------
+
+
+def _keep_best_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CC_EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+members AS (
+  SELECT c.doc_id, c.component, d.n_chars
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+best AS (
+  SELECT component, doc_id AS keep_id FROM (
+    SELECT component, doc_id,
+           row_number() OVER (
+             PARTITION BY component
+             ORDER BY n_chars DESC, doc_id ASC
+           ) AS rn
+    FROM members
+  ) WHERE rn = 1
+),
+losers AS (
+  SELECT m.doc_id
+  FROM members m JOIN best b ON m.component = b.component
+  WHERE m.doc_id != b.keep_id
+)
+SELECT d.doc_id, d.lang, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)
+"""
+
+
+@pending_query("dedup_keep_best")
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deduped corpus keeping the LONGEST member of each near-dup
+    cluster (3-gram Jaccard ≥ 0.8 → connected components → argmax
+    n_chars, ties min doc_id) — the production survivor rule, vs
+    ``dedup_canonical_docs``' min-id rule."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return _dd.keep_best_representative(
+        docs.select("doc_id", "lang", "n_chars"), pairs, "n_chars"
+    )
+
+
+PENDING_ORACLES["dedup_keep_best"] = _keep_best_oracle()
+
+
+# --------------------------------------------------------------------------
+# 3. Tokenizer-aware truncation loss at candidate context lengths
+# --------------------------------------------------------------------------
+
+_TRUNC_ORACLE = """
+WITH cnt AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+'))
+           AS n_tok
+  FROM documents
+),
+x AS (
+  SELECT doc_id, n_tok, unnest([16, 32, 64]) AS ctx_len FROM cnt
+)
+SELECT CAST(ctx_len AS INT) AS ctx_len,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+       CAST(SUM(greatest(0, n_tok - ctx_len)) AS BIGINT) AS lost_tokens,
+       floor(COALESCE(CAST(SUM(greatest(0, n_tok - ctx_len)) AS DOUBLE)
+                      / CAST(NULLIF(SUM(n_tok), 0) AS DOUBLE), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS lost_frac
+FROM x GROUP BY ctx_len
+"""
+
+
+@pending_query("docs_truncation_stats", _TRUNC_ORACLE)
+def docs_truncation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide truncation loss if trained at context lengths
+    {16, 32, 64} BPE-ish tokens: docs truncated, tokens lost, lost
+    fraction — the sizing pass before choosing a packing length."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        truncation_stats,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return truncation_stats(docs, [16, 32, 64])
+
+
+# --------------------------------------------------------------------------
+# 4. t-digest-lite: mergeable equi-depth centroid sketch quantiles
+# --------------------------------------------------------------------------
+
+_TDIGEST_ORACLE = """
+WITH rows0 AS (
+  SELECT CAST(event_id AS BIGINT) AS id, value::DOUBLE AS v
+  FROM events
+  WHERE value IS NOT NULL AND isfinite(value)
+),
+rows1 AS (
+  SELECT id, v,
+         CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS v_fp,
+         CAST(('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15))::BIGINT
+              % 32 AS INT) AS bucket
+  FROM rows0
+),
+ranked AS (
+  SELECT bucket, v_fp,
+         row_number() OVER (PARTITION BY bucket ORDER BY v, id) AS rk,
+         COUNT(*) OVER (PARTITION BY bucket) AS bn
+  FROM rows1
+),
+cents AS (
+  SELECT bucket,
+         CAST(floor((rk - 1) * 64 / bn) AS INT) AS slice,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v_fp) AS BIGINT) AS sum_fp
+  FROM ranked GROUP BY bucket, slice
+),
+cum AS (
+  SELECT bucket, slice, n,
+         (CAST(sum_fp AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0
+           AS mean,
+         SUM(n) OVER (
+           ORDER BY (CAST(sum_fp AS DOUBLE) / CAST(n AS DOUBLE))
+                    / 1000000.0, bucket, slice
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum
+  FROM cents
+),
+tot AS (SELECT SUM(n) AS total_n FROM cents),
+qs AS (SELECT unnest(CAST([0.1, 0.5, 0.9, 0.99] AS DOUBLE[])) AS q)
+SELECT q,
+       floor(arg_min(mean, cum) * 10000.0 + 0.5) / 10000.0 AS est
+FROM cum, tot, qs
+WHERE cum >= greatest(1, ceil(q * CAST(total_n AS DOUBLE)))
+GROUP BY q
+"""
+
+
+@pending_query("events_value_tdigest", _TDIGEST_ORACLE)
+def events_value_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p10/p50/p90/p99 of event value from the t-digest-lite sketch
+    (32 buckets × 64 centroids of fixed-point mergeable state) — the
+    constant-size complement to the exact histogram-refinement
+    quantile family."""
+    from vectorsearchutil_spark.operators.sketches import (
+        tdigest_centroids,
+        tdigest_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    cents = tdigest_centroids(
+        e, "value", "event_id", n_buckets=32, n_centroids=64
+    )
+    return tdigest_quantiles(cents, [0.1, 0.5, 0.9, 0.99])
+
+
+# --------------------------------------------------------------------------
+# 5. Cross-encoder rerank over a first-stage kNN shortlist
+# --------------------------------------------------------------------------
+
+_CE_RERANK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 3
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv
+  FROM embeddings WHERE vec_id >= 3
+),
+scored AS (
+  SELECT q.query_id, c.vec_id,
+         floor(list_cosine_similarity(c.cv, q.qv) * 1000000.0 + 0.5)
+           / 1000000.0 AS s,
+         row_number() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+                    c.vec_id ASC
+         ) AS rn
+  FROM q, c
+),
+short AS (SELECT query_id, vec_id, s FROM scored WHERE rn <= 20),
+ce AS (
+  SELECT query_id, vec_id,
+         floor((0.8 * s + 0.2 *
+                (('0x' || substr(md5('ce:' || query_id || ':' || vec_id),
+                                 1, 8))::BIGINT / 4294967296.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS ce_score
+  FROM short
+)
+SELECT query_id, vec_id, ce_score, CAST(rank AS INT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY ce_score DESC, vec_id ASC
+  ) AS rank FROM ce
+) WHERE rank <= 5
+"""
+
+
+@pending_query("knn_crossencoder_rerank", _CE_RERANK_ORACLE)
+def knn_crossencoder_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: brute-force cosine top-20 shortlist per
+    query (vec_id < 3 as queries, rest as corpus), then the stub
+    cross-encoder (0.8·cosine + 0.2·md5-pair-uniform) reranks to
+    top-5 via grouped-Arrow ``applyInPandas`` — the
+    retrieve-then-rerank stack with deterministic, oracle-checkable
+    scores. First-stage scores floor-round to 6dp on BOTH sides
+    before blending, so engine cosine ulps cannot leak into the
+    blend."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.vector import (
+        cosine_similarity,
+        round_half_up,
+    )
+    from vectorsearchutil_spark.operators.reranker import rerank_shortlist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.filter(F.col("vec_id") >= 3).select(
+        "vec_id", F.col("embedding").alias("cv")
+    )
+    cos = cosine_similarity("cv", "qv")
+    w = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col("vec_id").asc()
+    )
+    short = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select(
+            "query_id",
+            "vec_id",
+            round_half_up(cos, 6).alias("score"),
+        )
+    )
+    return rerank_shortlist(short, k=5, id_col="vec_id")
+
+
+# --------------------------------------------------------------------------
+# 6. Shuffle-key skew diagnostic
+# --------------------------------------------------------------------------
+
+_SKEW_ORACLE = """
+WITH counts AS (
+  SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS key,
+         CAST(COUNT(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY 1
+),
+tot AS (SELECT SUM(n_rows) AS total FROM counts)
+SELECT key, n_rows,
+       floor(CAST(n_rows AS DOUBLE) / total * 1000000.0 + 0.5)
+         / 1000000.0 AS share,
+       CAST(greatest(1, ceil(CAST(n_rows AS DOUBLE) / total / 0.02))
+            AS INT) AS suggested_salt
+FROM counts, tot
+ORDER BY n_rows DESC, key ASC
+LIMIT 10
+"""
+
+
+@pending_query("events_skew_report", _SKEW_ORACLE)
+def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type row share + the salt factor that would flatten
+    each hot key to ≤2% of the shuffle — the measurement before
+    salted aggregation / AQE skew hints."""
+    from vectorsearchutil_spark.functions.skew import skew_report
+
+    e = load_table(spark, sf_dir, "events")
+    return skew_report(e, "event_type", top_n=10, target_share=0.02)
