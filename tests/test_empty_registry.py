@@ -126,8 +126,10 @@ def test_every_query_executes_on_tiny_tables(spark, tiny_sf):
     divide), single-class classifiers, and one-row windows; the
     null-payload fixture exposes every UDF/collect site that assumed
     a non-null vector/text/binary cell (26 crashes when first run)."""
+    from vectorsearchutil_spark import queries_pending as P
+
     crashed = {}
-    for name, fn in Q.QUERIES.items():
+    for name, fn in {**Q.QUERIES, **P.PENDING_QUERIES}.items():
         try:
             fn(spark, tiny_sf).count()
         except Exception as e:  # noqa: BLE001 — collecting the sweep

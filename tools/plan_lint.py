@@ -38,8 +38,13 @@ def lint_all(names=None, sf_dir=SF_DIR):
 
     spark = get_spark("plan-lint")
     spark.sparkContext.setLogLevel("ERROR")
+    entries = dict(Q.QUERIES)
+    if os.environ.get("PLAN_LINT_PENDING"):
+        from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+        entries.update(PENDING_QUERIES)
     results, violations = {}, {}
-    for name, fn in Q.QUERIES.items():
+    for name, fn in entries.items():
         if names and name not in names:
             continue
         t0 = time.time()
