@@ -268,4 +268,136 @@ def test_pending_registry_has_oracles():
     )
 
     assert set(PENDING_ORACLES) == set(PENDING_QUERIES)
-    assert len(PENDING_QUERIES) == 6
+    assert len(PENDING_QUERIES) == 9
+
+
+# ---------------------------------------------------------------- containment
+
+
+def test_containment_finds_short_in_long(spark):
+    from vectorsearchutil_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(40))
+    short_text = " ".join(f"w{i}" for i in range(10, 20))  # embedded run
+    other = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(docs, n=3, threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["containment"] == 1.0
+
+
+def test_containment_jaccard_would_miss_it(spark):
+    """The motivating case: containment 1.0 but Jaccard far below
+    any dedup threshold."""
+    from vectorsearchutil_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_text = " ".join(f"w{i}" for i in range(60))
+    short_text = " ".join(f"w{i}" for i in range(10, 18))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, short_text)], "doc_id long, text string"
+    )
+    assert containment_pairs(docs, n=3, threshold=0.9).count() == 1
+    assert ngram_jaccard_pairs(docs, n=3, threshold=0.8).count() == 0
+
+
+def test_containment_partitioning_invariance(spark):
+    from vectorsearchutil_spark.operators.dedup import containment_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"t{(i * 7 + j) % 50}" for j in range(20)))
+            for i in range(60)
+        ],
+        "doc_id long, text string",
+    )
+    a = sorted(
+        map(tuple, containment_pairs(docs, n=3, threshold=0.8).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            containment_pairs(
+                docs.repartition(7), n=3, threshold=0.8
+            ).collect(),
+        )
+    )
+    assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------- hubness
+
+
+def test_hubness_arrow_matches_expression(spark):
+    """Strategy equality: the gated Arrow path must reproduce the
+    JVM expression path's counts exactly (bit-identical scores →
+    identical ranks)."""
+    from vectorsearchutil_spark.operators.knn import knn_hubness
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    expr = {
+        (r["vec_id"], r["k_occurrence"])
+        for r in knn_hubness(
+            emb, k=5, vector_col="embedding", id_col="vec_id"
+        ).collect()
+    }
+    arrow = {
+        (r["vec_id"], r["k_occurrence"])
+        for r in knn_hubness(
+            emb,
+            k=5,
+            vector_col="embedding",
+            id_col="vec_id",
+            n_rows=10_000_000,  # force the gate over the cell limit
+        ).collect()
+    }
+    assert expr == arrow
+
+
+def test_hubness_excludes_invalid_vectors(spark):
+    from vectorsearchutil_spark.operators.knn import knn_hubness
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 0.0]),        # zero-norm: excluded
+            (4, None),              # NULL: excluded
+            (5, [float("nan"), 1.0]),  # non-finite: excluded
+        ],
+        "id long, vector array<double>",
+    )
+    got = {
+        r["id"]: r["k_occurrence"]
+        for r in knn_hubness(df, k=1).collect()
+    }
+    # 1 and 2 are each other's only neighbour; 3/4/5 present with 0
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}
+
+
+# ---------------------------------------------------------------- fk audit
+
+
+def test_fk_orphan_audit_counts(spark):
+    from vectorsearchutil_spark.operators.integrity import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 99), (5, None)],
+        "id long, fk long",
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk long")
+    row = fk_orphan_audit(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()[0]
+    assert row["n_children"] == 5
+    assert row["n_distinct_keys"] == 3
+    assert row["n_orphan_rows"] == 1  # the fk=99 row; NULL not orphan
+    assert row["n_orphan_keys"] == 1
+    assert row["orphan_rate"] == 0.2

@@ -1441,3 +1441,99 @@ def keep_best_representative(
     return docs.join(
         F.broadcast(losers), docs[id_col] == losers[id_col], "left_anti"
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs: (id_a < id_b, containment)
+    where containment = |A∩B| / min(|A|,|B|) ≥ threshold — the
+    asymmetric near-dup relation Jaccard misses: a short document
+    quoted/embedded inside a long one scores ~1.0 here but near 0 on
+    Jaccard. The standard screen for boilerplate inclusion, quoting
+    and template wrapping.
+
+    Exact prefix filtering adapted to containment (no length filter
+    is sound here — lengths may differ arbitrarily): for any pair,
+    let S be the smaller set; inter ≥ ⌈t·|S|⌉ forces a shared
+    shingle within S's first ``|S| − ⌈t·|S|⌉ + 1`` rare-first
+    elements (pigeonhole over the global frequency order), so only
+    the SMALLER side's prefix probes the inverted index, while the
+    larger side indexes in full. ``max_df`` caps postings-list
+    blow-up from stop-shingles (they carry no containment signal).
+    The exact intersection count then runs on candidates only.
+    """
+    sh = _shingle_table(df, text_col, id_col, n, max_df).cache()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    per_doc = (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("lst")
+        )
+        .select(
+            F.col(id_col),
+            F.size("lst").alias("n_sh"),
+            F.slice(
+                F.col("lst"),
+                1,
+                (
+                    F.size("lst")
+                    - F.ceil(F.size("lst") * F.lit(float(threshold)))
+                    + 1
+                ).cast("int"),
+            ).alias("prefix"),
+        )
+    )
+    probe = per_doc.select(
+        F.col(id_col).alias("_pid"),
+        F.col("n_sh").alias("n_p"),
+        F.explode(F.col("prefix")["shingle"]).alias("shingle"),
+    )
+    index = sh.join(
+        per_doc.select(id_col, F.col("n_sh").alias("n_i")), id_col
+    ).select(F.col(id_col).alias("_iid"), "n_i", "shingle")
+    # probe must be the smaller set (ties: lower id probes) so each
+    # unordered pair is generated exactly once
+    cand = (
+        probe.join(index, "shingle")
+        .filter(
+            (F.col("n_p") < F.col("n_i"))
+            | (
+                (F.col("n_p") == F.col("n_i"))
+                & (F.col("_pid") < F.col("_iid"))
+            )
+        )
+        .select("_pid", "_iid", "n_p")
+        .distinct()
+    )
+    sp = sh.select(F.col(id_col).alias("_pid"), "shingle")
+    si = sh.select(F.col(id_col).alias("_iid"), "shingle")
+    inter = (
+        cand.join(sp, "_pid")
+        .join(si, ["_iid", "shingle"])
+        .groupBy("_pid", "_iid", "n_p")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return (
+        inter.filter(
+            F.col("inter") >= F.ceil(F.col("n_p") * F.lit(float(threshold)))
+        )
+        .select(
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+            round_half_up(
+                F.col("inter").cast("double") / F.col("n_p").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -130,3 +130,201 @@ def knn_batch(
         scored.withColumn("rank", F.row_number().over(win))
         .filter(F.col("rank") <= k)
     )
+
+
+#: rows² × dim above which the hubness self-kNN leaves the JVM HOF
+#: expression path for the bit-identical Arrow accumulation (the
+#: zeroshot/_assign_blas wall — interpreted lambdas off codegen).
+_HUBNESS_BLAS_CELLS = 50_000_000
+
+
+def knn_hubness(
+    df: DataFrame,
+    k: int = 10,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    metric: str = "cosine",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """ANN hubness diagnostic: each point's *k-occurrence* — how many
+    other points list it among their k nearest neighbours. High-
+    dimensional corpora develop "hubs" (k-occurrence ≫ k) and
+    anti-hubs (0), which skew retrieval quality and IVF list sizes
+    (Radovanović et al., JMLR 2010); this is the measurement you run
+    before trusting an ANN index's recall numbers.
+
+    Output: (id, k_occurrence) for EVERY input row, 0 included.
+    Participation contract: rows whose vector is NULL, non-finite or
+    zero-norm neither query nor get counted (they cannot rank under
+    any distance) — they appear in the output with 0.
+
+    Plan: self-kNN, self-pairs filtered before the per-query top-k,
+    then one count per neighbour id. The quadratic candidate stage is
+    inherent to exact hubness — at 100 TB run it per IVF probe list
+    or on a deterministic hash-sample of queries; the aggregation
+    side stays O(n). Passing ``n_rows`` (a metadata-cheap count)
+    gates the cosine scoring onto the Arrow path above
+    ``_HUBNESS_BLAS_CELLS`` — dim-at-a-time accumulation in the
+    JVM's fold order, so scores and therefore ranks are BIT-IDENTICAL
+    to the expression path (the zeroshot technique; the query matrix
+    broadcast bounds this path to ~1M × 64-dim points, past which you
+    block the query side).
+    """
+    from vectorsearchutil_spark.functions.vector import (
+        finite_vector,
+        l2_norm,
+    )
+
+    valid = df.filter(
+        finite_vector(F.col(vector_col))
+        & (l2_norm(F.col(vector_col)) != F.lit(0.0))
+    )
+    if n_rows and metric == "cosine":
+        probe = valid.select(vector_col).first()
+        dim = len(probe[0]) if probe and probe[0] is not None else 0
+        if n_rows * n_rows * dim > _HUBNESS_BLAS_CELLS:
+            occ = _hubness_arrow(valid, k, vector_col, id_col)
+            return (
+                df.select(id_col)
+                .join(occ, id_col, "left")
+                .select(
+                    id_col,
+                    F.coalesce("k_occurrence", F.lit(0)).alias(
+                        "k_occurrence"
+                    ),
+                )
+            )
+    queries = valid.select(
+        F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv")
+    )
+    dist, asc = _distance(metric, F.col(vector_col), F.col("_qv"))
+    order = [
+        F.col("_d").asc() if asc else F.col("_d").desc(),
+        F.col(id_col).asc(),
+    ]
+    win = Window.partitionBy("_qid").orderBy(*order)
+    neighbors = (
+        valid.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .withColumn("_d", dist)
+        .select("_qid", id_col, "_d")
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= int(k))
+    )
+    occ = neighbors.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("k_occurrence")
+    )
+    return (
+        df.select(id_col)
+        .join(occ, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("k_occurrence", F.lit(0)).alias("k_occurrence"),
+        )
+    )
+
+
+def _hubness_arrow(
+    valid: DataFrame, k: int, vector_col: str, id_col: str
+) -> DataFrame:
+    """Arrow form of the cosine self-kNN count: the full (pre-
+    filtered) point set broadcasts as the query matrix; the corpus
+    streams through ``mapInPandas`` in batches, scoring
+    dim-at-a-time (``acc += X[:, j] * Q[:, j]``) so every dot and
+    norm reproduces the JVM fold's rounding exactly (zeroshot-proven
+    technique). Per (corpus-batch, query) only the batch-local top-k
+    under the global (score desc, id asc) total order survives —
+    provably a superset of each query's global top-k — and one
+    window reduces candidates before the occurrence count."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    spark = valid.sparkSession
+    rows = sorted(
+        (int(r[0]), list(r[1]))
+        for r in valid.select(id_col, vector_col).collect()
+    )
+    qids = np.array([i for i, _ in rows], dtype=np.int64)
+    Q = np.array([v for _, v in rows], dtype=np.float64)
+    qn = []
+    for _, v in rows:
+        acc = 0.0
+        for x in v:
+            acc = acc + float(x) * float(x)
+        qn.append(acc**0.5)
+    qn = np.array(qn, dtype=np.float64)
+    b_qids = spark.sparkContext.broadcast(qids)
+    b_q = spark.sparkContext.broadcast(Q)
+    b_qn = spark.sparkContext.broadcast(qn)
+
+    out_schema = StructType(
+        [
+            StructField("_qid", LongType()),
+            StructField(id_col, LongType()),
+            StructField("_d", DoubleType()),
+        ]
+    )
+
+    def score(batches):
+        Qm, qnv, qi = b_q.value, b_qn.value, b_qids.value
+        m, d = Qm.shape
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.array(list(pdf[vector_col]), dtype=np.float64)
+            cids = pdf[id_col].to_numpy(dtype=np.int64)
+            n = len(X)
+            dots = np.zeros((n, m), dtype=np.float64)
+            xn = np.zeros(n, dtype=np.float64)
+            for j in range(d):
+                xj = X[:, j]
+                dots += xj[:, None] * Qm[:, j][None, :]
+                xn += xj * xj
+            xn = np.sqrt(xn)
+            # same two IEEE ops as try_divide(dot, na*nb)
+            s = dots / (xn[:, None] * qnv[None, :])
+            out = {"_qid": [], id_col: [], "_d": []}
+            take = min(int(k), max(n - 1, 0))
+            if take == 0:
+                yield pd.DataFrame(
+                    {"_qid": [], id_col: [], "_d": []}
+                ).astype({"_qid": "int64", id_col: "int64", "_d": "float64"})
+                continue
+            for q in range(m):
+                col = s[:, q]
+                mask = cids != qi[q]  # drop the self-pair
+                cand_ids = cids[mask]
+                cand_s = col[mask]
+                if not len(cand_ids):
+                    continue
+                t = min(take, len(cand_ids))
+                # batch-local top-k under (score desc, id asc), ties
+                # at the cutoff widened so partitioning cannot matter
+                part = np.argpartition(-cand_s, t - 1)[:t]
+                kth = cand_s[part].min()
+                keep = np.nonzero(cand_s >= kth)[0]
+                ordk = keep[
+                    np.lexsort((cand_ids[keep], -cand_s[keep]))[:t]
+                ]
+                out["_qid"].extend([int(qi[q])] * len(ordk))
+                out[id_col].extend(cand_ids[ordk].tolist())
+                out["_d"].extend(cand_s[ordk].tolist())
+            yield pd.DataFrame(out)
+
+    cand = valid.select(id_col, vector_col).mapInPandas(score, out_schema)
+    win = Window.partitionBy("_qid").orderBy(
+        F.col("_d").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= int(k))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("int").alias("k_occurrence"))
+    )

@@ -387,3 +387,149 @@ def events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return skew_report(e, "event_type", top_n=10, target_share=0.02)
+
+
+# --------------------------------------------------------------------------
+# 7. Containment near-dup pairs (short-doc-inside-long-doc)
+# --------------------------------------------------------------------------
+
+_CONTAINMENT_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         t[i] || '_' || t[i+1] || '_' || t[i+2] AS shingle
+  FROM sh0
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       floor(CAST(i.inter AS DOUBLE)
+             / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS containment
+FROM inter i
+JOIN sizes sa ON i.id_a = sa.doc_id
+JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE i.inter >= ceil(CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE) * 0.9)
+"""
+
+
+@pending_query("docs_containment_pairs", _CONTAINMENT_ORACLE)
+def docs_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup: pairs where ≥90% of the SMALLER doc's
+    3-gram shingles appear in the larger one — quoting / boilerplate
+    inclusion that Jaccard misses. Prefix-filtered inverted index
+    (smaller side probes, larger side indexes in full)."""
+    from vectorsearchutil_spark.operators.dedup import containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return containment_pairs(docs, n=3, threshold=0.9)
+
+
+# --------------------------------------------------------------------------
+# 8. ANN hubness diagnostic (k-occurrence distribution)
+# --------------------------------------------------------------------------
+
+_HUBNESS_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+nn AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(b.e, a.e) DESC, b.vec_id ASC
+         ) AS rk
+  FROM v a JOIN v b ON a.vec_id != b.vec_id
+),
+occ AS (SELECT nid, COUNT(*) AS n FROM nn WHERE rk <= 10 GROUP BY nid)
+SELECT v.vec_id, CAST(COALESCE(occ.n, 0) AS INT) AS k_occurrence
+FROM v LEFT JOIN occ ON v.vec_id = occ.nid
+"""
+
+
+@pending_query("embeddings_hubness", _HUBNESS_ORACLE)
+def embeddings_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence (k=10, cosine) of every embedding: how many other
+    points count it among their 10 nearest — the hubness skew check
+    run before trusting ANN recall."""
+    from vectorsearchutil_spark.operators.knn import knn_hubness
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_hubness(
+        emb, k=10, vector_col="embedding", id_col="vec_id",
+        metric="cosine", n_rows=emb.count(),
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. Referential-integrity audit over the declared FK edges
+# --------------------------------------------------------------------------
+
+
+def _fk_edge_sql(name: str, child: str, ckey: str, parent: str, pkey: str) -> str:
+    return f"""
+SELECT '{name}' AS edge,
+       CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_children,
+       CAST((SELECT COUNT(DISTINCT {ckey}) FROM {child}
+             WHERE {ckey} IS NOT NULL) AS BIGINT) AS n_distinct_keys,
+       CAST(COALESCE((
+         SELECT SUM(n) FROM (
+           SELECT k.{ckey}, COUNT(*) AS n FROM {child} k
+           WHERE k.{ckey} IS NOT NULL GROUP BY 1
+         ) kk LEFT JOIN {parent} p ON kk.{ckey} = p.{pkey}
+         WHERE p.{pkey} IS NULL), 0) AS BIGINT) AS n_orphan_rows,
+       CAST(COALESCE((
+         SELECT COUNT(*) FROM (
+           SELECT DISTINCT {ckey} FROM {child} WHERE {ckey} IS NOT NULL
+         ) kk LEFT JOIN {parent} p ON kk.{ckey} = p.{pkey}
+         WHERE p.{pkey} IS NULL), 0) AS BIGINT) AS n_orphan_keys,
+       floor(COALESCE(CAST((
+         SELECT SUM(n) FROM (
+           SELECT k.{ckey}, COUNT(*) AS n FROM {child} k
+           WHERE k.{ckey} IS NOT NULL GROUP BY 1
+         ) kk LEFT JOIN {parent} p ON kk.{ckey} = p.{pkey}
+         WHERE p.{pkey} IS NULL) AS DOUBLE)
+         / CAST((SELECT COUNT(*) FROM {child}) AS DOUBLE), 0.0)
+         * 1000000.0 + 0.5) / 1000000.0 AS orphan_rate
+"""
+
+
+_FK_ORACLE = " UNION ALL ".join(
+    _fk_edge_sql(*e)
+    for e in [
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders",
+         "o_orderkey"),
+        ("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+         "s_suppkey"),
+        ("orders->customer", "orders", "o_custkey", "customer",
+         "c_custkey"),
+        ("events->customer", "events", "user_id", "customer",
+         "c_custkey"),
+    ]
+)
+
+
+@pending_query("tpch_fk_integrity", _FK_ORACLE)
+def tpch_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over the schema's five FK edges: per edge, child
+    rows / distinct keys / orphan rows / orphan keys / orphan rate —
+    the ingest-time integrity gate before any join-based pipeline."""
+    from vectorsearchutil_spark.operators.integrity import (
+        fk_orphan_audit,
+        tpch_fk_edges,
+    )
+
+    return fk_orphan_audit(tpch_fk_edges(spark, sf_dir))
