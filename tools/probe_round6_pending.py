@@ -186,6 +186,78 @@ PROBES = {
 }
 
 
+
+
+def probe_containment(spark):
+    """125k docs, planted short-in-long inclusions (every 40th doc is
+    a 10-token excerpt of a template)."""
+    from vectorsearchutil_spark.operators.dedup import containment_pairs
+
+    docs = spark.range(125_000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN pmod(id, 40) = 0 THEN "
+        " concat_ws(' ', transform(sequence(5, 14),"
+        "   j -> concat('tpl', pmod(id, 500), '_', j)))"
+        " WHEN pmod(id, 40) = 1 THEN "
+        " concat_ws(' ', transform(sequence(1, 50),"
+        "   j -> concat('tpl', pmod(id - 1, 500), '_', j)))"
+        " ELSE concat_ws(' ', transform(sequence(1, 40),"
+        "   j -> concat('tok', pmod(xxhash64(id, j), 50000)))) END"
+        " AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = containment_pairs(docs, n=3, threshold=0.9, max_df=200).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 125k docs -> {n} containment pairs"
+
+
+def probe_hubness(spark):
+    """50k x 64-dim exact hubness through the gated Arrow path —
+    320G flop-equivalents of dim-at-a-time accumulation."""
+    from vectorsearchutil_spark.operators.knn import knn_hubness
+
+    emb = spark.range(50_000).selectExpr(
+        "id",
+        "transform(sequence(1, 64),"
+        " j -> pmod(xxhash64(id, j), 1000) / 1000.0 - 0.5) AS v",
+    ).cache()
+    emb.count()
+    t0 = time.time()
+    out = knn_hubness(
+        emb, k=10, vector_col="v", id_col="id", metric="cosine",
+        n_rows=50_000,
+    )
+    mx = out.agg(F.max("k_occurrence")).collect()[0][0]
+    dt = time.time() - t0
+    emb.unpersist()
+    return f"{dt:.1f}s @ 50k x 64d (Arrow path), max k-occurrence {mx}"
+
+
+def probe_fk_audit(spark):
+    from vectorsearchutil_spark.operators.integrity import fk_orphan_audit
+
+    child = spark.range(20_000_000).selectExpr(
+        "id", "pmod(xxhash64(id, 3), 1100000) AS fk"
+    )
+    parent = spark.range(1_000_000).selectExpr("id AS pk")
+    t0 = time.time()
+    row = fk_orphan_audit(
+        [("child->parent", child, "fk", parent, "pk")]
+    ).collect()[0]
+    dt = time.time() - t0
+    return (
+        f"{dt:.1f}s @ 20M children vs 1M parents -> "
+        f"orphan_rate {row['orphan_rate']}"
+    )
+
+
+PROBES["containment"] = probe_containment
+PROBES["hubness"] = probe_hubness
+PROBES["fk_audit"] = probe_fk_audit
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 
