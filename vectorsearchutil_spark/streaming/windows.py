@@ -272,3 +272,55 @@ def histogram_psi(
             (F.col("_psi") > alert_threshold).alias("drift_alert"),
         )
     )
+
+
+def tdigest_stream_sink(
+    path: str,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    n_buckets: int = 32,
+    n_centroids: int = 64,
+):
+    """``foreachBatch`` sink folding a stream into the t-digest-lite
+    sketch: each micro-batch collapses to its own
+    ``tdigest_centroids`` table (n_buckets × n_centroids rows of
+    fixed-point mergeable state — operators/sketches.py) appended
+    under ``{path}/batch_id=<id>/`` with partition-overwrite
+    semantics, so re-delivered batches overwrite themselves
+    (exactly-once, same contract as ``idempotent_parquet_sink``).
+    The sketch's union-merge property is exactly what makes it
+    streamable: the sink table IS the running sketch — no
+    unbounded state in the query, no rescan of past data — and
+    ``tdigest_stream_quantiles`` answers any quantile from it.
+    """
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.operators.sketches import tdigest_centroids
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        cents = tdigest_centroids(
+            batch_df,
+            value_col,
+            id_col,
+            n_buckets=n_buckets,
+            n_centroids=n_centroids,
+        )
+        (
+            cents.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(path)
+        )
+
+    return write_batch
+
+
+def tdigest_stream_quantiles(spark, path: str, qs):
+    """Quantile estimates from a ``tdigest_stream_sink`` table: union
+    all appended micro-batch sketches (the merge IS concatenation)
+    and run the standard estimator."""
+    from vectorsearchutil_spark.operators.sketches import tdigest_quantiles
+
+    cents = spark.read.parquet(path).drop("batch_id")
+    return tdigest_quantiles(cents, qs)
