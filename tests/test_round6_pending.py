@@ -268,7 +268,7 @@ def test_pending_registry_has_oracles():
     )
 
     assert set(PENDING_ORACLES) == set(PENDING_QUERIES)
-    assert len(PENDING_QUERIES) == 9
+    assert len(PENDING_QUERIES) == 10
 
 
 # ---------------------------------------------------------------- containment
@@ -401,3 +401,58 @@ def test_fk_orphan_audit_counts(spark):
     assert row["n_orphan_rows"] == 1  # the fk=99 row; NULL not orphan
     assert row["n_orphan_keys"] == 1
     assert row["orphan_rate"] == 0.2
+
+
+# ---------------------------------------------------------------- retrieval eval
+
+
+def test_retrieval_metrics_handmade(spark):
+    """2-D geometry with known ranking: query label 1 at (1,0);
+    corpus: (1,0.01)->label 1 (rank 1, rel), (0.9,0.2)->label 0
+    (rank 2), (0.5,0.5)->label 1 (rank 3, rel)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.operators.evaluation import (
+        retrieval_label_metrics,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),        # the query
+            (10, [1.0, 0.01], 1),
+            (11, [0.9, 0.2], 0),
+            (12, [0.5, 0.5], 1),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    row = retrieval_label_metrics(
+        emb, F.col("vec_id") < 10, k=10, id_col="vec_id"
+    ).collect()[0]
+    assert row["n_relevant"] == 2
+    assert row["mrr"] == 1.0
+    d = [
+        int(math.floor(1e12 / math.log2(r + 1) + 0.5)) for r in (1, 2, 3)
+    ]
+    dcg = d[0] + d[2]       # relevant at ranks 1 and 3
+    idcg = d[0] + d[1]      # ideal: both relevant up front
+    want = math.floor(dcg / idcg * 1e6 + 0.5) / 1e6
+    assert row["ndcg"] == want
+
+
+def test_retrieval_metrics_no_relevant_is_zero(spark):
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.operators.evaluation import (
+        retrieval_label_metrics,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0], 5), (10, [1.0, 0.1], 7)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    row = retrieval_label_metrics(
+        emb, F.col("vec_id") < 10, k=10, id_col="vec_id"
+    ).collect()[0]
+    assert row["mrr"] == 0.0 and row["ndcg"] == 0.0

@@ -1,0 +1,131 @@
+"""Retrieval-quality evaluation metrics over an embedding corpus:
+MRR and NDCG@k with label-match relevance — the ranking-quality
+complement to ``ann_ivf_recall``'s set-overlap recall. Run these
+against a labelled held-out slice to decide whether an ANN index /
+encoder change actually helped ranked retrieval, not just candidate
+recall.
+
+Cross-engine determinism seam: the NDCG position discounts
+``1/log2(rank+1)`` are precomputed as PYTHON floats and injected as
+decimal LITERALS into both the Spark plan and the SQL oracle —
+``log2`` differs by one ulp between libm and Java Math, and a
+summed ulp can flip a rounded 6th decimal; literals cannot.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def ndcg_discounts(k: int) -> list[float]:
+    """1/log2(rank+1) for rank = 1..k, as plain Python doubles (the
+    shared literal source for both engines)."""
+    return [1.0 / math.log2(r + 1) for r in range(1, k + 1)]
+
+
+def retrieval_label_metrics(
+    emb: DataFrame,
+    query_pred,
+    k: int = 10,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-query MRR and NDCG@k where a corpus hit is RELEVANT iff it
+    shares the query's label: rank the corpus by cosine (ties id
+    asc), rel_i ∈ {0,1}, MRR = 1/first-relevant-rank (0 if none),
+    DCG = Σ rel_i·d_i with literal discounts, IDCG = ideal ordering
+    of the same relevance multiset, NDCG = DCG/IDCG (0 when the
+    query's label has no corpus member).
+
+    ``query_pred`` is a Column predicate selecting the query slice
+    (e.g. ``F.col("vec_id") < 50``); the rest of the table is the
+    corpus. Metrics floor-round to 6dp (cross-engine half-way
+    safety).
+
+    Scale shape: the query side broadcasts (an eval slice is small by
+    contract); the corpus never shuffles — per-query top-k via the
+    batch-kNN window, then one aggregate per query over ≤ k rows.
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.vector import (
+        cosine_similarity,
+        round_half_up,
+    )
+
+    q = emb.filter(query_pred).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vector_col).alias("_qv"),
+        F.col(label_col).alias("_qlabel"),
+    )
+    c = emb.filter(~query_pred).select(
+        id_col, F.col(vector_col).alias("_cv"), label_col
+    )
+    cos = cosine_similarity("_cv", "_qv")
+    w = Window.partitionBy("query_id").orderBy(
+        cos.desc(), F.col(id_col).asc()
+    )
+    top = (
+        c.crossJoin(F.broadcast(q))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= int(k))
+        .select(
+            "query_id",
+            "_qlabel",
+            "_rk",
+            (F.col(label_col) == F.col("_qlabel"))
+            .cast("int")
+            .alias("_rel"),
+        )
+    )
+    # FIXED-POINT discounts (1e12 scale): summing doubles is
+    # order-dependent and engines aggregate in different orders; long
+    # sums are exact, and every value stays < 2^53 so the final
+    # double division is itself exact-in, deterministic-out
+    disc_fp = [
+        int(math.floor(d * 1e12 + 0.5)) for d in ndcg_discounts(k)
+    ]
+    d_expr = F.element_at(
+        F.array(*[F.lit(d) for d in disc_fp]), F.col("_rk")
+    )
+    per_q = top.groupBy("query_id").agg(
+        F.coalesce(
+            F.min(F.when(F.col("_rel") == 1, F.col("_rk"))), F.lit(0)
+        ).alias("_first_rel"),
+        F.sum(F.col("_rel") * d_expr).cast("long").alias("_dcg_fp"),
+        F.sum("_rel").cast("int").alias("n_relevant"),
+    )
+    # IDCG for m relevant hits = cumulative sum of the same
+    # fixed-point discounts — a literal lookup on n_relevant
+    idcg_lits = [0]
+    acc = 0
+    for d in disc_fp:
+        acc += d
+        idcg_lits.append(acc)
+    idcg_fp = F.element_at(
+        F.array(*[F.lit(v) for v in idcg_lits]), F.col("n_relevant") + 1
+    )
+    return per_q.select(
+        "query_id",
+        "n_relevant",
+        round_half_up(
+            F.when(
+                F.col("_first_rel") > 0, 1.0 / F.col("_first_rel")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mrr"),
+        round_half_up(
+            F.coalesce(
+                F.try_divide(
+                    F.col("_dcg_fp").cast("double"),
+                    idcg_fp.cast("double"),
+                ),
+                F.lit(0.0),
+            ),
+            6,
+        ).alias("ndcg"),
+    )

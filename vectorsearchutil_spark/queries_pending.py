@@ -533,3 +533,90 @@ def tpch_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return fk_orphan_audit(tpch_fk_edges(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+# 10. Retrieval ranking-quality eval: MRR / NDCG@10 by label match
+# --------------------------------------------------------------------------
+
+
+def _retrieval_metrics_oracle(k: int = 10) -> str:
+    import math
+
+    from vectorsearchutil_spark.operators.evaluation import ndcg_discounts
+
+    disc_fp = [
+        int(math.floor(d * 1e12 + 0.5)) for d in ndcg_discounts(k)
+    ]
+    idcg = [0]
+    for d in disc_fp:
+        idcg.append(idcg[-1] + d)
+    disc_lit = "[" + ", ".join(str(d) for d in disc_fp) + "]"
+    idcg_lit = "[" + ", ".join(str(v) for v in idcg) + "]"
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id < 50
+),
+c AS (
+  SELECT vec_id, embedding::DOUBLE[] AS cv, label
+  FROM embeddings WHERE NOT (vec_id < 50)
+),
+top AS (
+  SELECT query_id, rk, rel FROM (
+    SELECT q.query_id,
+           CASE WHEN c.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(c.cv, q.qv) DESC,
+                      c.vec_id ASC
+           ) AS rk
+    FROM q, c
+  ) WHERE rk <= {k}
+),
+per_q AS (
+  SELECT query_id,
+         COALESCE(MIN(CASE WHEN rel = 1 THEN rk END), 0) AS first_rel,
+         CAST(SUM(rel * ({disc_lit})[rk]) AS BIGINT) AS dcg_fp,
+         CAST(SUM(rel) AS INT) AS n_relevant
+  FROM top GROUP BY query_id
+)
+SELECT query_id, n_relevant,
+       floor((CASE WHEN first_rel > 0
+                   THEN CAST(1 AS DOUBLE) / first_rel
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS mrr,
+       floor((CASE WHEN n_relevant = 0 THEN 0.0
+                   ELSE CAST(dcg_fp AS DOUBLE)
+                        / CAST(({idcg_lit})[n_relevant + 1] AS DOUBLE)
+              END) * 1000000.0 + 0.5) / 1000000.0 AS ndcg
+FROM per_q
+"""
+
+
+@pending_query("embeddings_retrieval_metrics")
+def embeddings_retrieval_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-query MRR and NDCG@10 with label-match relevance over the
+    vec_id < 50 eval slice vs the rest of the corpus — the
+    ranking-quality metric pair next to ann_ivf_recall's candidate
+    recall. Fixed-point literal log2 discounts keep both engines
+    bit-identical (order-free long sums)."""
+    from vectorsearchutil_spark.operators.evaluation import (
+        retrieval_label_metrics,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return retrieval_label_metrics(
+        emb,
+        F.col("vec_id") < 50,
+        k=10,
+        vector_col="embedding",
+        id_col="vec_id",
+        label_col="label",
+    )
+
+
+PENDING_ORACLES["embeddings_retrieval_metrics"] = (
+    _retrieval_metrics_oracle(10)
+)
