@@ -268,7 +268,7 @@ def test_pending_registry_has_oracles():
     )
 
     assert set(PENDING_ORACLES) == set(PENDING_QUERIES)
-    assert len(PENDING_QUERIES) == 10
+    assert len(PENDING_QUERIES) == 11
 
 
 # ---------------------------------------------------------------- containment
@@ -456,3 +456,61 @@ def test_retrieval_metrics_no_relevant_is_zero(spark):
         emb, F.col("vec_id") < 10, k=10, id_col="vec_id"
     ).collect()[0]
     assert row["mrr"] == 0.0 and row["ndcg"] == 0.0
+
+
+# ---------------------------------------------------------------- pct rank
+
+
+def test_percentile_rank_handmade(spark):
+    from vectorsearchutil_spark.operators.sketches import (
+        percentile_rank_enrich,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 1.0),
+            (2, "a", 2.0),
+            (3, "a", 2.0),   # tie with id 2
+            (4, "a", 5.0),
+            (5, "b", 7.0),   # singleton group -> NULL (n-1 = 0)
+            (6, "a", None),  # NULL value -> NULL rank
+        ],
+        "id long, g string, v double",
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percentile_rank_enrich(df, "v", "g", "id").collect()
+    }
+    assert got[1] == 0.0
+    assert got[2] == got[3] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[4] == 1.0
+    assert got[5] is None and got[6] is None
+
+
+def test_percentile_rank_matches_percent_rank_when_distinct(spark):
+    """On all-distinct cent-quantized values the two-level result
+    equals SQL percent_rank over raw rows."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.operators.sketches import (
+        percentile_rank_enrich,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float((i * 37) % 97)) for i in range(200)],
+        "id long, g string, v double",
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percentile_rank_enrich(df, "v", "g", "id").collect()
+    }
+    import math
+
+    w = Window.partitionBy("g").orderBy("v")
+    want = {
+        r["id"]: math.floor(r["pr"] * 1e6 + 0.5) / 1e6
+        for r in df.withColumn(
+            "pr", F.percent_rank().over(w)
+        ).collect()
+    }
+    assert got == want

@@ -258,6 +258,39 @@ PROBES["hubness"] = probe_hubness
 PROBES["fk_audit"] = probe_fk_audit
 
 
+
+
+def probe_pct_rank(spark):
+    """20M events / 5 types / ~100k distinct cents: the prefix-sum
+    state is bounded by the value domain, so the window never sees
+    raw rows."""
+    from vectorsearchutil_spark.operators.sketches import (
+        percentile_rank_enrich,
+    )
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "concat('t', pmod(xxhash64(id, 7), 5)) AS event_type",
+        "pmod(xxhash64(id, 13), 100000) / 100.0 AS value",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    row = percentile_rank_enrich(
+        e, "value", "event_type", "event_id"
+    ).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("pct_rank").alias("m")
+    ).collect()[0]
+    dt = time.time() - t0
+    e.unpersist()
+    return (
+        f"{dt:.1f}s @ 20M events, 5 types, 100k-cent domain -> "
+        f"{row['n']} rows (mean rank {row['m']:.3f})"
+    )
+
+
+PROBES["pct_rank"] = probe_pct_rank
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

@@ -768,3 +768,76 @@ def tdigest_quantiles(
             ).alias("est"),
         )
     )
+
+
+def percentile_rank_enrich(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    id_col: str,
+    resolution: int = 2,
+) -> DataFrame:
+    """Enrich EVERY row with its within-group percentile rank,
+    exactly at ``10^-resolution`` value granularity — the
+    per-row twin of the quantile aggregates, built the scale-safe
+    way: no window ever touches raw rows.
+
+    Definition: quantize v to q(v) = floor(v·10^r + 0.5); pct_rank =
+    (# group rows with q < q(v)) / (n_group − 1), ties share the
+    rank (the SQL ``percent_rank`` of the quantized value). Rows
+    with NULL / non-finite values get NULL pct_rank.
+
+    Two-level plan: per (group, quantized-value) counts — state
+    bounded by the VALUE DOMAIN (e.g. ~10^6 cents rows per group at
+    any corpus size), not by rows — then a prefix sum over that
+    aggregated table per group, then one join back onto the fact.
+    The join key (group, qv) is the same bounded table, so it
+    broadcasts; the fact never shuffles. Windows over
+    ``partitionBy(low-card group).orderBy(raw rows)`` — the serial
+    wall — never appear.
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    v = F.col(value_col).cast("double")
+    scale = float(10 ** resolution)
+    qv = F.when(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != F.lit(float("inf"))),
+        F.floor(v * F.lit(scale) + F.lit(0.5)),
+    ).cast("long")
+    base = df.select(
+        F.col(id_col), F.col(group_col).alias("_g"), qv.alias("_qv")
+    )
+    counts = (
+        base.filter(F.col("_qv").isNotNull())
+        .groupBy("_g", "_qv")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy("_g").orderBy("_qv")
+    pre = counts.select(
+        "_g",
+        "_qv",
+        (
+            F.sum("_cnt").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            )
+            - F.col("_cnt")
+        ).alias("_below"),
+        F.sum("_cnt").over(
+            w.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    return base.join(F.broadcast(pre), ["_g", "_qv"], "left").select(
+        F.col(id_col),
+        F.col("_g").alias(group_col),
+        round_half_up(
+            F.try_divide(
+                F.col("_below").cast("double"),
+                (F.col("_n") - F.lit(1)).cast("double"),
+            ),
+            6,
+        ).alias("pct_rank"),
+    )

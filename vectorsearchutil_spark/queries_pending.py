@@ -620,3 +620,51 @@ def embeddings_retrieval_metrics(
 PENDING_ORACLES["embeddings_retrieval_metrics"] = (
     _retrieval_metrics_oracle(10)
 )
+
+
+# --------------------------------------------------------------------------
+# 11. Per-row percentile rank (two-level, value-domain-bounded state)
+# --------------------------------------------------------------------------
+
+_PCT_RANK_ORACLE = """
+WITH base AS (
+  SELECT event_id, event_type AS g,
+         CASE WHEN value IS NOT NULL AND isfinite(value)
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS qv
+  FROM events
+),
+counts AS (
+  SELECT g, qv, COUNT(*) AS cnt FROM base
+  WHERE qv IS NOT NULL GROUP BY g, qv
+),
+pre AS (
+  SELECT g, qv,
+         SUM(cnt) OVER (
+           PARTITION BY g ORDER BY qv
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - cnt AS below,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM counts
+)
+SELECT b.event_id, b.g AS event_type,
+       floor(CAST(p.below AS DOUBLE)
+             / CAST(NULLIF(p.n - 1, 0) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS pct_rank
+FROM base b LEFT JOIN pre p ON b.g = p.g AND b.qv = p.qv
+"""
+
+
+@pending_query("events_percentile_rank", _PCT_RANK_ORACLE)
+def events_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every event enriched with its within-type percentile rank at
+    cent resolution — the per-row member of the quantile family,
+    built on per-(type, cent) counts so the window state is bounded
+    by the value domain, never by row count."""
+    from vectorsearchutil_spark.operators.sketches import (
+        percentile_rank_enrich,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return percentile_rank_enrich(
+        e, "value", "event_type", "event_id", resolution=2
+    )
