@@ -448,3 +448,162 @@ def test_weighted_quantile_exact_matches_bruteforce(spark, rows, q):
                 want = v
                 break
         assert got[g] == want, (g, q, sorted(vw), got[g], want)
+
+
+# ---------------------------------------------------------------- round-6 pending wave
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=12),
+            min_size=3,
+            max_size=15,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_containment_equals_bruteforce(spark, token_lists):
+    """containment_pairs (prefix-filtered) vs brute-force set math on
+    arbitrary small-vocab corpora: identical pairs AND values —
+    completeness of the asymmetric prefix filter, not just
+    soundness."""
+    from vectorsearchutil_spark.operators.dedup import containment_pairs
+
+    texts = [" ".join(f"w{t}" for t in toks) for toks in token_lists]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(docs, n=2, threshold=0.8).collect()
+    }
+
+    def grams(toks):
+        return {
+            f"w{a}_w{b}" for a, b in zip(toks, toks[1:])
+        } if len(toks) >= 2 else set()
+
+    want = {}
+    for i in range(len(token_lists)):
+        for j in range(i + 1, len(token_lists)):
+            A, B = grams(token_lists[i]), grams(token_lists[j])
+            if not A or not B:
+                continue
+            c = len(A & B) / min(len(A), len(B))
+            if len(A & B) >= math.ceil(min(len(A), len(B)) * 0.8):
+                want[(i, j)] = math.floor(c * 1e6 + 0.5) / 1e6
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(finite, min_size=20, max_size=120),
+    st.floats(min_value=0.05, max_value=0.95),
+)
+def test_tdigest_error_bounded_by_slice_width(spark, values, q):
+    """The digest estimate's rank error is bounded by one slice per
+    bucket: |rank(est) − q·N| ≤ N/centroids + buckets (slice
+    rounding), for arbitrary value distributions."""
+    from vectorsearchutil_spark.operators.sketches import (
+        tdigest_centroids,
+        tdigest_quantiles,
+    )
+
+    buckets, cents = 4, 8
+    df = spark.createDataFrame(
+        list(enumerate(values)), "id long, v double"
+    )
+    est = tdigest_quantiles(
+        tdigest_centroids(
+            df, "v", "id", n_buckets=buckets, n_centroids=cents
+        ),
+        [q],
+        round_dp=9,
+    ).collect()[0]["est"]
+    s = sorted(values)
+    n = len(s)
+    # rank window of the estimate among the sorted values
+    lo_rank = sum(1 for v in s if v < est - 1e-6)
+    hi_rank = sum(1 for v in s if v <= est + 1e-6)
+    target = q * n
+    slack = n / cents + buckets + 1
+    assert lo_rank - slack <= target <= hi_rank + slack
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.floats(
+                min_value=-100, max_value=100,
+                allow_nan=False, allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=80,
+    )
+)
+def test_percentile_rank_matches_naive(spark, rows):
+    """percentile_rank_enrich vs naive python on the quantized
+    values, for arbitrary groups/ties."""
+    from vectorsearchutil_spark.operators.sketches import (
+        percentile_rank_enrich,
+    )
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)],
+        "id long, g string, v double",
+    )
+    got = {
+        r["id"]: r["pct_rank"]
+        for r in percentile_rank_enrich(df, "v", "g", "id").collect()
+    }
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for i, (g, v) in enumerate(rows):
+        groups[g].append((i, math.floor(v * 100 + 0.5)))
+    want = {}
+    for g, members in groups.items():
+        n = len(members)
+        for i, qv in members:
+            if n == 1:
+                want[i] = None
+                continue
+            below = sum(1 for _, o in members if o < qv)
+            want[i] = math.floor(below / (n - 1) * 1e6 + 0.5) / 1e6
+    assert got == want
+
+
+@settings(max_examples=4, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=0,
+        max_size=40,
+    ),
+    st.lists(st.integers(0, 30), min_size=1, max_size=20),
+)
+def test_fk_audit_matches_naive(spark, child_keys, parent_keys):
+    from vectorsearchutil_spark.operators.integrity import fk_orphan_audit
+
+    child = spark.createDataFrame(
+        [(i, k) for i, (k, _) in enumerate(child_keys)] or [(0, None)],
+        "id long, fk long",
+    )
+    parents = sorted(set(parent_keys))
+    parent = spark.createDataFrame([(p,) for p in parents], "pk long")
+    row = fk_orphan_audit(
+        [("e", child, "fk", parent, "pk")]
+    ).collect()[0]
+    ckeys = [k for k, _ in child_keys] if child_keys else [None]
+    nonnull = [k for k in ckeys if k is not None]
+    orphans = [k for k in nonnull if k not in set(parents)]
+    assert row["n_children"] == len(ckeys)
+    assert row["n_distinct_keys"] == len(set(nonnull))
+    assert row["n_orphan_rows"] == len(orphans)
+    assert row["n_orphan_keys"] == len(set(orphans))
