@@ -2834,7 +2834,8 @@ _GROUPING_SETS_ORACLE = """
 SELECT event_type,
        CAST(user_id AS BIGINT) AS user_id,
        CAST(COUNT(*) AS BIGINT) AS n,
-       ROUND(SUM(value), 2) AS total_value
+       CAST(CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS DOUBLE) / 100.0 AS total_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (user_id), ())
 """
@@ -2845,15 +2846,23 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS — the third of the multi-aggregate trio
     (rollup/cube are separate entries): per-type totals, per-user
     totals, and the grand total in ONE pass with partial aggregation,
-    instead of three scans unioned."""
+    instead of three scans unioned.
+
+    total_value is an EXACT-CENTS sum (per-row floor-form cents →
+    long sum → /100): `ROUND(SUM(double), 2)` is engine-divergent on
+    half-way boundaries BOTH through the rounding mode and through
+    the order-dependent float sum feeding it — found by the
+    tie-heavy parity fixture (tools/gen_ties_fixture.py), where
+    mass-repeated 10.005 values flipped the 2nd decimal."""
     e = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     return (
         e.groupingSets(
             [["event_type"], ["user_id"], []], "event_type", "user_id"
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_value"),
         )
         .select("event_type", "user_id", "n", "total_value")
     )
@@ -3926,7 +3935,8 @@ grid AS (
 actual AS (
   SELECT date_trunc('hour', ts) AS hour_start,
          CAST(COUNT(*) AS BIGINT) AS n,
-         ROUND(SUM(value), 2) AS total_value
+         CAST(CAST(SUM(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                   AS BIGINT) AS DOUBLE) / 100.0 AS total_value
   FROM events WHERE event_type = 'purchase'
   GROUP BY 1
 )
@@ -3947,11 +3957,15 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type") == "purchase"
     )
+    # exact-cents sum: ROUND(SUM(double)) is engine-divergent on
+    # half-way boundaries (rounding mode + sum order) — ties-fixture
+    # finding, same repair as events_grouping_sets
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
     actual = (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.sum(cents).cast("double") / 100.0).alias("total_value"),
         )
     )
     grid = (
