@@ -180,13 +180,10 @@ def test_rerank_stub_score_matches_manual(spark):
 
     for d, s in [(100, 0.5), (101, 0.9), (102, 0.7)]:
         assert out[d]["ce_score"] == manual(1, d, s)
-    ranks = sorted(
-        (r["rank"], -r["ce_score"]) for r in out.values()
-    )
-    assert [r for r, _ in ranks] == [1, 2, 3]
-    assert sorted(-c for _, c in ranks) == sorted(
-        -c for _, c in ranks
-    )  # rank follows ce_score desc
+    by_rank = sorted(out.values(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in by_rank] == [1, 2, 3]
+    scores = [r["ce_score"] for r in by_rank]
+    assert scores == sorted(scores, reverse=True)  # rank follows score desc
 
 
 def test_rerank_keeps_k_per_query(spark):

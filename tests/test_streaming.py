@@ -788,15 +788,20 @@ def test_streaming_tdigest_replay_matches_chunked_batch(
     import os
 
     batch_dirs = sorted(glob.glob(os.path.join(out, "batch_id=*")))
-    assert batch_dirs, "sink wrote no batches"
+    # one parquet dir + availableNow = one micro-batch today; assert
+    # it LOUDLY so a source-splitting change fails visibly instead of
+    # silently skipping the equality check below
+    assert len(batch_dirs) == 1, (
+        f"expected a single micro-batch, got {len(batch_dirs)} — "
+        "rewrite the twin comparison for multi-batch folds"
+    )
     events = load_table(spark, sf_dir, "events")
-    if len(batch_dirs) == 1:
-        twin = tdigest_centroids(events, "value", "event_id")
-        want = {
-            r["q"]: r["est"]
-            for r in tdigest_quantiles(twin, [0.5, 0.9]).collect()
-        }
-        assert got == want
+    twin = tdigest_centroids(events, "value", "event_id")
+    want = {
+        r["q"]: r["est"]
+        for r in tdigest_quantiles(twin, [0.5, 0.9]).collect()
+    }
+    assert got == want
     # exact-once on replay: fresh checkpoint, same sink path
     q2 = (
         read_events_stream(spark, sf_dir)

@@ -77,8 +77,12 @@ def retrieval_label_metrics(
             "query_id",
             "_qlabel",
             "_rk",
-            (F.col(label_col) == F.col("_qlabel"))
-            .cast("int")
+            # when/otherwise, not a bare cast: NULL labels must score
+            # rel=0 (a NULL == NULL comparison is NULL, and summing
+            # NULLs would emit n_relevant=NULL where the oracle's
+            # CASE ... ELSE 0 emits 0)
+            F.when(F.col(label_col) == F.col("_qlabel"), 1)
+            .otherwise(0)
             .alias("_rel"),
         )
     )

@@ -35,6 +35,8 @@ def fk_orphan_audit(
     """
     from vectorsearchutil_spark.functions.vector import round_half_up
 
+    if not edges:
+        raise ValueError("fk_orphan_audit: empty edges list")
     outs = []
     for name, child, child_key, parent, parent_key in edges:
         keys = (

@@ -180,8 +180,14 @@ def knn_hubness(
         & (l2_norm(F.col(vector_col)) != F.lit(0.0))
     )
     if n_rows and metric == "cosine":
-        probe = valid.select(vector_col).first()
-        dim = len(probe[0]) if probe and probe[0] is not None else 0
+        # dim >= 1, so n_rows^2 alone already CROSSING the gate makes
+        # the dim-probe job redundant; below it, dim is needed (it
+        # multiplies the cell count) and costs one .first()
+        if n_rows * n_rows > _HUBNESS_BLAS_CELLS:
+            dim = 1
+        else:
+            probe = valid.select(vector_col).first()
+            dim = len(probe[0]) if probe and probe[0] is not None else 0
         if n_rows * n_rows * dim > _HUBNESS_BLAS_CELLS:
             occ = _hubness_arrow(valid, k, vector_col, id_col)
             return (

@@ -95,14 +95,12 @@ def rerank_shortlist(
         .groupBy(query_id_col)
         .applyInPandas(score_group, schema)
     )
-    scale = float(10 ** round_dp)
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
     rounded = scored.select(
         query_id_col,
         id_col,
-        (
-            F.floor(F.col("ce_score") * F.lit(scale) + F.lit(0.5))
-            / F.lit(scale)
-        ).alias("ce_score"),
+        round_half_up(F.col("ce_score"), round_dp).alias("ce_score"),
     )
     from pyspark.sql import Window
 

@@ -732,7 +732,8 @@ def tdigest_quantiles(
     """
     from pyspark.sql import Window
 
-    scale = float(10 ** round_dp)
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
     ordw = Window.orderBy("mean", "bucket", "slice").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -760,13 +761,7 @@ def tdigest_quantiles(
         )
         .groupBy("q")
         .agg(F.min_by("mean", "cum").alias("_est"))
-        .select(
-            "q",
-            (
-                F.floor(F.col("_est") * F.lit(scale) + F.lit(0.5))
-                / F.lit(scale)
-            ).alias("est"),
-        )
+        .select("q", round_half_up(F.col("_est"), round_dp).alias("est"))
     )
 
 

@@ -1199,12 +1199,18 @@ def truncation_stats(
         .groupBy("ctx_len")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            # when/otherwise, not bare casts: NULL text gives a NULL
+            # token count, and summing NULL flags would emit NULL
+            # where the oracle's CASE ... ELSE 0 emits 0
             F.sum(
-                (F.col("_n_tok") > F.col("ctx_len")).cast("int")
+                F.when(F.col("_n_tok") > F.col("ctx_len"), 1).otherwise(0)
             ).cast("bigint").alias("n_truncated"),
             F.sum("_n_tok").cast("bigint").alias("total_tokens"),
             F.sum(
-                F.greatest(F.lit(0), F.col("_n_tok") - F.col("ctx_len"))
+                F.when(
+                    F.col("_n_tok") > F.col("ctx_len"),
+                    F.col("_n_tok") - F.col("ctx_len"),
+                ).otherwise(0)
             ).cast("bigint").alias("lost_tokens"),
         )
         .select(

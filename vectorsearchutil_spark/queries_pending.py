@@ -182,8 +182,11 @@ SELECT CAST(ctx_len AS INT) AS ctx_len,
        CAST(SUM(CASE WHEN n_tok > ctx_len THEN 1 ELSE 0 END) AS BIGINT)
          AS n_truncated,
        CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
-       CAST(SUM(greatest(0, n_tok - ctx_len)) AS BIGINT) AS lost_tokens,
-       floor(COALESCE(CAST(SUM(greatest(0, n_tok - ctx_len)) AS DOUBLE)
+       CAST(SUM(CASE WHEN n_tok > ctx_len THEN n_tok - ctx_len
+                     ELSE 0 END) AS BIGINT) AS lost_tokens,
+       floor(COALESCE(CAST(SUM(CASE WHEN n_tok > ctx_len
+                                    THEN n_tok - ctx_len
+                                    ELSE 0 END) AS DOUBLE)
                       / CAST(NULLIF(SUM(n_tok), 0) AS DOUBLE), 0.0)
              * 1000000.0 + 0.5) / 1000000.0 AS lost_frac
 FROM x GROUP BY ctx_len
@@ -445,13 +448,21 @@ _HUBNESS_ORACLE = """
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
+vv AS (
+  -- the operator's participation contract: NULL / non-finite /
+  -- zero-norm vectors neither query nor get counted
+  SELECT vec_id, e FROM v
+  WHERE e IS NOT NULL
+    AND len(list_filter(e, x -> x IS NULL OR NOT isfinite(x))) = 0
+    AND list_dot_product(e, e) > 0
+),
 nn AS (
   SELECT a.vec_id AS qid, b.vec_id AS nid,
          row_number() OVER (
            PARTITION BY a.vec_id
            ORDER BY list_cosine_similarity(b.e, a.e) DESC, b.vec_id ASC
          ) AS rk
-  FROM v a JOIN v b ON a.vec_id != b.vec_id
+  FROM vv a JOIN vv b ON a.vec_id != b.vec_id
 ),
 occ AS (SELECT nid, COUNT(*) AS n FROM nn WHERE rk <= 10 GROUP BY nid)
 SELECT v.vec_id, CAST(COALESCE(occ.n, 0) AS INT) AS k_occurrence
