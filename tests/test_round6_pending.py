@@ -265,7 +265,7 @@ def test_pending_registry_has_oracles():
     )
 
     assert set(PENDING_ORACLES) == set(PENDING_QUERIES)
-    assert len(PENDING_QUERIES) == 11
+    assert len(PENDING_QUERIES) >= 21
 
 
 # ---------------------------------------------------------------- containment
@@ -511,3 +511,413 @@ def test_percentile_rank_matches_percent_rank_when_distinct(spark):
         ).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------- blocklist
+
+
+def test_blocklist_screen_counts_occurrences(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        blocklist_screen,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam good words here"),  # 2/5 blocked
+            (2, "clean text only"),
+            (3, ""),  # empty → zero tokens, frac 0, keep
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in blocklist_screen(docs, max_bad_frac=0.05).collect()
+    }
+    assert got[1]["n_blocked"] == 2 and got[1]["n_tokens"] == 5
+    assert got[1]["blocked_frac"] == pytest.approx(0.4)
+    assert got[1]["keep"] is False
+    assert got[2]["n_blocked"] == 0 and got[2]["keep"] is True
+    assert got[3]["n_tokens"] == 0 and got[3]["keep"] is True
+
+
+def test_blocklist_custom_list(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        blocklist_screen,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc")], "doc_id long, text string"
+    )
+    row = blocklist_screen(docs, badwords=["bb"]).collect()[0]
+    assert row["n_blocked"] == 1
+
+
+# ---------------------------------------------------------------- norm dedup
+
+
+def test_normalized_dedup_collapses_case_punct_ws(spark):
+    from vectorsearchutil_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello,   World!", "en", "s0", 15),
+            (2, "hello world", "en", "s1", 11),  # same normalized
+            (3, "HELLO-WORLD.", "en", "s2", 12),  # same normalized
+            (4, "different text", "en", "s0", 14),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    got = {
+        r["doc_id"]: r for r in normalized_exact_dedup(docs).collect()
+    }
+    assert set(got) == {1, 4}
+    assert got[1]["n_members"] == 3
+    assert got[4]["n_members"] == 1
+
+
+def test_normalized_dedup_preserves_multibyte(spark):
+    from vectorsearchutil_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    # multi-byte text must NOT be corrupted by the ASCII-only rules:
+    # the two docs differ only in CJK chars and must stay distinct
+    docs = spark.createDataFrame(
+        [
+            (1, "你好 word", "zh", "s0", 7),
+            (2, "再见 word", "zh", "s0", 7),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long",
+    )
+    assert normalized_exact_dedup(docs).count() == 2
+
+
+# ---------------------------------------------------------------- zipf
+
+
+def test_zipf_slope_on_exact_power_law(spark):
+    import math
+
+    from vectorsearchutil_spark.operators.textanalysis import zipf_fit
+
+    # construct freq(rank) = round(1000 / rank) for ranks 1..20 by
+    # repeating distinct tokens; slope must come out near -1
+    rows = []
+    for rank in range(1, 21):
+        freq = max(1, round(1000 / rank))
+        tok = f"t{rank:02d}"
+        rows.extend([(i, tok) for i in range(freq)])
+    docs = (
+        spark.createDataFrame(rows, "i long, text string")
+        .groupBy("text")
+        .agg(F.count("*").alias("_n"))
+        .select(
+            F.monotonically_increasing_id().alias("doc_id"),
+            F.concat_ws(
+                " ", F.array_repeat(F.col("text"), F.col("_n").cast("int"))
+            ).alias("text"),
+        )
+    )
+    row = zipf_fit(docs, top_n=20).collect()[0]
+    assert row["n_ranks"] == 20
+    assert row["zipf_slope"] == pytest.approx(-1.0, abs=0.02)
+    assert math.exp(row["zipf_intercept"]) == pytest.approx(1000, rel=0.05)
+
+
+def test_zipf_partitioning_invariance(spark):
+    from vectorsearchutil_spark.operators.textanalysis import zipf_fit
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    a = zipf_fit(docs.repartition(1), top_n=50).collect()[0]
+    b = zipf_fit(docs.repartition(13), top_n=50).collect()[0]
+    assert a == b
+
+
+# ---------------------------------------------------------------- js divergence
+
+
+def test_js_divergence_identical_sources_zero(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        js_divergence_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c", "s1"), (2, "a b c", "s2")],
+        "doc_id long, text string, source string",
+    )
+    row = js_divergence_by_source(docs).collect()[0]
+    assert row["js_nats"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_js_divergence_bounded_and_symmetric_inputs(spark):
+    import math
+
+    from vectorsearchutil_spark.operators.textanalysis import (
+        js_divergence_by_source,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a", "s1"), (2, "b b b b", "s2")],
+        "doc_id long, text string, source string",
+    )
+    row = js_divergence_by_source(docs).collect()[0]
+    assert row["source_a"] == "s1" and row["source_b"] == "s2"
+    # JS divergence is bounded by ln 2
+    assert 0.0 < row["js_nats"] <= math.log(2.0) + 1e-9
+
+
+# ---------------------------------------------------------------- top terms
+
+
+def test_top_terms_ranking_rule(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        top_terms_per_doc,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # 'rare' appears twice here and nowhere else (tf=2, df=1);
+            # 'common' tf=2 but df=3 → rare wins rank 1 on df ASC
+            (1, "rare rare common common common filler"),
+            (2, "common x"),
+            (3, "common y"),
+        ],
+        "doc_id long, text string",
+    )
+    got = top_terms_per_doc(docs, k=2).filter(F.col("doc_id") == 1)
+    rows = sorted(got.collect(), key=lambda r: r["rank"])
+    assert rows[0]["term"] == "common"  # tf=3 beats tf=2
+    assert rows[1]["term"] == "rare"
+    assert rows[1]["tfidf"] > rows[0]["tfidf"]  # idf rewards rarity
+
+
+def test_top_terms_k_bound(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        top_terms_per_doc,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    out = top_terms_per_doc(docs, k=3)
+    per_doc = out.groupBy("doc_id").count()
+    assert per_doc.agg(F.max("count")).collect()[0][0] <= 3
+
+
+# ---------------------------------------------------------------- langid eval
+
+
+def test_langid_confusion_cells_sum_to_docs(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        langid_confusion,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    )
+    cells = langid_confusion(docs)
+    assert (
+        cells.agg(F.sum("n_docs")).collect()[0][0] == docs.count()
+    )
+    shares = (
+        cells.groupBy("label").agg(F.sum("label_share").alias("s"))
+    )
+    for r in shares.collect():
+        assert r["s"] == pytest.approx(1.0, abs=1e-4)
+
+
+# ---------------------------------------------------------------- zscore
+
+
+def test_rolling_zscore_handmade(spark):
+    from vectorsearchutil_spark.operators.analytics import rolling_zscore
+
+    # user 1: five identical values then a spike — the spike's window
+    # has zero variance → z NULL, not an anomaly flag
+    # user 2: 1..5 then 100 → huge z, anomaly
+    rows = []
+    for i in range(5):
+        rows.append((i, 1, f"2024-01-01 00:0{i}:00", 10.0))
+    rows.append((5, 1, "2024-01-01 00:09:00", 99.0))
+    for i in range(5):
+        rows.append((10 + i, 2, f"2024-01-01 00:0{i}:00", float(i + 1)))
+    rows.append((15, 2, "2024-01-01 00:09:00", 100.0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["event_id"]: r for r in rolling_zscore(df).collect()}
+    assert got[5]["zscore"] is None and got[5]["is_anomaly"] is False
+    assert got[15]["zscore"] > 3 and got[15]["is_anomaly"] is True
+    # early rows: not enough history
+    assert got[0]["zscore"] is None and got[2]["zscore"] is None
+
+
+def test_rolling_zscore_excludes_self(spark):
+    from vectorsearchutil_spark.operators.analytics import rolling_zscore
+
+    # 6 rows of alternating 0/10; each window sees the 5 PRECEDING
+    # values only — if self leaked in, variance/mean would shift
+    rows = [
+        (i, 1, f"2024-01-01 00:0{i}:00", float(0 if i % 2 else 10))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row5 = {r["event_id"]: r for r in rolling_zscore(df).collect()}[5]
+    # window of row 5 = rows 0..4 = [10,0,10,0,10] → mean 6, not incl 0
+    s = [10.0, 0.0, 10.0, 0.0, 10.0]
+    mean = sum(s) / 5
+    var = sum((x - mean) ** 2 for x in s) / 5
+    expect = (0.0 * 100 - mean * 100) / (var ** 0.5 * 100)
+    assert row5["zscore"] == pytest.approx(expect, abs=1e-6)
+
+
+# ---------------------------------------------------------------- interarrival
+
+
+def test_interarrival_exact_order_statistic(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        interarrival_quantiles,
+    )
+
+    # one user, one type, gaps 10,20,30,40 seconds
+    rows = [
+        (1, 1, "click", "2024-01-01 00:00:00"),
+        (2, 1, "click", "2024-01-01 00:00:10"),
+        (3, 1, "click", "2024-01-01 00:00:30"),
+        (4, 1, "click", "2024-01-01 00:01:00"),
+        (5, 1, "click", "2024-01-01 00:01:40"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = interarrival_quantiles(df).collect()[0]
+    assert row["n_gaps"] == 4
+    # smallest g with count(<=g) >= 0.5*4=2 → 20; >= 0.9*4=3.6 → 40
+    assert row["p50_gap_s"] == 20
+    assert row["p90_gap_s"] == 40
+
+
+def test_interarrival_gaps_do_not_cross_users(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        interarrival_quantiles,
+    )
+
+    rows = [
+        (1, 1, "click", "2024-01-01 00:00:00"),
+        (2, 2, "click", "2024-01-01 00:00:01"),  # different user
+        (3, 1, "click", "2024-01-01 00:00:50"),
+        (4, 2, "click", "2024-01-01 00:00:51"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    row = interarrival_quantiles(df).collect()[0]
+    assert row["n_gaps"] == 2 and row["p50_gap_s"] == 50
+
+
+# ---------------------------------------------------------------- yoy
+
+
+def test_yoy_growth_handmade(spark):
+    from vectorsearchutil_spark.operators.analytics import yoy_growth
+
+    rows = [
+        (1, "1995-03-15", 100.0),
+        (2, "1995-03-20", 100.0),
+        (3, "1996-03-10", 300.0),
+        (4, "1996-05-10", 50.0),  # no prior-year May
+    ]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate string, o_totalprice double"
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    got = {r["month"]: r for r in yoy_growth(df).collect()}
+    assert got["1995-03"]["revenue_cents"] == 20000
+    assert got["1995-03"]["yoy_growth"] is None
+    assert got["1996-03"]["yoy_growth"] == pytest.approx(0.5)
+    assert got["1996-05"]["prev_year_cents"] is None
+
+
+# ---------------------------------------------------------------- rfm
+
+
+def test_rfm_quintiles_match_sql_ntile(spark):
+    from vectorsearchutil_spark.operators.analytics import rfm_scores
+
+    orders = spark.read.parquet(
+        "/root/testdata/sf0.001/orders.parquet"
+    )
+    got = rfm_scores(orders)
+    # exact-ntile must agree with Spark's own NTILE on every metric
+    got.createOrReplaceTempView("_rfm_got")
+    per_cust = got.select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents"
+    )
+    per_cust.createOrReplaceTempView("_rfm_base")
+    ref = spark.sql(
+        """
+        SELECT o_custkey,
+               NTILE(5) OVER (
+                 ORDER BY recency_days ASC NULLS LAST, o_custkey ASC
+               ) AS r_quintile,
+               NTILE(5) OVER (
+                 ORDER BY frequency DESC NULLS LAST, o_custkey ASC
+               ) AS f_quintile,
+               NTILE(5) OVER (
+                 ORDER BY monetary_cents DESC NULLS LAST, o_custkey ASC
+               ) AS m_quintile
+        FROM _rfm_base
+        """
+    )
+    diff = (
+        got.select("o_custkey", "r_quintile", "f_quintile", "m_quintile")
+        .exceptAll(ref)
+    )
+    assert diff.count() == 0
+
+
+def test_rfm_recency_is_days_since_newest_order(spark):
+    from vectorsearchutil_spark.operators.analytics import rfm_scores
+
+    rows = [
+        (1, 10, "1995-01-01", 10.0),
+        (2, 10, "1995-06-01", 10.0),  # newest for cust 10
+        (3, 20, "1995-06-11", 10.0),  # global anchor
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderdate string, "
+        "o_totalprice double",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    got = {r["o_custkey"]: r for r in rfm_scores(df).collect()}
+    assert got[10]["recency_days"] == 10
+    assert got[20]["recency_days"] == 0
+    assert got[10]["frequency"] == 2
+    assert got[10]["monetary_cents"] == 2000
+
+
+# ---------------------------------------------------------------- exact_ntile
+
+
+def test_exact_ntile_matches_spark_ntile_with_ties(spark):
+    from vectorsearchutil_spark.operators.analytics import exact_ntile
+
+    # heavy ties: 40 rows over 4 distinct values, k=7 (uneven)
+    rows = [(i, (i * 7919) % 4) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    got = exact_ntile(
+        df, "v", 7, ascending=True, tie_col="id", out_col="b"
+    )
+    df.createOrReplaceTempView("_nt_base")
+    ref = spark.sql(
+        "SELECT id, NTILE(7) OVER (ORDER BY v ASC NULLS LAST, id ASC)"
+        " AS b FROM _nt_base"
+    )
+    assert got.select("id", "b").exceptAll(ref).count() == 0

@@ -1537,3 +1537,62 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+#: ASCII-only casefold alphabet for :func:`normalized_exact_dedup` —
+#: a byte-wise translate both engines implement identically, unlike
+#: locale-aware lower() whose Unicode special cases (dotted-I, ß…)
+#: can differ across engines/ICU versions.
+_ASCII_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def normalized_exact_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = ("lang", "source", "n_chars"),
+) -> DataFrame:
+    """Exact dedup AFTER aggressive normalization — the cheap pass
+    run before any fuzzy method: ASCII casefold (deterministic
+    translate, see `_ASCII_UPPER` note), ASCII punctuation → space
+    (explicit `\\x21-\\x7e` punctuation ranges, NOT `[^a-z0-9 ]` —
+    a negated class would also match and destroy every non-ASCII
+    code point, so multilingual text stays intact), whitespace
+    collapse + trim. Survivor = min id per normalized key, annotated
+    with the cluster size.
+
+    Plan: identical to :func:`exact_dedup_groups` — one md5 of the
+    normalized text (computed in the scan projection, never
+    shuffled), one groupBy on the 32-byte key. The min-id survivor
+    and the count come from the same aggregate; the winning row's
+    payload re-attaches by id equi-join.
+    """
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.translate(F.col(text_col), _ASCII_UPPER, _ASCII_LOWER),
+                "[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]",
+                " ",
+            ),
+            " +",
+            " ",
+        )
+    )
+    keyed = df.select(
+        F.col(id_col), F.md5(norm).alias("norm_key")
+    )
+    groups = keyed.groupBy("norm_key").agg(
+        F.min(id_col).alias(id_col),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+    return (
+        df.select(id_col, *keep_cols)
+        .join(groups, id_col)
+        .select(
+            id_col,
+            *keep_cols,
+            "norm_key",
+            F.col("n_members").cast("bigint").alias("n_members"),
+        )
+    )

@@ -19,6 +19,7 @@ from vectorsearchutil_spark.functions.text import (
     tokens,
     tokens_sql,
 )
+from vectorsearchutil_spark.functions.vector import round_half_up
 
 #: Tiny per-language stopword lists for the heuristic language ID.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -1229,5 +1230,292 @@ def truncation_stats(
                 ),
                 6,
             ).alias("lost_frac"),
+        )
+    )
+
+
+#: Demo blocklist for the C4-style badword screen. Production swaps
+#: in the real list (e.g. the LDNOOBW set) — the plan is list-size
+#: independent as long as the list broadcasts.
+BLOCKLIST_DEFAULT = [
+    "slow", "crash", "spam", "leak", "junk", "noise",
+]
+
+
+def blocklist_screen(
+    df: DataFrame,
+    badwords: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bad_frac: float = 0.05,
+) -> DataFrame:
+    """C4-style blocklist screen: per document, total tokens, blocked
+    tokens, the blocked fraction, and the keep/drop verdict at
+    ``max_bad_frac`` (C4 drops on ANY hit; the fraction form
+    subsumes that at threshold 0). Every input doc is emitted.
+
+    Plan: the blocklist is a broadcast-ready literal array, so the
+    whole screen is ONE narrow projection — ``size(filter(tokens,
+    t -> array_contains(bad, t)))`` — no join, no shuffle beyond the
+    scan: 100 TB runs at scan speed.
+    """
+    bad = badwords if badwords is not None else BLOCKLIST_DEFAULT
+    bad_arr = F.array(*[F.lit(w) for w in sorted(set(bad))])
+    toks = tokens(F.col(text_col))
+    d = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(
+            F.filter(toks, lambda t: F.array_contains(bad_arr, t))
+        ).alias("n_blocked"),
+    )
+    frac = F.coalesce(
+        F.try_divide(
+            F.col("n_blocked").cast("double"),
+            F.col("n_tokens").cast("double"),
+        ),
+        F.lit(0.0),
+    )
+    return d.select(
+        id_col,
+        "n_tokens",
+        "n_blocked",
+        round_half_up(frac, 6).alias("blocked_frac"),
+        # threshold on the 6dp-rounded value so the verdict can never
+        # disagree with the published fraction (or the oracle)
+        (
+            round_half_up(frac, 6) <= F.lit(float(max_bad_frac))
+        ).alias("keep"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 100,
+) -> DataFrame:
+    """Zipf power-law fit over the corpus token distribution: OLS
+    slope/intercept of ln(freq) on ln(rank) for the ``top_n`` most
+    frequent tokens (rank ties broken token-ASC so the ranking is
+    integer-exact). Healthy natural-language corpora sit near
+    slope −1; a flat slope flags synthetic/templated text.
+
+    Plan: one explode → token counts (map-side combinable) → top-N
+    via TakeOrderedAndProject (no global sort) → the regression runs
+    over ≤ top_n aggregated rows. Cross-engine exactness: each
+    per-rank term (x, y, xy, x²) fixes to 1e-9 fixed-point longs —
+    ln is evaluated once per scalar and the long sums are order-free,
+    so both engines add identical integers; only the final slope
+    division is floating point, rounded via the floor form.
+    """
+    counts = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(top_n)
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    # the serial window is over <= top_n rows post-limit: bounded
+    ranked = counts.select(
+        F.row_number().over(w).alias("rank"), "freq"
+    )
+    fp = lambda c: F.floor(c * F.lit(1e9) + F.lit(0.5)).cast("long")  # noqa: E731
+    x = F.log(F.col("rank").cast("double"))
+    y = F.log(F.col("freq").cast("double"))
+    terms = ranked.select(
+        fp(x).alias("x"),
+        fp(y).alias("y"),
+        fp(x * y).alias("xy"),
+        fp(x * x).alias("xx"),
+    )
+    s = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx") / F.lit(1e9)
+    sy = F.col("sy") / F.lit(1e9)
+    sxy = F.col("sxy") / F.lit(1e9)
+    sxx = F.col("sxx") / F.lit(1e9)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return s.select(
+        F.col("n").cast("int").alias("n_ranks"),
+        round_half_up(slope, 6).alias("zipf_slope"),
+        round_half_up(intercept, 6).alias("zipf_intercept"),
+    )
+
+
+def js_divergence_by_source(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence (nats) between the
+    add-one-smoothed unigram distributions of every pair of sources —
+    the domain-shift / mixture-design diagnostic.
+
+    Plan: per-(source, token) counts, completed to the full
+    source×vocab grid (smoothing makes every cell positive, and the
+    grid is |V|·|S| rows — distributed, never collected), then a
+    token-equi-join pairs the grid with itself (a < b). Each
+    per-token term p·ln(2p/(p+q)) fixes to a 1e-12 long so the
+    per-pair sums are order-free; ln evaluates once per scalar.
+    """
+    counts = (
+        df.select(
+            F.col(group_col).alias("g"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("g", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    vocab = counts.select("tok").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).alias("v"))
+    grid = (
+        vocab.crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(vsize))
+        .join(counts, ["g", "tok"], "left")
+        .select(
+            "g",
+            "tok",
+            "n",
+            "v",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    # smoothed probability as an exact rational: (c+1) / (n+v)
+    a = grid.select(
+        F.col("tok"),
+        F.col("g").alias("ga"),
+        F.col("c").alias("ca"),
+        (F.col("n") + F.col("v")).alias("da"),
+    )
+    b = grid.select(
+        F.col("tok"),
+        F.col("g").alias("gb"),
+        F.col("c").alias("cb"),
+        (F.col("n") + F.col("v")).alias("db"),
+    )
+    pairs = a.join(b, "tok").filter(F.col("ga") < F.col("gb"))
+    p = (F.col("ca") + 1).cast("double") / F.col("da").cast("double")
+    q = (F.col("cb") + 1).cast("double") / F.col("db").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = p * F.log(p / m) + q * F.log(q / m)
+    fp12 = F.floor(term * F.lit(1e12) + F.lit(0.5)).cast("long")
+    return (
+        pairs.select("ga", "gb", fp12.alias("t"))
+        .groupBy("ga", "gb")
+        .agg(F.sum("t").alias("t"))
+        .select(
+            F.col("ga").alias("source_a"),
+            F.col("gb").alias("source_b"),
+            round_half_up(
+                F.col("t").cast("double") / F.lit(1e12) / F.lit(2.0), 6
+            ).alias("js_nats"),
+        )
+    )
+
+
+def top_terms_per_doc(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document top-``k`` keyword extraction by TF-IDF. The
+    RANKING is the integer-exact triple (tf DESC, df ASC, token ASC)
+    — a monotone proxy for tf·ln(N/df) that no floating-point tie can
+    flip across engines; the rounded tf-idf score ships as an
+    informational column.
+
+    Plan: one explode → (doc, token) tf; token df by a second
+    aggregation of the same narrow pairs; the rank window partitions
+    by doc over its DISTINCT tokens (bounded by doc length).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        df.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    ndocs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(ndocs))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            F.col("rank").cast("int").alias("rank"),
+            F.col("tok").alias("term"),
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            round_half_up(
+                F.col("tf")
+                * F.log(
+                    F.col("n_docs").cast("double")
+                    / F.col("df").cast("double")
+                ),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+
+
+def langid_confusion(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Confusion matrix + per-cell share for the heuristic language
+    ID against the labeled ``lang`` column — the eval that belongs
+    next to any classifier-shaped operator. One row per observed
+    (label, prediction) cell.
+
+    Plan: :func:`language_id` is a zero-shuffle projection; the
+    confusion matrix is one groupBy over its output joined back to
+    the (id, label) pairs — the only shuffle is the tiny
+    cells-per-language aggregate.
+    """
+    pred = language_id(df, text_col=text_col, id_col=id_col)
+    labeled = df.select(F.col(id_col), F.col(label_col).alias("label"))
+    cells = (
+        labeled.join(pred, id_col)
+        .groupBy("label", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    per_label = cells.groupBy("label").agg(
+        F.sum("n_docs").alias("_label_total")
+    )
+    return (
+        cells.join(F.broadcast(per_label), "label")
+        .select(
+            "label",
+            "pred_lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            round_half_up(
+                F.col("n_docs").cast("double")
+                / F.col("_label_total").cast("double"),
+                6,
+            ).alias("label_share"),
+            (F.col("label") == F.col("pred_lang")).alias("is_correct"),
         )
     )

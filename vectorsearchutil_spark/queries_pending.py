@@ -679,3 +679,487 @@ def events_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return percentile_rank_enrich(
         e, "value", "event_type", "event_id", resolution=2
     )
+
+
+# --------------------------------------------------------------------------
+# 12. C4-style blocklist screen
+# --------------------------------------------------------------------------
+
+_BADWORD_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+d AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(
+           toks,
+           x -> list_contains(
+             ['crash', 'junk', 'leak', 'noise', 'slow', 'spam'], x)
+         )) AS BIGINT) AS n_blocked
+  FROM t
+),
+s AS (
+  SELECT doc_id, n_tokens, n_blocked,
+         floor(COALESCE(CAST(n_blocked AS DOUBLE)
+                        / NULLIF(CAST(n_tokens AS DOUBLE), 0.0), 0.0)
+               * 1000000.0 + 0.5) / 1000000.0 AS blocked_frac
+  FROM d
+)
+SELECT doc_id, n_tokens, n_blocked, blocked_frac,
+       blocked_frac <= 0.05 AS keep
+FROM s
+"""
+
+
+@pending_query("docs_badword_filter", _BADWORD_ORACLE)
+def docs_badword_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style blocklist screen: per doc, blocked-token count and
+    fraction against the demo blocklist, keep/drop at 5% — a single
+    narrow projection (literal array membership), zero joins."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        blocklist_screen,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return blocklist_screen(docs, max_bad_frac=0.05)
+
+
+# --------------------------------------------------------------------------
+# 13. Normalization-then-exact dedup (the cheap pre-fuzzy pass)
+# --------------------------------------------------------------------------
+
+_NORM_DEDUP_ORACLE = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(
+           translate(text,
+                     'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                     'abcdefghijklmnopqrstuvwxyz'),
+           '[\\x21-\\x2f\\x3a-\\x40\\x5b-\\x60\\x7b-\\x7e]', ' ', 'g'),
+           ' +', ' ', 'g'))) AS norm_key
+  FROM documents
+),
+g AS (
+  SELECT norm_key, MIN(doc_id) AS doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_members
+  FROM keyed GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, g.norm_key, g.n_members
+FROM documents d JOIN g ON d.doc_id = g.doc_id
+"""
+
+
+@pending_query("docs_normalized_dedup", _NORM_DEDUP_ORACLE)
+def docs_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after ASCII casefold + punctuation strip +
+    whitespace collapse — the cheap normalization pass run before any
+    fuzzy method. Survivor = min doc_id, annotated with cluster
+    size."""
+    from vectorsearchutil_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return normalized_exact_dedup(docs)
+
+
+# --------------------------------------------------------------------------
+# 14. Zipf rank-frequency power-law fit
+# --------------------------------------------------------------------------
+
+_ZIPF_ORACLE = """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split(text, ' '), x -> x != ''))
+    AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, COUNT(*) AS freq FROM toks GROUP BY 1),
+top AS (SELECT tok, freq FROM cnt ORDER BY freq DESC, tok ASC LIMIT 100),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY freq DESC, tok ASC) AS rank, freq
+  FROM top
+),
+terms AS (
+  SELECT
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+      AS x,
+    CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+      AS y,
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(freq AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS xy,
+    CAST(floor(ln(CAST(rank AS DOUBLE)) * ln(CAST(rank AS DOUBLE))
+               * 1000000000.0 + 0.5) AS BIGINT) AS xx
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(xy) AS BIGINT) AS sxy, CAST(SUM(xx) AS BIGINT) AS sxx
+  FROM terms
+)
+SELECT CAST(n AS INT) AS n_ranks,
+       floor((CAST(n AS DOUBLE) * (sxy / 1000000000.0)
+              - (sx / 1000000000.0) * (sy / 1000000000.0))
+             / (CAST(n AS DOUBLE) * (sxx / 1000000000.0)
+                - (sx / 1000000000.0) * (sx / 1000000000.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS zipf_slope,
+       floor(((sy / 1000000000.0)
+              - ((CAST(n AS DOUBLE) * (sxy / 1000000000.0)
+                  - (sx / 1000000000.0) * (sy / 1000000000.0))
+                 / (CAST(n AS DOUBLE) * (sxx / 1000000000.0)
+                    - (sx / 1000000000.0) * (sx / 1000000000.0)))
+                * (sx / 1000000000.0))
+             / CAST(n AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS zipf_intercept
+FROM s
+"""
+
+
+@pending_query("docs_zipf_fit", _ZIPF_ORACLE)
+def docs_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS fit of ln(freq) on ln(rank) over the top-100 corpus
+    tokens — the Zipf-law health check for synthetic/templated text.
+    Per-rank terms fix to 1e-9 longs so both engines sum identical
+    integers."""
+    from vectorsearchutil_spark.operators.textanalysis import zipf_fit
+
+    docs = load_table(spark, sf_dir, "documents")
+    return zipf_fit(docs, top_n=100)
+
+
+# --------------------------------------------------------------------------
+# 15. Pairwise source Jensen-Shannon divergence
+# --------------------------------------------------------------------------
+
+_JS_ORACLE = """
+WITH toks AS (
+  SELECT source AS g,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS tok
+  FROM documents
+),
+counts AS (SELECT g, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+totals AS (SELECT g, SUM(c) AS n FROM counts GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM counts),
+vs AS (SELECT COUNT(*) AS v FROM vocab),
+grid AS (
+  SELECT t.g, vb.tok, t.n, vs.v, COALESCE(c.c, 0) AS c
+  FROM vocab vb CROSS JOIN totals t CROSS JOIN vs
+  LEFT JOIN counts c ON c.g = t.g AND c.tok = vb.tok
+),
+pairs AS (
+  SELECT a.g AS ga, b.g AS gb,
+         CAST(a.c + 1 AS DOUBLE) / CAST(a.n + a.v AS DOUBLE) AS p,
+         CAST(b.c + 1 AS DOUBLE) / CAST(b.n + b.v AS DOUBLE) AS q
+  FROM grid a JOIN grid b ON a.tok = b.tok AND a.g < b.g
+),
+t AS (
+  SELECT ga, gb,
+         CAST(floor((p * ln(p / ((p + q) / 2.0))
+                     + q * ln(q / ((p + q) / 2.0)))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS t
+  FROM pairs
+)
+SELECT ga AS source_a, gb AS source_b,
+       floor(CAST(SUM(t) AS DOUBLE) / 1000000000000.0 / 2.0
+             * 1000000.0 + 0.5) / 1000000.0 AS js_nats
+FROM t GROUP BY 1, 2
+"""
+
+
+@pending_query("docs_source_divergence", _JS_ORACLE)
+def docs_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source
+    add-one-smoothed unigram distributions — the domain-shift /
+    mixture-design diagnostic. Per-token terms fix to 1e-12 longs;
+    sums are order-free."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        js_divergence_by_source,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return js_divergence_by_source(docs)
+
+
+# --------------------------------------------------------------------------
+# 16. Per-doc top-3 TF-IDF keyword extraction
+# --------------------------------------------------------------------------
+
+_TOP_TERMS_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS tok
+  FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+r AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, dfq.df, nd.n_docs,
+         row_number() OVER (
+           PARTITION BY tf.doc_id
+           ORDER BY tf.tf DESC, dfq.df ASC, tf.tok ASC
+         ) AS rank
+  FROM tf JOIN dfq USING (tok) CROSS JOIN nd
+)
+SELECT doc_id, CAST(rank AS INT) AS rank, tok AS term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       floor(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+FROM r WHERE rank <= 3
+"""
+
+
+@pending_query("docs_top_terms", _TOP_TERMS_ORACLE)
+def docs_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF keywords. The ranking is the
+    integer-exact (tf DESC, df ASC, term ASC) triple — a monotone
+    proxy for tf*ln(N/df) no float tie can flip — with the rounded
+    score informational."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        top_terms_per_doc,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return top_terms_per_doc(docs, k=3)
+
+
+# --------------------------------------------------------------------------
+# 17. Language-ID confusion matrix vs the labeled lang column
+# --------------------------------------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from vectorsearchutil_spark.queries import _LANGID_ORACLE
+
+    return f"""
+WITH cells AS (
+  SELECT d.lang AS label, p.pred_lang,
+         CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN ({_LANGID_ORACLE}) p ON d.doc_id = p.doc_id
+  GROUP BY 1, 2
+),
+tot AS (SELECT label, SUM(n_docs) AS lt FROM cells GROUP BY 1)
+SELECT c.label, c.pred_lang, c.n_docs,
+       floor(CAST(c.n_docs AS DOUBLE) / CAST(t.lt AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS label_share,
+       c.label = c.pred_lang AS is_correct
+FROM cells c JOIN tot t USING (label)
+"""
+
+
+@pending_query("docs_langid_confusion")
+def docs_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the heuristic language ID against the
+    labeled lang column: per (label, prediction) cell, doc count and
+    within-label share — the classifier eval for text_langid."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        langid_confusion,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_confusion(docs)
+
+
+PENDING_ORACLES["docs_langid_confusion"] = _langid_confusion_oracle()
+
+
+# --------------------------------------------------------------------------
+# 18. Per-user rolling z-score anomaly flags
+# --------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN value IS NOT NULL AND isfinite(value)
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS qv
+  FROM events
+),
+w AS (
+  SELECT event_id, user_id, qv,
+         SUM(qv) OVER win AS s,
+         SUM(qv * qv) OVER win AS s2,
+         COUNT(qv) OVER win AS cnt
+  FROM base
+  WINDOW win AS (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+    ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+  )
+),
+z AS (
+  SELECT event_id, user_id, qv, cnt,
+         CASE WHEN cnt >= 5 AND qv IS NOT NULL
+                   AND (s2 - s * s / CAST(cnt AS DOUBLE))
+                       / CAST(cnt AS DOUBLE) > 0
+              THEN floor((CAST(qv AS DOUBLE) - s / CAST(cnt AS DOUBLE))
+                         / sqrt((s2 - s * s / CAST(cnt AS DOUBLE))
+                                / CAST(cnt AS DOUBLE))
+                         * 1000000.0 + 0.5) / 1000000.0
+         END AS zscore
+  FROM w
+)
+SELECT event_id, user_id,
+       CAST(qv AS DOUBLE) / 100.0 AS value_seen,
+       CAST(cnt AS INT) AS n_window,
+       zscore,
+       COALESCE(abs(zscore) >= 3.0, FALSE) AS is_anomaly
+FROM z
+"""
+
+
+@pending_query("events_rolling_zscore", _ZSCORE_ORACLE)
+def events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling anomaly flags: each event z-scored against
+    the mean/std of its user's 5 PRECEDING events (self excluded).
+    Cents fixed-point keeps the frame sums integer-exact; the window
+    partitions per user with an O(window) frame."""
+    from vectorsearchutil_spark.operators.analytics import rolling_zscore
+
+    e = load_table(spark, sf_dir, "events")
+    return rolling_zscore(e, window=5, z_thresh=3.0)
+
+
+# --------------------------------------------------------------------------
+# 19. Exact inter-arrival gap quantiles per event type
+# --------------------------------------------------------------------------
+
+_INTERARRIVAL_ORACLE = """
+WITH seq AS (
+  SELECT event_type,
+         CAST(FLOOR(epoch(ts)) AS BIGINT)
+           - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts ASC, event_id ASC
+             ) AS gap_s
+  FROM events
+),
+g AS (SELECT event_type, gap_s FROM seq WHERE gap_s IS NOT NULL),
+c AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps
+  FROM g GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, gap_s,
+         SUM(1) OVER (
+           PARTITION BY event_type ORDER BY gap_s
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS cum,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM g
+),
+med AS (
+  SELECT event_type, MIN(gap_s) AS p50_gap_s FROM ranked
+  WHERE cum >= CAST(n AS DOUBLE) * 0.5 GROUP BY 1
+),
+p90 AS (
+  SELECT event_type, MIN(gap_s) AS p90_gap_s FROM ranked
+  WHERE cum >= CAST(n AS DOUBLE) * 0.9 GROUP BY 1
+)
+SELECT c.event_type, c.n_gaps, m.p50_gap_s, p.p90_gap_s
+FROM c JOIN med m USING (event_type) JOIN p90 p USING (event_type)
+"""
+
+
+@pending_query("events_interarrival", _INTERARRIVAL_ORACLE)
+def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90 inter-arrival gap (whole seconds) between
+    consecutive events of the same (user, type) — per-entity cadence.
+    The quantiles come from histogram refinement, never a per-type
+    sort of raw gaps."""
+    from vectorsearchutil_spark.operators.analytics import (
+        interarrival_quantiles,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return interarrival_quantiles(e, quantiles=(0.5, 0.9))
+
+
+# --------------------------------------------------------------------------
+# 20. Monthly revenue with year-over-year growth
+# --------------------------------------------------------------------------
+
+_YOY_ORACLE = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(a.mi // 12 AS VARCHAR) || '-'
+         || lpad(CAST(a.mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+       a.n_orders, a.revenue_cents,
+       b.revenue_cents AS prev_year_cents,
+       floor(CAST(a.revenue_cents - b.revenue_cents AS DOUBLE)
+             / CAST(CASE WHEN b.revenue_cents != 0
+                         THEN b.revenue_cents END AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS yoy_growth
+FROM m a LEFT JOIN m b ON a.mi = b.mi + 12
+"""
+
+
+@pending_query("orders_yoy_growth", _YOY_ORACLE)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue (exact cents) with year-over-year growth via a
+    self-join on the integer month index — no window, the joined side
+    is the <=#months aggregate, broadcast."""
+    from vectorsearchutil_spark.operators.analytics import yoy_growth
+
+    o = load_table(spark, sf_dir, "orders")
+    return yoy_growth(o)
+
+
+# --------------------------------------------------------------------------
+# 21. RFM customer segmentation with exact quintiles
+# --------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(a AS DATE))) AS INT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS monetary_cents
+  FROM orders, anchor GROUP BY o_custkey
+),
+scored AS (
+  SELECT o_custkey, recency_days, frequency, monetary_cents,
+         CAST(NTILE(5) OVER (
+           ORDER BY recency_days ASC NULLS LAST, o_custkey ASC
+         ) AS INT) AS r_quintile,
+         CAST(NTILE(5) OVER (
+           ORDER BY frequency DESC NULLS LAST, o_custkey ASC
+         ) AS INT) AS f_quintile,
+         CAST(NTILE(5) OVER (
+           ORDER BY monetary_cents DESC NULLS LAST, o_custkey ASC
+         ) AS INT) AS m_quintile
+  FROM pc
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       r_quintile, f_quintile, m_quintile,
+       CAST(r_quintile AS VARCHAR) || CAST(f_quintile AS VARCHAR)
+         || CAST(m_quintile AS VARCHAR) AS rfm_segment
+FROM scored
+"""
+
+
+@pending_query("customer_rfm_scores", _RFM_ORACLE)
+def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary per customer,
+    each bucketed by EXACT NTILE(5) semantics rebuilt over the
+    per-metric distinct-value histogram (no global customer sort
+    anywhere in the plan)."""
+    from vectorsearchutil_spark.operators.analytics import rfm_scores
+
+    o = load_table(spark, sf_dir, "orders")
+    return rfm_scores(o)
