@@ -921,3 +921,284 @@ def test_exact_ntile_matches_spark_ntile_with_ties(spark):
         " AS b FROM _nt_base"
     )
     assert got.select("id", "b").exceptAll(ref).count() == 0
+
+
+# ---------------------------------------------------------------- ab test
+
+
+def test_ab_test_totals_and_rates(spark):
+    from vectorsearchutil_spark.operators.analytics import ab_test_ztest
+
+    rows = []
+    for u in range(40):
+        rows.append((u * 2, u, "view"))
+        if u % 3 == 0:
+            rows.append((u * 2 + 1, u, "purchase"))
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string"
+    )
+    r = ab_test_ztest(e).collect()[0]
+    assert r["n_a"] + r["n_b"] == 40
+    assert r["conv_a"] + r["conv_b"] == 14
+    assert r["rate_a"] == pytest.approx(r["conv_a"] / r["n_a"], abs=1e-6)
+    # arm assignment is by user hash, independent of partitioning
+    r2 = ab_test_ztest(e.repartition(7)).collect()[0]
+    assert r.asDict() == r2.asDict()
+
+
+# ---------------------------------------------------------------- cusum
+
+
+def test_cusum_finds_level_shift(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, "x", base + datetime.timedelta(days=i),
+         10.0 if i < 10 else 1010.0)
+        for i in range(20)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double"
+    )
+    r = cusum_changepoint(e).collect()[0]
+    assert r["n_days"] == 20
+    # max |n*prefix - t*total| lands on the last pre-shift day
+    assert r["changepoint_day"] == "2024-01-10"
+    assert r["cusum_value"] < 0
+
+
+# ---------------------------------------------------------------- benford
+
+
+def test_benford_digit_extraction(spark):
+    from vectorsearchutil_spark.operators.analytics import benford_digits
+
+    o = spark.createDataFrame(
+        [(1.00,), (2.50,), (0.30,), (19.99,), (-5.0,), (None,), (0.0,)],
+        "o_totalprice double",
+    )
+    got = {r["digit"]: r for r in benford_digits(o).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n"] == 2 and got[2]["n"] == 1 and got[3]["n"] == 1
+    assert got[1]["obs_share"] == pytest.approx(0.5)
+    assert got[1]["benford_share"] == pytest.approx(0.30103, abs=1e-5)
+
+
+# ---------------------------------------------------------------- gini
+
+
+def test_gini_equal_is_zero(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        gini_coefficient,
+    )
+
+    o = spark.createDataFrame(
+        [(k, 100.0) for k in range(10)],
+        "o_custkey long, o_totalprice double",
+    )
+    r = gini_coefficient(o).collect()[0]
+    assert r["n_keys"] == 10
+    assert r["gini"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_gini_total_concentration(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        gini_coefficient,
+    )
+
+    # one key holds everything (others epsilon-free zero is excluded
+    # by the cents floor at 0.004 -> 0 cents stays, so use 0.01)
+    rows = [(0, 1000.0)] + [(k, 0.01) for k in range(1, 10)]
+    o = spark.createDataFrame(rows, "o_custkey long, o_totalprice double")
+    r = gini_coefficient(o).collect()[0]
+    # near-total concentration: G -> (n-1)/n = 0.9
+    assert r["gini"] == pytest.approx(0.9, abs=1e-3)
+
+
+# ---------------------------------------------------------------- kaplan-meier
+
+
+def test_kaplan_meier_small_cohort(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import kaplan_meier
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, 10, "signup", t0),
+        (2, 11, "signup", t0),
+        (3, 12, "signup", t0),
+        (4, 13, "signup", t0),
+        (5, 10, "purchase", t0 + day),
+        (6, 11, "purchase", t0 + 3 * day),
+        # horizon: a late unrelated event pins max_seen at day 3
+        (7, 12, "view", t0 + 3 * day),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["delay_days"]: r for r in kaplan_meier(e).collect()}
+    assert set(got) == {1, 3}
+    assert got[1]["n_at_risk"] == 4 and got[1]["n_events"] == 1
+    assert got[1]["survival"] == pytest.approx(0.75, abs=1e-6)
+    # day 3: u10 converted (left), u12/u13 censored AT >=3 still at risk
+    assert got[3]["n_at_risk"] == 3 and got[3]["n_events"] == 1
+    assert got[3]["survival"] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_kaplan_meier_full_conversion_pins_zero(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import kaplan_meier
+
+    t0 = datetime.datetime(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    rows = [
+        (1, 1, "signup", t0),
+        (2, 2, "signup", t0),
+        (3, 1, "purchase", t0 + day),
+        (4, 2, "purchase", t0 + day),
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = kaplan_meier(e).collect()
+    assert len(got) == 1
+    assert got[0]["survival"] == 0.0 and got[0]["n_events"] == 2
+
+
+# ---------------------------------------------------------------- chi2
+
+
+def test_token_label_chi2_perfect_association(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        token_label_chi2,
+    )
+
+    rows = [(i, "aaa filler", "x") for i in range(6)] + [
+        (i + 6, "bbb filler", "y") for i in range(6)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    got = {(r["tok"], r["label"]): r for r in token_label_chi2(docs).collect()}
+    # perfectly-separating tokens: chi2 = N = 12 for each (tok, lang)
+    assert got[("aaa", "x")]["chi2"] == pytest.approx(12.0)
+    assert got[("bbb", "y")]["chi2"] == pytest.approx(12.0)
+    # 'filler' appears in every doc -> chi2 0 -> filtered
+    assert not any(t == "filler" for t, _ in got)
+
+
+# ---------------------------------------------------------------- mann-whitney
+
+
+def test_mannwhitney_no_overlap(spark):
+    from vectorsearchutil_spark.operators.analytics import mann_whitney_u
+
+    # A strictly above B: U_A = n_a*n_b (all pairwise wins), z > 0
+    rows = [(i, "purchase", 100.0 + i) for i in range(10)] + [
+        (100 + i, "view", float(i)) for i in range(10)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    r = mann_whitney_u(e).collect()[0]
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    assert r["u_stat"] == pytest.approx(100.0)
+    assert r["z_score"] > 3.0
+
+
+def test_mannwhitney_identical_distributions(spark):
+    from vectorsearchutil_spark.operators.analytics import mann_whitney_u
+
+    # all values equal: one giant tie, U = n_a*n_b/2 exactly, var = 0
+    rows = [(i, "purchase", 5.0) for i in range(6)] + [
+        (100 + i, "view", 5.0) for i in range(6)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    )
+    r = mann_whitney_u(e).collect()[0]
+    assert r["u_stat"] == pytest.approx(18.0)
+    assert r["z_score"] is None  # zero variance -> no z
+
+
+# ---------------------------------------------------------------- ks drift
+
+
+def test_ks_disjoint_halves(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import ks_two_sample
+
+    t0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    # first half values all 1.0, second half all 2.0 -> KS = 1
+    rows = [(i, t0 + i * h, 1.0) for i in range(10)] + [
+        (100 + i, t0 + (100 + i) * h, 2.0) for i in range(10)
+    ]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    r = ks_two_sample(e).collect()[0]
+    assert r["n_1"] == 10 and r["n_2"] == 10
+    assert r["ks_stat"] == pytest.approx(1.0)
+    assert r["ks_at_value"] == pytest.approx(1.0)
+
+
+def test_ks_same_distribution_is_zero(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import ks_two_sample
+
+    t0 = datetime.datetime(2024, 1, 1)
+    h = datetime.timedelta(hours=1)
+    rows = [(i, t0 + i * h, float(i % 5)) for i in range(200)]
+    e = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, value double"
+    )
+    r = ks_two_sample(e).collect()[0]
+    assert r["ks_stat"] == pytest.approx(0.0, abs=0.01)
+
+
+# ---------------------------------------------------------------- daily acf
+
+
+def test_daily_acf_period_two(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import daily_acf
+
+    d0 = datetime.date(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    # alternating 10/20 series: acf(1) ~ -1, acf(2) ~ +1
+    rows = [
+        (d0 + i * day, 10.0 if i % 2 == 0 else 20.0) for i in range(60)
+    ]
+    o = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    got = {r["lag"]: r for r in daily_acf(o, max_lag=3).collect()}
+    assert got[1]["n_pairs"] == 59
+    assert got[1]["acf"] == pytest.approx(-1.0, abs=0.05)
+    assert got[2]["acf"] == pytest.approx(1.0, abs=0.05)
+
+
+def test_daily_acf_missing_days_drop_pairs(spark):
+    import datetime
+
+    from vectorsearchutil_spark.operators.analytics import daily_acf
+
+    d0 = datetime.date(2024, 1, 1)
+    day = datetime.timedelta(days=1)
+    # days 0..9 except day 5 -> lag-1 pairs lose (4,5) and (5,6)
+    rows = [
+        (d0 + i * day, float(i + 1)) for i in range(10) if i != 5
+    ]
+    o = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
+    got = {r["lag"]: r for r in daily_acf(o, max_lag=1).collect()}
+    assert got[1]["n_pairs"] == 7

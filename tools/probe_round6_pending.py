@@ -291,6 +291,422 @@ def probe_pct_rank(spark):
 PROBES["pct_rank"] = probe_pct_rank
 
 
+# ---- wave 3 (blocklist .. RFM) -----------------------------------
+
+
+def probe_blocklist(spark):
+    """2M docs vs a 200-word broadcast blocklist: one narrow
+    projection, no join — should run at scan speed."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        blocklist_screen,
+    )
+
+    docs = _varied_docs(spark, 2_000_000).cache()
+    docs.count()
+    bad = [f"tok{i}" for i in range(200)]
+    t0 = time.time()
+    row = blocklist_screen(docs, badwords=bad).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((~F.col("keep")).cast("int")).alias("dropped"),
+    ).collect()[0]
+    dt = time.time() - t0
+    docs.unpersist()
+    return (
+        f"{dt:.1f}s @ 2M docs x 200-word list -> "
+        f"{row['n']} rows ({row['dropped']} dropped)"
+    )
+
+
+def probe_norm_dedup(spark):
+    """2M docs, every 4th a case/punct variant of a canonical text:
+    md5-of-normalized groupBy, same shape as exact dedup."""
+    from vectorsearchutil_spark.operators.dedup import (
+        normalized_exact_dedup,
+    )
+
+    docs = spark.range(2_000_000).selectExpr(
+        "id AS doc_id",
+        "CASE pmod(id, 4)"
+        " WHEN 0 THEN concat('Canon Text, number ', pmod(id, 250000), '!')"
+        " WHEN 1 THEN concat('canon  text number ', pmod(id, 250000))"
+        " ELSE concat('unique doc ', id) END AS text",
+        "'en' AS lang",
+        "concat('s', pmod(id, 7)) AS source",
+        "length('x') AS n_chars",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = normalized_exact_dedup(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 2M docs -> {n} survivors"
+
+
+def probe_zipf(spark):
+    """2M docs / 50k vocab: explode -> counts -> top-100 via
+    TakeOrderedAndProject; regression over 100 aggregated rows."""
+    from vectorsearchutil_spark.operators.textanalysis import zipf_fit
+
+    docs = _varied_docs(spark, 2_000_000, vocab=50_000).cache()
+    docs.count()
+    t0 = time.time()
+    row = zipf_fit(docs, top_n=100).collect()[0]
+    dt = time.time() - t0
+    docs.unpersist()
+    return (
+        f"{dt:.1f}s @ 2M docs, 50k vocab -> slope "
+        f"{row['zipf_slope']:.3f}"
+    )
+
+
+def probe_js_divergence(spark):
+    """1M docs / 20 sources / 20k vocab: the source x vocab grid is
+    400k rows and the pair join is token-equi — never all-pairs on
+    raw rows."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        js_divergence_by_source,
+    )
+
+    docs = _varied_docs(spark, 1_000_000, vocab=20_000).selectExpr(
+        "doc_id", "text", "concat('s', pmod(doc_id, 20)) AS source"
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = js_divergence_by_source(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 1M docs, 20 sources, 20k vocab -> {n} pairs"
+
+
+def probe_top_terms(spark):
+    """2M docs: tf + df aggregations over narrow (doc, token) pairs;
+    rank window bounded by per-doc distinct tokens."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        top_terms_per_doc,
+    )
+
+    docs = _varied_docs(spark, 2_000_000, vocab=50_000).cache()
+    docs.count()
+    t0 = time.time()
+    n = top_terms_per_doc(docs, k=3).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 2M docs -> {n} (doc, term) rows"
+
+
+def probe_langid_confusion(spark):
+    """2M labeled docs: projection + one tiny cells aggregate."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        langid_confusion,
+    )
+
+    docs = _varied_docs(spark, 2_000_000).selectExpr(
+        "doc_id", "text",
+        "element_at(array('en','de','fr','es'), "
+        "cast(pmod(doc_id, 4) as int) + 1) AS lang",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = langid_confusion(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 2M labeled docs -> {n} confusion cells"
+
+
+def probe_rolling_zscore(spark):
+    """20M events / 100k users (~200 events each): per-entity ROWS
+    frame, state O(window) per task."""
+    from vectorsearchutil_spark.operators.analytics import (
+        rolling_zscore,
+    )
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 100000) AS user_id",
+        "timestamp_seconds(1700000000 + id) AS ts",
+        "pmod(xxhash64(id, 13), 10000) / 100.0 AS value",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    row = rolling_zscore(e).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_anomaly").cast("int")).alias("anom"),
+    ).collect()[0]
+    dt = time.time() - t0
+    e.unpersist()
+    return (
+        f"{dt:.1f}s @ 20M events / 100k users -> "
+        f"{row['n']} rows ({row['anom']} anomalies)"
+    )
+
+
+def probe_interarrival(spark):
+    """20M events / 100k users / 5 types: lag bounded per entity,
+    quantiles by histogram refinement over integer gaps."""
+    from vectorsearchutil_spark.operators.analytics import (
+        interarrival_quantiles,
+    )
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 100000) AS user_id",
+        "concat('t', pmod(xxhash64(id, 7), 5)) AS event_type",
+        "timestamp_seconds(1700000000 + "
+        "pmod(xxhash64(id, 11), 31536000)) AS ts",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    n = interarrival_quantiles(e).count()
+    dt = time.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events / 100k users / 5 types -> {n} rows"
+
+
+def probe_yoy(spark):
+    """40M orders over 7 years: month grid is <=84 rows after the
+    map-side-combinable aggregate; the YoY self-join is broadcast."""
+    from vectorsearchutil_spark.operators.analytics import yoy_growth
+
+    o = spark.range(40_000_000).selectExpr(
+        "date_add(date'2018-01-01', "
+        "cast(pmod(xxhash64(id), 2557) as int)) AS o_orderdate",
+        "pmod(xxhash64(id, 5), 100000) / 100.0 AS o_totalprice",
+    ).cache()
+    o.count()
+    t0 = time.time()
+    n = yoy_growth(o).count()
+    dt = time.time() - t0
+    o.unpersist()
+    return f"{dt:.1f}s @ 40M orders / 7y -> {n} months"
+
+
+def probe_rfm(spark):
+    """40M orders / 2M customers: one per-customer aggregate, then
+    three exact-ntile rankings over distinct-value histograms."""
+    from vectorsearchutil_spark.operators.analytics import rfm_scores
+
+    o = spark.range(40_000_000).selectExpr(
+        "pmod(xxhash64(id, 3), 2000000) AS o_custkey",
+        "date_add(date'2018-01-01', "
+        "cast(pmod(xxhash64(id), 2557) as int)) AS o_orderdate",
+        "pmod(xxhash64(id, 5), 100000) / 100.0 AS o_totalprice",
+    ).cache()
+    o.count()
+    t0 = time.time()
+    n = rfm_scores(o).count()
+    dt = time.time() - t0
+    o.unpersist()
+    return f"{dt:.1f}s @ 40M orders / 2M customers -> {n} rows"
+
+
+# ---- wave 4 (stats: ab / cusum / benford / gini / km / chi2) -----
+
+
+def probe_ab_test(spark):
+    """20M events / 1M users: one per-user max-flag aggregate, then
+    four counters; the md5 arm hash is a narrow projection."""
+    from vectorsearchutil_spark.operators.analytics import ab_test_ztest
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 1000000) AS user_id",
+        "CASE WHEN pmod(xxhash64(id, 7), 20) = 0 THEN 'purchase'"
+        " ELSE 'view' END AS event_type",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    r = ab_test_ztest(e).collect()[0]
+    dt = time.time() - t0
+    e.unpersist()
+    return (
+        f"{dt:.1f}s @ 20M events / 1M users -> z {r['z_score']}"
+    )
+
+
+def probe_cusum(spark):
+    """20M events / 5 types / 3650 days: grid is 18k rows; the
+    cumulative window never sees raw rows."""
+    from vectorsearchutil_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "concat('t', pmod(xxhash64(id, 7), 5)) AS event_type",
+        "timestamp_seconds(1500000000 + pmod(xxhash64(id, 11), 3650)"
+        " * 86400) AS ts",
+        "pmod(xxhash64(id, 13), 10000) / 100.0"
+        " + CASE WHEN pmod(xxhash64(id, 11), 3650) > 1800"
+        " THEN 20.0 ELSE 0.0 END AS value",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    n = cusum_changepoint(e).count()
+    dt = time.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events / 5 types / 3650 days -> {n} rows"
+
+
+def probe_benford(spark):
+    """40M amounts: digit substring projection + 9-group agg."""
+    from vectorsearchutil_spark.operators.analytics import benford_digits
+
+    o = spark.range(40_000_000).selectExpr(
+        "exp(pmod(xxhash64(id), 1000) / 100.0) AS o_totalprice"
+    ).cache()
+    o.count()
+    t0 = time.time()
+    n = benford_digits(o).count()
+    dt = time.time() - t0
+    o.unpersist()
+    return f"{dt:.1f}s @ 40M amounts -> {n} digits"
+
+
+def probe_gini(spark):
+    """40M orders / 2M customers: per-key agg then the rank-sum over
+    the distinct-revenue histogram (~#distinct cents values)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        gini_coefficient,
+    )
+
+    o = spark.range(40_000_000).selectExpr(
+        "pmod(xxhash64(id, 3), 2000000) AS o_custkey",
+        "pmod(xxhash64(id, 5), 100000) / 100.0 AS o_totalprice",
+    ).cache()
+    o.count()
+    t0 = time.time()
+    r = gini_coefficient(o).collect()[0]
+    dt = time.time() - t0
+    o.unpersist()
+    return f"{dt:.1f}s @ 40M orders / 2M customers -> gini {r['gini']}"
+
+
+def probe_kaplan_meier(spark):
+    """20M events / 1M users / 3-year horizon: per-user collapse,
+    then the KM curve over <=1100 distinct delay days."""
+    from vectorsearchutil_spark.operators.analytics import kaplan_meier
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 1000000) AS user_id",
+        "CASE pmod(xxhash64(id, 7), 40)"
+        " WHEN 0 THEN 'signup' WHEN 1 THEN 'purchase'"
+        " ELSE 'view' END AS event_type",
+        "timestamp_seconds(1500000000 + pmod(xxhash64(id, 11), 1100)"
+        " * 86400) AS ts",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    n = kaplan_meier(e).count()
+    dt = time.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events / 1M users -> {n} curve days"
+
+
+def probe_token_chi2(spark):
+    """1M docs / 4 labels / 20k vocab: presence counts are narrow
+    (token, label) pairs; df and label totals join back broadcast."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        token_label_chi2,
+    )
+
+    docs = _varied_docs(spark, 1_000_000, vocab=20_000).selectExpr(
+        "doc_id", "text",
+        "element_at(array('en','de','fr','es'), "
+        "cast(pmod(doc_id, 4) as int) + 1) AS lang",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    n = token_label_chi2(docs).count()
+    dt = time.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 1M docs / 4 labels / 20k vocab -> {n} cells"
+
+
+def probe_mannwhitney(spark):
+    """20M events / ~100k distinct cents: all rank math on the
+    histogram; the raw rows see one filter + one groupBy."""
+    from vectorsearchutil_spark.operators.analytics import mann_whitney_u
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "CASE WHEN pmod(xxhash64(id, 7), 2) = 0 THEN 'purchase'"
+        " ELSE 'view' END AS event_type",
+        "(pmod(xxhash64(id, 13), 100000)"
+        " + CASE WHEN pmod(xxhash64(id, 7), 2) = 0 THEN 500 ELSE 0 END)"
+        " / 100.0 AS value",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    r = mann_whitney_u(e).collect()[0]
+    dt = time.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events, 100k-cent domain -> z {r['z_score']}"
+
+
+def probe_ks_drift(spark):
+    """20M events with a planted second-half level shift."""
+    from vectorsearchutil_spark.operators.analytics import ks_two_sample
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "timestamp_seconds(1700000000 + id) AS ts",
+        "(pmod(xxhash64(id, 13), 100000)"
+        " + CASE WHEN id >= 10000000 THEN 20000 ELSE 0 END)"
+        " / 100.0 AS value",
+    ).cache()
+    e.count()
+    t0 = time.time()
+    r = ks_two_sample(e).collect()[0]
+    dt = time.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events -> KS {r['ks_stat']}"
+
+
+def probe_daily_acf(spark):
+    """40M orders / 7 years: seven broadcast self-joins over the
+    <=2557-row daily grid."""
+    from vectorsearchutil_spark.operators.analytics import daily_acf
+
+    o = spark.range(40_000_000).selectExpr(
+        "date_add(date'2018-01-01', "
+        "cast(pmod(xxhash64(id), 2557) as int)) AS o_orderdate",
+        "(pmod(xxhash64(id, 5), 100000)"
+        " + pmod(cast(datediff(date_add(date'2018-01-01', "
+        "cast(pmod(xxhash64(id), 2557) as int)), date'2018-01-01')"
+        " as bigint), 7) * 3000) / 100.0 AS o_totalprice",
+    ).cache()
+    o.count()
+    t0 = time.time()
+    rows = {r["lag"]: r["acf"] for r in daily_acf(o).collect()}
+    dt = time.time() - t0
+    o.unpersist()
+    return f"{dt:.1f}s @ 40M orders / 7y -> acf(7) {rows[7]}"
+
+
+PROBES["mannwhitney"] = probe_mannwhitney
+PROBES["ks_drift"] = probe_ks_drift
+PROBES["daily_acf"] = probe_daily_acf
+
+PROBES["ab_test"] = probe_ab_test
+PROBES["cusum"] = probe_cusum
+PROBES["benford"] = probe_benford
+PROBES["gini"] = probe_gini
+PROBES["kaplan_meier"] = probe_kaplan_meier
+PROBES["token_chi2"] = probe_token_chi2
+
+PROBES["blocklist"] = probe_blocklist
+PROBES["norm_dedup"] = probe_norm_dedup
+PROBES["zipf"] = probe_zipf
+PROBES["js_divergence"] = probe_js_divergence
+PROBES["top_terms"] = probe_top_terms
+PROBES["langid_confusion"] = probe_langid_confusion
+PROBES["rolling_zscore"] = probe_rolling_zscore
+PROBES["interarrival"] = probe_interarrival
+PROBES["yoy"] = probe_yoy
+PROBES["rfm"] = probe_rfm
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

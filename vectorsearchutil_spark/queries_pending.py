@@ -1163,3 +1163,525 @@ def customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return rfm_scores(o)
+
+
+# --------------------------------------------------------------------------
+# 22. A/B two-proportion z-test over hash-assigned arms
+# --------------------------------------------------------------------------
+
+_AB_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+),
+armed AS (
+  SELECT CASE WHEN ('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                    1, 8))::BIGINT / 4294967296.0 < 0.5
+              THEN 'A' ELSE 'B' END AS arm,
+         conv
+  FROM pu
+),
+s AS (
+  SELECT CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN arm = 'A' AND conv = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN arm = 'B' AND conv = 1 THEN 1 ELSE 0 END)
+              AS BIGINT) AS conv_b
+  FROM armed
+)
+SELECT n_a, conv_a, n_b, conv_b,
+  floor(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+  floor(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+  floor(CASE WHEN sqrt(CAST(conv_a + conv_b AS DOUBLE)
+                         / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                       * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                       * (1.0 / CAST(n_a AS DOUBLE)
+                          + 1.0 / CAST(n_b AS DOUBLE))) > 0
+             THEN (CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                   - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                  / sqrt(CAST(conv_a + conv_b AS DOUBLE)
+                           / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                         * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                             / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                         * (1.0 / CAST(n_a AS DOUBLE)
+                            + 1.0 / CAST(n_b AS DOUBLE)))
+        END * 1000000.0 + 0.5) / 1000000.0 AS z_score
+FROM s
+"""
+
+
+@pending_query("events_ab_test", _AB_ORACLE)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between md5-hash-assigned experiment
+    arms (conversion = any purchase event): one summary row from four
+    exact counts; the z formula is a single double expression both
+    engines spell identically."""
+    from vectorsearchutil_spark.operators.analytics import ab_test_ztest
+
+    e = load_table(spark, sf_dir, "events")
+    return ab_test_ztest(e)
+
+
+# --------------------------------------------------------------------------
+# 23. CUSUM changepoint per event type over the daily value series
+# --------------------------------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             END) AS d
+  FROM events GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, day,
+    SUM(d) OVER (PARTITION BY event_type ORDER BY day ASC
+                 ROWS UNBOUNDED PRECEDING) AS pre,
+    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day ASC) AS t,
+    SUM(d) OVER (PARTITION BY event_type) AS tot,
+    COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM daily
+),
+scored AS (
+  SELECT event_type, day, n,
+    CAST(n AS HUGEINT) * CAST(pre AS HUGEINT)
+      - CAST(t AS HUGEINT) * CAST(tot AS HUGEINT) AS dstat
+  FROM cum
+)
+SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day,
+       CAST(n AS INT) AS n_days,
+       floor(CAST(dstat AS DOUBLE) / (CAST(n AS DOUBLE) * 100.0)
+             * 10000.0 + 0.5) / 10000.0 AS cusum_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type
+    ORDER BY abs(dstat) DESC NULLS LAST, day ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@pending_query("events_cusum_changepoint", _CUSUM_ORACLE)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection per event type: the day maximizing
+    |n*prefix - t*total| over the daily cents grid — the compared
+    statistic stays an exact DECIMAL(38,0) so the argmax can't be
+    float-flipped; only the reported value divides to double."""
+    from vectorsearchutil_spark.operators.analytics import (
+        cusum_changepoint,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return cusum_changepoint(e)
+
+
+# --------------------------------------------------------------------------
+# 24. Benford first-digit audit of order amounts
+# --------------------------------------------------------------------------
+
+_BENFORD_ORACLE = """
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+),
+d AS (
+  SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM c WHERE cents > 0 GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS t FROM d)
+SELECT CAST(digit AS INT) AS digit, n,
+  floor(CAST(n AS DOUBLE) / CAST(t AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS obs_share,
+  floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5)
+    / 1000000.0 AS benford_share,
+  floor(abs(CAST(n AS DOUBLE) / CAST(t AS DOUBLE)
+            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS abs_dev
+FROM d, tot
+"""
+
+
+@pending_query("orders_benford", _BENFORD_ORACLE)
+def orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals: digit
+    extraction is a string op on the exact cents long (no float log
+    near the data); shares round via the floor form."""
+    from vectorsearchutil_spark.operators.analytics import benford_digits
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_digits(o)
+
+
+# --------------------------------------------------------------------------
+# 25. Gini coefficient of customer revenue concentration
+# --------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH pk AS (
+  SELECT o_custkey,
+         SUM(CASE WHEN o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS x
+  FROM orders GROUP BY 1
+),
+r AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+  FROM pk WHERE x IS NOT NULL
+),
+s AS (
+  SELECT SUM(CAST(i AS HUGEINT) * CAST(x AS HUGEINT)) AS sixi,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM r
+)
+SELECT n AS n_keys, CAST(sx AS BIGINT) AS total_cents,
+  floor((2.0 * CAST(sixi AS DOUBLE)
+         / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+         - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM s
+"""
+
+
+@pending_query("orders_gini", _GINI_ORACLE)
+def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue WITHOUT a global row
+    sort: rank-sums derive from the distinct-revenue histogram
+    (tie-order-invariant), everything integer until one final
+    division."""
+    from vectorsearchutil_spark.operators.analytics import (
+        gini_coefficient,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return gini_coefficient(o)
+
+
+# --------------------------------------------------------------------------
+# 26. Kaplan-Meier time-to-conversion survival curve
+# --------------------------------------------------------------------------
+
+_KM_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup'
+             THEN CAST(epoch(ts) AS BIGINT) END) AS s,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(epoch(ts) AS BIGINT) END) AS c,
+    MAX(CAST(epoch(ts) AS BIGINT)) AS seen
+  FROM events GROUP BY user_id
+),
+pu2 AS (SELECT * FROM pu WHERE s IS NOT NULL),
+h AS (SELECT MAX(seen) AS hmax FROM pu2),
+obs AS (
+  SELECT CASE WHEN c IS NOT NULL AND c >= s
+              THEN CAST(floor(c / 86400.0) - floor(s / 86400.0) AS BIGINT)
+         END AS edays,
+         CAST(floor(hmax / 86400.0) - floor(s / 86400.0) AS BIGINT) AS cdays
+  FROM pu2, h
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM obs),
+ev AS (
+  SELECT edays AS delay_days, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM obs WHERE edays IS NOT NULL GROUP BY 1
+),
+cens AS (
+  SELECT cdays AS delay_days, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM obs WHERE edays IS NULL GROUP BY 1
+),
+grid AS (
+  SELECT COALESCE(ev.delay_days, cens.delay_days) AS delay_days,
+         COALESCE(n_events, 0) AS n_events,
+         COALESCE(nc, 0) AS nc
+  FROM ev FULL JOIN cens ON ev.delay_days = cens.delay_days
+),
+risked AS (
+  SELECT delay_days, n_events,
+    n_total
+      - COALESCE(SUM(n_events) OVER (ORDER BY delay_days ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      - COALESCE(SUM(nc) OVER (ORDER BY delay_days ASC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      AS n_at_risk
+  FROM grid, nt
+),
+cum AS (
+  SELECT delay_days, n_at_risk, n_events,
+    SUM(CASE WHEN n_events < n_at_risk
+             THEN CAST(floor(ln(1.0 - CAST(n_events AS DOUBLE)
+                                  / CAST(n_at_risk AS DOUBLE))
+                             * 1000000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END)
+      OVER (ORDER BY delay_days ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnsum,
+    MAX(CASE WHEN n_events >= n_at_risk THEN 1 ELSE 0 END)
+      OVER (ORDER BY delay_days ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+  FROM risked
+)
+SELECT delay_days, n_at_risk, n_events,
+  floor(CASE WHEN dead = 1 THEN 0.0
+             ELSE exp(CAST(lnsum AS DOUBLE) / 1000000000.0) END
+        * 1000000.0 + 0.5) / 1000000.0 AS survival
+FROM cum WHERE n_events > 0
+"""
+
+
+@pending_query("events_kaplan_meier", _KM_ORACLE)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of signup->purchase delay with
+    right-censoring at the corpus horizon: the curve runs over the
+    distinct-delay-day histogram; the running product is an
+    order-free sum of fixed-point ln terms (zipf_fit convention)."""
+    from vectorsearchutil_spark.operators.analytics import kaplan_meier
+
+    e = load_table(spark, sf_dir, "events")
+    return kaplan_meier(e)
+
+
+# --------------------------------------------------------------------------
+# 27. Chi-square token/label association (feature selection screen)
+# --------------------------------------------------------------------------
+
+_CHI2_ORACLE = """
+WITH dt AS (
+  SELECT lang,
+         unnest(list_distinct(list_filter(string_split(text, ' '),
+                                          x -> x != ''))) AS tok
+  FROM documents
+),
+cell AS (
+  SELECT tok, lang, CAST(COUNT(*) AS BIGINT) AS a FROM dt GROUP BY 1, 2
+),
+tdf AS (
+  SELECT tok, CAST(SUM(a) AS BIGINT) AS df FROM cell GROUP BY 1
+  HAVING SUM(a) >= 5
+),
+ln_ AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS nl FROM documents GROUP BY 1
+),
+nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM documents),
+j AS (
+  SELECT c.tok, c.lang AS label, c.a, t.df, l.nl, nt.nn
+  FROM cell c JOIN tdf t ON c.tok = t.tok
+              JOIN ln_ l ON c.lang = l.lang, nt
+),
+x AS (
+  SELECT tok, label, a, df,
+    CASE WHEN (CAST(a AS DOUBLE) + CAST(nl - a AS DOUBLE))
+              * (CAST(df - a AS DOUBLE) + CAST(nn - nl - df + a AS DOUBLE))
+              * (CAST(a AS DOUBLE) + CAST(df - a AS DOUBLE))
+              * (CAST(nl - a AS DOUBLE) + CAST(nn - nl - df + a AS DOUBLE))
+              > 0
+         THEN floor(
+           CAST(nn AS DOUBLE)
+             * (CAST(a AS DOUBLE) * CAST(nn - nl - df + a AS DOUBLE)
+                - CAST(nl - a AS DOUBLE) * CAST(df - a AS DOUBLE))
+             * (CAST(a AS DOUBLE) * CAST(nn - nl - df + a AS DOUBLE)
+                - CAST(nl - a AS DOUBLE) * CAST(df - a AS DOUBLE))
+             / ((CAST(a AS DOUBLE) + CAST(nl - a AS DOUBLE))
+                * (CAST(df - a AS DOUBLE) + CAST(nn - nl - df + a AS DOUBLE))
+                * (CAST(a AS DOUBLE) + CAST(df - a AS DOUBLE))
+                * (CAST(nl - a AS DOUBLE) + CAST(nn - nl - df + a AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0
+    END AS chi2
+  FROM j
+)
+SELECT tok, label, a AS n_docs_with, df AS token_df, chi2
+FROM x WHERE chi2 >= 3.84
+"""
+
+
+@pending_query("docs_token_chi2", _CHI2_ORACLE)
+def docs_token_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square token/label (lang) association over document
+    presence, gated by integer df and the ROUNDED chi2 threshold —
+    deterministic membership, no float top-k."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        token_label_chi2,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_label_chi2(d)
+
+
+# --------------------------------------------------------------------------
+# 28. Mann-Whitney U rank-sum test (purchase vs view values)
+# --------------------------------------------------------------------------
+
+_MWU_ORACLE = """
+WITH base AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ia,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM events
+  WHERE event_type IN ('purchase', 'view')
+    AND value IS NOT NULL AND isfinite(value)
+),
+hist AS (
+  SELECT v, CAST(SUM(ia) AS BIGINT) AS ca,
+         CAST(SUM(1 - ia) AS BIGINT) AS cb
+  FROM base GROUP BY 1
+),
+runs AS (
+  SELECT ca, cb, ca + cb AS c,
+    COALESCE(SUM(ca + cb) OVER (ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM hist
+),
+s AS (
+  SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+    SUM(CAST(ca AS HUGEINT)
+        * (2 * CAST(p AS HUGEINT) + CAST(c AS HUGEINT) + 1)) AS r2a,
+    SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+        - CAST(c AS HUGEINT)) AS tie
+  FROM runs
+)
+SELECT na AS n_a, nb AS n_b,
+  floor((CAST(r2a AS DOUBLE)
+         - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+        * 10.0 + 0.5) / 10.0 AS u_stat,
+  floor(CASE WHEN CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                  * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                     - CAST(tie AS DOUBLE)
+                       / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                          * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                             - 1.0))) > 0
+        THEN ((CAST(r2a AS DOUBLE)
+               - CAST(na AS DOUBLE) * (CAST(na AS DOUBLE) + 1.0)) / 2.0
+              - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 2.0)
+             / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12.0
+                    * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1.0)
+                       - CAST(tie AS DOUBLE)
+                         / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                            * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)
+                               - 1.0))))
+        END * 1000000.0 + 0.5) / 1000000.0 AS z_score
+FROM s
+"""
+
+
+@pending_query("events_mannwhitney", _MWU_ORACLE)
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test between purchase and view value
+    distributions: mid-ranks in exact 2x-integer units over the
+    distinct-value histogram, tie-corrected z from exact sums."""
+    from vectorsearchutil_spark.operators.analytics import mann_whitney_u
+
+    e = load_table(spark, sf_dir, "events")
+    return mann_whitney_u(e)
+
+
+# --------------------------------------------------------------------------
+# 29. Two-sample KS drift between time halves
+# --------------------------------------------------------------------------
+
+_KS_ORACLE = """
+WITH bounds AS (
+  SELECT MIN(CAST(epoch(ts) AS BIGINT)) AS lo,
+         MAX(CAST(epoch(ts) AS BIGINT)) AS hi
+  FROM events
+),
+base AS (
+  SELECT CASE WHEN CAST(epoch(ts) AS BIGINT)
+                   < floor((lo + hi) / 2.0) THEN 1 ELSE 0 END AS i1,
+         CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+  FROM events, bounds
+  WHERE value IS NOT NULL AND isfinite(value)
+),
+hist AS (
+  SELECT v, CAST(SUM(i1) AS BIGINT) AS c1,
+         CAST(SUM(1 - i1) AS BIGINT) AS c2
+  FROM base GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+               CAST(SUM(c2) AS BIGINT) AS n2 FROM hist),
+cum AS (
+  SELECT v,
+    SUM(c1) OVER (ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u1,
+    SUM(c2) OVER (ORDER BY v ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS u2
+  FROM hist
+),
+scored AS (
+  SELECT v, n1, n2,
+    abs(CAST(u1 AS HUGEINT) * CAST(n2 AS HUGEINT)
+        - CAST(u2 AS HUGEINT) * CAST(n1 AS HUGEINT)) AS gap
+  FROM cum, tot
+)
+SELECT n1 AS n_1, n2 AS n_2,
+  floor(CAST(gap AS DOUBLE)
+        / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+  CAST(v AS DOUBLE) / 100.0 AS ks_at_value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, v ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@pending_query("events_ks_drift", _KS_ORACLE)
+def events_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KS statistic between first- and second-half value
+    distributions: the maximized ECDF gap is the exact integer
+    |cum1*n2 - cum2*n1| so the argmax can't be float-flipped."""
+    from vectorsearchutil_spark.operators.analytics import ks_two_sample
+
+    e = load_table(spark, sf_dir, "events")
+    return ks_two_sample(e)
+
+
+# --------------------------------------------------------------------------
+# 30. Daily-revenue autocorrelation at calendar lags 1..7
+# --------------------------------------------------------------------------
+
+
+def _acf_oracle(max_lag: int = 7) -> str:
+    per_lag = " UNION ALL ".join(
+        f"""
+  SELECT {k} AS lag,
+         SUM(a.d * b.d) AS num, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM c a JOIN c b ON b.day = a.day + {k}"""
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CASE WHEN o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS x
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT SUM(x) AS s, CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+c AS (
+  SELECT day,
+         CAST(n AS HUGEINT) * CAST(x AS HUGEINT) - CAST(s AS HUGEINT) AS d
+  FROM daily, tot
+),
+den AS (SELECT SUM(d * d) AS dd FROM c),
+nums AS ({per_lag})
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+  floor(CAST(num AS DOUBLE) / CAST(dd AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS acf
+FROM nums, den
+"""
+
+
+@pending_query("orders_daily_acf", _acf_oracle())
+def orders_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at calendar lags 1..7: pairs
+    by a day+k self-join on the per-day aggregate (no window), exact
+    DECIMAL sums of (n*x - S) products, one final division."""
+    from vectorsearchutil_spark.operators.analytics import daily_acf
+
+    o = load_table(spark, sf_dir, "orders")
+    return daily_acf(o)
