@@ -1202,3 +1202,171 @@ def test_daily_acf_missing_days_drop_pairs(spark):
     o = spark.createDataFrame(rows, "o_orderdate date, o_totalprice double")
     got = {r["lag"]: r for r in daily_acf(o, max_lag=1).collect()}
     assert got[1]["n_pairs"] == 7
+
+
+# ---------------------------------------------------------------- matryoshka
+
+
+def test_matryoshka_retained_and_renorm(spark):
+    from vectorsearchutil_spark.operators.embeddings import (
+        matryoshka_truncate,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [3.0, 4.0, 0.0, 0.0]),   # prefix IS the whole mass
+            (2, [0.0, 0.0, 3.0, 4.0]),   # prefix carries nothing
+            (3, [1.0, 0.0, 1.0, 0.0]),   # half the squared mass
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["vec_id"]: r
+        for r in matryoshka_truncate(emb, prefix_dim=2).collect()
+    }
+    assert got[1]["retained_frac"] == pytest.approx(1.0)
+    assert got[1]["mrl_vec"] == pytest.approx([0.6, 0.8])
+    assert got[2]["retained_frac"] == pytest.approx(0.0)
+    # zero prefix renormalizes to NULLs (try_divide convention)
+    assert got[2]["mrl_vec"] == [None, None]
+    assert got[3]["retained_frac"] == pytest.approx(
+        (1.0) / (2.0 ** 0.5)
+    )
+    assert got[3]["mrl_vec"] == pytest.approx([1.0, 0.0])
+
+
+# ------------------------------------------------------------ knn label eval
+
+
+def test_knn_label_vote_majority_and_tiebreak(spark):
+    from vectorsearchutil_spark.operators.evaluation import (
+        knn_label_vote_eval,
+    )
+
+    # holdout = ids >= 100. Query 100 at origin: 3 nearest corpus
+    # points are two label-1 and one label-2 → majority 1 (correct).
+    # Query 101 at (10,0): nearest 3 are one of each of labels 1,2
+    # plus a duplicate-distance pair — construct a 1-1-1 three-way
+    # count tie at k=3 → smallest label wins → predicts 1, true 2.
+    emb = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0], 1),
+            (2, [0.2, 0.0], 1),
+            (3, [0.3, 0.0], 2),
+            (4, [9.9, 0.0], 1),
+            (5, [10.1, 0.0], 2),
+            (6, [10.3, 0.0], 3),
+            (7, [50.0, 50.0], 9),     # far away, never a neighbour
+            (8, None, 5),             # NULL vector: dropped
+            (9, [0.15, 0.0], None),   # NULL label: cannot vote
+            (100, [0.0, 0.0], 1),
+            (101, [10.0, 0.0], 2),
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    out = knn_label_vote_eval(
+        emb, F.col("vec_id") >= 100, k=3,
+        vector_col="embedding", id_col="vec_id", label_col="label",
+    )
+    got = {r["label"]: r for r in out.collect()}
+    assert got[1]["n_eval"] == 1 and got[1]["n_correct"] == 1
+    assert got[1]["accuracy"] == pytest.approx(1.0)
+    # three-way vote tie at k=3 → label 1 (smallest) predicted ≠ 2
+    assert got[2]["n_eval"] == 1 and got[2]["n_correct"] == 0
+    assert got[2]["accuracy"] == pytest.approx(0.0)
+
+
+def test_knn_label_vote_empty_corpus_scores_nobody(spark):
+    from vectorsearchutil_spark.operators.evaluation import (
+        knn_label_vote_eval,
+    )
+
+    emb = spark.createDataFrame(
+        [(100, [0.0], 1)], "vec_id long, embedding array<double>, label int"
+    )
+    out = knn_label_vote_eval(emb, F.col("vec_id") >= 100, k=3)
+    assert out.count() == 0
+
+
+# ----------------------------------------------------------------- top PC
+
+
+def test_top_pc_dominant_dimension(spark):
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top_pc,
+    )
+
+    # dim 1 carries essentially all the variance; dims 2-3 are dead.
+    rows = [(i, [float(i % 7) * 2.0, 0.001 * (i % 2), 0.0]) for i in range(40)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    out = power_iteration_top_pc(emb, vec_col="embedding").collect()
+    assert len(out) == 3
+    by_dim = {r["dim"]: r for r in out}
+    # infinity-norm scaling pins the dominant loading at exactly ±1
+    assert abs(by_dim[1]["loading"]) == pytest.approx(1.0)
+    assert abs(by_dim[2]["loading"]) < 0.01
+    assert abs(by_dim[3]["loading"]) < 1e-6
+    # Rayleigh quotient ≈ Var(dim 1) = Var(2 * (i % 7))
+    import statistics
+
+    var1 = statistics.pvariance([float(i % 7) * 2.0 for i in range(40)])
+    assert by_dim[1]["eigenvalue"] == pytest.approx(var1, rel=0.01)
+
+
+def test_top_pc_partitioning_invariant(spark):
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top_pc,
+    )
+
+    rows = [
+        (i, [float((i * 37) % 11), float((i * 13) % 5), float(i % 3)])
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        power_iteration_top_pc(emb.repartition(1)).collect()
+    )
+    b = sorted(
+        power_iteration_top_pc(emb.repartition(13)).collect()
+    )
+    assert a == b  # fixed-point contract: bit-identical under any split
+
+
+def test_top_pc_empty_input(spark):
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top_pc,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert power_iteration_top_pc(emb).count() == 0
+
+
+def test_knn_label_vote_matrix_path_equals_expr_path(spark):
+    from vectorsearchutil_spark.operators.evaluation import (
+        knn_label_vote_eval,
+    )
+
+    rows = [
+        (
+            i,
+            [float((i * 31 + j * 17) % 23) for j in range(8)],
+            int(i % 4),
+        )
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    pred = F.col("vec_id") % 10 == 0
+    expr_path = sorted(
+        knn_label_vote_eval(emb, pred, k=5).collect()
+    )
+    # force the matrix gate with counts far above the cell threshold
+    blas_path = sorted(
+        knn_label_vote_eval(
+            emb, pred, k=5, n_queries=10**6, n_corpus=10**6
+        ).collect()
+    )
+    assert expr_path == blas_path

@@ -707,6 +707,96 @@ PROBES["yoy"] = probe_yoy
 PROBES["rfm"] = probe_rfm
 
 
+def probe_matryoshka(spark):
+    """2M x 64-dim vectors through the 64->16 truncation + renorm —
+    a pure narrow projection; the probe forces evaluation through an
+    aggregate over the computed columns."""
+    from vectorsearchutil_spark.operators.embeddings import (
+        matryoshka_truncate,
+    )
+
+    emb = spark.range(2_000_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> cast(pmod(xxhash64(id, j), 1000)"
+        " AS DOUBLE) / 500.0 - 1.0) AS embedding",
+    )
+    t0 = time.time()
+    row = matryoshka_truncate(emb, prefix_dim=16).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("retained_frac").alias("mean_ret"),
+        F.min(F.element_at("mrl_vec", 1)).alias("probe_elem"),
+    ).collect()[0]
+    dt = time.time() - t0
+    return (
+        f"{dt:.1f}s @ 2M x 64 -> 16 dims"
+        f" (mean retained {row['mean_ret']:.3f})"
+    )
+
+
+def probe_knn_label_eval(spark):
+    """1k holdout queries vs a 500k x 64 corpus (32G candidate cells
+    -> the Arrow matrix gate): batch-kNN top-5 + vote + accuracy."""
+    from vectorsearchutil_spark.operators.evaluation import (
+        knn_label_vote_eval,
+    )
+
+    n = 501_000
+    emb = spark.range(n).selectExpr(
+        "id AS vec_id",
+        # clusterable geometry: label centers offset per dimension
+        "transform(sequence(1, 64), j -> cast(pmod(id, 8) AS DOUBLE)"
+        " + cast(pmod(xxhash64(id, j), 100) AS DOUBLE) / 100.0)"
+        " AS embedding",
+        "cast(pmod(id, 8) AS INT) AS label",
+    ).cache()
+    emb.count()
+    t0 = time.time()
+    out = knn_label_vote_eval(
+        emb, F.col("vec_id") % 500 == 0, k=5,
+        n_queries=n // 500, n_corpus=n - n // 500,
+    ).collect()
+    dt = time.time() - t0
+    emb.unpersist()
+    acc = sum(r["n_correct"] for r in out) / max(
+        1, sum(r["n_eval"] for r in out)
+    )
+    return (
+        f"{dt:.1f}s @ 1k queries x 500k corpus x 64d"
+        f" (overall acc {acc:.3f})"
+    )
+
+
+def probe_top_pc(spark):
+    """2M x 64 covariance + fixed-point power iteration: the
+    distributed cost is ONE mapInPandas covariance sweep; the 64x64
+    iteration is driver-side integer math."""
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top_pc,
+    )
+
+    emb = spark.range(2_000_000).selectExpr(
+        "id AS vec_id",
+        # dim 1 dominated by a shared low-rank factor
+        "transform(sequence(1, 64), j -> CASE WHEN j = 1 THEN"
+        " cast(pmod(id, 97) AS DOUBLE)"
+        " ELSE cast(pmod(xxhash64(id, j), 19) AS DOUBLE) END)"
+        " AS embedding",
+    )
+    t0 = time.time()
+    out = power_iteration_top_pc(emb).collect()
+    dt = time.time() - t0
+    lead = max(out, key=lambda r: abs(r["loading"]))
+    return (
+        f"{dt:.1f}s @ 2M x 64 (lead dim {lead['dim']},"
+        f" eigenvalue {lead['eigenvalue']:.1f})"
+    )
+
+
+PROBES["matryoshka"] = probe_matryoshka
+PROBES["knn_label_eval"] = probe_knn_label_eval
+PROBES["top_pc"] = probe_top_pc
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

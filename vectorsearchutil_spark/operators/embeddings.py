@@ -356,3 +356,150 @@ def random_projection(
             F.col("id").alias(id_col), "dim", "value"
         )
     )
+
+
+# ------------------------------------------- matryoshka truncation
+
+
+def matryoshka_truncate(
+    df: DataFrame,
+    prefix_dim: int = 16,
+    vector_col: str = "embedding",
+    out_col: str = "mrl_vec",
+    retained_col: str = "retained_frac",
+) -> DataFrame:
+    """Matryoshka (MRL, Kusupati et al. 2022) prefix truncation:
+    keep the first ``prefix_dim`` coordinates, re-L2-normalize, and
+    report how much of the full vector's norm the prefix retains
+    (``retained = ||v[:p]|| / ||v||`` — also exactly the cosine
+    between the full vector and the zero-padded prefix).
+
+    This is the storage/latency lever of nested-representation
+    models: serving a 100 TB corpus at 16 of 64 dims cuts index
+    bytes and every distance computation 4x, and ``retained_frac``
+    is the audit that decides whether the model's prefix actually
+    carries the mass. Narrow projection — no shuffle, codegen stays
+    whole-stage; norms materialize as their OWN columns before any
+    lambda references them (lambda bodies are not CSE'd, PERF.md
+    lesson 1). Zero prefixes map to NULL components (try_divide
+    convention, same contract as :func:`normalize_vectors`)."""
+    from vectorsearchutil_spark.functions.vector import l2_norm
+
+    v = F.col(vector_col).cast("array<double>")
+    head = F.slice(v, 1, prefix_dim)
+    with_norms = df.withColumn("_full_norm", l2_norm(v)).withColumn(
+        "_head_norm", l2_norm(head)
+    )
+    unit_head = F.transform(
+        F.slice(F.col(vector_col).cast("array<double>"), 1, prefix_dim),
+        lambda x: F.try_divide(x, F.col("_head_norm")),
+    )
+    return (
+        with_norms.withColumn(
+            retained_col,
+            F.try_divide(F.col("_head_norm"), F.col("_full_norm")),
+        )
+        .withColumn(out_col, unit_head)
+        .drop("_full_norm", "_head_norm")
+    )
+
+
+# ----------------------------------- top principal component (power)
+
+
+def power_iteration_top_pc(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = 12,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top principal component of the embedding covariance by
+    fixed-point power iteration — the dominant-direction audit run
+    before whitening / dimension pruning (a dominant PC with most of
+    the variance usually means an uncentered or collapsed embedding
+    space).
+
+    Two-level plan, same shape as driver-side Lloyd's (sanctioned
+    k x dim collect): the EXPENSIVE pass is the distributed
+    fixed-point covariance (:func:`dim_covariance` — one numpy
+    mapInPandas sweep over all rows, map-side-combinable long sums),
+    after which the d x d matrix (64 x 64 here) is collected and
+    iterated with INTEGER arithmetic only:
+
+    * quantize: ``cov_fp = floor(cov * fp_scale + 0.5)`` on the
+      6-dp-rounded covariance (exact integer recovery);
+    * matvec: ``w_d = sum_e cov_fp[d,e] * v_fp[e]`` — pure int64-safe
+      integer sums (|cov_fp| <= 1e7, |v_fp| <= 1e6, d = 64 →
+      |w| <= 6.4e13);
+    * renormalize to unit infinity norm:
+      ``v_fp = floor(w / max|w| * fp_scale + 0.5)`` — the division
+      happens in DOUBLE on integers < 2^53, so every engine computes
+      the identical value;
+    * Rayleigh quotient at the end from the same integers.
+
+    Every step is replayable in ANSI SQL (the oracle unrolls the
+    iterations as CTEs), so the result is bit-identical across
+    engines and partitionings. Uniform all-ones init; sign is
+    therefore deterministic. ``iterations`` is part of the declared
+    semantics (the contract is "k fixed-point power steps", not
+    "converged eigenvector") — at (lambda2/lambda1)^12 the residual
+    is documentation, not a correctness hazard.
+
+    Output: one row per dimension ``(dim 1..d, loading)`` plus the
+    constant ``eigenvalue`` column (the Rayleigh quotient, 1e-6
+    floor-rounded).
+    """
+    import math
+
+    spark = emb.sparkSession
+    cov_rows = dim_covariance(emb, vec_col=vec_col).collect()
+    cells: dict[tuple[int, int], int] = {}
+    d = 0
+    for r in cov_rows:
+        c = r["cov"]
+        # non-finite covariance can only arise from non-finite
+        # payload fixtures; treat as 0 contribution (real corpora
+        # are finite — parity with the SQL oracle is over finite data)
+        if c is None or not math.isfinite(c):
+            c = 0.0
+        q = int(math.floor(c * fp_scale + 0.5))
+        cells[(r["i"], r["j"])] = q
+        cells[(r["j"], r["i"])] = q
+        d = max(d, r["j"])
+    if not cells:
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double"
+        )
+    def matvec(vec: list[int]) -> list[int]:
+        return [
+            sum(cells.get((i + 1, j + 1), 0) * vec[j] for j in range(d))
+            for i in range(d)
+        ]
+
+    v = [fp_scale] * d
+    for _ in range(iterations):
+        w = matvec(v)
+        m = max(abs(x) for x in w)
+        if m == 0:
+            break
+        v = [
+            int(math.floor(float(x) / float(m) * fp_scale + 0.5))
+            for x in w
+        ]
+    # Rayleigh quotient from ONE extra matvec on the final v (so the
+    # pair is (v, A_fp·v), not (v_k, A_fp·v_{k-1})):
+    w = matvec(v)
+    num = sum(
+        int(math.floor(float(v[i]) * float(w[i]) / fp_scale))
+        for i in range(d)
+    )
+    denom = sum(x * x for x in v)
+    # num ~ (v'Av)*fp^2, denom ~ (v'v)*fp^2 → the ratio IS lambda
+    lam = (float(num) / float(denom)) if denom else 0.0
+    lam = math.floor(lam * fp_scale + 0.5) / fp_scale
+    rows = [
+        (i + 1, float(v[i]) / fp_scale, lam) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
+    )

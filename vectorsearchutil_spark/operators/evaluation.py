@@ -133,3 +133,114 @@ def retrieval_label_metrics(
             6,
         ).alias("ndcg"),
     )
+
+def knn_label_vote_eval(
+    emb: DataFrame,
+    query_pred,
+    k: int = 5,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    n_queries: int | None = None,
+    n_corpus: int | None = None,
+) -> DataFrame:
+    """Holdout kNN-classifier evaluation: predict each holdout
+    vector's label by majority vote of its k nearest corpus
+    neighbours (L2, ties id asc; vote ties break count desc then
+    label asc), then report per-true-label accuracy — the standard
+    label-propagation / embedding-quality probe (does the space
+    cluster by label?) run before trusting labels mined by
+    nearest-neighbour transfer.
+
+    ``query_pred`` selects the holdout slice; the complement is the
+    search corpus (no self-match hygiene needed — the sides are
+    disjoint by construction). NULL-labelled / NULL-vector rows drop
+    from BOTH sides: they can neither vote nor be scored; a query
+    with an empty corpus scores nobody (empty output, not 0.0 rows).
+
+    Scale shape: the top-k stage IS batch kNN, so it inherits the
+    measured paths — the JVM expression plan below the
+    ``knn._HUBNESS_BLAS_CELLS`` cell gate, the broadcast-query Arrow
+    matrix plan above it (pass ``n_queries``/``n_corpus`` hints, both
+    metadata-cheap counts, to enable the gate). Either way the corpus
+    never shuffles; votes aggregate <= k rows per query and accuracy
+    is a <= |labels|-row aggregate after that.
+    """
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.functions.vector import round_half_up
+    from vectorsearchutil_spark.operators.knn import (
+        _HUBNESS_BLAS_CELLS,
+        knn_batch,
+    )
+
+    base = emb.filter(
+        F.col(label_col).isNotNull() & F.col(vector_col).isNotNull()
+    )
+    q = base.filter(query_pred)
+    c = base.filter(~query_pred)
+    queries = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vector_col).alias("query_vector"),
+    )
+    use_matrix = False
+    if n_queries and n_corpus:
+        probe = c.select(vector_col).first()
+        dim = (
+            len(probe[0]) if probe and probe[0] is not None else 0
+        )
+        use_matrix = n_queries * n_corpus * dim > _HUBNESS_BLAS_CELLS
+    if use_matrix:
+        from vectorsearchutil_spark.operators.similarity import (
+            knn_batch_matrix,
+        )
+
+        top = knn_batch_matrix(
+            c, queries, k=k, vector_col=vector_col, id_col=id_col,
+            metric="l2",
+        )
+    else:
+        top = knn_batch(
+            c, queries, k=k, vector_col=vector_col, id_col=id_col,
+            metric="l2",
+        )
+    # attach neighbour labels: top is <= n_queries*k rows (small by
+    # contract) while the label table is the full corpus — broadcast
+    # the TOP side so the corpus-label scan never shuffles
+    nb = c.select(
+        F.col(id_col), F.col(label_col).alias("_nlabel")
+    ).join(F.broadcast(top), id_col)
+    truth = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_true"),
+    )
+    votes = (
+        nb.join(F.broadcast(truth), "query_id")
+        .groupBy("query_id", "_true", "_nlabel")
+        .agg(F.count(F.lit(1)).alias("_votes"))
+    )
+    w_win = Window.partitionBy("query_id").orderBy(
+        F.col("_votes").desc(), F.col("_nlabel").asc()
+    )
+    pred = (
+        votes.withColumn("_vr", F.row_number().over(w_win))
+        .filter(F.col("_vr") == 1)
+        .select("query_id", "_true", F.col("_nlabel").alias("_pred"))
+    )
+    return (
+        pred.groupBy(F.col("_true").alias(label_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_eval"),
+            F.sum(
+                F.when(F.col("_pred") == F.col("_true"), 1).otherwise(0)
+            ).cast("long").alias("n_correct"),
+        )
+        .select(
+            label_col,
+            "n_eval",
+            "n_correct",
+            round_half_up(
+                F.col("n_correct") / F.col("n_eval"), 6
+            ).alias("accuracy"),
+        )
+    )

@@ -1685,3 +1685,227 @@ def orders_daily_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return daily_acf(o)
+
+
+# --------------------------------------------------------------------------
+# 31. Matryoshka (MRL) prefix truncation + retained-norm audit
+# --------------------------------------------------------------------------
+
+_MATRYOSHKA_ORACLE = """
+WITH n AS (
+  SELECT vec_id, label,
+         embedding::DOUBLE[] AS v,
+         (embedding::DOUBLE[])[1:16] AS h
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, label, h,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS fn,
+         sqrt(list_aggregate(list_transform(h, x -> x * x), 'sum')) AS hn
+  FROM n
+)
+SELECT vec_id, label,
+       FLOOR(hn / fn * 1000000.0 + 0.5) / 1000000.0 AS retained_frac,
+       array_to_string(
+         list_transform(h, x -> printf('%.4f', ROUND(x / hn, 4) + 0.0)),
+         ','
+       ) AS mrl_vec
+FROM s
+"""
+
+
+@pending_query("embeddings_matryoshka", _MATRYOSHKA_ORACLE)
+def embeddings_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka 64→16 prefix truncation with re-normalization and
+    the retained-norm fraction (= cosine(full, zero-padded prefix))
+    — the audit that decides whether serving the corpus at 1/4 the
+    dims is safe. Narrow projection, no shuffle; the prefix vector
+    leaves as a ','-joined %.4f string (the driver canonicalizer
+    cannot hash list cells)."""
+    from vectorsearchutil_spark.functions.vector import round_half_up
+    from vectorsearchutil_spark.operators.embeddings import (
+        matryoshka_truncate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = matryoshka_truncate(emb, prefix_dim=16)
+    return out.select(
+        "vec_id",
+        "label",
+        round_half_up(F.col("retained_frac"), 6).alias("retained_frac"),
+        F.array_join(
+            F.transform(
+                F.col("mrl_vec"),
+                lambda x: F.format_string(
+                    "%.4f", F.round(x, 4) + F.lit(0.0)
+                ),
+            ),
+            ",",
+        ).alias("mrl_vec"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 32. Holdout kNN majority-vote label eval (embedding-quality probe)
+# --------------------------------------------------------------------------
+
+_KNN_LABEL_EVAL_ORACLE = """
+WITH base AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v
+  FROM embeddings
+  WHERE label IS NOT NULL AND embedding IS NOT NULL
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, label AS true_label
+  FROM base WHERE vec_id % 10 = 0
+),
+c AS (
+  SELECT vec_id AS cid, v AS cv, label AS nlabel
+  FROM base WHERE vec_id % 10 != 0
+),
+scored AS (
+  SELECT q.query_id, q.true_label, c.nlabel,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(c.cv, q.qv) ASC, c.cid ASC
+         ) AS rk
+  FROM c CROSS JOIN q
+),
+votes AS (
+  SELECT query_id, true_label, nlabel, COUNT(*) AS nv
+  FROM scored WHERE rk <= 5 GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, true_label, nlabel AS pred FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY nv DESC, nlabel ASC
+    ) AS vr FROM votes
+  ) WHERE vr = 1
+)
+SELECT true_label AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_eval,
+       CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       FLOOR(CAST(SUM(CASE WHEN pred = true_label THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS accuracy
+FROM pred GROUP BY 1
+"""
+
+
+@pending_query("embeddings_knn_label_eval", _KNN_LABEL_EVAL_ORACLE)
+def embeddings_knn_label_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Holdout kNN classifier eval: every 10th vector is held out and
+    label-predicted by majority vote of its 5 nearest corpus
+    neighbours (L2, deterministic tie-breaks); per-true-label
+    accuracy — the does-the-space-cluster-by-label probe run before
+    trusting nearest-neighbour label transfer. Same scale shape as
+    batch kNN (broadcast holdout, corpus never shuffles)."""
+    from vectorsearchutil_spark.operators.evaluation import (
+        knn_label_vote_eval,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_label_vote_eval(
+        emb, F.col("vec_id") % 10 == 0, k=5,
+        vector_col="embedding", id_col="vec_id", label_col="label",
+    )
+
+
+# --------------------------------------------------------------------------
+# 33. Top principal component by fixed-point power iteration
+# --------------------------------------------------------------------------
+
+
+def _top_pc_oracle(iterations: int = 12) -> str:
+    """Unrolled fixed-point power iteration replay (same trick as the
+    logistic-regression unrolled-CTE oracle): the covariance CTEs are
+    the proven ``_DIM_COV_ORACLE`` expressions (queries.py), then each
+    iteration is three CTEs (integer matvec, infinity norm, rescale)
+    with arithmetic identical to
+    ``operators/embeddings.py::power_iteration_top_pc``."""
+    parts = ["""WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+prod AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * v[CAST(u.j AS INT)]
+                        * 1073741824.0) AS BIGINT)) AS sq
+  FROM e, range(1, 65) t(i), range(1, 65) u(j)
+  WHERE u.j >= t.i
+  GROUP BY 1, 2
+),
+mm AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS i,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 1073741824.0) AS BIGINT)) AS mq
+  FROM e, range(1, 65) t(i) GROUP BY 1
+),
+cov0 AS MATERIALIZED (
+  SELECT p.i, p.j,
+         ROUND(p.sq / 1073741824.0 / n.n
+               - (a.mq / 1073741824.0 / n.n) * (b.mq / 1073741824.0 / n.n),
+               6) + 0.0 AS cov
+  FROM prod p JOIN mm a ON a.i = p.i JOIN mm b ON b.i = p.j, n
+),
+cov AS MATERIALIZED (
+  SELECT i, j, CAST(FLOOR(cov * 1000000.0 + 0.5) AS BIGINT) AS c FROM cov0
+  UNION ALL
+  SELECT j, i, CAST(FLOOR(cov * 1000000.0 + 0.5) AS BIGINT)
+  FROM cov0 WHERE i != j
+),
+v0 AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS d, CAST(1000000 AS BIGINT) AS vf
+  FROM range(1, 65) t(i)
+)"""]
+    for it in range(1, iterations + 1):
+        p = it - 1
+        parts.append(f"""w{it} AS MATERIALIZED (
+  SELECT cov.i AS d, SUM(cov.c * v{p}.vf) AS w
+  FROM cov JOIN v{p} ON v{p}.d = cov.j GROUP BY 1
+)""")
+        parts.append(
+            f"m{it} AS MATERIALIZED (SELECT NULLIF(MAX(ABS(w)), 0) AS m FROM w{it})"
+        )
+        parts.append(f"""v{it} AS MATERIALIZED (
+  SELECT d, CAST(FLOOR(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT) AS vf
+  FROM w{it}, m{it}
+)""")
+    k = iterations
+    parts.append(f"""wf AS MATERIALIZED (
+  SELECT cov.i AS d, SUM(cov.c * v{k}.vf) AS w
+  FROM cov JOIN v{k} ON v{k}.d = cov.j GROUP BY 1
+)""")
+    parts.append(f"""num AS MATERIALIZED (
+  SELECT SUM(CAST(FLOOR(CAST(v.vf AS DOUBLE) * CAST(w.w AS DOUBLE)
+                        / 1000000.0) AS BIGINT)) AS num
+  FROM v{k} v JOIN wf w ON w.d = v.d
+)""")
+    parts.append(f"den AS MATERIALIZED (SELECT SUM(vf * vf) AS den FROM v{k})")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT v.d AS dim,
+       CAST(v.vf AS DOUBLE) / 1000000.0 AS loading,
+       FLOOR(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS eigenvalue
+FROM v{k} v, num, den
+"""
+
+
+@pending_query("embeddings_top_pc", _top_pc_oracle())
+def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal component of the embedding covariance via
+    12 fixed-point power-iteration steps — the
+    uncentered-/collapsed-space audit before whitening or dimension
+    pruning. The distributed pass is the fixed-point covariance
+    (one mapInPandas sweep, long sums); the 64x64 iteration is
+    integer-exact driver math replayed bit-identically by the
+    unrolled-CTE oracle."""
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top_pc,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top_pc(emb, vec_col="embedding")
