@@ -481,7 +481,14 @@ def power_iteration_top_pc(
         w = matvec(v)
         m = max(abs(x) for x in w)
         if m == 0:
-            break
+            # zero matvec (all-zero quantized covariance, or v in its
+            # null space): mirror the oracle's NULLIF(MAX(ABS(w)), 0)
+            # cascade — every downstream value is NULL, one row per
+            # dim survives (the joins keep their keys)
+            rows_null = [(i + 1, None, None) for i in range(d)]
+            return spark.createDataFrame(
+                rows_null, "dim int, loading double, eigenvalue double"
+            )
         v = [
             int(math.floor(float(x) / float(m) * fp_scale + 0.5))
             for x in w
