@@ -126,6 +126,40 @@ HEADLINE = [
     "orders_abc_analysis",
     "events_cohort_ltv",
     "docs_length_quality_histogram",
+    # round 6: the promoted pending lane (33)
+    "docs_benchmark_contamination",
+    "dedup_keep_best",
+    "docs_truncation_stats",
+    "events_value_tdigest",
+    "knn_crossencoder_rerank",
+    "events_skew_report",
+    "docs_containment_pairs",
+    "embeddings_hubness",
+    "tpch_fk_integrity",
+    "embeddings_retrieval_metrics",
+    "events_percentile_rank",
+    "docs_badword_filter",
+    "docs_normalized_dedup",
+    "docs_zipf_fit",
+    "docs_source_divergence",
+    "docs_top_terms",
+    "docs_langid_confusion",
+    "events_rolling_zscore",
+    "events_interarrival",
+    "orders_yoy_growth",
+    "customer_rfm_scores",
+    "events_ab_test",
+    "events_cusum_changepoint",
+    "orders_benford",
+    "orders_gini",
+    "events_kaplan_meier",
+    "docs_token_chi2",
+    "events_mannwhitney",
+    "events_ks_drift",
+    "orders_daily_acf",
+    "embeddings_matryoshka",
+    "embeddings_knn_label_eval",
+    "embeddings_top_pc",
 ]
 
 

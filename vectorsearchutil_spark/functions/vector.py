@@ -91,6 +91,16 @@ def finite_vector(col: Column | str) -> Column:
     )
 
 
+#: DuckDB-side mirror of :func:`finite_vector` over the ``embedding``
+#: column — lives HERE (not queries.py) so both the live registry and
+#: the pending lane can embed it in oracles without a circular import.
+FINITE_VEC_SQL = (
+    "embedding IS NOT NULL AND NOT COALESCE(list_contains("
+    "list_transform(embedding::DOUBLE[], x -> isnan(x) OR isinf(x)),"
+    " true), false)"
+)
+
+
 def lit_vector(values) -> Column:
     """Literal array<double> column from a Python sequence, built as
     ONE parsed SQL expression. ``F.array(*[F.lit(v) ...])`` costs a

@@ -337,12 +337,25 @@ def ab_test_ztest(
             ((F.col("_arm") == "B") & (F.col("_conv") == 1)).cast("long")
         ).alias("conv_b"),
     )
+    # try_divide: an empty arm (degenerate one-row / null-payload
+    # input) has an undefined rate — NULL, matching the oracle's
+    # DuckDB division-by-zero semantics, not an ANSI crash (found by
+    # the round-6 value-materializing degenerate sweep)
     na = F.col("n_a").cast("double")
     nb = F.col("n_b").cast("double")
-    pa = F.col("conv_a").cast("double") / na
-    pb = F.col("conv_b").cast("double") / nb
-    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (na + nb)
-    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    pa = F.try_divide(F.col("conv_a").cast("double"), na)
+    pb = F.try_divide(F.col("conv_b").cast("double"), nb)
+    pool = F.try_divide(
+        (F.col("conv_a") + F.col("conv_b")).cast("double"), na + nb
+    )
+    se = F.sqrt(
+        pool
+        * (F.lit(1.0) - pool)
+        * (
+            F.try_divide(F.lit(1.0), na)
+            + F.try_divide(F.lit(1.0), nb)
+        )
+    )
     z = F.when(se > 0, (pa - pb) / se)
     return s.select(
         "n_a",
@@ -831,8 +844,13 @@ def ks_two_sample(
         .withColumn("_rn", F.row_number().over(pick))
         .filter(F.col("_rn") == 1)
     )
-    ks = F.col("_gap").cast("double") / (
-        F.col("_n1").cast("double") * F.col("_n2").cast("double")
+    # try_divide: a one-sided split (all rows in one half — the
+    # one-row degenerate fixture) has no defined KS statistic — NULL,
+    # matching DuckDB's division-by-zero semantics (round-6
+    # value-materializing sweep)
+    ks = F.try_divide(
+        F.col("_gap").cast("double"),
+        F.col("_n1").cast("double") * F.col("_n2").cast("double"),
     )
     return best.select(
         F.col("_n1").alias("n_1"),

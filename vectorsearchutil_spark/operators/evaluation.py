@@ -143,6 +143,7 @@ def knn_label_vote_eval(
     label_col: str = "label",
     n_queries: int | None = None,
     n_corpus: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Holdout kNN-classifier evaluation: predict each holdout
     vector's label by majority vote of its k nearest corpus
@@ -161,10 +162,20 @@ def knn_label_vote_eval(
     Scale shape: the top-k stage IS batch kNN, so it inherits the
     measured paths — the JVM expression plan below the
     ``knn._HUBNESS_BLAS_CELLS`` cell gate, the broadcast-query Arrow
-    matrix plan above it (pass ``n_queries``/``n_corpus`` hints, both
-    metadata-cheap counts, to enable the gate). Either way the corpus
-    never shuffles; votes aggregate <= k rows per query and accuracy
-    is a <= |labels|-row aggregate after that.
+    matrix plan above it (pass ``n_queries``/``n_corpus`` hints to
+    enable the gate, and ``dim`` to keep gating metadata-cheap —
+    without it the gate probes one corpus row, an eager scan job).
+    Either way the corpus never shuffles; votes aggregate <= k rows
+    per query and accuracy is a <= |labels|-row aggregate after that.
+
+    Path-equality caveat (ADVICE r5): the two gated kNN paths
+    compute L2 differently — ``knn_batch`` folds ``sum((x-y)^2)``
+    while the matrix path expands ``||q||^2 - 2q.c + ||c||^2`` — so
+    they agree exactly on exactly-representable coordinates (the
+    pinned equality tests) but can order FP NEAR-TIE neighbours
+    differently; the id tie-break applies only on exact distance
+    equality. Votes at a near-tie boundary may therefore differ
+    across the gate by design.
     """
     from pyspark.sql import Window
 
@@ -185,10 +196,11 @@ def knn_label_vote_eval(
     )
     use_matrix = False
     if n_queries and n_corpus:
-        probe = c.select(vector_col).first()
-        dim = (
-            len(probe[0]) if probe and probe[0] is not None else 0
-        )
+        if dim is None:
+            probe = c.select(vector_col).first()
+            dim = (
+                len(probe[0]) if probe and probe[0] is not None else 0
+            )
         use_matrix = n_queries * n_corpus * dim > _HUBNESS_BLAS_CELLS
     if use_matrix:
         from vectorsearchutil_spark.operators.similarity import (

@@ -393,7 +393,16 @@ def ols_trend_by_group(
         g.alias("g"),
         F.col(x_col).cast("long").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    ).filter(F.col("x").isNotNull() & F.col("y").isNotNull())
+    ).filter(
+        F.col("x").isNotNull()
+        & F.col("y").isNotNull()
+        # non-finite y poisons the quantized long sums (floor(±Inf)
+        # saturates to Long.MAX/MIN and overflows the ANSI SUM) —
+        # same cannot-participate convention as non-finite vectors
+        # (round-6 value-materializing nan-inf sweep)
+        & ~F.isnan(F.col("y"))
+        & (F.abs(F.col("y")) != F.lit(float("inf")))
+    )
     a1 = base.groupBy("g").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.min("x").alias("x0"),

@@ -149,7 +149,14 @@ def zeroshot(
             lambda acc, x: acc + F.exp(x["score"] + F.col("_b.negscore")),
         )
         return out.select(
-            *data.columns, pred, score, (F.lit(1.0) / sumexp).alias("prob")
+            *data.columns,
+            pred,
+            score,
+            # try_divide: with an EMPTY label set (degenerate
+            # null-payload fixture) the fold returns its 0.0 init —
+            # prob is undefined (NULL), not an ANSI crash (round-6
+            # value-materializing sweep)
+            F.try_divide(F.lit(1.0), sumexp).alias("prob"),
         )
     return out.select(*data.columns, pred, score)
 

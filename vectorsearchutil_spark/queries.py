@@ -307,13 +307,22 @@ def zeroshot_softmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q1_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       ROUND(SUM(l_quantity), 2) AS sum_qty,
-       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       ROUND(AVG(l_quantity), 4) AS avg_qty,
-       ROUND(AVG(l_extendedprice), 4) AS avg_price,
-       ROUND(AVG(l_discount), 4) AS avg_disc,
+       CAST(ROUND(SUM(l_quantity::DECIMAL(12,2)), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice::DECIMAL(12,2)), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice::DECIMAL(12,2)
+                      * (1 - l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_disc_price,
+       CAST(ROUND(SUM(l_extendedprice::DECIMAL(12,2)
+                      * (1 - l_discount::DECIMAL(12,2))
+                      * (1 + l_tax::DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_charge,
+       ROUND(CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE)
+             / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(l_extendedprice::DECIMAL(12,2)) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(l_discount::DECIMAL(12,2)) AS DOUBLE)
+             / COUNT(*), 4) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -326,20 +335,37 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: filtered scan + hash aggregate. The shipdate
     predicate and 7-column projection push into the parquet scan;
     partial aggregation makes the shuffle carry 6 groups, not 600k
-    rows — the pattern that survives 100 TB."""
+    rows — the pattern that survives 100 TB.
+
+    Money math in DECIMAL (exact-cents sweep, round 6): the source
+    prices/discounts/taxes are 2dp decimals stored as doubles, so the
+    DECIMAL(12,2) cast recovers them exactly, products stay exact
+    (scale 4/6, precision < 38), and SUMs are order-independent —
+    `ROUND(SUM(double), 2)` flipped by a cent at half-way boundaries
+    through BOTH rounding mode and partition-order float summation
+    (ties-fixture finding). AVGs divide the exact decimal sum cast to
+    double by the count — one deterministic division per group."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    disc = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(dec("l_quantity")), 2)
+            .cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(disc * (F.lit(1) + dec("l_tax"))), 2)
+            .cast("double").alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / n, 4)
+            .alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / n, 4)
+            .alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / n, 4)
+            .alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -347,7 +373,9 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q3_ORACLE = """
 SELECT l.l_orderkey,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(l.l_extendedprice::DECIMAL(12,2)
+                      * (1 - l.l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue,
        strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
        o.o_orderpriority AS orderpriority
 FROM customer c
@@ -383,8 +411,12 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
@@ -399,7 +431,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q5_ORACLE = """
 SELECT n.n_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(l.l_extendedprice::DECIMAL(12,2)
+                      * (1 - l.l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -442,8 +476,12 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -481,11 +519,11 @@ def orders_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUMSUM_ORACLE = """
 SELECT o_custkey, o_orderkey,
-       ROUND(SUM(o_totalprice) OVER (
+       CAST(ROUND(SUM(o_totalprice::DECIMAL(12,2)) OVER (
          PARTITION BY o_custkey
          ORDER BY o_orderdate ASC, o_orderkey ASC
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 2) AS running_total
+       ), 2) AS DOUBLE) AS running_total
 FROM orders
 """
 
@@ -505,7 +543,9 @@ def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(win), 2).alias("running_total"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(12,2)")).over(win), 2
+        ).cast("double").alias("running_total"),
     )
 
 
@@ -513,7 +553,8 @@ _ROLLUP_ORACLE = """
 SELECT COALESCE(o_orderpriority, 'ALL') AS orderpriority,
        COALESCE(o_orderstatus, 'ALL') AS orderstatus,
        CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
-       ROUND(SUM(o_totalprice), 2) AS total_revenue
+       CAST(ROUND(SUM(o_totalprice::DECIMAL(12,2)), 2) AS DOUBLE)
+         AS total_revenue
 FROM orders
 GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
 """
@@ -528,7 +569,8 @@ def orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").alias("total_revenue"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
@@ -658,7 +700,7 @@ _TUMBLE_ORACLE = """
 SELECT CAST(epoch(time_bucket(INTERVAL '10 minutes', ts)) AS BIGINT) AS window_start,
        event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 3) AS sum_value
+       CAST(ROUND(SUM(value::DECIMAL(12,2)), 3) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -673,7 +715,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 3)
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("double").cast("bigint").alias("window_start"),
@@ -686,11 +729,13 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MOVAVG_ORACLE = """
 SELECT event_id,
-       ROUND(AVG(value) OVER (
-         PARTITION BY user_id ORDER BY ts ASC, event_id ASC
-         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
-       ), 4) AS moving_avg
+       ROUND(CAST(SUM(value::DECIMAL(12,2)) OVER w AS DOUBLE)
+             / (COUNT(*) OVER w), 4) AS moving_avg
 FROM events
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+)
 """
 
 
@@ -706,7 +751,12 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-4, Window.currentRow)
     )
     return e.select(
-        "event_id", F.round(F.avg("value").over(w), 4).alias("moving_avg")
+        "event_id",
+        F.round(
+            F.sum(F.col("value").cast("decimal(12,2)")).over(w)
+            .cast("double") / F.count(F.lit(1)).over(w),
+            4,
+        ).alias("moving_avg"),
     )
 
 
@@ -1484,7 +1534,7 @@ WITH buckets AS (
 )
 SELECT window_start,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(SUM(value), 3) AS sum_value
+       CAST(ROUND(SUM(value::DECIMAL(12,2)), 3) AS DOUBLE) AS sum_value
 FROM buckets GROUP BY window_start
 """
 
@@ -1498,7 +1548,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "20 minutes", "10 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 3)
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("double").cast("bigint").alias("window_start"),
@@ -1511,7 +1562,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PART_STATS_ORACLE = """
 SELECT p_brand,
        CAST(COUNT(*) AS BIGINT) AS n_parts,
-       ROUND(AVG(p_retailprice), 4) AS avg_price,
+       ROUND(CAST(SUM(p_retailprice::DECIMAL(12,2)) AS DOUBLE)
+             / COUNT(*), 4) AS avg_price,
        MIN(p_size) AS min_size,
        MAX(p_size) AS max_size
 FROM part GROUP BY p_brand
@@ -1524,7 +1576,11 @@ def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     return p.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
-        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+        F.round(
+            F.sum(F.col("p_retailprice").cast("decimal(12,2)"))
+            .cast("double") / F.count(F.lit(1)),
+            4,
+        ).alias("avg_price"),
         F.min("p_size").alias("min_size"),
         F.max("p_size").alias("max_size"),
     )
@@ -2112,10 +2168,13 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = """
 SELECT ROUND(
-         100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END)
-         / NULLIF(SUM(l.l_extendedprice * (1 - l.l_discount)), 0), 4)
+         100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice::DECIMAL(12,2)
+                               * (1 - l.l_discount::DECIMAL(12,2))
+                          ELSE 0 END) AS DOUBLE)
+         / NULLIF(CAST(SUM(l.l_extendedprice::DECIMAL(12,2)
+                           * (1 - l.l_discount::DECIMAL(12,2)))
+                       AS DOUBLE), 0), 4)
          AS promo_revenue_pct
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
@@ -2130,8 +2189,10 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     part broadcasts, lineitem's shipdate window pushes to the scan."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0.0))
+    disc = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
     return (
         li.filter(
             (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -2140,7 +2201,11 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(
-                F.try_divide(100.0 * F.sum(promo), F.sum(disc)), 4
+                F.try_divide(
+                    100.0 * F.sum(promo).cast("double"),
+                    F.sum(disc).cast("double"),
+                ),
+                4,
             ).alias("promo_revenue_pct")
         )
     )
@@ -2151,7 +2216,8 @@ WITH part_avg AS (
   SELECT l_partkey, AVG(l_quantity) AS avg_qty
   FROM lineitem GROUP BY l_partkey
 )
-SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT ROUND(CAST(SUM(l.l_extendedprice::DECIMAL(12,2)) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly
 FROM lineitem l
 JOIN part p ON l.l_partkey = p.p_partkey
 JOIN part_avg a ON l.l_partkey = a.l_partkey
@@ -2175,7 +2241,13 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .cast("double") / 7.0,
+                2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -2185,7 +2257,8 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _Q6_ORACLE = """
-SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(ROUND(SUM(l_extendedprice::DECIMAL(12,2)
+                      * l_discount::DECIMAL(12,2)), 2) AS DOUBLE) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate <  TIMESTAMP '1998-01-01'
@@ -2211,8 +2284,12 @@ def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * F.col("l_discount").cast("decimal(12,2)")
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -2263,12 +2340,13 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       ROUND(SUM(volume), 2) AS revenue
+       CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation,
          n2.n_name AS cust_nation,
          CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume
+         l.l_extendedprice::DECIMAL(12,2)
+           * (1 - l.l_discount::DECIMAL(12,2)) AS volume
   FROM supplier s
   JOIN lineitem l ON s.s_suppkey = l.l_suppkey
   JOIN orders o   ON o.o_orderkey = l.l_orderkey
@@ -2323,15 +2401,21 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
 
 _Q10_ORACLE = """
 SELECT c.c_custkey, c.c_name,
-       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(l.l_extendedprice::DECIMAL(12,2)
+                      * (1 - l.l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue,
        c.c_acctbal, n.n_name
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
@@ -2373,8 +2457,12 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
@@ -2383,7 +2471,9 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_ORACLE = """
-SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+SELECT CAST(ROUND(SUM(l.l_extendedprice::DECIMAL(12,2)
+                      * (1 - l.l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
+         AS revenue
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
@@ -2425,19 +2515,25 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(band)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            ).cast("double").alias("revenue")
         )
     )
 
 
 _Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT ROUND(AVG(c_acctbal), 2) AS threshold
+  SELECT ROUND(CAST(SUM(c_acctbal::DECIMAL(12,2)) AS DOUBLE)
+               / COUNT(*), 2) AS threshold
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_nationkey, COUNT(*) AS numcust,
-       ROUND(SUM(c.c_acctbal), 2) AS totacctbal
+       CAST(ROUND(SUM(c.c_acctbal::DECIMAL(12,2)), 2) AS DOUBLE)
+         AS totacctbal
 FROM customer c, avg_bal
 WHERE c.c_acctbal > avg_bal.threshold
   AND NOT EXISTS (
@@ -2465,7 +2561,13 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     threshold = (
         c.filter(F.col("c_acctbal") > 0.0)
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("threshold"))
+        .agg(
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(12,2)"))
+                .cast("double") / F.count(F.lit(1)),
+                2,
+            ).alias("threshold")
+        )
     )
     return (
         c.join(F.broadcast(threshold))
@@ -2474,7 +2576,8 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double").alias("totacctbal"),
         )
     )
 
@@ -2488,7 +2591,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ENRICH_ORACLE = """
 SELECT c.c_mktsegment,
        COUNT(*) AS events,
-       ROUND(SUM(e.value), 2) AS total_value
+       CAST(ROUND(SUM(e.value::DECIMAL(12,2)), 2) AS DOUBLE) AS total_value
 FROM events e
 JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY c.c_mktsegment
@@ -2510,7 +2613,8 @@ def events_enrich_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double").alias("total_value"),
         )
     )
 
@@ -2604,11 +2708,13 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q8_ORACLE = """
 SELECT l_year,
-       ROUND(SUM(CASE WHEN cust_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / NULLIF(SUM(volume), 0), 4) AS mkt_share
+       ROUND(CAST(SUM(CASE WHEN cust_nation = 'NATION_3'
+                           THEN volume ELSE 0 END) AS DOUBLE)
+             / NULLIF(CAST(SUM(volume) AS DOUBLE), 0), 4) AS mkt_share
 FROM (
   SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS l_year,
-         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         l.l_extendedprice::DECIMAL(12,2)
+           * (1 - l.l_discount::DECIMAL(12,2)) AS volume,
          n.n_name AS cust_nation
   FROM lineitem l
   JOIN orders o   ON l.l_orderkey = o.o_orderkey
@@ -2632,7 +2738,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part")
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
     return (
         li.join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")),
                 F.col("l_partkey") == F.col("p_partkey"))
@@ -2646,9 +2754,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum(
                         F.when(
                             F.col("n_name") == "NATION_3", vol
-                        ).otherwise(0.0)
-                    ),
-                    F.sum(vol),
+                        ).otherwise(F.lit(0))
+                    ).cast("double"),
+                    F.sum(vol).cast("double"),
                 ),
                 4,
             ).alias("mkt_share")
@@ -2659,7 +2767,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(ROUND(SUM(l_extendedprice::DECIMAL(12,2)
+                        * (1 - l_discount::DECIMAL(12,2))), 2) AS DOUBLE)
+           AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1997-01-01'
     AND l_shipdate <  TIMESTAMP '1997-04-01'
@@ -2690,8 +2800,12 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("total_revenue")
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,2)")
+                    * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+                ),
+                2,
+            ).cast("double").alias("total_revenue")
         )
         .localCheckpoint()  # computed once, used for both the join and the max
     )
@@ -2855,7 +2969,12 @@ def events_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-heavy parity fixture (tools/gen_ties_fixture.py), where
     mass-repeated 10.005 values flipped the 2nd decimal."""
     e = load_table(spark, sf_dir, "events")
-    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    # guarded cents (NULL for null/non-finite): floor(Inf) saturates
+    # to Long.MAX and overflows the ANSI long SUM — round-6
+    # value-materializing nan-inf sweep
+    from vectorsearchutil_spark.operators.analytics import _cents
+
+    cents = _cents(F.col("value"))
     return (
         e.groupingSets(
             [["event_type"], ["user_id"], []], "event_type", "user_id"
@@ -3384,12 +3503,33 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STATS_SUITE_ORACLE = """
-SELECT ROUND(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-       ROUND(corr(l_extendedprice, l_discount), 4) AS corr_price_disc,
-       ROUND(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-       ROUND(stddev_samp(l_extendedprice), 2) AS std_price,
-       ROUND(avg(l_extendedprice), 2) AS avg_price
-FROM lineitem
+WITH m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sq,
+         CAST(SUM(l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sp,
+         CAST(SUM(l_discount::DECIMAL(12,2)) AS DOUBLE) AS sd,
+         CAST(SUM(l_quantity::DECIMAL(12,2)
+                  * l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS sqp,
+         CAST(SUM(l_extendedprice::DECIMAL(12,2)
+                  * l_discount::DECIMAL(12,2)) AS DOUBLE) AS spd,
+         CAST(SUM(l_quantity::DECIMAL(12,2)
+                  * l_quantity::DECIMAL(12,2)) AS DOUBLE) AS sqq,
+         CAST(SUM(l_extendedprice::DECIMAL(12,2)
+                  * l_extendedprice::DECIMAL(12,2)) AS DOUBLE) AS spp,
+         CAST(SUM(l_discount::DECIMAL(12,2)
+                  * l_discount::DECIMAL(12,2)) AS DOUBLE) AS sdd
+  FROM lineitem
+)
+SELECT ROUND((n * sqp - sq * sp)
+             / sqrt(n * sqq - sq * sq) / sqrt(n * spp - sp * sp), 4)
+         AS corr_qty_price,
+       ROUND((n * spd - sp * sd)
+             / sqrt(n * spp - sp * sp) / sqrt(n * sdd - sd * sd), 4)
+         AS corr_price_disc,
+       ROUND((sqp - sq * sp / n) / (n - 1), 2) AS covar_qty_price,
+       ROUND(sqrt((spp - sp * sp / n) / (n - 1)), 2) AS std_price,
+       ROUND(sp / n, 2) AS avg_price
+FROM m
 """
 
 
@@ -3399,18 +3539,48 @@ def lineitem_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev) in ONE partial-aggregated pass — the schema-profiling
     step before training-data feature selection."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
-            "corr_qty_price"
-        ),
-        F.round(F.corr("l_extendedprice", "l_discount"), 4).alias(
-            "corr_price_disc"
-        ),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
-            "covar_qty_price"
-        ),
-        F.round(F.stddev_samp("l_extendedprice"), 2).alias("std_price"),
-        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+    dec = lambda c: F.col(c).cast("decimal(12,2)")  # noqa: E731
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("l_quantity")).cast("double").alias("sq"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sp"),
+        F.sum(dec("l_discount")).cast("double").alias("sd"),
+        F.sum(dec("l_quantity") * dec("l_extendedprice"))
+        .cast("double").alias("sqp"),
+        F.sum(dec("l_extendedprice") * dec("l_discount"))
+        .cast("double").alias("spd"),
+        F.sum(dec("l_quantity") * dec("l_quantity"))
+        .cast("double").alias("sqq"),
+        F.sum(dec("l_extendedprice") * dec("l_extendedprice"))
+        .cast("double").alias("spp"),
+        F.sum(dec("l_discount") * dec("l_discount"))
+        .cast("double").alias("sdd"),
+    )
+    n, sq, sp, sd = F.col("n"), F.col("sq"), F.col("sp"), F.col("sd")
+    sqp, spd = F.col("sqp"), F.col("spd")
+    sqq, spp, sdd = F.col("sqq"), F.col("spp"), F.col("sdd")
+    return m.select(
+        F.round(
+            F.try_divide(
+                F.try_divide(n * sqp - sq * sp, F.sqrt(n * sqq - sq * sq)),
+                F.sqrt(n * spp - sp * sp),
+            ),
+            4,
+        ).alias("corr_qty_price"),
+        F.round(
+            F.try_divide(
+                F.try_divide(n * spd - sp * sd, F.sqrt(n * spp - sp * sp)),
+                F.sqrt(n * sdd - sd * sd),
+            ),
+            4,
+        ).alias("corr_price_disc"),
+        F.round(
+            F.try_divide(sqp - sq * sp / n, n - F.lit(1.0)), 2
+        ).alias("covar_qty_price"),
+        F.round(
+            F.sqrt(F.try_divide(spp - sp * sp / n, n - F.lit(1.0))), 2
+        ).alias("std_price"),
+        F.round(sp / n, 2).alias("avg_price"),
     )
 
 
@@ -3960,7 +4130,12 @@ def events_hourly_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact-cents sum: ROUND(SUM(double)) is engine-divergent on
     # half-way boundaries (rounding mode + sum order) — ties-fixture
     # finding, same repair as events_grouping_sets
-    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    # guarded cents (NULL for null/non-finite): floor(Inf) saturates
+    # to Long.MAX and overflows the ANSI long SUM — round-6
+    # value-materializing nan-inf sweep
+    from vectorsearchutil_spark.operators.analytics import _cents
+
+    cents = _cents(F.col("value"))
     actual = (
         e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_start"))
         .agg(
@@ -4137,14 +4312,16 @@ WITH natsup AS (
 ),
 value_by_part AS (
   SELECT l.l_partkey,
-         SUM(l.l_extendedprice * (1 - l.l_discount)) AS val
+         SUM(l.l_extendedprice::DECIMAL(12,2)
+             * (1 - l.l_discount::DECIMAL(12,2))) AS val
   FROM lineitem l JOIN natsup ns ON l.l_suppkey = ns.s_suppkey
   GROUP BY l.l_partkey
 ),
-total AS (SELECT ROUND(SUM(val) * 0.001, 2) AS threshold FROM value_by_part)
-SELECT v.l_partkey AS p_partkey, ROUND(v.val, 2) AS value
+total AS (SELECT ROUND(CAST(SUM(val) AS DOUBLE) * 0.001, 2) AS threshold
+          FROM value_by_part)
+SELECT v.l_partkey AS p_partkey, CAST(ROUND(v.val, 2) AS DOUBLE) AS value
 FROM value_by_part v, total t
-WHERE ROUND(v.val, 2) > t.threshold
+WHERE CAST(ROUND(v.val, 2) AS DOUBLE) > t.threshold
 """
 
 
@@ -4168,21 +4345,23 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(natsup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
-                "val"
-            )
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(12,2)"))
+            ).alias("val")
         )
         .localCheckpoint(eager=False)
     )
     total = value_by_part.agg(
-        F.round(F.sum("val") * 0.001, 2).alias("threshold")
+        F.round(F.sum("val").cast("double") * 0.001, 2).alias("threshold")
     )
+    val2 = F.round(F.col("val"), 2).cast("double")
     return (
         value_by_part.join(F.broadcast(total))
-        .filter(F.round(F.col("val"), 2) > F.col("threshold"))
+        .filter(val2 > F.col("threshold"))
         .select(
             F.col("l_partkey").alias("p_partkey"),
-            F.round("val", 2).alias("value"),
+            val2.alias("value"),
         )
     )
 
@@ -4653,13 +4832,20 @@ def documents_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OUTLIERS_ORACLE = """
 WITH stats AS (
   SELECT event_type,
-         AVG(value) AS mu,
-         STDDEV_SAMP(value) AS sigma
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(value::DECIMAL(12,2)) AS DOUBLE) AS sv,
+         CAST(SUM(value::DECIMAL(12,2) * value::DECIMAL(12,2)) AS DOUBLE)
+           AS svv
   FROM events GROUP BY event_type
+),
+stats2 AS (
+  SELECT event_type, sv / n AS mu,
+         sqrt((svv - sv * sv / n) / (n - 1)) AS sigma
+  FROM stats
 )
 SELECT e.event_id, e.event_type,
        ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 2) AS z
-FROM events e JOIN stats s ON e.event_type = s.event_type
+FROM events e JOIN stats2 s ON e.event_type = s.event_type
 WHERE ABS(ROUND((e.value - s.mu) / NULLIF(s.sigma, 0), 2)) >= 2.5
 """
 
@@ -4673,8 +4859,25 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROUNDED z on both engines so summation-order ulps can't flip a
     borderline event."""
     e = load_table(spark, sf_dir, "events")
-    stats = e.groupBy("event_type").agg(
-        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    # exact decimal moment sums -> deterministic mu/sigma (identical
+    # formula tree to the oracle) — STDDEV/AVG over raw doubles are
+    # order-dependent in the last ulps and the rounded-z boundary is
+    # exactly where that bites (exact-cents sweep, round 6)
+    vdec = F.col("value").cast("decimal(12,2)")
+    mom = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        F.sum(vdec).cast("double").alias("_sv"),
+        F.sum(vdec * vdec).cast("double").alias("_svv"),
+    )
+    stats = mom.select(
+        "event_type",
+        (F.col("_sv") / F.col("_n")).alias("mu"),
+        F.sqrt(
+            F.try_divide(
+                F.col("_svv") - F.col("_sv") * F.col("_sv") / F.col("_n"),
+                F.col("_n") - F.lit(1.0),
+            )
+        ).alias("sigma"),
     )
     # try_divide: a constant-valued type has sigma = 0 — its z is
     # undefined (NULL, filtered), not an ANSI DIVIDE_BY_ZERO (found
@@ -5680,8 +5883,17 @@ def lineitem_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DIM_COV_ORACLE = """
-WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+# finite-vector predicate, DuckDB side — mirrors
+# functions/vector.py::finite_vector (NULL vector or any NaN/±Inf
+# component ⇒ the row does not participate in covariance/PCA);
+# defined there so the pending lane shares it without circularity
+from vectorsearchutil_spark.functions.vector import (  # noqa: E402
+    FINITE_VEC_SQL as _FINITE_VEC_SQL,
+)
+
+_DIM_COV_ORACLE = f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
+           WHERE {_FINITE_VEC_SQL}),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
 prod AS (
   SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
@@ -6817,7 +7029,7 @@ def docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SALTED_AGG_ORACLE = """
 SELECT event_type,
-       ROUND(SUM(value), 3) AS sum_value,
+       CAST(ROUND(SUM(value::DECIMAL(12,2)), 3) AS DOUBLE) AS sum_value,
        COUNT(*) AS n_rows
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -6831,11 +7043,13 @@ def events_type_stats_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     must be invisible in the result (algebraic aggregates only)."""
     from vectorsearchutil_spark.functions.skew import salted_sum_count
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(12,2)")
+    )
     out = salted_sum_count(ev, ["event_type"], "value", buckets=16)
     return out.select(
         "event_type",
-        F.round(F.col("sum_value"), 3).alias("sum_value"),
+        F.round(F.col("sum_value"), 3).cast("double").alias("sum_value"),
         F.col("n_rows"),
     ).orderBy("event_type")
 
@@ -7006,7 +7220,8 @@ def docs_assembly_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BLOOM_JOIN_ORACLE = """
 SELECT o.o_orderpriority,
        COUNT(*) AS n_orders,
-       ROUND(SUM(o.o_totalprice), 2) AS revenue
+       CAST(ROUND(SUM(o.o_totalprice::DECIMAL(12,2)), 2) AS DOUBLE)
+         AS revenue
 FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE c.c_mktsegment = 'AUTOMOBILE'
@@ -7035,7 +7250,8 @@ def orders_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(12,2)")), 2)
+            .cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -7874,6 +8090,15 @@ def embeddings_dim_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("embedding").cast("array<double>")
                 ).alias("pos", "x")
             )
+            .filter(
+                # non-finite components can't bin: floor(±Inf)
+                # saturates to Long.MAX and overflows the INT cast
+                # (round-6 value-materializing nan-inf sweep) — same
+                # cannot-participate convention as finite_vector
+                F.col("x").isNotNull()
+                & ~F.isnan(F.col("x"))
+                & (F.abs(F.col("x")) != F.lit(float("inf")))
+            )
             .select(
                 (F.col("pos") + 1).alias("i"),
                 F.least(
@@ -8230,7 +8455,7 @@ WITH b AS (
 cell AS (
   SELECT event_type, dow, hod,
          CAST(COUNT(*) AS BIGINT) AS n,
-         AVG(value) AS avg_raw
+         CAST(SUM(value::DECIMAL(12,2)) AS DOUBLE) / COUNT(*) AS avg_raw
   FROM b GROUP BY 1, 2, 3
 ),
 tot AS (
@@ -8251,9 +8476,9 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     so 1.0 = uniform traffic (n·168/total) — the fingerprint behind
     anomaly baselines and capacity planning. One partial-aggregated
     pass to ≤ type×168 cells; the per-type totals broadcast back.
-    AVG parity note: both engines divide an order-independent
-    SUM(double) — exact for this data's 2-dp values scaled under
-    2^53 — by an exact count; round(6) seals residue."""
+    AVG parity: the mean divides an exact DECIMAL(12,2) sum (cast to
+    double) by the exact count — order-independent on every engine
+    (exact-cents sweep, round 6)."""
     ev = load_table(spark, sf_dir, "events")
     b = ev.select(
         "event_type",
@@ -8263,7 +8488,10 @@ def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cell = b.groupBy("event_type", "dow", "hod").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        F.avg("value").alias("_avg"),
+        (
+            F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("_avg"),
     )
     tot = b.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("_n_tot")
@@ -9214,7 +9442,15 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("age_d") <= 7)
         .groupBy("cohort_day", "age_d")
         .agg(
-            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            # finite guard: round(±Inf·100) overflows the ANSI
+            # long cast (round-6 value-materializing nan-inf sweep)
+            F.sum(
+                F.when(
+                    ~F.isnan(F.col("value"))
+                    & (F.abs(F.col("value")) != F.lit(float("inf"))),
+                    F.round(F.col("value") * 100, 0),
+                ).cast("long")
+            )
             .cast("long")
             .alias("cents")
         )
@@ -9472,8 +9708,52 @@ _ROUND5_WINDOW = [
 ]
 
 
+#: Round-6 driver window (VERDICT r5 "Next round" #3). Composition:
+#:   1. ALL 33 promoted pending-lane entries — the only registry
+#:      entries no driver round has ever checked. Green here =>
+#:      cumulative driver coverage 221/221.
+#:   2. 17 rotating veterans — chosen as exactly the rows this
+#:      round's exact-cents sweep or the dim_covariance finite-filter
+#:      fix TOUCHED (both engine sides changed together, so the
+#:      driver should re-gate them): the TPC-H money queries, the
+#:      moment-exactized stats/outlier queries, and
+#:      embeddings_dim_covariance. The remaining swept rows
+#:      (rollup/tumbling/sliding/salted/enrich/seasonality/
+#:      part_brand_stats/bloom/q19/moving_avg/running_total) are
+#:      covered by the full-registry CORRECTNESS_SELF_r06 artifact
+#:      this round and queue for the round-7 rotation.
+_ROUND6_WINDOW = [
+    # 1. promoted pending lane (driver-first-time)
+    "docs_benchmark_contamination", "dedup_keep_best",
+    "docs_truncation_stats", "events_value_tdigest",
+    "knn_crossencoder_rerank", "events_skew_report",
+    "docs_containment_pairs", "embeddings_hubness",
+    "tpch_fk_integrity", "embeddings_retrieval_metrics",
+    "events_percentile_rank", "docs_badword_filter",
+    "docs_normalized_dedup", "docs_zipf_fit",
+    "docs_source_divergence", "docs_top_terms",
+    "docs_langid_confusion", "events_rolling_zscore",
+    "events_interarrival", "orders_yoy_growth",
+    "customer_rfm_scores", "events_ab_test",
+    "events_cusum_changepoint", "orders_benford", "orders_gini",
+    "events_kaplan_meier", "docs_token_chi2", "events_mannwhitney",
+    "events_ks_drift", "orders_daily_acf", "embeddings_matryoshka",
+    "embeddings_knn_label_eval", "embeddings_top_pc",
+    # 2. rotation = the rows this round's fixes touched
+    "embeddings_dim_covariance",
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q10_returned_items", "tpch_q11_important_parts",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q22_dormant_customers",
+    "lineitem_stats_suite", "events_value_outliers",
+    "events_moving_avg", "orders_running_total",
+]
+
+
 def _reorder_for_driver_window() -> None:
-    head = [n for n in _ROUND5_WINDOW if n in QUERIES]
+    head = [n for n in _ROUND6_WINDOW if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(head)]
     ordering = head + rest
     assert sorted(ordering) == sorted(QUERIES), "registry reorder lost entries"
@@ -9483,4 +9763,28 @@ def _reorder_for_driver_window() -> None:
         d.update({n: snapshot[n] for n in ordering if n in snapshot})
 
 
-_reorder_for_driver_window()
+def _promote_pending() -> None:
+    """Round-6 promotion: merge the 33-entry pending lane (staged
+    behind the round-5 registry freeze per VERDICT r4, all
+    strict-green at sf0.001/0.01/0.1 + unicode + the five degenerate
+    fixtures, judge sample 8/8 green) into the live registry. Names
+    and oracles are unchanged from queries_pending.py — the evidence
+    carries.
+
+    Called from the END of BOTH this module and queries_pending.py
+    (idempotent): the two modules import each other's oracle
+    fragments, so under either import order one of them is only
+    partially initialized when the other finishes — whichever module
+    completes LAST re-runs the merge over the by-then-complete
+    pending dicts."""
+    from vectorsearchutil_spark.queries_pending import (
+        PENDING_ORACLES,
+        PENDING_QUERIES,
+    )
+
+    QUERIES.update(PENDING_QUERIES)
+    ORACLES.update(PENDING_ORACLES)
+    _reorder_for_driver_window()
+
+
+_promote_pending()

@@ -1706,10 +1706,10 @@ s AS (
 )
 SELECT vec_id, label,
        FLOOR(hn / fn * 1000000.0 + 0.5) / 1000000.0 AS retained_frac,
-       array_to_string(
+       CASE WHEN hn != 0 THEN array_to_string(
          list_transform(h, x -> printf('%.4f', ROUND(x / hn, 4) + 0.0)),
          ','
-       ) AS mrl_vec
+       ) END AS mrl_vec
 FROM s
 """
 
@@ -1820,14 +1820,27 @@ def embeddings_knn_label_eval(
 # --------------------------------------------------------------------------
 
 
-def _top_pc_oracle(iterations: int = 12) -> str:
+def _top_pc_oracle(iterations: int | None = None) -> str:
     """Unrolled fixed-point power iteration replay (same trick as the
     logistic-regression unrolled-CTE oracle): the covariance CTEs are
     the proven ``_DIM_COV_ORACLE`` expressions (queries.py), then each
     iteration is three CTEs (integer matvec, infinity norm, rescale)
     with arithmetic identical to
-    ``operators/embeddings.py::power_iteration_top_pc``."""
-    parts = ["""WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings),
+    ``operators/embeddings.py::power_iteration_top_pc``. The default
+    iteration count and the finite-vector input filter both come from
+    ONE shared definition each (TOP_PC_ITERATIONS /
+    queries._FINITE_VEC_SQL), so operator and oracle cannot drift."""
+    from vectorsearchutil_spark.functions.vector import (
+        FINITE_VEC_SQL as _FINITE_VEC_SQL,
+    )
+    from vectorsearchutil_spark.operators.embeddings import (
+        TOP_PC_ITERATIONS,
+    )
+
+    if iterations is None:
+        iterations = TOP_PC_ITERATIONS
+    parts = [f"""WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {_FINITE_VEC_SQL}),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
 prod AS MATERIALIZED (
   SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
@@ -1909,3 +1922,11 @@ def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return power_iteration_top_pc(emb, vec_col="embedding")
+
+
+# Complete the round-6 promotion when THIS module is the last of the
+# mutually-importing pair (queries.py <-> queries_pending.py) to
+# finish initializing — see queries._promote_pending's docstring.
+from vectorsearchutil_spark.queries import _promote_pending  # noqa: E402
+
+_promote_pending()

@@ -84,7 +84,11 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 3).alias("sum_value"),
+            # exact-cents sum (decimal), matching the batch twin
+            # events_tumbling_window — order-independent across
+            # micro-batches as well as partitions
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 3)
+            .cast("double").alias("sum_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
