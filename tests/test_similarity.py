@@ -208,3 +208,45 @@ def test_dim_covariance_partition_invariant_bitexact(spark):
     a = sorted(map(tuple, dim_covariance(df).collect()))
     b = sorted(map(tuple, dim_covariance(df.repartition(16)).collect()))
     assert a == b  # exact: only longs cross partitions
+
+
+def test_dim_covariance_hilo_dgemm_exact(spark):
+    """Large-magnitude vectors force the hi/lo 3-dgemm path (one
+    float64 Gram would lose integer exactness at len·b² > 2⁵³);
+    the result must equal the exact Python-int replay of the
+    value-quantized contract, and stay partition-invariant."""
+    import math
+
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.embeddings import (
+        _COV_FP,
+        dim_covariance,
+    )
+
+    rng = np.random.RandomState(11)
+    m = rng.uniform(-120.0, 120.0, size=(400, 5))
+    rows = [(i, [float(x) for x in m[i]]) for i in range(len(m))]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["i"], r["j"]): r["cov"] for r in dim_covariance(df).collect()
+    }
+    # exact integer replay (the oracle's arithmetic, Python ints)
+    q = [[math.floor(x * _COV_FP) for x in row] for row in m]
+    n = float(len(m))
+    d = len(m[0])
+    for i in range(d):
+        for j in range(i, d):
+            sq = sum(r[i] * r[j] for r in q)
+            mi = sum(r[i] for r in q)
+            mj = sum(r[j] for r in q)
+            want = (
+                sq / _COV_FP / _COV_FP / n
+                - (mi / _COV_FP / n) * (mj / _COV_FP / n)
+            )
+            want = math.floor(want * 10**6 + 0.5) / 10**6 \
+                if want >= 0 else -math.floor(-want * 10**6 + 0.5) / 10**6
+            assert abs(got[(i + 1, j + 1)] - want) < 1.1e-6, (i, j)
+    a = sorted(map(tuple, dim_covariance(df).collect()))
+    b = sorted(map(tuple, dim_covariance(df.repartition(16)).collect()))
+    assert a == b

@@ -144,10 +144,15 @@ def centroid_outliers(
     )
 
 
-#: fixed-point scale for the covariance sums (30 fractional bits):
-#: |v| ≤ O(1) embeddings keep per-term magnitudes ≪ 2^33, so even
-#: billions of rows stay far from the 2^63 long limit.
-_COV_FP = float(2**30)
+#: fixed-point VALUE scale for the covariance sums (16 fractional
+#: bits): q = floor(v·2¹⁶), so per-term products |q·q| ≲ 2^37 for
+#: O(1) embeddings and even billions of rows stay far from the 2^63
+#: long limit.
+_COV_FP = float(2**16)
+#: float64 dgemm keeps integer products exact only while
+#: chunk_rows · max|q|² ≤ 2⁵³; beyond max|q| = 2²⁶ even one row can
+#: lose bits, so the partials fall back to exact int64 einsum.
+_COV_DGEMM_MAX_Q = float(2**26)
 
 
 def dim_covariance(
@@ -162,25 +167,37 @@ def dim_covariance(
     dims; tiny var on the diagonal ⇒ dead dims).
 
     Determinism contract (same discipline as PageRank's fixed-point
-    ranks): every per-row term quantizes to a LONG — floor(vᵢ·vⱼ·2³⁰)
-    for products, floor(vᵢ·2³⁰) for means — and only exact integer
-    sums cross partitions, so any partitioning/engine produces
+    ranks): every per-row VALUE quantizes to a LONG — qᵢ =
+    floor(vᵢ·2¹⁶) — and only exact integer sums of qᵢ·qⱼ and qᵢ
+    cross partitions, so any partitioning/engine produces
     bit-identical sums; the covariance then derives from those ints
     in a fixed expression order. Cov(i,j) is the quantized
-    E[xy] − E[x]E[y].
+    E[xy] − E[x]E[y] (value-quantization error ≤ 2⁻¹⁶ per
+    component — audit-grade, and exactly replayable in SQL).
 
-    Plan: one mapInPandas pass accumulates a d×d int64 partial per
-    Arrow batch (numpy outer products — the HOF-wall-safe path) and
-    emits ~d²/2 rows per PARTITION; the (i,j) long-sum aggregate is
-    map-side combinable. Means ride a separate narrow posexplode
-    aggregate; both tiny tables broadcast onto the pair output."""
+    Why value- rather than product-quantization (the round-5
+    contract): flooring each PRODUCT forbids a matmul (the floor
+    sits between multiply and sum), forcing an n×d×d einsum with a
+    per-cell floor — the 8.2G-cell wall that dominated the 2M-row
+    probe at 41.5 s. Flooring each VALUE makes the cross-row sum a
+    plain integer Gram matrix qᵀq, computed here as one float64
+    dgemm per exactness-sized chunk (chunk·max|q|² ≤ 2⁵³ ⇒ every
+    partial is exactly representable, so the dgemm IS integer math;
+    oversized |q| falls back to exact int64 einsum). PERF.md
+    round-6 records the measured win. The per-dim means ride the
+    same pass as j=0 rows — the separate posexplode scan of the
+    table is gone.
+
+    Plan: one mapInPandas pass emits ~d²/2 product partials plus d
+    mean partials per PARTITION; the (i,j) long-sum aggregate is
+    map-side combinable; two tiny broadcasts join the pieces."""
     import numpy as np
     import pandas as pd
 
     spark = emb.sparkSession
     # finite-vector chokepoint (same discipline as the kmeans/PQ/MLP
     # collect sites): a NaN/Inf component would reach the quantized
-    # long SUMs as floor(±Inf·2³⁰)-scale values — ANSI overflow on the
+    # long SUMs as floor(±Inf·2¹⁶)-scale values — ANSI overflow on the
     # JVM side, silent int64 wrap in the numpy partials. Judge repro,
     # round-5 VERDICT "What's wrong #1".
     emb = emb.filter(finite_vector(F.col(vec_col)))
@@ -192,48 +209,84 @@ def dim_covariance(
     d = d_row["d"]
 
     def partials(batches):
+        iu, ju = np.triu_indices(d)
+
+        def snapshot(acc, msum):
+            return pd.DataFrame(
+                {
+                    "i": np.concatenate([iu + 1, np.arange(1, d + 1)]),
+                    "j": np.concatenate([ju + 1, np.zeros(d, np.int64)]),
+                    "sq": np.concatenate([acc[iu, ju], msum]),
+                }
+            )
+
         acc = np.zeros((d, d), dtype=np.int64)
+        msum = np.zeros(d, dtype=np.int64)
+        bound = 0.0  # running worst-case |cell| — spill before 2⁶²
         seen = False
-        # rows per chunk of the n×d×d outer-product tensor, sized so
-        # the float64 temp stays ≤ ~128 MB regardless of d
-        chunk = max(1, int(128e6 / 8 / (d * d)))
         for pdf in batches:
             if not len(pdf):
                 continue
             m = np.asarray(
                 [np.asarray(v, dtype=np.float64) for v in pdf["v"]]
             )
-            # chunked quantized outer products: floor applies per row
-            # BEFORE the cross-row sum, so this cannot be one matmul —
-            # but the n×d×d einsum batches the row loop (the per-row
-            # Python loop was 20× slower at the 50k×64 probe)
-            for s in range(0, len(m), chunk):
-                t = np.einsum("ni,nj->nij", m[s : s + chunk], m[s : s + chunk])
-                np.multiply(t, _COV_FP, out=t)
-                np.floor(t, out=t)
-                acc += t.astype(np.int64).sum(axis=0)
+            q = np.floor(m * _COV_FP)  # integral-valued float64
+            b = float(np.abs(q).max()) if q.size else 0.0
+            step = len(q) * max(b * b, b)
+            if bound + step > 2.0**62:
+                # int64 accumulator is nearing overflow: emit the
+                # partial as EXTRA rows (the decimal cross-partition
+                # SUM absorbs them) and reset
+                yield snapshot(acc, msum)
+                acc = np.zeros((d, d), dtype=np.int64)
+                msum = np.zeros(d, dtype=np.int64)
+                bound = 0.0
+            if len(q) * b * b <= 2.0**53:
+                # every float64 dgemm partial sum stays an exact
+                # integer: one Gram dgemm for the whole batch
+                acc += (q.T @ q).astype(np.int64)
+            elif len(q) * b <= 2.0**53:
+                # hi/lo split (2^k ≈ √b): three dgemms whose partial
+                # sums are bounded by len·b ≤ 2⁵³ — exact even when
+                # len·b² is not; G = 2²ᵏ·HᵀH + 2ᵏ·(HᵀL + (HᵀL)ᵀ) + LᵀL
+                k = max(1, int(np.log2(max(b, 2.0)) / 2.0) + 1)
+                two_k = float(1 << k)
+                hi = np.floor(q / two_k)
+                lo = q - hi * two_k
+                a_hh = (hi.T @ hi).astype(np.int64)
+                a_hl = (hi.T @ lo).astype(np.int64)
+                a_ll = (lo.T @ lo).astype(np.int64)
+                acc += (
+                    (a_hh << (2 * k)) + ((a_hl + a_hl.T) << k) + a_ll
+                )
+            else:
+                # exact int64 fallback for absurd magnitudes, chunked
+                # to keep the n×d×d temp bounded
+                ch = max(1, int(128e6 / 8 / (d * d)))
+                for st in range(0, len(q), ch):
+                    qi = q[st : st + ch].astype(np.int64)
+                    acc += np.einsum("ni,nj->ij", qi, qi)
+            msum += q.sum(axis=0).astype(np.int64)
+            bound += step
             seen = True
         if seen:
-            iu, ju = np.triu_indices(d)
-            yield pd.DataFrame(
-                {"i": iu + 1, "j": ju + 1, "sq": acc[iu, ju]}
-            )
+            yield snapshot(acc, msum)
 
     pair_schema = "i int, j int, sq long"
-    sums = (
+    allp = (
         emb.select(F.col(vec_col).cast("array<double>").alias("v"))
         .mapInPandas(partials, pair_schema)
         .groupBy("i", "j")
-        .agg(F.sum("sq").alias("sq"))
+        # DECIMAL sum: per-partition partials fit a long by the spill
+        # rule above, but the cross-partition total can exceed 2⁶³
+        # (65k-scale q values × billions of rows); DuckDB's SUM(BIGINT)
+        # is HUGEINT for the same reason
+        .agg(F.sum(F.col("sq").cast("decimal(38,0)")).alias("sq"))
+        .localCheckpoint(eager=False)
     )
-    means = (
-        emb.select(F.posexplode(F.col(vec_col).cast("array<double>")))
-        .select(
-            (F.col("pos") + 1).alias("i"),
-            F.floor(F.col("col") * F.lit(_COV_FP)).cast("long").alias("q"),
-        )
-        .groupBy("i")
-        .agg(F.sum("q").alias("mq"))
+    sums = allp.filter(F.col("j") > 0)
+    means = allp.filter(F.col("j") == 0).select(
+        "i", F.col("sq").alias("mq")
     )
     n_df = emb.agg(F.count(F.lit(1)).cast("double").alias("n"))
     return (
@@ -253,7 +306,7 @@ def dim_covariance(
             "j",
             (
                 F.round(
-                    F.col("sq") / F.lit(_COV_FP) / F.col("n")
+                    F.col("sq") / F.lit(_COV_FP) / F.lit(_COV_FP) / F.col("n")
                     - (F.col("mi") / F.lit(_COV_FP) / F.col("n"))
                     * (F.col("mj") / F.lit(_COV_FP) / F.col("n")),
                     round_dp,

@@ -5897,20 +5897,20 @@ WITH e AS (SELECT embedding::DOUBLE[] AS v FROM embeddings
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
 prod AS (
   SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
-         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * v[CAST(u.j AS INT)]
-                        * 1073741824.0) AS BIGINT)) AS sq
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 65536.0) AS BIGINT)
+             * CAST(FLOOR(v[CAST(u.j AS INT)] * 65536.0) AS BIGINT)) AS sq
   FROM e, range(1, 65) t(i), range(1, 65) u(j)
   WHERE u.j >= t.i
   GROUP BY 1, 2
 ),
 m AS (
   SELECT CAST(t.i AS INT) AS i,
-         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 1073741824.0) AS BIGINT)) AS mq
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 65536.0) AS BIGINT)) AS mq
   FROM e, range(1, 65) t(i) GROUP BY 1
 )
 SELECT p.i, p.j,
-       ROUND(p.sq / 1073741824.0 / n.n
-             - (a.mq / 1073741824.0 / n.n) * (b.mq / 1073741824.0 / n.n), 6)
+       ROUND(p.sq / 65536.0 / 65536.0 / n.n
+             - (a.mq / 65536.0 / n.n) * (b.mq / 65536.0 / n.n), 6)
          + 0.0 AS cov
 FROM prod p JOIN m a ON a.i = p.i JOIN m b ON b.i = p.j, n
 """
@@ -5920,10 +5920,12 @@ FROM prod p JOIN m a ON a.i = p.i JOIN m b ON b.i = p.j, n
 def embeddings_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full upper-triangle dimension covariance of the embedding
     column — the redundant-/dead-dimension audit. Fixed-point long
-    sums (floor(v·v·2³⁰)) make the result bit-identical under any
-    partitioning or engine; one numpy mapInPandas pass emits d²/2
-    partial rows per partition, map-side-combinable long aggregate
-    after (operators/embeddings.py::dim_covariance)."""
+    sums of VALUE-quantized components (q = floor(v·2¹⁶); products
+    q·q sum as exact integers via chunked float64 dgemm) make the
+    result bit-identical under any partitioning or engine; one numpy
+    mapInPandas pass emits d²/2 product + d mean partial rows per
+    partition, map-side-combinable long aggregate after
+    (operators/embeddings.py::dim_covariance)."""
     from vectorsearchutil_spark.operators.embeddings import dim_covariance
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1844,21 +1844,21 @@ def _top_pc_oracle(iterations: int | None = None) -> str:
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
 prod AS MATERIALIZED (
   SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
-         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * v[CAST(u.j AS INT)]
-                        * 1073741824.0) AS BIGINT)) AS sq
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 65536.0) AS BIGINT)
+             * CAST(FLOOR(v[CAST(u.j AS INT)] * 65536.0) AS BIGINT)) AS sq
   FROM e, range(1, 65) t(i), range(1, 65) u(j)
   WHERE u.j >= t.i
   GROUP BY 1, 2
 ),
 mm AS MATERIALIZED (
   SELECT CAST(t.i AS INT) AS i,
-         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 1073741824.0) AS BIGINT)) AS mq
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 65536.0) AS BIGINT)) AS mq
   FROM e, range(1, 65) t(i) GROUP BY 1
 ),
 cov0 AS MATERIALIZED (
   SELECT p.i, p.j,
-         ROUND(p.sq / 1073741824.0 / n.n
-               - (a.mq / 1073741824.0 / n.n) * (b.mq / 1073741824.0 / n.n),
+         ROUND(p.sq / 65536.0 / 65536.0 / n.n
+               - (a.mq / 65536.0 / n.n) * (b.mq / 65536.0 / n.n),
                6) + 0.0 AS cov
   FROM prod p JOIN mm a ON a.i = p.i JOIN mm b ON b.i = p.j, n
 ),
