@@ -1,0 +1,172 @@
+"""Unit tests for the round-7 staging wave (queries_pending.py
+entries 34-37: hapax ratio, daily peaks, Theil-Sen trend, block
+bootstrap). The oracle gate runs separately via
+CHECK_ORACLES_PENDING=1; these pin the operator semantics on
+hand-checkable inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def test_daily_peaks_detects_strict_spike(spark):
+    from vectorsearchutil_spark.operators.analytics import daily_peaks
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    # 9 consecutive days of value 10.0, day 5 spikes to 100.0
+    for d in range(9):
+        v = 100.0 if d == 4 else 10.0
+        rows.append((d, base + dt.timedelta(days=d), "a", v))
+    got = daily_peaks(_ev(spark, rows)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["day"] == "2024-01-05"
+    assert r["day_value"] == 100.0
+    assert r["n_neighbors"] == 6
+    assert r["neighbor_mean"] == 10.0
+
+
+def test_daily_peaks_prominence_boundary_exact(spark):
+    """The 1.5x test is >= via integer cross-multiplication: a day at
+    exactly 1.5x the neighbour mean IS a peak; one cent below is
+    not."""
+    from vectorsearchutil_spark.operators.analytics import daily_peaks
+
+    base = dt.datetime(2024, 1, 1, 12)
+
+    def series(center):
+        rows = []
+        for d in range(7):
+            v = center if d == 3 else 10.0
+            rows.append((d, base + dt.timedelta(days=d), "a", v))
+        return rows
+
+    at = daily_peaks(_ev(spark, series(15.0))).collect()
+    assert [r["day"] for r in at] == ["2024-01-04"]
+    below = daily_peaks(_ev(spark, series(14.99))).collect()
+    assert below == []
+
+
+def test_daily_peaks_requires_strictly_greater(spark):
+    from vectorsearchutil_spark.operators.analytics import daily_peaks
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    # twin spikes a day apart: neither strictly exceeds the other
+    for d in range(7):
+        v = 100.0 if d in (3, 4) else 1.0
+        rows.append((d, base + dt.timedelta(days=d), "a", v))
+    assert daily_peaks(_ev(spark, rows)).collect() == []
+
+
+def test_theil_sen_ignores_outlier_day(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        theil_sen_daily_trend,
+    )
+
+    base = dt.datetime(2024, 1, 1).date()
+    # perfect +1.00/day trend except one crazy day
+    rows = []
+    for d in range(9):
+        amt = 10.0 + d if d != 4 else 10000.0
+        rows.append((d, base + dt.timedelta(days=d), amt))
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    got = theil_sen_daily_trend(
+        o, date_col="o_orderdate", amount_col="o_totalprice"
+    ).collect()
+    assert len(got) == 1
+    assert got[0]["n_pairs"] == 36
+    # the median pairwise slope stays 1.0 despite the outlier
+    assert got[0]["slope_per_day"] == pytest.approx(1.0)
+
+
+def test_theil_sen_lower_median_definition(spark):
+    """Even pair count: the LOWER median (smallest slope with
+    rank*2 >= n) — pinned so the oracle's definition can't drift."""
+    from vectorsearchutil_spark.operators.analytics import (
+        theil_sen_daily_trend,
+    )
+
+    base = dt.datetime(2024, 1, 1).date()
+    # days 0,1,2,3 values 0,1,3,6 -> pairwise slopes: (0,1)=1,
+    # (1,2)=2, (2,3)=3, (0,2)=1.5, (1,3)=2.5, (0,3)=2
+    # sorted [1, 1.5, 2, 2, 2.5, 3]; lower median (smallest slope
+    # with rank*2 >= 6 -> rank 3) = 2.0
+    vals = [0.0, 1.0, 3.0, 6.0]
+    rows = [
+        (i, base + dt.timedelta(days=i), v) for i, v in enumerate(vals)
+    ]
+    o = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate date, o_totalprice double"
+    )
+    got = theil_sen_daily_trend(o).collect()[0]
+    assert got["n_pairs"] == 6
+    assert got["slope_per_day"] == pytest.approx(2.0)
+
+
+def test_block_bootstrap_deterministic_and_sane(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        block_bootstrap_mean_ci,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = []
+    k = 0
+    for d in range(30):
+        for _ in range(3):
+            rows.append(
+                (k, base + dt.timedelta(days=d), "a", 10.0 + (d % 7))
+            )
+            k += 1
+    e = _ev(spark, rows)
+    a = block_bootstrap_mean_ci(e).collect()[0]
+    b = block_bootstrap_mean_ci(e.repartition(8)).collect()[0]
+    assert a == b  # hash draw: partitioning/run invariant
+    assert a["n_days"] == 30
+    assert a["n_boot"] == 200
+    assert a["ci_lo"] <= a["mean_daily"] <= a["ci_hi"]
+    # daily totals are 3*(10+d%7) in [30, 48]; any resample mean too
+    assert 30.0 <= a["ci_lo"] and a["ci_hi"] <= 48.0
+
+
+def test_hapax_ratio_counts(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b b c", "en", "s1", 7),
+            (2, "c d", "en", "s1", 3),
+            (3, "x x", "en", "s2", 3),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        got = {
+            r["source"]: r
+            for r in PENDING_QUERIES["docs_hapax_ratio"](
+                spark, tmp
+            ).collect()
+        }
+    s1 = got["s1"]
+    # s1 tokens: a b b c | c d -> counts a1 b2 c2 d1
+    assert s1["n_tokens"] == 6 and s1["vocab"] == 4 and s1["hapax"] == 2
+    assert s1["hapax_frac"] == pytest.approx(0.5)
+    assert s1["type_token_ratio"] == pytest.approx(4 / 6, abs=1e-6)
+    s2 = got["s2"]
+    assert s2["vocab"] == 1 and s2["hapax"] == 0

@@ -37,6 +37,9 @@ __all__ = [
     "mann_whitney_u",
     "ks_two_sample",
     "daily_acf",
+    "daily_peaks",
+    "theil_sen_daily_trend",
+    "block_bootstrap_mean_ci",
 ]
 
 
@@ -923,5 +926,247 @@ def daily_acf(
             F.col("lag").cast("int").alias("lag"),
             "n_pairs",
             round_half_up(r, 6).alias("acf"),
+        )
+    )
+
+
+def daily_peaks(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    radius: int = 3,
+) -> DataFrame:
+    """Local maxima on the per-(type, day) revenue series: a day is a
+    peak when it strictly exceeds EVERY present calendar neighbour
+    within ±``radius`` days AND clears 1.5× the neighbour mean — the
+    spike detector behind incident review / promo-impact dashboards.
+
+    Plan (the acf shifted-explode shape): raw rows collapse to the
+    bounded (type, day) cents grid first; neighbours come from ONE
+    offset-exploded copy of that grid joined back on (type, day), so
+    the work after the first aggregate is grid-sized regardless of
+    row count. Exactness: the prominence test cross-multiplies —
+    ``2·v·n_nb ≥ 3·Σ_nb`` in DECIMAL(38,0) — so no division can sit
+    on a float boundary; only the REPORTED neighbour mean divides.
+    """
+    cents = _cents(F.col(value_col))
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.sum(cents).alias("_v"))
+    offs = F.array(
+        *[F.lit(k) for k in range(-radius, radius + 1) if k != 0]
+    )
+    neighbors = daily.select(
+        "event_type",
+        F.explode(offs).alias("_k"),
+        F.col("_v").alias("_nv"),
+        "day",
+    ).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("_k")).alias("day"),
+        "_nv",
+    )
+    dec = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    agg = (
+        daily.join(neighbors, ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            # _v is constant within the group (the grid is unique per
+            # (type, day)) — max() fetches it deterministically
+            F.max("_v").alias("_v0"),
+            F.max("_nv").alias("_max_nb"),
+            F.sum("_nv").alias("_sum_nb"),
+            F.count(F.lit(1)).alias("_n_nb"),
+        )
+    )
+    is_peak = (
+        (dec(F.col("_v0")) > dec(F.col("_max_nb")))
+        & (
+            F.lit(2) * dec(F.col("_v0")) * dec(F.col("_n_nb"))
+            >= F.lit(3) * dec(F.col("_sum_nb"))
+        )
+    )
+    return (
+        agg.filter(is_peak)
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("_v0").cast("double") / F.lit(100.0)).alias(
+                "day_value"
+            ),
+            F.col("_n_nb").cast("long").alias("n_neighbors"),
+            round_half_up(
+                F.col("_sum_nb").cast("double")
+                / F.lit(100.0)
+                / F.col("_n_nb").cast("double"),
+                4,
+            ).alias("neighbor_mean"),
+        )
+    )
+
+
+def theil_sen_daily_trend(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """Theil–Sen robust trend of the daily revenue series: the MEDIAN
+    of all pairwise slopes (x_j − x_i)/(d_j − d_i), i < j — the
+    outlier-immune alternative to OLS (one crazy day moves OLS, not
+    the pairwise-slope median). One summary row.
+
+    Plan: raw rows collapse to the bounded day grid first; the pair
+    table is a grid self-join (O(days²) — bounded by the CALENDAR,
+    not row count; ~2.7M pairs for a decade). The median is the
+    LOWER median by rank — smallest slope whose rank·2 ≥ n_pairs —
+    computed via the distinct-slope histogram (group + running sum),
+    not a serial row_number over all pairs. Exactness: each slope is
+    one double division of exact ints (Δcents/Δdays, identical on
+    both engines); rank accumulation is integer.
+    """
+    cents = _cents(F.col(amount_col))
+    daily = orders.groupBy(
+        F.to_date(F.col(date_col)).alias("_day")
+    ).agg(F.sum(cents).alias("_x"))
+    b = daily.select(
+        F.col("_day").alias("_day2"), F.col("_x").alias("_x2")
+    )
+    pairs = daily.join(b, F.col("_day2") > F.col("_day")).select(
+        (
+            (F.col("_x2") - F.col("_x")).cast("double")
+            / F.datediff(F.col("_day2"), F.col("_day")).cast("double")
+        ).alias("_slope")
+    )
+    hist = pairs.groupBy("_slope").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.orderBy(F.col("_slope").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = hist.agg(F.sum("_c").alias("_n"))
+    med = (
+        hist.select(
+            "_slope", F.sum("_c").over(w).alias("_cum")
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("_cum") * 2 >= F.col("_n"))
+        .agg(
+            F.min("_slope").alias("_med"),
+            F.max("_n").alias("n_pairs"),
+        )
+    )
+    return med.select(
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        round_half_up(
+            F.col("_med") / F.lit(100.0), 6
+        ).alias("slope_per_day"),
+    )
+
+
+def block_bootstrap_mean_ci(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_boot: int = 200,
+    seed: str = "boot",
+) -> DataFrame:
+    """Deterministic block bootstrap CI for MEAN DAILY revenue: each
+    of ``n_boot`` resamples draws n_days whole days with replacement
+    (day-level blocks respect within-day dependence), the per-
+    resample means are ranked, and the 2.5%/97.5% lower-rank
+    quantiles bound the CI — uncertainty for a metric whose
+    distribution nobody wants to model parametrically.
+
+    Determinism: the draw is the engine-reproducible md5 hash draw
+    (:func:`operators.sampling.hash_uniform`) over (seed, b, r), so
+    both engines materialize the IDENTICAL resample table — no RNG
+    state, replayable forever. Plan: everything after the first
+    aggregate is grid-sized — the (b, r) index table is
+    n_boot·n_days rows of integers joined to the broadcast day grid;
+    per-resample means are exact cents sums over exact counts; the
+    final quantiles rank 200 rows.
+    """
+    from vectorsearchutil_spark.operators.sampling import hash_uniform
+
+    cents = _cents(F.col(value_col))
+    daily = (
+        events.groupBy(F.to_date(F.col(ts_col)).alias("_day"))
+        .agg(F.sum(cents).alias("_x"))
+        .filter(F.col("_x").isNotNull())
+    )
+    ranked = daily.select(
+        "_x",
+        F.row_number()
+        .over(Window.orderBy(F.col("_day").asc()))
+        .alias("_r"),
+    )
+    nd = ranked.agg(F.max("_r").alias("_nd"))
+    spark = events.sparkSession
+    grid = (
+        spark.range(1, n_boot + 1)
+        .select(F.col("id").alias("_b"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "_b",
+            F.explode(
+                F.sequence(F.lit(1), F.col("_nd"))
+            ).alias("_i"),
+            "_nd",
+        )
+    )
+    draw = grid.select(
+        "_b",
+        (
+            F.floor(
+                hash_uniform(
+                    F.concat_ws(
+                        ":",
+                        F.col("_b").cast("string"),
+                        F.col("_i").cast("string"),
+                    ),
+                    seed,
+                )
+                * F.col("_nd").cast("double")
+            ).cast("int")
+            + 1
+        ).alias("_r"),
+    )
+    boots = (
+        draw.join(F.broadcast(ranked), "_r")
+        .groupBy("_b")
+        .agg(
+            (
+                F.sum("_x").cast("double")
+                / F.lit(100.0)
+                / F.count(F.lit(1)).cast("double")
+            ).alias("_mean")
+        )
+    )
+    wq = Window.orderBy(F.col("_mean").asc())
+    ranked_means = boots.select(
+        "_mean", F.row_number().over(wq).alias("_q")
+    )
+    lo_rank = max(1, int(n_boot * 0.025))
+    hi_rank = max(1, int(n_boot * 0.975))
+    base_mean = daily.agg(
+        (
+            F.sum("_x").cast("double")
+            / F.lit(100.0)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_m"),
+        F.count(F.lit(1)).cast("long").alias("_ndays"),
+    )
+    return (
+        ranked_means.filter(F.col("_q").isin(lo_rank, hi_rank))
+        .agg(
+            F.min("_mean").alias("_lo"), F.max("_mean").alias("_hi")
+        )
+        .crossJoin(F.broadcast(base_mean))
+        .select(
+            F.col("_ndays").alias("n_days"),
+            F.lit(n_boot).cast("long").alias("n_boot"),
+            round_half_up(F.col("_m"), 4).alias("mean_daily"),
+            round_half_up(F.col("_lo"), 4).alias("ci_lo"),
+            round_half_up(F.col("_hi"), 4).alias("ci_hi"),
         )
     )

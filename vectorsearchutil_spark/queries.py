@@ -9779,13 +9779,14 @@ def _promote_pending() -> None:
     partially initialized when the other finishes — whichever module
     completes LAST re-runs the merge over the by-then-complete
     pending dicts."""
-    from vectorsearchutil_spark.queries_pending import (
-        PENDING_ORACLES,
-        PENDING_QUERIES,
-    )
+    from vectorsearchutil_spark import queries_pending as _qp
 
-    QUERIES.update(PENDING_QUERIES)
-    ORACLES.update(PENDING_ORACLES)
+    promoted = getattr(_qp, "ROUND6_PROMOTED", None)
+    for name, fn in _qp.PENDING_QUERIES.items():
+        if promoted is None or name in promoted:
+            QUERIES[name] = fn
+            if name in _qp.PENDING_ORACLES:
+                ORACLES[name] = _qp.PENDING_ORACLES[name]
     _reorder_for_driver_window()
 
 

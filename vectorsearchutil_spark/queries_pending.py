@@ -1924,6 +1924,275 @@ def embeddings_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top_pc(emb, vec_col="embedding")
 
 
+# ==========================================================================
+# ROUND-7 STAGING WAVE (pending — NOT in ROUND6_PROMOTED, so these stay
+# out of the live registry until their own promotion round).
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 34. Per-source lexical profile: hapax ratio / type-token ratio
+# --------------------------------------------------------------------------
+
+_HAPAX_ORACLE = """
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS token
+  FROM documents
+),
+tc AS (
+  SELECT source, token, COUNT(*) AS c FROM tok GROUP BY 1, 2
+)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS vocab,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+       floor(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS hapax_frac,
+       floor(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS type_token_ratio
+FROM tc GROUP BY source
+"""
+
+
+@pending_query("docs_hapax_ratio", _HAPAX_ORACLE)
+def docs_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical health: vocabulary size, hapax-legomenon
+    count/fraction (words seen exactly once — high hapax = rich or
+    noisy text, near-zero = templated/duplicated text) and type-token
+    ratio — the cheap corpus-quality screens run per source before
+    mixing. One token aggregate, then a per-source rollup of the
+    (source, token) counts; ratios divide exact integers."""
+    from vectorsearchutil_spark.functions.text import tokens_sql
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    tc = (
+        docs.selectExpr("source", f"explode({tokens_sql('text')}) AS token")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).cast("long").alias("vocab"),
+            F.sum((F.col("c") == 1).cast("int")).cast("long").alias("hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "hapax",
+            round_half_up(
+                F.col("hapax").cast("double") / F.col("vocab").cast("double"),
+                6,
+            ).alias("hapax_frac"),
+            round_half_up(
+                F.col("vocab").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("type_token_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 35. Daily revenue peak detection (calendar-neighbour local maxima)
+# --------------------------------------------------------------------------
+
+_PEAKS_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS v
+  FROM events GROUP BY 1, 2
+),
+nb AS (
+  SELECT d.event_type, d.day + CAST(o.k AS INT) AS day, d.v AS nv
+  FROM daily d, range(-3, 4) o(k) WHERE o.k != 0
+),
+agg AS (
+  SELECT d.event_type, d.day, MAX(d.v) AS v0, MAX(n.nv) AS max_nb,
+         SUM(n.nv) AS sum_nb, COUNT(*) AS n_nb
+  FROM daily d
+  JOIN nb n ON n.event_type = d.event_type AND n.day = d.day
+  GROUP BY 1, 2
+)
+SELECT event_type,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(v0 AS DOUBLE) / 100.0 AS day_value,
+       CAST(n_nb AS BIGINT) AS n_neighbors,
+       floor(CAST(sum_nb AS DOUBLE) / 100.0 / CAST(n_nb AS DOUBLE)
+             * 10000.0 + 0.5) / 10000.0 AS neighbor_mean
+FROM agg
+WHERE CAST(v0 AS HUGEINT) > CAST(max_nb AS HUGEINT)
+  AND 2 * CAST(v0 AS HUGEINT) * CAST(n_nb AS HUGEINT)
+      >= 3 * CAST(sum_nb AS HUGEINT)
+"""
+
+
+@pending_query("events_daily_peaks", _PEAKS_ORACLE)
+def events_daily_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily revenue spikes: days strictly above every
+    present calendar neighbour within ±3 days AND ≥1.5× the
+    neighbour mean — the promo-impact / incident spike detector.
+    Grid-bounded after one aggregate; the prominence test
+    cross-multiplies in DECIMAL so no division sits on a float
+    boundary (operators/analytics.py::daily_peaks)."""
+    from vectorsearchutil_spark.operators.analytics import daily_peaks
+
+    e = load_table(spark, sf_dir, "events")
+    return daily_peaks(e)
+
+
+# --------------------------------------------------------------------------
+# 36. Theil–Sen robust daily-revenue trend
+# --------------------------------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CASE WHEN o_totalprice IS NOT NULL AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS x
+  FROM orders GROUP BY 1
+),
+pairs AS (
+  SELECT CAST(b.x - a.x AS DOUBLE)
+         / CAST(datediff('day', a.day, b.day) AS DOUBLE) AS slope
+  FROM daily a JOIN daily b ON b.day > a.day
+),
+hist AS (SELECT slope, COUNT(*) AS c FROM pairs GROUP BY 1),
+tot AS (SELECT SUM(c) AS n FROM hist),
+cum AS (
+  SELECT slope,
+         SUM(c) OVER (ORDER BY slope ASC
+                      ROWS UNBOUNDED PRECEDING) AS cumc
+  FROM hist
+)
+SELECT CAST(tot.n AS BIGINT) AS n_pairs,
+       floor(MIN(cum.slope) / 100.0 * 1000000.0 + 0.5) / 1000000.0
+         AS slope_per_day
+FROM cum, tot
+WHERE cum.cumc * 2 >= tot.n
+GROUP BY tot.n
+"""
+
+
+@pending_query("orders_theilsen_trend", _THEILSEN_ORACLE)
+def orders_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily revenue: the lower median of
+    all pairwise day-to-day slopes — outlier-immune where OLS is not.
+    The pair table is calendar-bounded (days²), the median comes from
+    the distinct-slope histogram (no serial row_number over pairs)
+    (operators/analytics.py::theil_sen_daily_trend)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        theil_sen_daily_trend,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    return theil_sen_daily_trend(o)
+
+
+# --------------------------------------------------------------------------
+# 37. Deterministic block-bootstrap CI for mean daily revenue
+# --------------------------------------------------------------------------
+
+_BOOTSTRAP_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS x
+  FROM events GROUP BY 1
+),
+daily2 AS (SELECT day, x FROM daily WHERE x IS NOT NULL),
+ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY day ASC) AS r FROM daily2
+),
+nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM ranked),
+grid AS (
+  -- the resample index i runs 1..nd: ranked.r IS that range (range()
+  -- cannot take a lateral bound in DuckDB)
+  SELECT CAST(b.b AS BIGINT) AS b, CAST(ranked.r AS BIGINT) AS i, nd.nd
+  FROM range(1, 201) b(b), ranked, nd
+),
+draw AS (
+  SELECT b,
+         CAST(floor(
+           (('0x' || substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                            || CAST(i AS VARCHAR)), 1, 8))::BIGINT
+            / 4294967296.0) * CAST(nd AS DOUBLE)
+         ) AS INT) + 1 AS r
+  FROM grid
+),
+boots AS (
+  SELECT d.b,
+         CAST(SUM(ranked.x) AS DOUBLE) / 100.0 / COUNT(*) AS m
+  FROM draw d JOIN ranked ON ranked.r = d.r
+  GROUP BY d.b
+),
+qs AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC) AS q FROM boots
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS DOUBLE) / 100.0 / COUNT(*) AS m
+  FROM daily2
+)
+SELECT base.n_days,
+       CAST(200 AS BIGINT) AS n_boot,
+       floor(base.m * 10000.0 + 0.5) / 10000.0 AS mean_daily,
+       floor(MIN(qs.m) * 10000.0 + 0.5) / 10000.0 AS ci_lo,
+       floor(MAX(qs.m) * 10000.0 + 0.5) / 10000.0 AS ci_hi
+FROM qs, base
+WHERE qs.q IN (5, 195)
+GROUP BY base.n_days, base.m
+"""
+
+
+@pending_query("events_bootstrap_ci", _BOOTSTRAP_ORACLE)
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% block-bootstrap CI for mean daily revenue: 200
+    deterministic md5-hash day-resamples (engine-reproducible — no
+    RNG state), day-level blocks, lower-rank 2.5%/97.5% quantiles of
+    the resample means. Grid-sized after the first aggregate
+    (operators/analytics.py::block_bootstrap_mean_ci)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        block_bootstrap_mean_ci,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return block_bootstrap_mean_ci(e)
+
+
+#: The round-6 promotion set: exactly the 33 entries staged during the
+#: round-5 freeze and promoted into the live registry by
+#: queries._promote_pending. Entries registered here AFTER this list
+#: (round-7+ staging waves) stay PENDING — validated by the
+#: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
+#: but NOT served to the driver until their own promotion round, per
+#: the window-capacity rule (never let never-driver-checked entries
+#: outgrow the ~50-row window).
+ROUND6_PROMOTED = (
+    "docs_benchmark_contamination", "dedup_keep_best",
+    "docs_truncation_stats", "events_value_tdigest",
+    "knn_crossencoder_rerank", "events_skew_report",
+    "docs_containment_pairs", "embeddings_hubness",
+    "tpch_fk_integrity", "embeddings_retrieval_metrics",
+    "events_percentile_rank", "docs_badword_filter",
+    "docs_normalized_dedup", "docs_zipf_fit",
+    "docs_source_divergence", "docs_top_terms",
+    "docs_langid_confusion", "events_rolling_zscore",
+    "events_interarrival", "orders_yoy_growth",
+    "customer_rfm_scores", "events_ab_test",
+    "events_cusum_changepoint", "orders_benford", "orders_gini",
+    "events_kaplan_meier", "docs_token_chi2", "events_mannwhitney",
+    "events_ks_drift", "orders_daily_acf", "embeddings_matryoshka",
+    "embeddings_knn_label_eval", "embeddings_top_pc",
+)
+
 # Complete the round-6 promotion when THIS module is the last of the
 # mutually-importing pair (queries.py <-> queries_pending.py) to
 # finish initializing — see queries._promote_pending's docstring.
