@@ -170,3 +170,58 @@ def test_hapax_ratio_counts(spark, sf_dir):
     assert s1["type_token_ratio"] == pytest.approx(4 / 6, abs=1e-6)
     s2 = got["s2"]
     assert s2["vocab"] == 1 and s2["hapax"] == 0
+
+
+def test_pca_top2_recovers_two_planted_directions(spark):
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top2,
+    )
+
+    rng = np.random.RandomState(3)
+    n, d = 400, 8
+    m = rng.randn(n, d) * 0.01
+    m[:, 2] += rng.randn(n) * 10.0   # dominant direction: dim 3
+    m[:, 5] += rng.randn(n) * 5.0    # second direction: dim 6
+    rows = [(i, [float(x) for x in m[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = sorted(
+        power_iteration_top2(df).collect(), key=lambda r: r["dim"]
+    )
+    assert len(got) == d
+    lam1 = got[0]["eigenvalue"]
+    lam2 = got[0]["eigenvalue2"]
+    gap = got[0]["spectral_gap"]
+    # planted variances ~100 and ~25
+    assert 70.0 < lam1 < 130.0
+    assert 15.0 < lam2 < 40.0
+    assert gap == pytest.approx(lam1 - lam2, abs=1e-6)
+    lead1 = max(got, key=lambda r: abs(r["loading"]))
+    lead2 = max(got, key=lambda r: abs(r["loading2"]))
+    assert lead1["dim"] == 3
+    assert lead2["dim"] == 6
+    # near-orthogonality of the two fixed-point loadings
+    dot = sum(r["loading"] * r["loading2"] for r in got)
+    n1 = sum(r["loading"] ** 2 for r in got) ** 0.5
+    n2 = sum(r["loading2"] ** 2 for r in got) ** 0.5
+    assert abs(dot / (n1 * n2)) < 0.05
+
+
+def test_pca_top2_partition_invariant(spark):
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top2,
+    )
+
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, [float(x) for x in rng.randn(6)]) for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    a = sorted(map(tuple, power_iteration_top2(df).collect()))
+    b = sorted(
+        map(tuple, power_iteration_top2(df.repartition(16)).collect())
+    )
+    assert a == b

@@ -521,27 +521,67 @@ def power_iteration_top_pc(
     constant ``eigenvalue`` column (the Rayleigh quotient, 1e-6
     floor-rounded).
     """
+    spark = emb.sparkSession
+    cells, d = _quantized_cov_cells(emb, vec_col, fp_scale)
+    if not cells:
+        return spark.createDataFrame(
+            [], "dim int, loading double, eigenvalue double"
+        )
+    v, lam = _power_steps(cells, d, iterations, fp_scale)
+    if v is None:
+        # zero matvec (all-zero quantized covariance, or v in its
+        # null space): mirror the oracle's NULLIF(MAX(ABS(w)), 0)
+        # cascade — every downstream value is NULL, one row per
+        # dim survives (the joins keep their keys)
+        rows_null = [(i + 1, None, None) for i in range(d)]
+        return spark.createDataFrame(
+            rows_null, "dim int, loading double, eigenvalue double"
+        )
+    rows = [
+        (i + 1, float(v[i]) / fp_scale, lam) for i in range(d)
+    ]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double"
+    )
+
+
+def _quantized_cov_cells(
+    emb: DataFrame, vec_col: str, fp_scale: int
+) -> tuple[dict[tuple[int, int], int], int]:
+    """Collect dim_covariance and quantize to integer cells (both
+    triangles) — the shared driver-side input of the power-iteration
+    family. Non-finite covariance (possible only on non-finite
+    payload fixtures) contributes 0, mirroring the oracle's behavior
+    over finite data."""
     import math
 
-    spark = emb.sparkSession
     cov_rows = dim_covariance(emb, vec_col=vec_col).collect()
     cells: dict[tuple[int, int], int] = {}
     d = 0
     for r in cov_rows:
         c = r["cov"]
-        # non-finite covariance can only arise from non-finite
-        # payload fixtures; treat as 0 contribution (real corpora
-        # are finite — parity with the SQL oracle is over finite data)
         if c is None or not math.isfinite(c):
             c = 0.0
         q = int(math.floor(c * fp_scale + 0.5))
         cells[(r["i"], r["j"])] = q
         cells[(r["j"], r["i"])] = q
         d = max(d, r["j"])
-    if not cells:
-        return spark.createDataFrame(
-            [], "dim int, loading double, eigenvalue double"
-        )
+    return cells, d
+
+
+def _power_steps(
+    cells: dict[tuple[int, int], int],
+    d: int,
+    iterations: int,
+    fp_scale: int,
+):
+    """The integer power-iteration core shared by top-PC and the
+    deflated second-PC stage: k fixed-point steps from the all-ones
+    init, then the Rayleigh quotient. Returns ``(v_fp, lam)`` or
+    ``(None, None)`` on a zero matvec (the oracle's
+    NULLIF(MAX(ABS(w)), 0) NULL cascade)."""
+    import math
+
     def matvec(vec: list[int]) -> list[int]:
         return [
             sum(cells.get((i + 1, j + 1), 0) * vec[j] for j in range(d))
@@ -553,32 +593,85 @@ def power_iteration_top_pc(
         w = matvec(v)
         m = max(abs(x) for x in w)
         if m == 0:
-            # zero matvec (all-zero quantized covariance, or v in its
-            # null space): mirror the oracle's NULLIF(MAX(ABS(w)), 0)
-            # cascade — every downstream value is NULL, one row per
-            # dim survives (the joins keep their keys)
-            rows_null = [(i + 1, None, None) for i in range(d)]
-            return spark.createDataFrame(
-                rows_null, "dim int, loading double, eigenvalue double"
-            )
+            return None, None
         v = [
             int(math.floor(float(x) / float(m) * fp_scale + 0.5))
             for x in w
         ]
-    # Rayleigh quotient from ONE extra matvec on the final v (so the
-    # pair is (v, A_fp·v), not (v_k, A_fp·v_{k-1})):
     w = matvec(v)
     num = sum(
         int(math.floor(float(v[i]) * float(w[i]) / fp_scale))
         for i in range(d)
     )
     denom = sum(x * x for x in v)
-    # num ~ (v'Av)*fp^2, denom ~ (v'v)*fp^2 → the ratio IS lambda
     lam = (float(num) / float(denom)) if denom else 0.0
     lam = math.floor(lam * fp_scale + 0.5) / fp_scale
-    rows = [
-        (i + 1, float(v[i]) / fp_scale, lam) for i in range(d)
-    ]
-    return spark.createDataFrame(
-        rows, "dim int, loading double, eigenvalue double"
+    return v, lam
+
+
+def power_iteration_top2(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    iterations: int = TOP_PC_ITERATIONS,
+    fp_scale: int = 1_000_000,
+) -> DataFrame:
+    """Top TWO principal components by fixed-point power iteration
+    with Hotelling deflation — the anisotropy audit (Ethayarajh 2019:
+    contextual embeddings concentrate in a narrow cone; the top-2
+    plane plus the spectral gap λ1−λ2 quantifies it, and
+    all-but-the-top post-processing (Mu & Viswanath 2018) removes
+    exactly these directions).
+
+    Stage 1 is :func:`power_iteration_top_pc`'s integer iteration;
+    deflation then subtracts the rank-1 term with ONE deterministic
+    double expression per cell — ``floor(λ1·v1ᵢ·v1ⱼ·10⁶ + 0.5)``,
+    left-associated, identical IEEE ops in the SQL oracle — so the
+    deflated matrix is again exact integers and stage 2 replays
+    bit-identically. The expensive distributed pass (the covariance
+    sweep) runs ONCE and both stages iterate on the collected d×d
+    ints driver-side.
+
+    Output: one row per dimension with both loadings, both
+    eigenvalues, and the constant spectral gap.
+    """
+    import math
+
+    spark = emb.sparkSession
+    schema = (
+        "dim int, loading double, loading2 double,"
+        " eigenvalue double, eigenvalue2 double, spectral_gap double"
     )
+    cells, d = _quantized_cov_cells(emb, vec_col, fp_scale)
+    if not cells:
+        return spark.createDataFrame([], schema)
+    v1, lam1 = _power_steps(cells, d, iterations, fp_scale)
+    if v1 is None:
+        rows = [(i + 1, None, None, None, None, None) for i in range(d)]
+        return spark.createDataFrame(rows, schema)
+    defl: dict[tuple[int, int], int] = {}
+    for i in range(d):
+        vi = float(v1[i]) / fp_scale
+        for j in range(d):
+            vj = float(v1[j]) / fp_scale
+            term = int(math.floor(lam1 * vi * vj * fp_scale + 0.5))
+            defl[(i + 1, j + 1)] = cells.get((i + 1, j + 1), 0) - term
+    v2, lam2 = _power_steps(defl, d, iterations, fp_scale)
+    if v2 is None:
+        rows = [
+            (i + 1, float(v1[i]) / fp_scale, None, lam1, None, None)
+            for i in range(d)
+        ]
+        return spark.createDataFrame(rows, schema)
+    gap = math.floor((lam1 - lam2) * fp_scale + 0.5) / fp_scale
+    rows = [
+        (
+            i + 1,
+            float(v1[i]) / fp_scale,
+            float(v2[i]) / fp_scale,
+            lam1,
+            lam2,
+            gap,
+        )
+        for i in range(d)
+    ]
+    return spark.createDataFrame(rows, schema)

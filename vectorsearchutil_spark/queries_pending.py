@@ -2167,6 +2167,152 @@ def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return block_bootstrap_mean_ci(e)
 
 
+# --------------------------------------------------------------------------
+# 38. Top-2 principal components + spectral gap (deflated power iteration)
+# --------------------------------------------------------------------------
+
+
+def _top2_oracle(iterations: int | None = None) -> str:
+    """Two-stage unrolled replay of
+    ``operators/embeddings.py::power_iteration_top2``: the stage-1
+    CTEs are ``_top_pc_oracle``'s; deflation subtracts
+    ``floor(((λ1·v1ᵢ)·v1ⱼ)·10⁶ + 0.5)`` per cell (the identical
+    left-associated double expression the Python driver evaluates),
+    then stage 2 unrolls the same iteration over the deflated
+    integer matrix."""
+    from vectorsearchutil_spark.functions.vector import FINITE_VEC_SQL
+    from vectorsearchutil_spark.operators.embeddings import (
+        TOP_PC_ITERATIONS,
+    )
+
+    if iterations is None:
+        iterations = TOP_PC_ITERATIONS
+    parts = [f"""WITH e AS MATERIALIZED (SELECT embedding::DOUBLE[] AS v FROM embeddings
+  WHERE {FINITE_VEC_SQL}),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+prod AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 65536.0) AS BIGINT)
+             * CAST(FLOOR(v[CAST(u.j AS INT)] * 65536.0) AS BIGINT)) AS sq
+  FROM e, range(1, 65) t(i), range(1, 65) u(j)
+  WHERE u.j >= t.i
+  GROUP BY 1, 2
+),
+mm AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS i,
+         SUM(CAST(FLOOR(v[CAST(t.i AS INT)] * 65536.0) AS BIGINT)) AS mq
+  FROM e, range(1, 65) t(i) GROUP BY 1
+),
+cov0 AS MATERIALIZED (
+  SELECT p.i, p.j,
+         ROUND(p.sq / 65536.0 / 65536.0 / n.n
+               - (a.mq / 65536.0 / n.n) * (b.mq / 65536.0 / n.n),
+               6) + 0.0 AS cov
+  FROM prod p JOIN mm a ON a.i = p.i JOIN mm b ON b.i = p.j, n
+),
+cov AS MATERIALIZED (
+  SELECT i, j, CAST(FLOOR(cov * 1000000.0 + 0.5) AS BIGINT) AS c FROM cov0
+  UNION ALL
+  SELECT j, i, CAST(FLOOR(cov * 1000000.0 + 0.5) AS BIGINT)
+  FROM cov0 WHERE i != j
+),
+v0 AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS d, CAST(1000000 AS BIGINT) AS vf
+  FROM range(1, 65) t(i)
+)"""]
+
+    def stage(cov_name: str, vpfx: str, wpfx: str, mpfx: str) -> None:
+        for it in range(1, iterations + 1):
+            pr = it - 1
+            parts.append(f"""{wpfx}{it} AS MATERIALIZED (
+  SELECT {cov_name}.i AS d, SUM({cov_name}.c * {vpfx}{pr}.vf) AS w
+  FROM {cov_name} JOIN {vpfx}{pr} ON {vpfx}{pr}.d = {cov_name}.j GROUP BY 1
+)""")
+            parts.append(
+                f"{mpfx}{it} AS MATERIALIZED"
+                f" (SELECT NULLIF(MAX(ABS(w)), 0) AS m FROM {wpfx}{it})"
+            )
+            parts.append(f"""{vpfx}{it} AS MATERIALIZED (
+  SELECT d, CAST(FLOOR(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+                       * 1000000.0 + 0.5) AS BIGINT) AS vf
+  FROM {wpfx}{it}, {mpfx}{it}
+)""")
+
+    k = iterations
+    stage("cov", "v", "w", "m")
+    parts.append(f"""wf AS MATERIALIZED (
+  SELECT cov.i AS d, SUM(cov.c * v{k}.vf) AS w
+  FROM cov JOIN v{k} ON v{k}.d = cov.j GROUP BY 1
+)""")
+    parts.append(f"""num AS MATERIALIZED (
+  SELECT SUM(CAST(FLOOR(CAST(v.vf AS DOUBLE) * CAST(w.w AS DOUBLE)
+                        / 1000000.0) AS BIGINT)) AS num
+  FROM v{k} v JOIN wf w ON w.d = v.d
+)""")
+    parts.append(f"den AS MATERIALIZED (SELECT SUM(vf * vf) AS den FROM v{k})")
+    parts.append("""l1 AS MATERIALIZED (
+  SELECT FLOOR(CAST(num.num AS DOUBLE) / CAST(den.den AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS lam
+  FROM num, den
+)""")
+    parts.append(f"""defl AS MATERIALIZED (
+  SELECT cov.i, cov.j,
+         cov.c - CAST(FLOOR(((l1.lam * (CAST(a.vf AS DOUBLE) / 1000000.0))
+                             * (CAST(b.vf AS DOUBLE) / 1000000.0))
+                            * 1000000.0 + 0.5) AS BIGINT) AS c
+  FROM cov JOIN v{k} a ON a.d = cov.i JOIN v{k} b ON b.d = cov.j, l1
+)""")
+    parts.append("""x0 AS MATERIALIZED (
+  SELECT CAST(t.i AS INT) AS d, CAST(1000000 AS BIGINT) AS vf
+  FROM range(1, 65) t(i)
+)""")
+    stage("defl", "x", "y", "p")
+    parts.append(f"""yf AS MATERIALIZED (
+  SELECT defl.i AS d, SUM(defl.c * x{k}.vf) AS w
+  FROM defl JOIN x{k} ON x{k}.d = defl.j GROUP BY 1
+)""")
+    parts.append(f"""num2 AS MATERIALIZED (
+  SELECT SUM(CAST(FLOOR(CAST(v.vf AS DOUBLE) * CAST(w.w AS DOUBLE)
+                        / 1000000.0) AS BIGINT)) AS num
+  FROM x{k} v JOIN yf w ON w.d = v.d
+)""")
+    parts.append(
+        f"den2 AS MATERIALIZED (SELECT SUM(vf * vf) AS den FROM x{k})"
+    )
+    parts.append("""l2 AS MATERIALIZED (
+  SELECT FLOOR(CAST(num2.num AS DOUBLE) / CAST(den2.den AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0 AS lam
+  FROM num2, den2
+)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT a.d AS dim,
+       CAST(a.vf AS DOUBLE) / 1000000.0 AS loading,
+       CAST(b.vf AS DOUBLE) / 1000000.0 AS loading2,
+       l1.lam AS eigenvalue,
+       l2.lam AS eigenvalue2,
+       FLOOR((l1.lam - l2.lam) * 1000000.0 + 0.5) / 1000000.0
+         AS spectral_gap
+FROM v{k} a JOIN x{k} b ON b.d = a.d, l1, l2
+"""
+
+
+@pending_query("embeddings_pca_top2", _top2_oracle())
+def embeddings_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-2 principal components + spectral gap of the embedding
+    covariance via deflated fixed-point power iteration — the
+    anisotropy audit (narrow-cone geometry; all-but-the-top
+    post-processing targets exactly these directions). One
+    distributed covariance sweep; both 64×64 iterations replay
+    bit-identically through the two-stage unrolled-CTE oracle."""
+    from vectorsearchutil_spark.operators.embeddings import (
+        power_iteration_top2,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return power_iteration_top2(emb)
+
+
 #: The round-6 promotion set: exactly the 33 entries staged during the
 #: round-5 freeze and promoted into the live registry by
 #: queries._promote_pending. Entries registered here AFTER this list
