@@ -225,3 +225,24 @@ def test_pca_top2_partition_invariant(spark):
         map(tuple, power_iteration_top2(df.repartition(16)).collect())
     )
     assert a == b
+
+
+def test_curriculum_sharded_equals_serial(spark, sf_dir):
+    """The sharded (no-serial-window) construction must produce the
+    IDENTICAL total order as the windowed docs_curriculum_order —
+    row-for-row, including global_pos."""
+    from vectorsearchutil_spark.queries import QUERIES
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    a = sorted(
+        map(tuple, QUERIES["docs_curriculum_order"](spark, sf_dir).collect())
+    )
+    b = sorted(
+        map(
+            tuple,
+            PENDING_QUERIES["docs_curriculum_sharded"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    assert a == b

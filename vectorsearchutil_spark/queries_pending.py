@@ -2313,6 +2313,149 @@ def embeddings_pca_top2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return power_iteration_top2(emb)
 
 
+# --------------------------------------------------------------------------
+# 39. Curriculum order WITHOUT the serial global window (sharded form)
+# --------------------------------------------------------------------------
+
+_CURRICULUM_SHARDED_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source, len(t) AS n_tokens,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1.0 - len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','is','in','on'], x)))
+                * 1.0 / len(t)), 4) AS quality
+  FROM toks WHERE len(t) > 0
+),
+r AS (
+  SELECT doc_id, source, quality,
+         CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY quality DESC, doc_id ASC) AS INT) AS pos_in_source
+  FROM q
+)
+SELECT doc_id, source, quality, pos_in_source,
+       CAST(ROW_NUMBER() OVER (ORDER BY pos_in_source, source, doc_id)
+         AS INT) AS global_pos
+FROM r
+"""
+
+
+@pending_query("docs_curriculum_sharded", _CURRICULUM_SHARDED_ORACLE)
+def docs_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The docs_curriculum_order total order — IDENTICAL output, same
+    oracle — built WITHOUT any serial global window (the one declared
+    total-order output left in the repo; VERDICT r5 #8).
+
+    The order is (pos_in_source, source, doc_id), and within a fixed
+    pos_in_source every source contributes at most ONE row, so:
+
+      global_pos(p, s) = f(p) + rank of s among sources with ≥ p docs
+
+    * ``f(p) = Σ_{s'} min(cnt_{s'}, p−1)`` — rows that sort strictly
+      before position p. Computed on the DISTINCT-COUNT axis: the
+      per-source count histogram's cumulative (#sources, Σcnt) gives
+      ``f(x=p−1) = cumSum(x) + (S − cumN(x))·x`` per count BRACKET,
+      and each row range-joins the broadcast bracket table.
+    * the within-p rank is a window PARTITIONED BY pos_in_source —
+      ≤ #sources rows per partition, millions of independent
+      partitions: embarrassingly parallel, never a single-task sort.
+
+    Serial state is bounded by DISTINCT COUNT VALUES (the tiny
+    bracket window), not rows — the 100 TB-safe construction of a
+    total order."""
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.operators.textanalysis import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = (
+        quality_score(docs)
+        .filter(F.col("n_tokens") > 0)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id", "source", F.col("quality_score").alias("quality")
+        )
+    )
+    per_src = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    ranked = q.withColumn(
+        "pos_in_source", F.row_number().over(per_src).cast("int")
+    )
+    scnt = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    chist = scnt.groupBy("_cnt").agg(F.count(F.lit(1)).alias("_h"))
+    cw = Window.orderBy(F.col("_cnt").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = chist.select(
+        F.col("_cnt").alias("_c"),
+        F.sum("_h").over(cw).alias("_cumN"),
+        F.sum(F.col("_h") * F.col("_cnt")).over(cw).alias("_cumSum"),
+    )
+    nxt = Window.orderBy(F.col("_c").asc())
+    brackets = cum.select(
+        "_c",
+        "_cumN",
+        "_cumSum",
+        F.coalesce(
+            F.lead("_c").over(nxt), F.lit(2_147_483_647)
+        ).alias("_next"),
+    ).unionByName(
+        spark.createDataFrame(
+            [(0, 0, 0, None)], "_c long, _cumN long, _cumSum long, _next long"
+        ).select(
+            "_c",
+            "_cumN",
+            "_cumSum",
+            F.lit(None).cast("long").alias("_next"),
+        )
+    )
+    # the synthetic (0,0,0) bracket covers x < min count; close it at
+    # the real min count
+    minc = cum.agg(F.min("_c").alias("_minc"))
+    brackets = (
+        brackets.crossJoin(F.broadcast(minc))
+        .select(
+            "_c",
+            "_cumN",
+            "_cumSum",
+            F.coalesce(F.col("_next"), F.col("_minc")).alias("_next"),
+        )
+    )
+    n_sources = scnt.agg(F.count(F.lit(1)).alias("_S"))
+    x = (F.col("pos_in_source") - 1).cast("long")
+    with_f = (
+        ranked.join(
+            F.broadcast(brackets),
+            (x >= F.col("_c")) & (x < F.col("_next")),
+        )
+        .crossJoin(F.broadcast(n_sources))
+        .withColumn(
+            "_f",
+            F.col("_cumSum")
+            + (F.col("_S") - F.col("_cumN")) * x,
+        )
+    )
+    within = Window.partitionBy("pos_in_source").orderBy(
+        F.col("source").asc(), F.col("doc_id").asc()
+    )
+    return with_f.select(
+        "doc_id",
+        "source",
+        "quality",
+        "pos_in_source",
+        (F.col("_f") + F.row_number().over(within))
+        .cast("int")
+        .alias("global_pos"),
+    )
+
+
 #: The round-6 promotion set: exactly the 33 entries staged during the
 #: round-5 freeze and promoted into the live registry by
 #: queries._promote_pending. Entries registered here AFTER this list
