@@ -142,6 +142,56 @@ PROBES["theilsen"] = probe_theilsen
 PROBES["bootstrap"] = probe_bootstrap
 
 
+
+
+def probe_curriculum_sharded(spark):
+    """2M docs / 50 sources: the bracket table is distinct-count-
+    sized, the within-p windows are <= 50 rows each; compare plans
+    with the serial-window form at the same scale."""
+    import time as _t
+
+    docs = spark.range(2_000_000).selectExpr(
+        "id AS doc_id",
+        "concat('s', pmod(xxhash64(id, 5), 50)) AS source",
+        "concat_ws(' ', transform(sequence(1, 20),"
+        " j -> concat('tok', pmod(xxhash64(id, j), 5000)))) AS text",
+        "'en' AS lang",
+        "120 AS n_chars",
+    ).cache()
+    docs.count()
+    import os
+    import tempfile
+
+    from vectorsearchutil_spark.queries import QUERIES
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        t0 = _t.time()
+        a = (
+            PENDING_QUERIES["docs_curriculum_sharded"](spark, tmp)
+            .agg(F.sum("global_pos").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        dt_sharded = _t.time() - t0
+        t0 = _t.time()
+        b = (
+            QUERIES["docs_curriculum_order"](spark, tmp)
+            .agg(F.sum("global_pos").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+        dt_serial = _t.time() - t0
+    docs.unpersist()
+    assert a == b, (a, b)
+    return (
+        f"sharded {dt_sharded:.1f}s vs serial-window {dt_serial:.1f}s"
+        f" @ 2M docs / 50 sources (orders identical: sum+count match)"
+    )
+
+
+PROBES["curriculum_sharded"] = probe_curriculum_sharded
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

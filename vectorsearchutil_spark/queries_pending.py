@@ -2379,6 +2379,9 @@ def docs_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "source", F.col("quality_score").alias("quality")
         )
+        # computed once, consumed by the ranking path AND the
+        # count-histogram path (the q11/q15 view-reuse pattern)
+        .localCheckpoint(eager=False)
     )
     per_src = Window.partitionBy("source").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -2386,7 +2389,8 @@ def docs_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = q.withColumn(
         "pos_in_source", F.row_number().over(per_src).cast("int")
     )
-    scnt = ranked.groupBy("source").agg(
+    # per-source counts need no window — straight off q
+    scnt = q.groupBy("source").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
     chist = scnt.groupBy("_cnt").agg(F.count(F.lit(1)).alias("_h"))
@@ -2429,19 +2433,30 @@ def docs_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n_sources = scnt.agg(F.count(F.lit(1)).alias("_S"))
+    # resolve f on the DISTINCT-p grid (1..max count — tiny), so rows
+    # take a broadcast EQUI-join on pos_in_source instead of a per-row
+    # range scan of the bracket table (measured 4x at the 2M probe)
+    maxc = scnt.agg(F.max("_cnt").alias("_maxc"))
+    pgrid = maxc.select(
+        F.explode(F.sequence(F.lit(1), F.col("_maxc"))).alias(
+            "pos_in_source"
+        )
+    )
     x = (F.col("pos_in_source") - 1).cast("long")
-    with_f = (
-        ranked.join(
+    ftab = (
+        pgrid.join(
             F.broadcast(brackets),
             (x >= F.col("_c")) & (x < F.col("_next")),
         )
         .crossJoin(F.broadcast(n_sources))
-        .withColumn(
-            "_f",
-            F.col("_cumSum")
-            + (F.col("_S") - F.col("_cumN")) * x,
+        .select(
+            "pos_in_source",
+            (
+                F.col("_cumSum") + (F.col("_S") - F.col("_cumN")) * x
+            ).alias("_f"),
         )
     )
+    with_f = ranked.join(F.broadcast(ftab), "pos_in_source")
     within = Window.partitionBy("pos_in_source").orderBy(
         F.col("source").asc(), F.col("doc_id").asc()
     )
