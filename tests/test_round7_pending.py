@@ -246,38 +246,3 @@ def test_curriculum_sharded_equals_serial(spark, sf_dir):
         )
     )
     assert a == b
-
-
-def test_funnel_strictly_after_semantics(spark):
-    from vectorsearchutil_spark.operators.analytics import funnel_steps
-
-    base = dt.datetime(2024, 1, 1, 12)
-    t = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
-    rows = [
-        # u1 full funnel in order
-        (1, t(0), "view", 1),
-        (2, t(1), "click", 1),
-        (3, t(2), "purchase", 1),
-        # u2: click BEFORE view, purchase after -> reaches view only
-        (4, t(1), "click", 2),
-        (5, t(2), "view", 2),
-        # u3: click at the SAME instant as view -> strictly-after fails
-        (6, t(0), "view", 3),
-        (7, t(0), "click", 3),
-        # u4: view+click then purchase
-        (8, t(0), "view", 4),
-        (9, t(5), "click", 4),
-        (10, t(9), "purchase", 4),
-    ]
-    ev = spark.createDataFrame(
-        [(i, ts, u, ty, 1.0) for i, ts, ty, u in rows],
-        "event_id long, ts timestamp, user_id long,"
-        " event_type string, value double",
-    )
-    got = {r["step_name"]: r for r in funnel_steps(ev).collect()}
-    assert got["view"]["n_users"] == 4
-    assert got["click"]["n_users"] == 2      # u1, u4 only
-    assert got["purchase"]["n_users"] == 2   # u1, u4
-    assert got["click"]["conv_from_prev"] == 0.5
-    assert got["purchase"]["conv_from_prev"] == 1.0
-    assert got["purchase"]["conv_from_top"] == 0.5

@@ -40,7 +40,6 @@ __all__ = [
     "daily_peaks",
     "theil_sen_daily_trend",
     "block_bootstrap_mean_ci",
-    "funnel_steps",
 ]
 
 
@@ -1170,71 +1169,4 @@ def block_bootstrap_mean_ci(
             round_half_up(F.col("_lo"), 4).alias("ci_lo"),
             round_half_up(F.col("_hi"), 4).alias("ci_hi"),
         )
-    )
-
-
-def funnel_steps(
-    events: DataFrame,
-    steps: tuple[str, ...] = ("view", "click", "purchase"),
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-) -> DataFrame:
-    """Ordered funnel conversion: a user reaches step k at the
-    EARLIEST step-k event strictly after their step-(k−1) time — the
-    canonical product-analytics readout (counts + conversion from the
-    previous step and from the top).
-
-    Plan: one narrow per-user aggregate per step, each a
-    map-side-combinable MIN over (user, ts) rows joined to the
-    previous step's per-user time — K−1 equi-joins on the SAME key
-    (AQE reuses the exchange; rows are (user, timestamp) pairs, never
-    the event payload). No windows, no self-join explosion; at any
-    volume the state per step is one timestamp per user. Exactness:
-    timestamps compare exactly; the conversion ratios divide exact
-    longs (one deterministic double division each, floor-rounded)."""
-    import math
-
-    base = events.select(
-        F.col(user_col).alias("_u"),
-        F.col(type_col).alias("_t"),
-        F.col(ts_col).alias("_ts"),
-    ).filter(F.col("_ts").isNotNull())
-    # each step materializes once (localCheckpoint): the count AND the
-    # next step's join read the same computed table instead of
-    # recomputing the whole chain per step
-    reached = (
-        base.filter(F.col("_t") == steps[0])
-        .groupBy("_u")
-        .agg(F.min("_ts").alias("_at"))
-        .localCheckpoint()
-    )
-    counts = [reached.count()]
-    for st in steps[1:]:
-        reached = (
-            base.filter(F.col("_t") == st)
-            .join(reached.select("_u", F.col("_at").alias("_prev")), "_u")
-            .filter(F.col("_ts") > F.col("_prev"))
-            .groupBy("_u")
-            .agg(F.min("_ts").alias("_at"))
-            .localCheckpoint()
-        )
-        counts.append(reached.count())
-    spark = events.sparkSession
-    rows = []
-    top = counts[0]
-    for k, st in enumerate(steps):
-        n = counts[k]
-        prev = counts[k - 1] if k else n
-        conv_prev = (
-            math.floor(n / prev * 1e6 + 0.5) / 1e6 if prev else None
-        )
-        conv_top = (
-            math.floor(n / top * 1e6 + 0.5) / 1e6 if top else None
-        )
-        rows.append((k + 1, st, n, conv_prev, conv_top))
-    return spark.createDataFrame(
-        rows,
-        "step int, step_name string, n_users long,"
-        " conv_from_prev double, conv_from_top double",
     )

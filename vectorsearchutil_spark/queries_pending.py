@@ -2471,72 +2471,6 @@ def docs_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# 40. Ordered funnel conversion (view -> click -> purchase)
-# --------------------------------------------------------------------------
-
-_FUNNEL_ORACLE = """
-WITH s1 AS (
-  SELECT user_id, MIN(ts) AS at FROM events
-  WHERE event_type = 'view' AND ts IS NOT NULL GROUP BY 1
-),
-s2 AS (
-  SELECT e.user_id, MIN(e.ts) AS at
-  FROM events e JOIN s1 ON s1.user_id = e.user_id
-  WHERE e.event_type = 'click' AND e.ts > s1.at GROUP BY 1
-),
-s3 AS (
-  SELECT e.user_id, MIN(e.ts) AS at
-  FROM events e JOIN s2 ON s2.user_id = e.user_id
-  WHERE e.event_type = 'purchase' AND e.ts > s2.at GROUP BY 1
-),
-c AS (
-  SELECT (SELECT COUNT(*) FROM s1) AS n1,
-         (SELECT COUNT(*) FROM s2) AS n2,
-         (SELECT COUNT(*) FROM s3) AS n3
-)
-SELECT 1 AS step, 'view' AS step_name, CAST(n1 AS BIGINT) AS n_users,
-       CASE WHEN n1 > 0
-            THEN floor(CAST(n1 AS DOUBLE) / n1 * 1000000.0 + 0.5)
-                 / 1000000.0 END AS conv_from_prev,
-       CASE WHEN n1 > 0
-            THEN floor(CAST(n1 AS DOUBLE) / n1 * 1000000.0 + 0.5)
-                 / 1000000.0 END AS conv_from_top
-FROM c
-UNION ALL
-SELECT 2, 'click', CAST(n2 AS BIGINT),
-       CASE WHEN n1 > 0
-            THEN floor(CAST(n2 AS DOUBLE) / n1 * 1000000.0 + 0.5)
-                 / 1000000.0 END,
-       CASE WHEN n1 > 0
-            THEN floor(CAST(n2 AS DOUBLE) / n1 * 1000000.0 + 0.5)
-                 / 1000000.0 END
-FROM c
-UNION ALL
-SELECT 3, 'purchase', CAST(n3 AS BIGINT),
-       CASE WHEN n2 > 0
-            THEN floor(CAST(n3 AS DOUBLE) / n2 * 1000000.0 + 0.5)
-                 / 1000000.0 END,
-       CASE WHEN n1 > 0
-            THEN floor(CAST(n3 AS DOUBLE) / n1 * 1000000.0 + 0.5)
-                 / 1000000.0 END
-FROM c
-"""
-
-
-@pending_query("events_funnel", _FUNNEL_ORACLE)
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered view→click→purchase funnel: a user reaches step k at
-    the earliest step-k event strictly after their step-(k−1) time;
-    counts + conversion from previous/top. K−1 narrow per-user
-    MIN-aggregates joined on the same key — no windows, no payload
-    shuffle (operators/analytics.py::funnel_steps)."""
-    from vectorsearchutil_spark.operators.analytics import funnel_steps
-
-    e = load_table(spark, sf_dir, "events")
-    return funnel_steps(e)
-
-
 #: The round-6 promotion set: exactly the 33 entries staged during the
 #: round-5 freeze and promoted into the live registry by
 #: queries._promote_pending. Entries registered here AFTER this list
