@@ -1,6 +1,6 @@
-"""Unit tests for the round-7 staging wave (queries_pending.py
-entries 34-37: hapax ratio, daily peaks, Theil-Sen trend, block
-bootstrap). The oracle gate runs separately via
+"""Unit tests for the round-7 staging wave (queries_pending.py:
+hapax ratio, daily peaks, Theil-Sen trend, block bootstrap, top-2
+PCA, sharded curriculum). The oracle gate runs separately via
 CHECK_ORACLES_PENDING=1; these pin the operator semantics on
 hand-checkable inputs."""
 
@@ -246,3 +246,61 @@ def test_curriculum_sharded_equals_serial(spark, sf_dir):
         )
     )
     assert a == b
+
+
+def test_retention_triangle_hand_case(spark):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+    import os
+    import tempfile
+
+    base = dt.datetime(2024, 1, 1, 9)  # a Monday
+    rows = [
+        # u1: first event week 0, active weeks 0 and 2
+        (1, base, 1, "view", 1.0),
+        (2, base + dt.timedelta(days=15), 1, "view", 1.0),
+        # u2: first event week 0 only
+        (3, base + dt.timedelta(days=2), 2, "click", 1.0),
+        # u3: first event week 1, active weeks 1 and 2 (ages 0, 1)
+        (4, base + dt.timedelta(days=7), 3, "view", 1.0),
+        (5, base + dt.timedelta(days=14), 3, "view", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        got = {
+            (r["cohort_week"], r["age_w"]): r
+            for r in PENDING_QUERIES["events_retention_triangle"](
+                spark, tmp
+            ).collect()
+        }
+    w0 = "2024-01-01"
+    w1 = "2024-01-08"
+    assert got[(w0, 0)]["n_active"] == 2
+    assert got[(w0, 0)]["cohort_size"] == 2
+    assert got[(w0, 0)]["retention"] == 1.0
+    assert (w0, 1) not in got          # nobody from week-0 active in week 1
+    assert got[(w0, 2)]["n_active"] == 1
+    assert got[(w0, 2)]["retention"] == 0.5
+    assert got[(w1, 0)]["cohort_size"] == 1
+    assert got[(w1, 1)]["n_active"] == 1
+
+
+def test_cluster_profile_counts(spark, sf_dir):
+    """Totals must reconcile: sum(n_docs) over all size buckets ==
+    total docs; singleton row = docs not in any near-dup cluster."""
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    out = PENDING_QUERIES["dedup_cluster_profile"](
+        spark, sf_dir
+    ).collect()
+    n_docs_total = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in out) == n_docs_total
+    for r in out:
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        if r["cluster_size"] > 1:
+            assert r["n_clusters"] >= 1

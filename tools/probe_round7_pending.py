@@ -192,6 +192,46 @@ def probe_curriculum_sharded(spark):
 PROBES["curriculum_sharded"] = probe_curriculum_sharded
 
 
+def probe_retention(spark):
+    """20M events / 100k users / 2 years of weeks: the triangle is
+    weeks x weeks after one per-user min and one distinct reduce."""
+    import os
+    import tempfile
+    import time as _t
+
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 100000) AS user_id",
+        "concat('t', pmod(xxhash64(id, 7), 5)) AS event_type",
+        "timestamp_seconds(1600000000 + "
+        "pmod(xxhash64(id, 11), 63072000)) AS ts",
+        "1.0 AS value",
+    ).cache()
+    e.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        e.write.parquet(os.path.join(tmp, "events.parquet"))
+        # warm the parquet page cache so the timing isolates the
+        # OPERATOR plan, not the 20M-row synthetic round-trip
+        spark.read.parquet(os.path.join(tmp, "events.parquet")).count()
+        t0 = _t.time()
+        row = (
+            PENDING_QUERIES["events_retention_triangle"](spark, tmp)
+            .agg(
+                F.count(F.lit(1)).alias("cells"),
+                F.sum("retention").alias("s"),
+            )
+            .collect()[0]
+        )
+        dt = _t.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events / 100k users -> {row['cells']} cells"
+
+
+PROBES["retention"] = probe_retention
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

@@ -2471,6 +2471,156 @@ def docs_curriculum_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# 40. Weekly cohort retention triangle
+# --------------------------------------------------------------------------
+
+_RETENTION_ORACLE = """
+WITH fw AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cw
+  FROM events WHERE ts IS NOT NULL GROUP BY 1
+),
+act AS (
+  SELECT DISTINCT e.user_id, f.cw,
+         CAST(datediff('day', f.cw,
+              CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT) AS age_w
+  FROM events e JOIN fw f ON f.user_id = e.user_id
+  WHERE e.ts IS NOT NULL
+),
+sz AS (SELECT cw, COUNT(*) AS n0 FROM fw GROUP BY 1)
+SELECT strftime(a.cw, '%Y-%m-%d') AS cohort_week,
+       a.age_w,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(s.n0 AS BIGINT) AS cohort_size,
+       floor(CAST(COUNT(*) AS DOUBLE) / s.n0 * 1000000.0 + 0.5)
+         / 1000000.0 AS retention
+FROM act a JOIN sz s ON s.cw = a.cw
+GROUP BY a.cw, a.age_w, s.n0
+"""
+
+
+@pending_query("events_retention_triangle", _RETENTION_ORACLE)
+def events_retention_triangle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weekly cohort retention triangle: users bucket into the week
+    of their FIRST event; each later week they act in marks them
+    retained at that age — the readout behind every retention curve.
+    Age derives from two Monday-truncated dates (exact /7 integer),
+    so both engines bucket identically; the distinct (user, age)
+    reduction happens before any join back to cohort sizes. Grid
+    output: weeks × weeks rows at any event volume."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    fw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cw")
+    )
+    act = (
+        e.join(fw, "user_id")
+        .select(
+            "user_id",
+            "cw",
+            F.floor(
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cw"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("age_w"),
+        )
+        .distinct()
+    )
+    sz = fw.groupBy("cw").agg(F.count(F.lit(1)).alias("_n0"))
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return (
+        act.groupBy("cw", "age_w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .join(F.broadcast(sz), "cw")
+        .select(
+            F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+            "age_w",
+            "n_active",
+            F.col("_n0").cast("long").alias("cohort_size"),
+            round_half_up(
+                F.col("n_active").cast("double") / F.col("_n0"), 6
+            ).alias("retention"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 41. Near-dup cluster-size profile (how much duplication exists)
+# --------------------------------------------------------------------------
+
+_CLUSTER_PROFILE_ORACLE = f"""
+WITH RECURSIVE {{cc_edges}},
+sizes2 AS (
+  SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+  FROM comp GROUP BY 1
+),
+dist AS (
+  SELECT csize AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+  FROM sizes2 GROUP BY 1
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+indup AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM comp)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size, n_clusters,
+       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+FROM dist
+UNION ALL
+SELECT 1, tot.n - indup.n, tot.n - indup.n FROM tot, indup
+"""
+
+
+@pending_query("dedup_cluster_profile")
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication profile of the corpus: near-dup cluster size
+    distribution (3-gram Jaccard ≥ 0.8 → connected components),
+    including the singleton row — the one-table answer to "how much
+    duplication do we have and in what shape" that decides whether
+    dedup is worth a pipeline stage. Everything after the banded
+    pair stage is component-table-sized."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    cc = _dd.connected_components(pairs)
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("csize")
+    )
+    dist = sizes.groupBy(F.col("csize").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    indup = cc.agg(F.count(F.lit(1)).cast("long").alias("_in"))
+    singleton = (
+        tot.crossJoin(F.broadcast(indup))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("_n") - F.col("_in")).alias("n_clusters"),
+            (F.col("_n") - F.col("_in")).alias("n_docs"),
+        )
+    )
+    return dist.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters"))
+        .cast("long")
+        .alias("n_docs"),
+    ).unionByName(singleton)
+
+
+from vectorsearchutil_spark.queries import _CC_EDGES_CTE  # noqa: E402
+
+PENDING_ORACLES["dedup_cluster_profile"] = _CLUSTER_PROFILE_ORACLE.format(
+    cc_edges=_CC_EDGES_CTE.strip().lstrip()
+)
+
+
 #: The round-6 promotion set: exactly the 33 entries staged during the
 #: round-5 freeze and promoted into the live registry by
 #: queries._promote_pending. Entries registered here AFTER this list
