@@ -304,3 +304,102 @@ def test_cluster_profile_counts(spark, sf_dir):
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         if r["cluster_size"] > 1:
             assert r["n_clusters"] >= 1
+
+
+def test_readability_hand_case(spark):
+    import os
+    import tempfile
+
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat. it sat!", "en", "s1", 20)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        r = PENDING_QUERIES["docs_readability"](spark, tmp).collect()[0]
+    # words: the cat sat. it sat! -> 5; terminator runs: 2;
+    # vowel groups in lowercase: e,a,a,i,a -> 5
+    assert r["n_words"] == 5
+    assert r["n_sentences"] == 2
+    assert r["n_syllables"] == 5
+    import math
+
+    want = 206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5)
+    want = math.floor(want * 10000 + 0.5) / 10000
+    assert r["flesch"] == want
+
+
+def test_seasonal_decompose_identity_and_exactness(spark):
+    """value == trend + seasonal + residual EXACTLY (integer-cents
+    contract), on a constant series trend==value and both seasonal
+    and residual are 0."""
+    import os
+    import tempfile
+
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    base = dt.datetime(2024, 1, 1, 12)
+    rows = [
+        (d, base + dt.timedelta(days=d), 1, "a", 25.0)
+        for d in range(21)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        ev.write.parquet(os.path.join(tmp, "events.parquet"))
+        out = PENDING_QUERIES["events_seasonal_decompose"](
+            spark, tmp
+        ).collect()
+    assert len(out) == 21
+    for r in out:
+        assert r["value"] == r["trend"] + r["seasonal"] + r["residual"]
+        assert r["value"] == 25.0
+        assert r["trend"] == 25.0
+        assert r["seasonal"] == 0.0
+        assert r["residual"] == 0.0
+
+
+def test_silhouette_separated_clusters_near_one(spark):
+    """Two far-apart blobs (k=2): mean silhouette ≈ 1 for both."""
+    import numpy as np
+
+    from vectorsearchutil_spark.operators.clustering import kmeans
+    from vectorsearchutil_spark.functions.vector import finite_vector
+    import pyspark.sql.functions as F
+
+    rng = np.random.RandomState(5)
+    rows = []
+    for i in range(60):
+        center = 0.0 if i % 2 == 0 else 100.0
+        v = (rng.randn(4) * 0.1 + center).tolist()
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    _, cents = kmeans(emb, k=2, iterations=3)
+    # reuse the registered query's math inline at k=2
+    pts = emb.filter(finite_vector(F.col("embedding"))).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("_v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    x = pts.crossJoin(F.broadcast(cents)).select("vec_id", "cid", dist.alias("_d"))
+    arr = x.groupBy("vec_id").agg(
+        F.array_sort(F.collect_list(F.struct(F.col("_d"), F.col("cid")))).alias("_arr")
+    )
+    a = F.col("_arr")[0]["_d"]
+    b = F.filter(
+        F.col("_arr"), lambda e: e["cid"] != F.col("_arr")[0]["cid"]
+    )[0]["_d"]
+    s = (b - a) / F.greatest(a, b)
+    got = arr.agg(F.min(s).alias("lo")).collect()[0]
+    assert got["lo"] > 0.95

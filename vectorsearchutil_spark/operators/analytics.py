@@ -40,6 +40,7 @@ __all__ = [
     "daily_peaks",
     "theil_sen_daily_trend",
     "block_bootstrap_mean_ci",
+    "seasonal_decompose_daily",
 ]
 
 
@@ -1168,5 +1169,90 @@ def block_bootstrap_mean_ci(
             round_half_up(F.col("_m"), 4).alias("mean_daily"),
             round_half_up(F.col("_lo"), 4).alias("ci_lo"),
             round_half_up(F.col("_hi"), 4).alias("ci_hi"),
+        )
+    )
+
+
+def seasonal_decompose_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    radius: int = 3,
+) -> DataFrame:
+    """Classical additive decomposition of the per-type DAILY value
+    series: value = trend + seasonal + residual, where trend is the
+    centered ±``radius``-day mean over PRESENT days and seasonal is
+    the day-of-week mean of the detrended series — the
+    anomaly-baseline / forecasting preprocessor.
+
+    Exactness contract: the grid is integer cents; the trend is
+    ``floor(S/n + 0.5)`` on exact integer sums (one deterministic
+    double division), so detrended values are again EXACT INTEGERS;
+    the seasonal term repeats the same floor-mean on ints; the
+    residual is pure integer subtraction. Both engines replay every
+    step bit-identically. Plan: raw rows collapse to the bounded
+    (type, day) grid first; the trend window is the offset-exploded
+    grid self-join (the daily_peaks shape); the dow means aggregate
+    ≤ 7·types rows."""
+    cents = _cents(F.col(value_col))
+    daily = events.groupBy(
+        F.col(type_col).alias("event_type"),
+        F.to_date(F.col(ts_col)).alias("day"),
+    ).agg(F.sum(cents).alias("_v"))
+    offs = F.array(
+        *[F.lit(k) for k in range(-radius, radius + 1)]
+    )
+    neighbors = daily.select(
+        "event_type",
+        F.explode(offs).alias("_k"),
+        F.col("_v").alias("_nv"),
+        "day",
+    ).select(
+        "event_type",
+        F.date_add(F.col("day"), F.col("_k")).alias("day"),
+        "_nv",
+    )
+    with_trend = (
+        daily.join(neighbors, ["event_type", "day"])
+        .groupBy("event_type", "day")
+        .agg(
+            F.max("_v").alias("_v0"),
+            F.sum("_nv").alias("_s"),
+            F.count("_nv").alias("_n"),
+        )
+        .select(
+            "event_type",
+            "day",
+            "_v0",
+            F.floor(
+                F.col("_s").cast("double") / F.col("_n") + F.lit(0.5)
+            ).cast("long").alias("_trend"),
+        )
+        .withColumn("_detr", F.col("_v0") - F.col("_trend"))
+    )
+    dow = F.dayofweek(F.col("day"))
+    seasonal = (
+        with_trend.groupBy("event_type", dow.alias("_dow"))
+        .agg(
+            F.floor(
+                F.sum("_detr").cast("double")
+                / F.count(F.lit(1))
+                + F.lit(0.5)
+            ).cast("long").alias("_seas")
+        )
+    )
+    return (
+        with_trend.withColumn("_dow", dow)
+        .join(F.broadcast(seasonal), ["event_type", "_dow"])
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("_v0").cast("double") / 100.0).alias("value"),
+            (F.col("_trend").cast("double") / 100.0).alias("trend"),
+            (F.col("_seas").cast("double") / 100.0).alias("seasonal"),
+            (
+                (F.col("_detr") - F.col("_seas")).cast("double") / 100.0
+            ).alias("residual"),
         )
     )

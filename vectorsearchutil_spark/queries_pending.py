@@ -2621,6 +2621,268 @@ PENDING_ORACLES["dedup_cluster_profile"] = _CLUSTER_PROFILE_ORACLE.format(
 )
 
 
+# --------------------------------------------------------------------------
+# 42. Flesch-style readability score per document
+# --------------------------------------------------------------------------
+
+_READABILITY_ORACLE = """
+WITH m AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), x -> x != ''))
+           AS n_words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sent,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syl
+  FROM documents
+  WHERE text IS NOT NULL
+)
+SELECT doc_id, source,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sent AS BIGINT) AS n_sentences,
+       CAST(n_syl AS BIGINT) AS n_syllables,
+       CASE WHEN n_words > 0 THEN
+         floor((206.835
+                - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+                - 84.6 * (CAST(n_syl AS DOUBLE) / n_words))
+               * 10000.0 + 0.5) / 10000.0
+       END AS flesch
+FROM m
+"""
+
+
+@pending_query("docs_readability", _READABILITY_ORACLE)
+def docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-reading-ease-style readability per document
+    (206.835 − 1.015·words/sentences − 84.6·syllables/words;
+    syllables ≈ vowel-group count, sentences ≈ terminator runs,
+    min 1) — the classic text-difficulty screen next to the
+    C4/Gopher filters. Pure narrow regexp projection — scan-speed,
+    no shuffle; the score is one deterministic double expression
+    from three exact integers."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()
+    )
+    n_words = F.size(
+        F.expr("filter(split(text, ' '), x -> x != '')")
+    ).cast("long")
+    n_sent = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+        F.lit(1),
+    ).cast("long")
+    n_syl = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        "source",
+        n_words.alias("n_words"),
+        n_sent.alias("n_sentences"),
+        n_syl.alias("n_syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.select(
+        "doc_id",
+        "source",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.floor(flesch * F.lit(10000.0) + F.lit(0.5))
+            / F.lit(10000.0),
+        ).alias("flesch"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 43. Additive seasonal decomposition of the daily value series
+# --------------------------------------------------------------------------
+
+_SEAS_DECOMP_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS v
+  FROM events GROUP BY 1, 2
+),
+nb AS (
+  SELECT d.event_type, d.day + CAST(o.k AS INT) AS day, d.v AS nv
+  FROM daily d, range(-3, 4) o(k)
+),
+tr AS (
+  SELECT d.event_type, d.day, MAX(d.v) AS v0,
+         CAST(floor(CAST(SUM(n.nv) AS DOUBLE) / COUNT(n.nv) + 0.5)
+              AS BIGINT) AS trend
+  FROM daily d
+  JOIN nb n ON n.event_type = d.event_type AND n.day = d.day
+  GROUP BY 1, 2
+),
+detr AS (
+  SELECT event_type, day, v0, trend, v0 - trend AS d,
+         dayofweek(day) + 1 AS dow
+  FROM tr
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(floor(CAST(SUM(d) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS s
+  FROM detr GROUP BY 1, 2
+)
+SELECT t.event_type,
+       strftime(t.day, '%Y-%m-%d') AS day,
+       CAST(t.v0 AS DOUBLE) / 100.0 AS value,
+       CAST(t.trend AS DOUBLE) / 100.0 AS trend,
+       CAST(s.s AS DOUBLE) / 100.0 AS seasonal,
+       CAST(t.d - s.s AS DOUBLE) / 100.0 AS residual
+FROM detr t JOIN seas s ON s.event_type = t.event_type AND s.dow = t.dow
+"""
+
+
+@pending_query("events_seasonal_decompose", _SEAS_DECOMP_ORACLE)
+def events_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Additive trend + day-of-week seasonal + residual decomposition
+    of the per-type daily value series — the anomaly-baseline
+    preprocessor. Exact-integer contract: floor-mean trend over the
+    ±3-day present-neighbour window, floor-mean dow seasonal on the
+    (exact-integer) detrended series, pure integer residual; both
+    engines replay every step bit-identically
+    (operators/analytics.py::seasonal_decompose_daily)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_decompose_daily,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    return seasonal_decompose_daily(e)
+
+
+# --------------------------------------------------------------------------
+# 44. Centroid silhouette: cluster-quality readout over the kmeans fit
+# --------------------------------------------------------------------------
+
+
+def _silhouette_oracle(k: int = 8, iterations: int = 3) -> str:
+    """Replays kmeans via the shared Lloyd's CTE chain
+    (queries._kmeans_cte_chain), then the centroid-silhouette per
+    point: a = dist to own (nearest) centroid, b = nearest OTHER
+    centroid, s = (b−a)/max(a,b) — quantized to 1e-6 before the
+    per-cluster mean so the aggregate is an exact integer sum."""
+    from vectorsearchutil_spark.queries import _kmeans_cte_chain
+
+    final = iterations
+    return (
+        "WITH "
+        + _kmeans_cte_chain(k, iterations)
+        + f""",
+asg AS (
+  SELECT e.vec_id, e.embedding,
+         (SELECT c.cid FROM c{final} c
+          ORDER BY list_distance(e.embedding::DOUBLE[], c.cv) ASC,
+                   c.cid ASC
+          LIMIT 1) AS own
+  FROM embeddings e
+),
+ab AS (
+  SELECT g.vec_id, g.own,
+         (SELECT ROUND(MIN(list_distance(g.embedding::DOUBLE[], c.cv)), 4)
+          FROM c{final} c) AS a,
+         (SELECT ROUND(MIN(list_distance(g.embedding::DOUBLE[], c.cv)), 4)
+          FROM c{final} c WHERE c.cid != g.own) AS b
+  FROM asg g
+),
+sq AS (
+  SELECT own,
+         CAST(floor(
+           (CASE WHEN GREATEST(a, b) > 0
+                 THEN (b - a) / GREATEST(a, b) ELSE 0.0 END)
+           * 1000000.0 + 0.5) AS BIGINT) AS s_q
+  FROM ab
+)
+SELECT CAST(own AS INT) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       floor(CAST(SUM(s_q) AS DOUBLE) / COUNT(*) + 0.5) / 1000000.0
+         AS mean_silhouette
+FROM sq GROUP BY own
+"""
+    )
+
+
+@pending_query("embeddings_silhouette", _silhouette_oracle())
+def embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid silhouette per kmeans cluster (k=8, 3 Lloyd's
+    iterations — the fully-oracle-replayed fit): s = (b−a)/max(a,b)
+    with a = nearest-centroid distance, b = nearest OTHER centroid —
+    the standard is-the-clustering-real readout (near 0 ⇒ clusters
+    touch; near 1 ⇒ separated). One corpus×k broadcast pass after
+    the fit; per-point s quantizes to 1e-6 so the per-cluster mean
+    is an exact integer sum."""
+    from vectorsearchutil_spark.functions.vector import finite_vector
+    from vectorsearchutil_spark.operators.clustering import kmeans
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, centroids = kmeans(
+        emb, k=8, iterations=3, vector_col="embedding", id_col="vec_id"
+    )
+    pts = emb.filter(finite_vector(F.col("embedding"))).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+    )
+    # the struct sorts by the UNROUNDED distance (then cid) — the
+    # same tie-break the kmeans assignment and its oracle use; only
+    # the REPORTED a/b round to 4dp (rounding before the sort flipped
+    # ~1 borderline point per cluster vs the oracle)
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_v"),
+                F.col("cv"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    x = pts.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cid", dist.alias("_d")
+    )
+    arr = x.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("_d"), F.col("cid")))
+        ).alias("_arr")
+    )
+    own = F.col("_arr")[0]["cid"]
+    a = F.round(F.col("_arr")[0]["_d"], 4)
+    b = F.round(
+        F.filter(
+            F.col("_arr"), lambda e: e["cid"] != F.col("_arr")[0]["cid"]
+        )[0]["_d"],
+        4,
+    )
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    per_pt = arr.select(
+        own.alias("cluster"),
+        F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_sq"),
+    )
+    return per_pt.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (
+            F.floor(
+                F.sum("_sq").cast("double") / F.count(F.lit(1))
+                + F.lit(0.5)
+            )
+            / F.lit(1e6)
+        ).alias("mean_silhouette"),
+    )
+
+
 #: The round-6 promotion set: exactly the 33 entries staged during the
 #: round-5 freeze and promoted into the live registry by
 #: queries._promote_pending. Entries registered here AFTER this list
