@@ -403,3 +403,29 @@ def test_silhouette_separated_clusters_near_one(spark):
     s = (b - a) / F.greatest(a, b)
     got = arr.agg(F.min(s).alias("lo")).collect()[0]
     assert got["lo"] > 0.95
+
+
+def test_silhouette_ab_strategy_equality(spark, sf_dir):
+    """Expression path vs gated Arrow path of silhouette_ab — same
+    (cluster, a, b) per row on the real sf0.001 table (the clustering
+    strategy-equality discipline; near-tie caveat documented in the
+    docstring)."""
+    from vectorsearchutil_spark.operators.clustering import (
+        kmeans,
+        silhouette_ab,
+    )
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, cents_df = kmeans(emb, k=8, iterations=3)
+    cents = [(r["cid"], list(r["cv"])) for r in cents_df.collect()]
+    expr = sorted(
+        map(tuple, silhouette_ab(emb, cents, n_rows=10).collect())
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            silhouette_ab(emb, cents, n_rows=10**9).collect(),
+        )
+    )
+    assert expr == arrow

@@ -232,6 +232,114 @@ def probe_retention(spark):
 PROBES["retention"] = probe_retention
 
 
+def probe_readability(spark):
+    """2M docs: pure regexp projection — scan-bound."""
+    import os
+    import tempfile
+    import time as _t
+
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    docs = spark.range(2_000_000).selectExpr(
+        "id AS doc_id",
+        "concat('s', pmod(id, 20)) AS source",
+        "concat_ws(' ', transform(sequence(1, 40),"
+        " j -> concat('word', pmod(xxhash64(id, j), 9000),"
+        " IF(pmod(j, 9) = 0, '.', '')))) AS text",
+        "'en' AS lang", "240 AS n_chars",
+    ).cache()
+    docs.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(os.path.join(tmp, "documents.parquet"))
+        spark.read.parquet(os.path.join(tmp, "documents.parquet")).count()
+        t0 = _t.time()
+        row = (
+            PENDING_QUERIES["docs_readability"](spark, tmp)
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("flesch").alias("s"))
+            .collect()[0]
+        )
+        dt = _t.time() - t0
+    docs.unpersist()
+    return f"{dt:.1f}s @ 2M docs -> {row['n']} scored"
+
+
+def probe_seasonal(spark):
+    """20M events / 3 years x 5 types: grid-sized after the first
+    aggregate (the daily_peaks shape + two tiny means)."""
+    import os
+    import tempfile
+    import time as _t
+
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    e = spark.range(20_000_000).selectExpr(
+        "id AS event_id",
+        "pmod(xxhash64(id, 3), 100000) AS user_id",
+        "concat('t', pmod(xxhash64(id, 7), 5)) AS event_type",
+        "timestamp_seconds(1600000000 + "
+        "pmod(xxhash64(id, 11), 94608000)) AS ts",
+        "10.0 + pmod(xxhash64(id, 13), 7) AS value",
+    ).cache()
+    e.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        e.write.parquet(os.path.join(tmp, "events.parquet"))
+        spark.read.parquet(os.path.join(tmp, "events.parquet")).count()
+        t0 = _t.time()
+        row = (
+            PENDING_QUERIES["events_seasonal_decompose"](spark, tmp)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.abs(F.col("residual"))).alias("s"),
+            )
+            .collect()[0]
+        )
+        dt = _t.time() - t0
+    e.unpersist()
+    return f"{dt:.1f}s @ 20M events -> {row['n']} grid cells"
+
+
+def probe_silhouette(spark):
+    """500k x 64 corpus, k=8: the post-fit silhouette pass is
+    corpus x k distances (256M HOF cells) + one corpus-keyed
+    collect_list — measure whether the interpreted-HOF wall bites."""
+    import os
+    import tempfile
+    import time as _t
+
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    emb = spark.range(500_000).selectExpr(
+        "id AS vec_id",
+        "pmod(id, 10) AS label",
+        "transform(sequence(1, 64), j ->"
+        " cast(pmod(xxhash64(id, j), 1000) AS DOUBLE) / 500.0"
+        " + cast(pmod(id, 8) AS DOUBLE) * 3.0) AS embedding",
+    ).cache()
+    emb.count()
+    with tempfile.TemporaryDirectory() as tmp:
+        emb.write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        spark.read.parquet(
+            os.path.join(tmp, "embeddings.parquet")
+        ).count()
+        t0 = _t.time()
+        row = (
+            PENDING_QUERIES["embeddings_silhouette"](spark, tmp)
+            .agg(
+                F.count(F.lit(1)).alias("k"),
+                F.sum("mean_silhouette").alias("s"),
+            )
+            .collect()[0]
+        )
+        dt = _t.time() - t0
+    emb.unpersist()
+    return f"{dt:.1f}s @ 500k x 64, k=8 -> {row['k']} clusters"
+
+
+PROBES["readability"] = probe_readability
+PROBES["seasonal"] = probe_seasonal
+PROBES["silhouette"] = probe_silhouette
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

@@ -300,3 +300,103 @@ def kmeans(
         ),
         centroids,
     )
+
+
+def silhouette_ab(
+    df: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Per-row centroid-silhouette inputs: (id, cluster, a, b) with
+    a = distance to the nearest centroid (= own cluster, ties lowest
+    cid) and b = distance to the nearest OTHER centroid, both rounded
+    to 4dp AFTER the unrounded argmin (the kmeans tie-break).
+
+    Physical strategy mirrors :func:`_assign`: below
+    ``_ASSIGN_BLAS_CELLS`` of rows×k×dim work, a narrow
+    expression plan (one broadcast×corpus pass, per-row struct sort
+    over k entries — no collect_list shuffle); above it, the
+    Arrow/numpy path computes the n×k distance block per batch with
+    the SAME centroid-at-a-time accumulation as ``_assign_blas``.
+    Near-tie caveat (same class as the kNN gate): the two paths'
+    float sums can differ in the last ulps, so a point exactly
+    between two centroids may flip — strategy equality is asserted on
+    the test corpus."""
+    import math
+
+    ordered = sorted(cents)
+    cells = (n_rows or 0) * max(1, len(ordered)) * (
+        len(ordered[0][1]) if ordered else 1
+    )
+    if n_rows is not None and cells > _ASSIGN_BLAS_CELLS:
+        import numpy as np
+        import pandas as pd
+
+        cids = np.array([c for c, _ in ordered], dtype=np.int64)
+        C = np.array([v for _, v in ordered], dtype=np.float64)
+
+        def ab(batches):
+            for pdf in batches:
+                X = np.array(list(pdf[vector_col]), dtype=np.float64)
+                if not len(X):
+                    continue
+                d2 = np.empty((len(X), len(cids)), dtype=np.float64)
+                for j in range(len(cids)):
+                    diff = X - C[j]
+                    d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+                best = np.argmin(d2, axis=1)
+                rows = np.arange(len(X))
+                a = np.sqrt(d2[rows, best])
+                d2[rows, best] = np.inf
+                b = np.sqrt(d2.min(axis=1))
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "cluster": cids[best].astype(np.int32),
+                        "a": np.floor(a * 1e4 + 0.5) / 1e4,
+                        "b": np.floor(b * 1e4 + 0.5) / 1e4,
+                    }
+                )
+
+        return df.select(id_col, vector_col).mapInPandas(
+            ab, f"{id_col} long, cluster int, a double, b double"
+        )
+    spark = df.sparkSession
+    cents_row = spark.createDataFrame(
+        [([(int(c), [float(x) for x in v]) for c, v in ordered],)],
+        "cents array<struct<cid:int,cv:array<double>>>",
+    )
+    dist_to = lambda cv: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                F.col(vector_col).cast("array<double>"),
+                cv,
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = F.array_sort(
+        F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                dist_to(c["cv"]).alias("d"), c["cid"].alias("cid")
+            ),
+        )
+    )
+    out = df.crossJoin(F.broadcast(cents_row)).withColumn("_arr", scored)
+    own = F.col("_arr")[0]["cid"]
+    a = F.col("_arr")[0]["d"]
+    b = F.filter(
+        F.col("_arr"), lambda e: e["cid"] != F.col("_arr")[0]["cid"]
+    )[0]["d"]
+    rnd = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
+    return out.select(
+        F.col(id_col),
+        own.cast("int").alias("cluster"),
+        rnd(a).alias("a"),
+        rnd(b).alias("b"),
+    )

@@ -2791,9 +2791,11 @@ asg AS (
 ),
 ab AS (
   SELECT g.vec_id, g.own,
-         (SELECT ROUND(MIN(list_distance(g.embedding::DOUBLE[], c.cv)), 4)
+         (SELECT floor(MIN(list_distance(g.embedding::DOUBLE[], c.cv))
+                       * 10000.0 + 0.5) / 10000.0
           FROM c{final} c) AS a,
-         (SELECT ROUND(MIN(list_distance(g.embedding::DOUBLE[], c.cv)), 4)
+         (SELECT floor(MIN(list_distance(g.embedding::DOUBLE[], c.cv))
+                       * 10000.0 + 0.5) / 10000.0
           FROM c{final} c WHERE c.cid != g.own) AS b
   FROM asg g
 ),
@@ -2824,51 +2826,30 @@ def embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     the fit; per-point s quantizes to 1e-6 so the per-cluster mean
     is an exact integer sum."""
     from vectorsearchutil_spark.functions.vector import finite_vector
-    from vectorsearchutil_spark.operators.clustering import kmeans
+    from vectorsearchutil_spark.operators.clustering import (
+        kmeans,
+        silhouette_ab,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    _, centroids = kmeans(
-        emb, k=8, iterations=3, vector_col="embedding", id_col="vec_id"
-    )
     pts = emb.filter(finite_vector(F.col("embedding"))).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("_v")
+        "vec_id", "embedding"
+    ).cache()
+    n_rows = pts.count()
+    _, centroids = kmeans(
+        emb, k=8, iterations=3, vector_col="embedding",
+        id_col="vec_id", n_rows=n_rows,
     )
-    # the struct sorts by the UNROUNDED distance (then cid) — the
-    # same tie-break the kmeans assignment and its oracle use; only
-    # the REPORTED a/b round to 4dp (rounding before the sort flipped
-    # ~1 borderline point per cluster vs the oracle)
-    dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                F.col("_v"),
-                F.col("cv"),
-                lambda x, y: (x - y) * (x - y),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    x = pts.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cid", dist.alias("_d")
-    )
-    arr = x.groupBy("vec_id").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_d"), F.col("cid")))
-        ).alias("_arr")
-    )
-    own = F.col("_arr")[0]["cid"]
-    a = F.round(F.col("_arr")[0]["_d"], 4)
-    b = F.round(
-        F.filter(
-            F.col("_arr"), lambda e: e["cid"] != F.col("_arr")[0]["cid"]
-        )[0]["_d"],
-        4,
-    )
+    cents = [
+        (r["cid"], list(r["cv"])) for r in centroids.collect()
+    ]
+    ab = silhouette_ab(pts, cents, "embedding", "vec_id", n_rows=n_rows)
+    a, b = F.col("a"), F.col("b")
     s = F.when(
         F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
     ).otherwise(F.lit(0.0))
-    per_pt = arr.select(
-        own.alias("cluster"),
+    per_pt = ab.select(
+        "cluster",
         F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long").alias("_sq"),
     )
     return per_pt.groupBy("cluster").agg(
