@@ -349,14 +349,21 @@ def silhouette_ab(
                 best = np.argmin(d2, axis=1)
                 rows = np.arange(len(X))
                 a = np.sqrt(d2[rows, best])
-                d2[rows, best] = np.inf
-                b = np.sqrt(d2.min(axis=1))
+                if len(cids) < 2:
+                    # a single centroid has no "nearest other": b is
+                    # NULL (degenerate one-row/one-cluster inputs),
+                    # matching the oracle's MIN-over-empty
+                    b_col = pd.array([None] * len(X), dtype="Float64")
+                else:
+                    d2[rows, best] = np.inf
+                    b = np.sqrt(d2.min(axis=1))
+                    b_col = np.floor(b * 1e4 + 0.5) / 1e4
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col],
                         "cluster": cids[best].astype(np.int32),
                         "a": np.floor(a * 1e4 + 0.5) / 1e4,
-                        "b": np.floor(b * 1e4 + 0.5) / 1e4,
+                        "b": b_col,
                     }
                 )
 
@@ -388,11 +395,19 @@ def silhouette_ab(
         )
     )
     out = df.crossJoin(F.broadcast(cents_row)).withColumn("_arr", scored)
-    own = F.col("_arr")[0]["cid"]
-    a = F.col("_arr")[0]["d"]
-    b = F.filter(
-        F.col("_arr"), lambda e: e["cid"] != F.col("_arr")[0]["cid"]
-    )[0]["d"]
+    # F.get (NULL beyond bounds), not [i]: with a single centroid the
+    # "other centroids" array is EMPTY and [0] is an ANSI
+    # ArrayIndexOutOfBounds (round-6 one-row sweep); NULL b matches
+    # the oracle's MIN over an empty set
+    own = F.get(F.col("_arr"), 0)["cid"]
+    a = F.get(F.col("_arr"), 0)["d"]
+    b = F.get(
+        F.filter(
+            F.col("_arr"),
+            lambda e: e["cid"] != F.get(F.col("_arr"), 0)["cid"],
+        ),
+        0,
+    )["d"]
     rnd = lambda c: F.floor(c * F.lit(1e4) + F.lit(0.5)) / F.lit(1e4)  # noqa: E731
     return out.select(
         F.col(id_col),
