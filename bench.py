@@ -160,6 +160,18 @@ HEADLINE = [
     "embeddings_matryoshka",
     "embeddings_knn_label_eval",
     "embeddings_top_pc",
+    # round-7 promoted lane
+    "docs_hapax_ratio",
+    "events_daily_peaks",
+    "orders_theilsen_trend",
+    "events_bootstrap_ci",
+    "embeddings_pca_top2",
+    "docs_curriculum_sharded",
+    "events_retention_triangle",
+    "dedup_cluster_profile",
+    "docs_readability",
+    "events_seasonal_decompose",
+    "embeddings_silhouette",
 ]
 
 

@@ -22,6 +22,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from vectorsearchutil_spark.functions.vector import round_half_up
+from vectorsearchutil_spark.functions.datetime import epoch_seconds
 
 __all__ = [
     "exact_ntile",
@@ -569,7 +570,7 @@ def kaplan_meier(
     risk set pins survival to exactly 0 thereafter instead of
     feeding ln(0) into the sum.
     """
-    sec = F.unix_timestamp(F.col(ts_col))
+    sec = F.floor(epoch_seconds(F.col(ts_col))).cast("bigint")
     per_user = (
         events.groupBy(F.col(user_col))
         .agg(
@@ -683,7 +684,7 @@ def interarrival_quantiles(
     lw = Window.partitionBy(part_col, group_col).orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
-    sec = F.unix_timestamp(F.col(ts_col))
+    sec = F.floor(epoch_seconds(F.col(ts_col))).cast("bigint")
     gaps = (
         events.select(
             group_col,
@@ -800,7 +801,7 @@ def ks_two_sample(
     tie → smallest value), so float error can't move the argmax; the
     reported statistic divides the exact max by n_1·n_2.
     """
-    sec = F.unix_timestamp(F.col(ts_col))
+    sec = F.floor(epoch_seconds(F.col(ts_col))).cast("bigint")
     bounds = events.agg(
         F.min(sec).alias("_lo"), F.max(sec).alias("_hi")
     )

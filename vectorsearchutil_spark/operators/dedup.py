@@ -1438,9 +1438,12 @@ def keep_best_representative(
     ).filter(F.col("node") != F.col("keep_id")).select(
         F.col("node").alias(id_col)
     )
-    return docs.join(
-        F.broadcast(losers), docs[id_col] == losers[id_col], "left_anti"
-    )
+    # Plain left_anti (like dedup_canonical_docs above): at LLM-corpus
+    # dup rates (30-50%+) `losers` is an unbounded fraction of the
+    # corpus — a forced broadcast hint would override AQE's size logic
+    # and OOM executors at scale. AQE demotes to broadcast on its own
+    # whenever the loser set actually is small.
+    return docs.join(losers, docs[id_col] == losers[id_col], "left_anti")
 
 
 def containment_pairs(

@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from vectorsearchutil_spark.functions.datetime import epoch_seconds
+
 
 def sessions_from_events(
     events: DataFrame,
@@ -44,9 +46,7 @@ def sessions_from_events(
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )
-    gap = F.col(ts_col).cast("double") - F.lag(
-        F.col(ts_col).cast("double")
-    ).over(w)
+    gap = epoch_seconds(ts_col) - F.lag(epoch_seconds(ts_col)).over(w)
     marked = events.withColumn(
         "_new", F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
     )
@@ -134,10 +134,10 @@ def interval_overlap_join(
 
     Columns: every left column (prefixed ``l_`` on collision) plus
     every right column; callers project. Timestamps compare as
-    epoch-second doubles (Spark's timestamp cast).
+    epoch-second doubles (NTZ-safe :func:`epoch_seconds`).
     """
     def to_s(c):
-        return F.col(c).cast("double")
+        return epoch_seconds(c)
 
     def buckets(df, s_col, e_col):
         b0 = F.floor(to_s(s_col) / F.lit(float(bucket_s))).cast("long")

@@ -17,6 +17,10 @@ from collections.abc import Callable
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vectorsearchutil_spark.functions.datetime import (
+    epoch_micros,
+    epoch_seconds,
+)
 from vectorsearchutil_spark.operators.knn import knn, knn_batch
 from vectorsearchutil_spark.operators.zeroshot import zeroshot, zeroshot_scores
 from vectorsearchutil_spark.sources.readers import load_table
@@ -683,7 +687,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     marked = e.withColumn(
         "new_session",
         F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
@@ -719,7 +723,8 @@ def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("double").cast("bigint").alias("window_start"),
+            (epoch_micros(F.col("w.start")) / F.lit(1000000)).cast("bigint")
+            .alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -1401,8 +1406,9 @@ def store_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2 append semantics: insert-if-absent via left-anti join —
     overlapping targets keep the existing row, never overwritten
     (VectorSearchBase.py:79-87; demonstrated vsu/sample/main.py:31-54).
-    The anti-join broadcasts the existing-target set; at scale the
-    store is bucketed by hash(target) making this shuffle-free."""
+    No broadcast hint on the existing-target side — the store is
+    unbounded, so AQE sizes the join; at scale the store is bucketed
+    by hash(target) making this shuffle-free."""
     docs = load_table(spark, sf_dir, "documents")
     existing = docs.filter(F.col("doc_id") < 250).select(
         F.col("text").alias("target"), F.col("source").alias("option1")
@@ -1410,9 +1416,7 @@ def store_ingest_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") >= 200).select(
         F.col("text").alias("target"), F.lit("NEW").alias("option1")
     )
-    fresh = incoming.join(
-        F.broadcast(existing.select("target")), "target", "left_anti"
-    )
+    fresh = incoming.join(existing.select("target"), "target", "left_anti")
     return existing.unionByName(fresh)
 
 
@@ -1552,7 +1556,8 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").cast("double").cast("bigint").alias("window_start"),
+            (epoch_micros(F.col("w.start")) / F.lit(1000000)).cast("bigint")
+            .alias("window_start"),
             "n_events",
             "sum_value",
         )
@@ -1625,7 +1630,7 @@ def events_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
-            F.floor(F.col("s.start").cast("double")).cast("bigint")
+            F.floor(epoch_seconds(F.col("s.start"))).cast("bigint")
             .alias("session_start"),
             "n_events",
         )
@@ -1729,7 +1734,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.col("event_id_v").alias("view_event_id"),
-        F.floor(F.coalesce(F.col("ts_v").cast("double"), F.lit(-1.0)))
+        F.floor(F.coalesce(epoch_seconds(F.col("ts_v")), F.lit(-1.0)))
         .cast("bigint").alias("view_ts_floor"),
     )
 
@@ -2689,15 +2694,16 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deduplicated corpus: drop every cluster member except the
     canonical minimum-id survivor (exact dups have Jaccard 1.0, so
     they're covered too). Anti-join of the corpus against non-
-    canonical members — the non-canonical set is tiny, so at scale
-    it broadcasts and the corpus never shuffles."""
+    canonical members — no broadcast hint: at LLM-corpus dup rates
+    the loser set is an unbounded fraction of the corpus, so AQE
+    decides (demoting to broadcast only when it measures small)."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
     cc = _dd.connected_components(pairs)
     losers = cc.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return docs.join(F.broadcast(losers), "doc_id", "left_anti").select(
+    return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "n_chars"
     )
 
@@ -3984,7 +3990,7 @@ def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.col("event_id_p").alias("purchase_event_id"),
         F.coalesce(
-            F.floor(F.unix_timestamp(F.col("ts_p"))), F.lit(-1)
+            F.floor(epoch_seconds(F.col("ts_p"))).cast("bigint"), F.lit(-1)
         ).alias("purchase_ts_floor"),
     )
 
@@ -5980,7 +5986,7 @@ def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "last_touch_ts",
         F.when(F.col("last_touch_ts").isNull(), F.lit("organic"))
         .when(
-            F.col("ts").cast("double") - F.col("last_touch_ts").cast("double")
+            epoch_seconds(F.col("ts")) - epoch_seconds(F.col("last_touch_ts"))
             <= 3600,
             F.lit("attributed"),
         )
@@ -6248,7 +6254,8 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.col("_w.start").cast("double").cast("bigint").alias("hour_start"),
+            (epoch_micros(F.col("_w.start")) / F.lit(1000000)).cast("bigint")
+            .alias("hour_start"),
             "open", "high", "low", "close", "n",
         )
     )
@@ -8440,7 +8447,7 @@ def events_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_trend_by_group(
         ev.select(
             "event_type",
-            F.unix_micros(F.col("ts")).alias("x_us"),
+            epoch_micros(F.col("ts")).alias("x_us"),
             "value",
         ),
         group_col="event_type",
@@ -8676,8 +8683,8 @@ def events_incident_overlap_join(
         sessions, incidents, bucket_s=3600
     )
     overlap = (
-        F.least(F.col("end_ts"), F.col("r_end_ts")).cast("double")
-        - F.greatest(F.col("start_ts"), F.col("r_start_ts")).cast("double")
+        epoch_seconds(F.least(F.col("end_ts"), F.col("r_end_ts")))
+        - epoch_seconds(F.greatest(F.col("start_ts"), F.col("r_start_ts")))
     )
     return joined.select(
         "user_id",
@@ -9165,8 +9172,8 @@ def events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             (
-                F.col("_pts").cast("double")
-                - F.col("last_touch_ts").cast("double")
+                epoch_seconds(F.col("_pts"))
+                - epoch_seconds(F.col("last_touch_ts"))
             ).alias("dt_s"),
         )
     ).cache()  # the median refinement + stats = 4 consumers; without
@@ -9710,6 +9717,113 @@ _ROUND5_WINDOW = [
 ]
 
 
+# --------------------------------------------------------------------------
+# Environment-fingerprint canaries (VERDICT r6 "Next round" #2).
+#
+# Round 6 produced the first driver-red rows in three rounds
+# (orders_yoy_growth / customer_rfm_scores / events_kaplan_meier) that
+# were green in every local and judge re-run — an environment
+# divergence, not a logic bug. The judge root-caused two of the three
+# to session-timezone × parquet-timestamp-type freedom (now pinned in
+# sources/readers.py:load_table); customer_rfm_scores did not
+# reproduce in any of four configs and needs driver-side diagnostics.
+# These two canaries make the driver's environment READABLE from the
+# CORRECTNESS artifact itself:
+#
+#   * env_fingerprint (rows-only by design — the row count IS the
+#     payload): rows = read_code*10_000 + jvm_tz_offset_min + 1440,
+#     where read_code encodes how the host Spark maps the parquet
+#     timestamp column (1=NTZ, 2=LTZ, 3=nanos-as-long w/ conf preset,
+#     4=nanos data + conf was unset, 0=unknown) and the offset term
+#     is the JVM default zone's raw UTC offset (the signal that
+#     leaked into calendar functions before the load_table pin). The
+#     single column's NAME encodes spark version / JVM zone id /
+#     resolved session tz / python-duckdb version, readable from a
+#     schema dump.
+#   * env_fingerprint_duckdb (oracle-checked): both sides emit
+#     N = major*10000 + minor*100 + patch rows of the constant 1,
+#     Spark from the Python duckdb module, the oracle from DuckDB's
+#     own version() — green iff the driver's Python duckdb matches
+#     its oracle engine; on mismatch the artifact's spark_rows /
+#     oracle_rows decode BOTH versions.
+
+
+def _env_read_code(spark: SparkSession, sf_dir: str) -> int:
+    """How does THIS session map the events timestamp column?"""
+    try:
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+        ts_type = dict(raw.dtypes).get("ts", "missing")
+        return {"timestamp_ntz": 1, "timestamp": 2, "bigint": 3}.get(ts_type, 0)
+    except Exception:
+        # TIMESTAMP(NANOS) data and nanosAsLong was not yet set on
+        # this session: the scan itself throws. Set it and retry.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+            return 4
+        except Exception:
+            return 0
+
+
+@query("env_fingerprint")
+def env_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only environment canary — see the block comment above."""
+    import re as _re
+
+    read_code = _env_read_code(spark, sf_dir)
+    try:
+        tz = spark._jvm.java.util.TimeZone.getDefault()  # noqa: SLF001
+        tz_id = str(tz.getID())
+        off_min = int(tz.getRawOffset()) // 60000
+    except Exception:
+        tz_id, off_min = "unavailable", 6120  # sentinel: +1440 = 7560
+    try:
+        sess_tz = spark.conf.get("spark.sql.session.timeZone", "unset") or "unset"
+    except Exception:
+        sess_tz = "unreadable"
+    try:
+        import duckdb as _dk
+
+        dver = _dk.__version__
+    except Exception:
+        dver = "absent"
+    n = read_code * 10_000 + off_min + 1440
+    label = _re.sub(
+        r"[^A-Za-z0-9_]",
+        "_",
+        f"spark_{spark.version}__jvmtz_{tz_id}__sesstz_{sess_tz}__pyduckdb_{dver}",
+    )
+    return spark.range(n).select(F.lit(1).alias(label))
+
+
+_DUCK_CANARY_ORACLE = r"""
+SELECT 1 AS env_probe FROM range(
+    CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 1) AS INTEGER) * 10000
+  + CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 2) AS INTEGER) * 100
+  + CAST(regexp_extract(version(), '(\d+)\.(\d+)\.(\d+)', 3) AS INTEGER)
+)
+"""
+
+
+@query("env_fingerprint_duckdb", _DUCK_CANARY_ORACLE)
+def env_fingerprint_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DuckDB-version canary — see the block comment above."""
+    import re as _re
+
+    try:
+        import duckdb as _dk
+
+        m = _re.match(r"(\d+)\.(\d+)\.(\d+)", _dk.__version__)
+        n = (
+            int(m.group(1)) * 10000 + int(m.group(2)) * 100 + int(m.group(3))
+            if m
+            else 9999999
+        )
+    except Exception:
+        n = 9999998
+    return spark.range(n).select(F.lit(1).alias("env_probe"))
+
+
 #: Round-6 driver window (VERDICT r5 "Next round" #3). Composition:
 #:   1. ALL 33 promoted pending-lane entries — the only registry
 #:      entries no driver round has ever checked. Green here =>
@@ -9754,8 +9868,52 @@ _ROUND6_WINDOW = [
 ]
 
 
+#: Round-7 driver window (VERDICT r6 "Next round" #5). Composition:
+#:   1. The 13 entries no driver round has ever checked: the 11
+#:      promoted round-7 staging-lane queries + the 2 environment
+#:      canaries (VERDICT #2).
+#:   2. The 3 round-6 driver-red rows (environment flips, root-caused
+#:      and healed by the NTZ/UTC read boundary in sources/readers.py;
+#:      re-green locally AND under the new TZ=America/New_York ×
+#:      inferTimestampNTZ parity gate).
+#:   3. The TZ-fragile window/asof/OHLC family the judge demonstrated
+#:      plus every query whose engine code this round's NTZ
+#:      canonicalization touched (epoch_seconds rewrites).
+#:   4. The exact-cents-swept veterans never re-windowed (r6 plan).
+#:   5. The 3 broadcast-hint drops (VERDICT #6) + 5 rotating veterans.
+_ROUND7_WINDOW = [
+    # 1. never driver-checked
+    "docs_hapax_ratio", "events_daily_peaks", "orders_theilsen_trend",
+    "events_bootstrap_ci", "embeddings_pca_top2",
+    "docs_curriculum_sharded", "events_retention_triangle",
+    "dedup_cluster_profile", "docs_readability",
+    "events_seasonal_decompose", "embeddings_silhouette",
+    "env_fingerprint", "env_fingerprint_duckdb",
+    # 2. round-6 driver-red rows, re-gate post-fix
+    "orders_yoy_growth", "customer_rfm_scores", "events_kaplan_meier",
+    # 3. TZ-fragile family + NTZ-rewrite-touched rows
+    "events_tumbling_window", "events_sliding_window",
+    "events_session_window_batch", "events_asof_join",
+    "events_asof_join_forward", "events_ohlc_hourly",
+    "events_cusum_changepoint", "events_sessionize",
+    "events_attribution", "events_time_to_convert",
+    "events_trend_by_type", "events_incident_overlap_join",
+    "events_session_concurrency", "events_hourly_gapfill",
+    "events_interarrival", "events_ks_drift", "events_mannwhitney",
+    # 4. exact-cents swept, never re-windowed
+    "orders_rollup", "events_type_stats_salted", "events_enrich_dim",
+    "events_seasonality", "part_brand_stats",
+    "orders_bloom_prefilter_join", "tpch_q19_disjunctive",
+    "events_moving_avg", "orders_running_total",
+    # 5. broadcast-hint drops + rotating veterans
+    "dedup_keep_best", "dedup_canonical_docs", "store_ingest_append",
+    "tpch_q1_pricing_summary", "knn_batch", "dedup_minhash_lsh",
+    "docs_pack_windows", "zeroshot_softmax",
+]
+
+
 def _reorder_for_driver_window() -> None:
-    head = [n for n in _ROUND6_WINDOW if n in QUERIES]
+    head = [n for n in _ROUND7_WINDOW if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(head)]
     ordering = head + rest
     assert sorted(ordering) == sorted(QUERIES), "registry reorder lost entries"

@@ -2888,6 +2888,15 @@ ROUND6_PROMOTED = (
     "events_kaplan_meier", "docs_token_chi2", "events_mannwhitney",
     "events_ks_drift", "orders_daily_acf", "embeddings_matryoshka",
     "embeddings_knn_label_eval", "embeddings_top_pc",
+    # round-7 promotion: the 11-entry staging wave (self-green at 3
+    # scales + unicode + degenerate sweeps; judge sampled 7/7 green;
+    # events_retention_triangle additionally green under the new
+    # TZ-parity gate both read configs — VERDICT r6 #4/#5)
+    "docs_hapax_ratio", "events_daily_peaks", "orders_theilsen_trend",
+    "events_bootstrap_ci", "embeddings_pca_top2",
+    "docs_curriculum_sharded", "events_retention_triangle",
+    "dedup_cluster_profile", "docs_readability",
+    "events_seasonal_decompose", "embeddings_silhouette",
 )
 
 # Complete the round-6 promotion when THIS module is the last of the

@@ -26,6 +26,28 @@ TABLES = (
 )
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Pin the confs this engine's correctness depends on onto the
+    CURRENT session — including driver-created sessions the engine did
+    not build (``session.ENGINE_CONF`` only reaches sessions built by
+    ``get_spark``; the ``__spark_entry__`` contract hands in a foreign
+    one).
+
+    - ``session.timeZone=UTC``: the testdata timestamps are TZ-naive
+      parquet and every oracle is TZ-naive DuckDB, so all calendar
+      arithmetic (``F.year``/``to_date``/``F.window``/``date_trunc``)
+      must resolve against UTC. On a non-UTC host a bone-stock session
+      shifts every window/as-of/day boundary by the zone offset.
+    - ``nanosAsLong=true``: parquet TIMESTAMP(NANOS) (events.ts) has
+      no per-read option and throws outright without it.
+
+    Both are runtime-settable SQL confs; setting them per-read is
+    idempotent and costs one local conf write.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one test table. A plain parquet scan: filters/projection
     applied by callers reach the scan via Catalyst pushdown.
@@ -34,27 +56,43 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     does not read natively — we read it as raw nanos
     (``nanosAsLong``) and floor-truncate to microseconds, matching
     DuckDB's ns→µs truncation so oracles agree.
-    """
-    if name == "events":
-        # ensure the declared engine default (session.ENGINE_CONF) on
-        # sessions built elsewhere — Spark has no per-read option for
-        # nanos, and without it TIMESTAMP(NANOS) scans throw outright
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        from pyspark.sql import functions as F
 
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        ts_type = dict(df.dtypes).get("ts")
-        if ts_type == "bigint":
+    Every timestamp column is normalized to ONE canonical read type —
+    ``TimestampNTZType`` — regardless of which of bigint /
+    TIMESTAMP_NTZ / TIMESTAMP the host Spark's read config
+    (``spark.sql.parquet.inferTimestampNTZ.enabled``) produced, so
+    query code never branches on the host's parquet timestamp mapping.
+
+    NTZ is the only collect-proof choice: the testdata is TZ-naive
+    parquet (isAdjustedToUTC=false) and the oracles are TZ-naive
+    DuckDB, and PySpark's ``TimestampType.fromInternal`` converts
+    through the PYTHON PROCESS local timezone at ``collect()`` — on a
+    non-UTC host every raw-timestamp output column would shift by the
+    zone offset even with the session pinned to UTC (measured: events
+    rows collect as ``2023-12-31 19:09:58`` under TZ=America/New_York
+    where DuckDB reads ``2024-01-01 00:09:58``). NTZ round-trips
+    value-exact, and calendar functions / ``F.window`` on NTZ never
+    consult the session zone.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampType
+
+    _pin_session_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as raw nanos: floor-truncate to µs,
+        # matching DuckDB's ns→µs truncation so oracles agree.
+        # timestamp_micros → LTZ; the immediate NTZ cast below is
+        # value-identity under the UTC session pin just set.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampType):
+            # LTZ → NTZ is value-identity under session tz=UTC (the
+            # stored naive micros come back out exactly).
             df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+                field.name, F.col(field.name).cast("timestamp_ntz")
             )
-        elif ts_type == "timestamp_ntz":
-            # TIMESTAMP(MICROS) without tz → NTZ; session tz is UTC so
-            # the cast is value-identity, and downstream watermarks /
-            # window() require TimestampType.
-            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

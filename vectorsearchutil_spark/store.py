@@ -419,9 +419,9 @@ class VectorStore:
                 # shuffles only the incoming batch
                 fresh = df.join(existing.select("target"), "target", "left_anti")
             else:
-                fresh = df.join(
-                    F.broadcast(existing.select("target")), "target", "left_anti"
-                )
+                # no broadcast hint: the existing store is unbounded;
+                # AQE demotes to broadcast when it measures small
+                fresh = df.join(existing.select("target"), "target", "left_anti")
             start = existing.agg(F.coalesce(F.max("id"), F.lit(0))).first()[0]
             fresh = fresh.withColumn(
                 "id", F.row_number().over(Window.orderBy("_ord")) + F.lit(start)

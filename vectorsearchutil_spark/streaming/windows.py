@@ -48,9 +48,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch-read schema once on the driver and declare the stream
     schema to match (readStream requires an explicit schema).
     """
-    # ensure the declared engine default (session.ENGINE_CONF) on
-    # sessions built elsewhere — config-only in Spark, see session.py
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ensure the declared engine defaults (session.ENGINE_CONF) on
+    # sessions built elsewhere — the UTC pin makes the NTZ→LTZ cast
+    # below (and the watermark/window arithmetic) value-identical to
+    # the naive stored micros on any host (see sources/readers.py)
+    from vectorsearchutil_spark.sources.readers import _pin_session_confs
+
+    _pin_session_confs(spark)
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory: stream the SF dir
     # with a glob narrowing it to the events table.
@@ -65,8 +69,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if nanos:
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif dict(raw.dtypes).get("ts") == "timestamp_ntz":
-        # NTZ is rejected by withWatermark; session tz is UTC so the
-        # cast is value-identity.
+        # NTZ is rejected by withWatermark; session tz is pinned UTC
+        # above so the cast is value-identity.
         raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw
 
@@ -91,7 +95,9 @@ def streaming_tumbling_counts(
             .cast("double").alias("sum_value"),
         )
         .select(
-            F.col("w.start").alias("window_start"),
+            # NTZ output = the batch twin's dtype (load_table reads
+            # NTZ); value-identity under the UTC session pin
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
             "event_type",
             "n_events",
             "sum_value",
@@ -113,8 +119,8 @@ def streaming_session_window(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             F.col("user_id"),
-            F.col("s.start").alias("session_start"),
-            F.col("s.end").alias("session_end"),
+            F.col("s.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("s.end").cast("timestamp_ntz").alias("session_end"),
             "n_events",
         )
     )
