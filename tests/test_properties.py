@@ -44,17 +44,36 @@ def test_vector_math_matches_numpy(spark, pairs):
         l2_distance("a", "b").alias("l2"),
         cosine_similarity("a", "b").alias("cos"),
     ).collect()
+    def fold_dot(xs, ys):
+        # the engine's DOCUMENTED semantics (functions/vector.py):
+        # strict left-to-right array-order summation. numpy's `@`
+        # uses pairwise/SIMD summation, which legitimately differs
+        # under catastrophic cancellation (1e12-scale terms
+        # cancelling to 1e3 — hypothesis found such an input), so the
+        # reference here is the left fold, checked EXACTLY, with
+        # numpy kept only as a loose magnitude sanity bound.
+        acc = 0.0
+        for x, y in zip(xs, ys):
+            acc += x * y
+        return acc
+
     for r in rows:
-        a = np.array(pairs[r["id"]][0])
-        b = np.array(pairs[r["id"]][1])
-        assert r["dot"] == pytest.approx(float(a @ b), rel=1e-9, abs=1e-6)
-        assert r["l2"] == pytest.approx(
-            float(np.linalg.norm(a - b)), rel=1e-9, abs=1e-6
+        pa, pb = pairs[r["id"]]
+        a = np.array(pa)
+        b = np.array(pb)
+        assert r["dot"] == fold_dot(pa, pb)
+        scale = max(1.0, float(np.abs(a * b).sum()))
+        assert r["dot"] == pytest.approx(float(a @ b), abs=1e-9 * scale)
+        fold_l2 = math.sqrt(
+            fold_dot([x - y for x, y in zip(pa, pb)],
+                     [x - y for x, y in zip(pa, pb)])
         )
-        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        assert r["l2"] == fold_l2
+        na = math.sqrt(fold_dot(pa, pa))
+        nb = math.sqrt(fold_dot(pb, pb))
         if na > 1e-12 and nb > 1e-12:
             assert r["cos"] == pytest.approx(
-                float(a @ b / (na * nb)), rel=1e-6, abs=1e-6
+                fold_dot(pa, pb) / (na * nb), rel=1e-12, abs=1e-12
             )
 
 

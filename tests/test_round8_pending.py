@@ -1,0 +1,310 @@
+"""Unit tests for the round-8 staging wave (queries_pending.py:
+Spearman / Kendall tau-b on the daily grid, transition entropy, Fano
+burstiness, boilerplate prefixes, n-gram novelty, chunk-overlap
+stats, PQ subspace distortion). The oracle gate runs separately via
+CHECK_ORACLES_PENDING=1; these pin the operator semantics on
+hand-checkable inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from vectorsearchutil_spark.operators.analytics import (
+    fano_daily,
+    kendall_tau_daily,
+    spearman_daily,
+    transition_entropy,
+)
+from vectorsearchutil_spark.operators.textanalysis import (
+    boilerplate_prefixes,
+    chunk_overlap_stats,
+    ngram_novelty,
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+
+
+def _day_events(spark, day_specs):
+    """day_specs: list of (day_offset, n_events, per_event_value)."""
+    rows = []
+    eid = 0
+    for off, n, v in day_specs:
+        for _ in range(n):
+            rows.append(
+                (eid, dt.datetime(2024, 1, 1 + off, 12, 0, 0), 1, "x", v)
+            )
+            eid += 1
+    return _ev(spark, rows)
+
+
+def test_spearman_perfect_monotone(spark):
+    # counts 1<2<3 and per-day value sums strictly increasing -> rho 1
+    df = _day_events(spark, [(0, 1, 1.0), (1, 2, 2.0), (2, 3, 3.0)])
+    row = spearman_daily(df).collect()[0]
+    assert row.n_days == 3
+    assert row.spearman_rho == pytest.approx(1.0)
+
+
+def test_spearman_perfect_antitone(spark):
+    # counts increase while value sums DECREASE -> rho -1
+    df = _day_events(spark, [(0, 1, 30.0), (1, 2, 10.0), (2, 3, 1.0)])
+    row = spearman_daily(df).collect()[0]
+    assert row.spearman_rho == pytest.approx(-1.0)
+
+
+def test_spearman_all_tied_is_null(spark):
+    # identical counts every day -> zero rank variance -> NULL not crash
+    df = _day_events(spark, [(0, 2, 1.0), (1, 2, 1.0), (2, 2, 1.0)])
+    row = spearman_daily(df).collect()[0]
+    assert row.spearman_rho is None
+
+
+def test_kendall_hand_counts(spark):
+    # days: (n, v_sum) = (1,10), (2,40), (3,30):
+    # pairs: (1,2) concordant, (1,3) concordant, (2,3) discordant
+    df = _day_events(spark, [(0, 1, 10.0), (1, 2, 20.0), (2, 3, 10.0)])
+    row = kendall_tau_daily(df).collect()[0]
+    assert row.n_pairs == 3
+    assert row.concordant == 2
+    assert row.discordant == 1
+    # no ties: tau_b = (2-1)/3
+    assert row.tau_b == pytest.approx((2 - 1) / 3, abs=1e-6)
+
+
+def test_kendall_tie_in_x(spark):
+    # counts tied on two days: that pair leaves C/D and enters tx
+    df = _day_events(spark, [(0, 2, 10.0), (1, 2, 20.0), (2, 3, 30.0)])
+    row = kendall_tau_daily(df).collect()[0]
+    assert row.n_pairs == 3
+    assert row.concordant == 2
+    assert row.discordant == 0
+    # tau_b = 2 / sqrt((3-1)*(3-0))
+    assert row.tau_b == pytest.approx(2 / (2 * 3) ** 0.5, abs=1e-6)
+
+
+def test_transition_entropy_uniform_and_deterministic(spark):
+    t0 = dt.datetime(2024, 1, 1)
+
+    def r(eid, user, typ):
+        return (eid, t0 + dt.timedelta(minutes=eid), user, typ, 1.0)
+
+    # consecutive-event transitions:
+    # user 1: a->b, b->a, a->c   user 2: a->c, c->b, b->a
+    # from a: {b:1, c:2} -> H(1/3, 2/3); from b: {a:2} -> 0 bits
+    rows = [
+        r(0, 1, "a"), r(1, 1, "b"), r(2, 1, "a"), r(3, 1, "c"),
+        r(4, 2, "a"), r(5, 2, "c"), r(6, 2, "b"), r(7, 2, "a"),
+    ]
+    out = {
+        x.from_type: x for x in transition_entropy(_ev(spark, rows)).collect()
+    }
+    import math
+
+    h_13_23 = -(1 / 3) * math.log2(1 / 3) - (2 / 3) * math.log2(2 / 3)
+    assert out["a"].n_next_types == 2
+    assert out["a"].h_bits == pytest.approx(h_13_23, abs=1e-6)
+    assert out["b"].n_next_types == 1
+    assert out["b"].h_bits == pytest.approx(0.0)
+    # shares sum to 1 over all from-states
+    assert sum(x.share for x in out.values()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_fano_zero_fills_missing_days(spark):
+    # counts on days 0 and 2; day 1 missing -> series [2,0,4]
+    # n=3, S=6, Q=20 -> var=(3*20-36)/(3*2)=4, mean=2 -> fano=2
+    df = _day_events(spark, [(0, 2, 1.0), (2, 4, 1.0)])
+    row = fano_daily(df).collect()[0]
+    assert row.n_days == 3
+    assert row.n_events == 6
+    assert row.fano_factor == pytest.approx(2.0)
+
+
+def test_fano_single_day_null(spark):
+    df = _day_events(spark, [(0, 3, 1.0)])
+    row = fano_daily(df).collect()[0]
+    assert row.fano_factor is None  # n-1 == 0 -> NULL, not a crash
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_boilerplate_prefix_share_and_tiebreak(spark):
+    pre_a = "A" * 24
+    pre_b = "B" * 24
+    docs = _docs(
+        spark,
+        [
+            (1, "s1", pre_a + " tail one"),
+            (2, "s1", pre_a + " tail two"),
+            (3, "s1", "unique document text here"),
+            # s2: two prefixes tied 1-1 -> lexicographically smaller wins
+            (4, "s2", pre_b + " x"),
+            (5, "s2", pre_a + " y"),
+        ],
+    )
+    out = {r.source: r for r in boilerplate_prefixes(docs).collect()}
+    assert out["s1"].n_docs == 3
+    assert out["s1"].top_prefix == pre_a
+    assert out["s1"].top_prefix_docs == 2
+    assert out["s1"].top_prefix_share == pytest.approx(2 / 3, abs=1e-6)
+    assert out["s2"].top_prefix == pre_a  # tie -> min(prefix)
+
+
+def test_ngram_novelty_first_introduction(spark):
+    base = "t1 t2 t3 t4 t5 t6"  # grams: (t1..t5), (t2..t6)
+    docs = _docs(
+        spark,
+        [
+            (1, "s", base),            # introduces both grams
+            (2, "s", base + " t7"),    # repeats both, introduces (t3..t7)
+            (3, "s", "too short"),     # <5 tokens -> no grams, no row
+        ],
+    )
+    out = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert set(out) == {1, 2}
+    assert out[1].n_grams == 2 and out[1].n_novel == 2
+    assert out[1].novelty_ratio == pytest.approx(1.0)
+    assert out[2].n_grams == 3 and out[2].n_novel == 1
+    assert out[2].novelty_ratio == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_chunk_overlap_closed_form(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "s", " ".join(["w"] * 256)),  # exactly one chunk
+            (2, "s", " ".join(["w"] * 257)),  # 2 chunks, +64 overlap
+            (3, "s", " ".join(["w"] * 700)),  # 1+ceil(444/192)=4 chunks
+        ],
+    )
+    row = chunk_overlap_stats(docs).collect()[0]
+    assert row.n_docs == 3
+    assert row.total_tokens == 256 + 257 + 700
+    assert row.total_chunks == 1 + 2 + 4
+    assert row.emitted_tokens == 256 + (257 + 64) + (700 + 3 * 64)
+    expected = row.emitted_tokens / row.total_tokens
+    assert row.inflation == pytest.approx(expected, abs=1e-6)
+
+
+def test_pq_distortion_zero_on_codebook_points(spark):
+    from vectorsearchutil_spark.operators.pq import (
+        pq_subspace_distortion,
+        pq_train,
+    )
+
+    # 32 vectors = two copies of 16 base patterns; k-means with
+    # vec_id<16 init converges to the patterns themselves -> every
+    # subspace reconstructs exactly
+    base = [[float((i * 7 + j) % 5) for j in range(64)] for i in range(16)]
+    rows = [(i, base[i % 16]) for i in range(32)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    books = pq_train(df, m=8, k=16, iterations=2)
+    out = pq_subspace_distortion(df, books).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.n_vectors == 32
+        assert r.mean_sq_err == pytest.approx(0.0)
+        assert r.max_sq_err == pytest.approx(0.0)
+        assert r.exact_zero == 32
+
+
+def test_hill_tail_index_known_pareto(spark):
+    from vectorsearchutil_spark.operators.analytics import hill_tail_index
+
+    # exact Pareto(alpha=2) order statistics: x_(i) = (n/i)^(1/2);
+    # Hill over top k with x_(k+1) as base estimates 1/alpha = 0.5
+    import math
+
+    n, k = 5000, 100
+    rows = [
+        (i, dt.datetime(2024, 1, 1), 1, "p", math.sqrt(n / i))
+        for i in range(1, n + 1)
+    ]
+    out = hill_tail_index(_ev(spark, rows), k=k).collect()[0]
+    assert out.k == k
+    # hill = (1/k) sum ln(x_i/x_(k+1)) with x_(i)=(n/i)^0.5:
+    expected = sum(
+        0.5 * math.log((k + 1) / i) for i in range(1, k + 1)
+    ) / k
+    assert out.hill == pytest.approx(expected, abs=1e-6)
+    assert out.alpha == pytest.approx(1.0 / expected, abs=1e-4)
+
+
+def test_hill_requires_k_plus_one(spark):
+    from vectorsearchutil_spark.operators.analytics import hill_tail_index
+
+    rows = [(i, dt.datetime(2024, 1, 1), 1, "x", float(i + 1))
+            for i in range(50)]
+    assert hill_tail_index(_ev(spark, rows), k=100).count() == 0
+
+
+def test_norm_anova_separated_vs_identical(spark):
+    from vectorsearchutil_spark.operators.analytics import norm_anova
+
+    # two labels at radii 1 and 2 with zero within-class variance ->
+    # SSW == 0 -> F is NULL (division guard), not a crash
+    rows = [(i, [1.0, 0.0], 0) for i in range(10)]
+    rows += [(100 + i, [2.0, 0.0], 1) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = norm_anova(df).collect()[0]
+    assert out.n == 20 and out.k_labels == 2
+    assert out.f_stat is None
+
+    # identical norm MIX per label (within-variance > 0, between == 0)
+    # -> SSB == 0 -> F == 0
+    rows2 = [(i, [1.0 if i % 4 < 2 else 2.0, 0.0], i % 2)
+             for i in range(20)]
+    df2 = spark.createDataFrame(
+        rows2, "vec_id long, embedding array<float>, label int"
+    )
+    assert norm_anova(df2).collect()[0].f_stat == pytest.approx(0.0)
+
+
+def test_int_quantiles_lower_definition(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        _int_value_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [("g", v) for v in [1, 2, 3, 4]], "g string, v int"
+    )
+    out = _int_value_quantiles(
+        df, "g", "v", [0.5, 0.9], ["p50", "p90"]
+    ).collect()[0]
+    # lower (type-1) quantile: ceil(0.5*4)=2 -> v=2; ceil(0.9*4)=4 -> 4
+    assert out.n == 4 and out.p50 == 2 and out.p90 == 4
+
+
+def test_interpurchase_gaps(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        interpurchase_median,
+    )
+
+    orders = spark.createDataFrame(
+        [
+            (1, 10, dt.datetime(2024, 1, 1)),
+            (2, 10, dt.datetime(2024, 1, 4)),   # gap 3
+            (3, 10, dt.datetime(2024, 1, 11)),  # gap 7
+            (4, 20, dt.datetime(2024, 1, 1)),   # single order: no gap
+        ],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp",
+    )
+    customer = spark.createDataFrame(
+        [(10, "SEG_A"), (20, "SEG_A")], "c_custkey long, c_mktsegment string"
+    )
+    out = interpurchase_median(orders, customer).collect()[0]
+    assert out.segment == "SEG_A"
+    assert out.n_gaps == 2
+    assert out.median_days == 3  # lower median of {3, 7}
+    assert out.p90_days == 7

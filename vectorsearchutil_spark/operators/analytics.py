@@ -1257,3 +1257,458 @@ def seasonal_decompose_daily(
             ).alias("residual"),
         )
     )
+
+
+def _daily_type_grid(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-(event_type, day) exact aggregates: count + value cents.
+
+    The grid is calendar-bounded (days × types), so every window /
+    self-join downstream runs over an aggregate a broadcast can carry
+    at any corpus scale — the same posture as :func:`daily_acf`.
+    """
+    cents = _cents(F.col("value"))
+    return events.groupBy(
+        F.col("event_type"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("v_cents"),
+    )
+
+
+def spearman_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Spearman rank correlation, per event type, between the daily
+    event COUNT and the daily value SUM — "do busy days move money?"
+    with monotonic (not linear) association.
+
+    Exactness: average ranks are half-integers, so DOUBLED ranks are
+    exact integers; rho is Pearson on the doubled ranks via exact
+    DECIMAL(38,0) moment sums (scale cancels), one double division at
+    the end. Ties get the standard midrank on both engines
+    (rank_min + (ties-1)/2). All windows partition by event_type over
+    the bounded day grid.
+    """
+    g = _daily_type_grid(events, ts_col)
+
+    def dbl_rank(col: str, out: str):
+        wr = Window.partitionBy("event_type").orderBy(F.col(col).asc())
+        wt = Window.partitionBy("event_type", col)
+        # 2 * midrank = 2*rank_min + (n_ties - 1)
+        return (
+            (F.lit(2) * F.rank().over(wr) + F.count(F.lit(1)).over(wt) - 1)
+            .alias(out)
+        )
+
+    ranked = g.select(
+        "event_type",
+        dbl_rank("n", "_rx"),
+        dbl_rank("v_cents", "_ry"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec(F.col("_rx"))).alias("_sx"),
+        F.sum(dec(F.col("_ry"))).alias("_sy"),
+        F.sum(dec(F.col("_rx")) * dec(F.col("_rx"))).alias("_sxx"),
+        F.sum(dec(F.col("_ry")) * dec(F.col("_ry"))).alias("_syy"),
+        F.sum(dec(F.col("_rx")) * dec(F.col("_ry"))).alias("_sxy"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    num = (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    denx = (n * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    deny = (n * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    rho = num / F.sqrt(F.nullif(denx * deny, F.lit(0.0)))
+    return agg.select(
+        "event_type",
+        "n_days",
+        round_half_up(rho, 6).alias("spearman_rho"),
+    )
+
+
+def kendall_tau_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Kendall tau-b, per event type, on the same daily (count,
+    value-sum) series as :func:`spearman_daily`.
+
+    The O(d²) pair enumeration runs on the AGGREGATED day grid
+    (≤ calendar-days rows per type), so the self-join is a broadcast
+    of a tiny table even at 100 TB of raw events; concordant /
+    discordant / tie counts are exact integers and tau-b does one
+    double division.
+    """
+    g = _daily_type_grid(events, ts_col)
+    a = g.select(
+        "event_type",
+        F.col("day").alias("d1"),
+        F.col("n").alias("x1"),
+        F.col("v_cents").alias("y1"),
+    )
+    b = g.select(
+        "event_type",
+        F.col("day").alias("d2"),
+        F.col("n").alias("x2"),
+        F.col("v_cents").alias("y2"),
+    )
+    pairs = a.join(F.broadcast(b), "event_type").filter(
+        F.col("d1") < F.col("d2")
+    )
+    dx = F.col("x1") - F.col("x2")
+    dy = F.col("y1") - F.col("y2")
+    agg = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(((dx > 0) & (dy > 0) | (dx < 0) & (dy < 0)).cast("long"))
+        .alias("concordant"),
+        F.sum(((dx > 0) & (dy < 0) | (dx < 0) & (dy > 0)).cast("long"))
+        .alias("discordant"),
+        F.sum((dx == 0).cast("long")).alias("_tx"),
+        F.sum((dy == 0).cast("long")).alias("_ty"),
+    )
+    n0 = F.col("n_pairs").cast("double")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / F.sqrt(
+        F.nullif(
+            (n0 - F.col("_tx").cast("double"))
+            * (n0 - F.col("_ty").cast("double")),
+            F.lit(0.0),
+        )
+    )
+    return agg.select(
+        "event_type",
+        "n_pairs",
+        "concordant",
+        "discordant",
+        round_half_up(tau, 6).alias("tau_b"),
+    )
+
+
+def transition_entropy(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Conditional next-event entropy H(next | current), per current
+    event type, from the first-order transition counts — how
+    predictable each state's successor is (the sequence-model
+    counterpart of events_markov_transitions). Also emits the state's
+    share of all transitions, so Σ share·h_bits is the chain's
+    entropy rate.
+
+    One per-user lead window on narrow columns; everything after is
+    aggregates over the (type × type) transition table.
+    """
+    nxt = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("from_type"),
+        F.lead(type_col).over(
+            Window.partitionBy(user_col).orderBy(ts_col, id_col)
+        ).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    trans = nxt.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("_nij")
+    )
+    wi = Window.partitionBy("from_type")
+    p = F.col("_nij").cast("double") / F.col("_ni").cast("double")
+    terms = trans.withColumn("_ni", F.sum("_nij").over(wi)).select(
+        "from_type",
+        "_ni",
+        (-p * F.log2(p)).alias("_term"),
+    )
+    # total transitions: Σ n_ij over the tiny transition table
+    n_all = trans.agg(F.sum("_nij").alias("_n_all"))
+    out = terms.groupBy("from_type").agg(
+        F.max("_ni").alias("n_transitions"),
+        F.count(F.lit(1)).alias("n_next_types"),
+        F.sum("_term").alias("_h"),
+    )
+    return out.crossJoin(F.broadcast(n_all)).select(
+        "from_type",
+        "n_transitions",
+        "n_next_types",
+        round_half_up(F.col("_h"), 6).alias("h_bits"),
+        round_half_up(
+            F.col("n_transitions").cast("double")
+            / F.col("_n_all").cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+def fano_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Per-type burstiness: the Fano factor (sample variance / mean)
+    of DAILY event counts over the zero-filled global day grid — a
+    Poisson process scores ≈1, bursty traffic ≫1.
+
+    Zero days matter, so the grid is sequence(min_day, max_day) ×
+    observed types (both tiny aggregates); moments are exact integer
+    sums (n, Σc, Σc²) and the Fano factor is one double division:
+    var/mean = (nQ − S²) / ((n−1)·S).
+    """
+    daily = events.groupBy(
+        F.col("event_type"), F.to_date(F.col(ts_col)).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    span = events.agg(
+        F.min(F.to_date(F.col(ts_col))).alias("_d0"),
+        F.max(F.to_date(F.col(ts_col))).alias("_d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"))
+        ).alias("day")
+    )
+    types = events.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(days))
+        .join(daily, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = grid.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(dec(F.col("c"))).alias("_s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("_q"),
+    )
+    n = F.col("n_days").cast("decimal(38,0)")
+    num = (n * F.col("_q") - F.col("_s") * F.col("_s")).cast("double")
+    den = (
+        (n - 1).cast("double") * F.col("_s").cast("double")
+    )
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.col("_s").cast("long").alias("n_events"),
+        round_half_up(num / F.nullif(den, F.lit(0.0)), 6).alias(
+            "fano_factor"
+        ),
+    )
+
+
+def hill_tail_index(
+    events: DataFrame,
+    value_col: str = "value",
+    type_col: str = "event_type",
+    k: int = 100,
+) -> DataFrame:
+    """Hill estimator of the tail index per event type — the
+    standard heavy-tail diagnostic (alpha ≈ 1/hill: lower hill =
+    heavier tail) over the top ``k`` order statistics:
+    hill = (1/k) Σ_{i≤k} ln(x_(i) / x_(k+1)), x positive.
+
+    Plan: per-type top-(k+1) via a rank window — Spark rewrites the
+    rn<=k+1 filter into WindowGroupLimit, so each partition keeps
+    only k+1 candidates before the merge (no full sort). The log
+    terms are quantized to 1e-9 units (exact BIGINT sums →
+    partition-order-proof) and the bounded set is all that leaves the
+    scan. Types with fewer than k+1 positive values emit no row.
+    """
+    pos = events.filter(
+        F.col(value_col).isNotNull()
+        & ~F.isnan(F.col(value_col))
+        & (F.col(value_col) > 0)
+        & (F.col(value_col) != F.lit(float("inf")))
+    ).select(F.col(type_col).alias("t"), F.col(value_col).alias("x"))
+    w = Window.partitionBy("t").orderBy(F.col("x").desc())
+    top = pos.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k + 1
+    )
+    xk1 = top.filter(F.col("rn") == k + 1).select(
+        "t", F.col("x").alias("_xk1")
+    )
+    terms = (
+        top.filter(F.col("rn") <= k)
+        .join(xk1, "t")
+        .select(
+            "t",
+            F.floor(
+                F.log(F.col("x") / F.col("_xk1")) * F.lit(1e9) + F.lit(0.5)
+            ).cast("decimal(38,0)").alias("_q"),
+        )
+    )
+    return terms.groupBy(F.col("t").alias(type_col)).agg(
+        F.count(F.lit(1)).cast("int").alias("k"),
+        round_half_up(
+            F.sum("_q").cast("double") / F.lit(float(k) * 1e9), 6
+        ).alias("hill"),
+        round_half_up(
+            F.lit(float(k) * 1e9) / F.nullif(
+                F.sum("_q").cast("double"), F.lit(0.0)
+            ),
+            6,
+        ).alias("alpha"),
+    )
+
+
+def norm_anova(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """One-way ANOVA F-statistic of SQUARED vector norms across
+    labels — "do classes live at different radii?", the cheap
+    embedding-health check before training a probe on them.
+
+    norm² per row is the fixed-order JVM fold (deterministic);
+    cross-row moments quantize it to 1e-6 units and sum exact
+    DECIMAL(38,0) integers, so SSB/SSW are computed from
+    partition-order-proof sums: SSB = Σ_l S_l²/n_l − S²/N,
+    SSW = Q − Σ_l S_l²/n_l (ANOVA F is scale-invariant, so the
+    quantized grid changes nothing but the last rounded digit).
+    Output: one row (n, k_labels, f_stat).
+    """
+    from vectorsearchutil_spark.functions.vector import (
+        finite_vector,
+        l2_squared,
+    )
+
+    zero = F.transform(F.col(vector_col), lambda _: F.lit(0.0))
+    n2 = l2_squared(F.col(vector_col), zero)
+    rows = df.filter(
+        F.col(vector_col).isNotNull()
+        & F.col(label_col).isNotNull()
+        & finite_vector(F.col(vector_col))
+    ).select(
+        F.col(label_col).alias("l"),
+        F.floor(n2 * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+        .alias("_q"),
+    )
+    per_label = rows.groupBy("l").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_q").alias("_s"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_qq"),
+    )
+    # bounded label set: the final reduction is a handful of rows
+    tot = per_label.agg(
+        F.sum("_n").alias("n"),
+        F.count(F.lit(1)).alias("k_labels"),
+        F.sum("_s").cast("double").alias("_S"),
+        F.sum(F.col("_qq")).cast("double").alias("_Q"),
+        F.sum(
+            F.col("_s").cast("double") * F.col("_s").cast("double")
+            / F.col("_n").cast("double")
+        ).alias("_B"),
+    )
+    ssb = F.col("_B") - F.col("_S") * F.col("_S") / F.col("n").cast("double")
+    ssw = F.col("_Q") - F.col("_B")
+    # degenerate guards (one-row / one-label input): k-1 == 0 or
+    # n-k == 0 -> NULL, not an ANSI divide-by-zero (degenerate-sweep
+    # catch, round 7)
+    fstat = (
+        ssb / F.nullif((F.col("k_labels") - 1).cast("double"), F.lit(0.0))
+    ) / F.nullif(
+        ssw
+        / F.nullif(
+            (F.col("n") - F.col("k_labels")).cast("double"), F.lit(0.0)
+        ),
+        F.lit(0.0),
+    )
+    return tot.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("k_labels").cast("int").alias("k_labels"),
+        round_half_up(fstat, 6).alias("f_stat"),
+    )
+
+
+def _int_value_quantiles(
+    d: DataFrame,
+    group_col: str,
+    value_col: str,
+    ps: list[float],
+    out_names: list[str],
+) -> DataFrame:
+    """Exact type-1 (lower) quantiles of an INTEGER-valued column per
+    group via the value-histogram: q_p = min{v : cum_count ≥ ⌈p·n⌉}.
+    The windows run over the bounded value DOMAIN (distinct integer
+    values per group), never over raw rows — the weighted-median
+    lesson generalized to any integer metric.
+    """
+    hist = d.groupBy(group_col, value_col).agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(value_col)
+    cum = hist.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(Window.partitionBy(group_col))
+    )
+    aggs = [
+        F.min(
+            F.when(
+                F.col("_cum") >= F.ceil(F.lit(float(p)) * F.col("_n")),
+                F.col(value_col),
+            )
+        ).alias(nm)
+        for p, nm in zip(ps, out_names)
+    ]
+    return cum.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n"), *aggs
+    )
+
+
+def ship_delay_quantiles(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: exact
+    p50/p90/p99 of datediff(l_shipdate, o_orderdate) in days — the
+    fulfilment-SLA report. One fact-fact equi-join on the order key
+    (AQE-planned), then the integer-day histogram quantiles
+    (:func:`_int_value_quantiles`): the quantile windows touch only
+    the (priority × distinct-day) domain.
+    """
+    j = lineitem.select("l_orderkey", "l_shipdate").join(
+        orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    d = j.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).alias("delay_days"),
+    )
+    out = _int_value_quantiles(
+        d, "priority", "delay_days",
+        [0.5, 0.9, 0.99], ["p50_days", "p90_days", "p99_days"],
+    )
+    return out.select(
+        "priority", "n",
+        F.col("p50_days").cast("int").alias("p50_days"),
+        F.col("p90_days").cast("int").alias("p90_days"),
+        F.col("p99_days").cast("int").alias("p99_days"),
+    )
+
+
+def interpurchase_median(
+    orders: DataFrame, customer: DataFrame
+) -> DataFrame:
+    """Median (and p90) days between consecutive orders of the same
+    customer, reported per market segment — the repeat-purchase
+    cadence metric. The lag window partitions by customer (bounded
+    rows per key); the medians run over the integer-day histogram,
+    so no serial window anywhere.
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    gaps = (
+        orders.select("o_custkey", "o_orderkey", "o_orderdate")
+        .withColumn(
+            "_gap",
+            F.datediff(
+                F.col("o_orderdate").cast("date"),
+                F.lag(F.col("o_orderdate").cast("date")).over(w),
+            ),
+        )
+        .filter(F.col("_gap").isNotNull())
+    )
+    # no broadcast hint: customer scales with the corpus (unbounded);
+    # AQE demotes to broadcast when it actually measures small
+    seg = gaps.join(
+        customer.select("c_custkey", "c_mktsegment"),
+        F.col("o_custkey") == F.col("c_custkey"),
+    ).select(F.col("c_mktsegment").alias("segment"), F.col("_gap"))
+    out = _int_value_quantiles(
+        seg, "segment", "_gap", [0.5, 0.9], ["median_days", "p90_days"]
+    )
+    return out.select(
+        "segment",
+        F.col("n").alias("n_gaps"),
+        F.col("median_days").cast("int").alias("median_days"),
+        F.col("p90_days").cast("int").alias("p90_days"),
+    )

@@ -458,3 +458,94 @@ def pq_search_rerank(
         .limit(k)
         .select(F.col(id_col), F.round(F.col("_d"), 4).alias("distance"))
     )
+
+
+def pq_subspace_distortion(
+    df: DataFrame,
+    books: Codebooks,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Per-subspace quantization distortion report for a trained PQ
+    codebook: (subspace, n_vectors, mean_sq_err, max_sq_err,
+    exact_zero) — the diagnostic that tells you WHICH slice of the
+    embedding needs a bigger codebook (or a rotation) before you pay
+    for recall loss at serving time.
+
+    Same one-pass broadcast-codebook shape as :func:`pq_encode`
+    (corpus never shuffles; the explode emits m narrow rows per
+    vector). Cross-row aggregation is order-proof: per-(vector,
+    subspace) d2 is the encoder's fixed-order float64 sum, then the
+    mean quantizes d2 to 1e-6 units and sums exact integers — the
+    value-quantization pattern from the covariance rewrite — so the
+    result is bit-identical under any partitioning and replayable by
+    the SQL oracle.
+    """
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    m = len(books)
+    d = len(books[0][0])
+    vec = F.col(vector_col).cast("array<double>")
+    subs = df.crossJoin(F.broadcast(_codebook_row(df, books))).select(
+        F.col(id_col),
+        "cbs",
+        *[F.slice(vec, j * d + 1, d).alias(f"_s{j}") for j in range(m)],
+    )
+
+    def _best(j: int):
+        s = F.col(f"_s{j}")
+        return F.array_min(
+            F.transform(
+                F.col("cbs")[j],
+                lambda c: F.struct(
+                    l2_squared(s, c["cv"]).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ).alias(f"_b{j}")
+
+    best = subs.select(F.col(id_col), *[_best(j) for j in range(m)])
+    pairs = best.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col(f"_b{j}")["d"].alias("d2"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_p")
+    ).select(F.col("_p.j").alias("j"), F.col("_p.d2").alias("d2"))
+    # guard the decimal cast: a NaN/Inf vector yields non-finite d2,
+    # and ANSI CAST(NaN AS DECIMAL) throws — degrade those rows to
+    # NULL (sum skips), same convention as _finite_or_null
+    d2f = F.col("d2")
+    finite = (
+        ~F.isnan(d2f)
+        & (d2f != F.lit(float("inf")))
+        & (d2f != F.lit(float("-inf")))
+        # DECIMAL(38,0) headroom for the 1e6 scale-up
+        & (F.abs(d2f) < F.lit(1e30))
+    )
+    q = F.when(
+        finite, F.floor(d2f * F.lit(1000000.0) + F.lit(0.5))
+    ).cast("decimal(38,0)")
+    agg = pairs.groupBy("j").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(q).alias("_sq"),
+        F.sum((F.col("d2") == 0.0).cast("long")).alias("exact_zero"),
+        F.max("d2").alias("_mx"),
+    )
+    return agg.select(
+        F.col("j").cast("int").alias("subspace"),
+        "n_vectors",
+        round_half_up(
+            F.col("_sq").cast("double")
+            / (F.col("n_vectors").cast("double") * F.lit(1000000.0)),
+            6,
+        ).alias("mean_sq_err"),
+        round_half_up(F.col("_mx"), 6).alias("max_sq_err"),
+        "exact_zero",
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from vectorsearchutil_spark.functions.text import (
     distinct_tokens,
     doc_fingerprint,
+    shingles_of_tokens,
     tokens,
     tokens_sql,
 )
@@ -1596,4 +1597,160 @@ def token_label_chi2(
             chi2.alias("chi2"),
         )
         .filter(F.col("chi2") >= F.lit(float(min_chi2)))
+    )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    prefix_chars: int = 24,
+) -> DataFrame:
+    """Template/boilerplate detection per source: the most common
+    document PREFIX (first ``prefix_chars`` characters) and its share
+    of the source's documents. Crawl pipelines use exactly this to
+    spot cookie banners, licence headers and scraped-template wrappers
+    before they flood the dedup stage.
+
+    Two narrow aggregates over (source, prefix) — no text shuffle
+    beyond the fixed-width prefix — then a max_by argmax with a
+    deterministic (count desc, prefix asc) tie-break.
+    """
+    pre = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(source_col).alias("source"),
+        F.substring(F.col(text_col), 1, prefix_chars).alias("_prefix"),
+    )
+    counts = pre.groupBy("source", "_prefix").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    # deterministic argmax incl. string tie-break: min(prefix) among
+    # rows carrying the max count (max_by's struct ordering would
+    # break count ties toward the LARGEST string; the screen wants
+    # the lexicographically smallest, same as the SQL oracle)
+    mx = counts.groupBy("source").agg(F.max("_n").alias("_mx"))
+    best = (
+        counts.join(mx, "source")
+        .filter(F.col("_n") == F.col("_mx"))
+        .groupBy("source")
+        .agg(F.min("_prefix").alias("top_prefix"), F.max("_n").alias("_bn"))
+    )
+    tot = pre.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return tot.join(best, "source").select(
+        "source",
+        "n_docs",
+        "top_prefix",
+        F.col("_bn").cast("long").alias("top_prefix_docs"),
+        round_half_up(
+            F.col("_bn").cast("double") / F.col("n_docs").cast("double"), 6
+        ).alias("top_prefix_share"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Per-document n-gram novelty in corpus order: the fraction of a
+    doc's DISTINCT n-grams that the corpus sees for the FIRST time in
+    this doc (first = minimum doc_id). The corpus-level novelty curve
+    is the standard diminishing-returns diagnostic for whether more
+    of the same source still adds information to a training mix.
+
+    Plan: explode distinct (doc, hash(gram)) pairs — 60-bit
+    md5-derived longs (the duplicate-spans anchor convention:
+    8-byte shuffle keys instead of 32-char md5 strings, measured 8x
+    at the 70M-gram probe, 198.6 -> 24.5 s; collisions are negligible and
+    ENGINE-IDENTICAL, the oracle derives the same long) — the raw
+    text never shuffles. Then TWO aggregates: per-gram min doc_id,
+    re-aggregated per introducing doc; and per-doc distinct gram
+    counts. No pair-table re-join: novel-per-doc falls straight out
+    of grouping the per-gram minima by their introducing doc.
+    """
+    toked = df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t"))
+    grams = toked.select(
+        F.col(id_col),
+        F.explode(
+            shingles_of_tokens(F.col("_t"), n=n, distinct=True)
+        ).alias("_g"),
+    ).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5(F.col("_g")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("_h"),
+    )
+    first = grams.groupBy("_h").agg(F.min(id_col).alias("_intro"))
+    novel = first.groupBy(F.col("_intro").alias(id_col)).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    totals = grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return totals.join(novel, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+        round_half_up(
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+            / F.col("n_grams").cast("double"),
+            6,
+        ).alias("novelty_ratio"),
+    )
+
+
+def chunk_overlap_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+    chunk_tokens: int = 256,
+    stride_tokens: int = 192,
+) -> DataFrame:
+    """RAG-chunking cost report, per source: how many sliding-window
+    chunks (size ``chunk_tokens``, stride ``stride_tokens``) the
+    corpus expands into and the token inflation the overlap costs.
+    Windows start at 0, stride, 2·stride, …; the last window starts
+    before the doc ends, so a doc of T tokens yields
+    1 + ceil(max(T−chunk, 0) / stride) chunks and re-emits
+    (chunk − stride) tokens per extra chunk.
+
+    Everything is closed-form integer arithmetic on per-doc token
+    counts — one narrow projection, one aggregate, exact at any
+    scale.
+    """
+    overlap = chunk_tokens - stride_tokens
+    t = F.size(tokens(F.col(text_col)))
+    n_chunks = F.when(t <= 0, F.lit(0)).otherwise(
+        F.lit(1)
+        + F.ceil(
+            F.greatest(t - chunk_tokens, F.lit(0)).cast("double")
+            / F.lit(float(stride_tokens))
+        ).cast("long")
+    )
+    per_doc = df.select(
+        F.col(source_col).alias("source"),
+        t.cast("long").alias("_t"),
+        n_chunks.alias("_nc"),
+    ).withColumn(
+        "_emitted",
+        F.col("_t")
+        + F.lit(int(overlap)) * F.greatest(F.col("_nc") - 1, F.lit(0)),
+    )
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("total_tokens"),
+        F.sum("_nc").alias("total_chunks"),
+        F.sum("_emitted").alias("emitted_tokens"),
+        round_half_up(
+            F.sum("_emitted").cast("double")
+            / F.nullif(F.sum("_t").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("inflation"),
     )

@@ -2867,6 +2867,534 @@ def embeddings_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: The round-6 promotion set: exactly the 33 entries staged during the
 #: round-5 freeze and promoted into the live registry by
 #: queries._promote_pending. Entries registered here AFTER this list
+# ==========================================================================
+# ROUND-8 STAGING WAVE (pending — NOT in the promoted list, so these
+# stay out of the driver registry until their own rotation). Theme:
+# rank statistics + sequence information theory + corpus-shape
+# diagnostics for training-data curation.
+# ==========================================================================
+
+_DAILY_GRID_SQL = """
+g AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+         SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END)
+           AS v_cents
+  FROM events GROUP BY 1, 2
+)
+"""
+
+_SPEARMAN_ORACLE = (
+    "WITH "
+    + _DAILY_GRID_SQL
+    + """,
+r AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY n)
+           + COUNT(*) OVER (PARTITION BY event_type, n) - 1 AS rx,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY v_cents)
+           + COUNT(*) OVER (PARTITION BY event_type, v_cents) - 1 AS ry
+  FROM g
+),
+a AS (
+  SELECT event_type, COUNT(*) AS nd,
+         SUM(CAST(rx AS HUGEINT)) AS sx, SUM(CAST(ry AS HUGEINT)) AS sy,
+         SUM(CAST(rx AS HUGEINT) * rx) AS sxx,
+         SUM(CAST(ry AS HUGEINT) * ry) AS syy,
+         SUM(CAST(rx AS HUGEINT) * ry) AS sxy
+  FROM r GROUP BY 1
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+       floor((CAST(nd * sxy - sx * sy AS DOUBLE)
+              / sqrt(NULLIF(CAST(nd * sxx - sx * sx AS DOUBLE)
+                            * CAST(nd * syy - sy * sy AS DOUBLE), 0.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS spearman_rho
+FROM a
+"""
+)
+
+
+@pending_query("events_spearman_corr", _SPEARMAN_ORACLE)
+def events_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Spearman rank correlation between daily event count
+    and daily value sum — monotonic association, robust to the value
+    distribution's heavy tail (operators/analytics.py:
+    spearman_daily: doubled midranks are exact integers; DECIMAL
+    moment sums; windows only over the bounded day grid)."""
+    from vectorsearchutil_spark.operators.analytics import spearman_daily
+
+    return spearman_daily(load_table(spark, sf_dir, "events"))
+
+
+_KENDALL_ORACLE = (
+    "WITH "
+    + _DAILY_GRID_SQL
+    + """,
+p AS (
+  SELECT a.event_type,
+         (a.n - b.n) AS dx, (a.v_cents - b.v_cents) AS dy
+  FROM g a JOIN g b
+    ON a.event_type = b.event_type AND a.day < b.day
+),
+a AS (
+  SELECT event_type, COUNT(*) AS np,
+         SUM(CASE WHEN (dx > 0 AND dy > 0) OR (dx < 0 AND dy < 0)
+                  THEN 1 ELSE 0 END) AS c,
+         SUM(CASE WHEN (dx > 0 AND dy < 0) OR (dx < 0 AND dy > 0)
+                  THEN 1 ELSE 0 END) AS d,
+         SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS tx,
+         SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS ty
+  FROM p GROUP BY 1
+)
+SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+       CAST(c AS BIGINT) AS concordant, CAST(d AS BIGINT) AS discordant,
+       floor((CAST(c - d AS DOUBLE)
+              / sqrt(NULLIF((CAST(np AS DOUBLE) - CAST(tx AS DOUBLE))
+                            * (CAST(np AS DOUBLE) - CAST(ty AS DOUBLE)),
+                            0.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS tau_b
+FROM a
+"""
+)
+
+
+@pending_query("events_kendall_tau", _KENDALL_ORACLE)
+def events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Kendall tau-b on the daily (count, value) series —
+    the O(d²) pair enumeration runs on the AGGREGATED day grid, so
+    the self-join broadcasts a calendar-bounded table at any corpus
+    scale (operators/analytics.py:kendall_tau_daily)."""
+    from vectorsearchutil_spark.operators.analytics import kendall_tau_daily
+
+    return kendall_tau_daily(load_table(spark, sf_dir, "events"))
+
+
+_TRANSITION_ENTROPY_ORACLE = """
+WITH nxt AS (
+  SELECT user_id, event_type AS from_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS to_type
+  FROM events
+),
+trans AS (
+  SELECT from_type, to_type, COUNT(*) AS nij
+  FROM nxt WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+wi AS (
+  SELECT from_type, to_type, nij,
+         SUM(nij) OVER (PARTITION BY from_type) AS ni
+  FROM trans
+),
+h AS (
+  SELECT from_type, MAX(ni) AS n_transitions,
+         COUNT(*) AS n_next,
+         SUM(-(CAST(nij AS DOUBLE) / ni)
+             * log2(CAST(nij AS DOUBLE) / ni)) AS hbits
+  FROM wi GROUP BY 1
+),
+tot AS (SELECT SUM(nij) AS n_all FROM trans)
+SELECT from_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       CAST(n_next AS BIGINT) AS n_next_types,
+       floor(hbits * 1000000.0 + 0.5) / 1000000.0 AS h_bits,
+       floor((CAST(n_transitions AS DOUBLE) / CAST(t.n_all AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM h, tot t
+"""
+
+
+@pending_query("events_transition_entropy", _TRANSITION_ENTROPY_ORACLE)
+def events_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-event entropy per current state — how
+    predictable each state's successor is; share-weighted sum is the
+    chain's entropy rate (operators/analytics.py:transition_entropy;
+    same lead-window/transition-table shape as
+    events_markov_transitions)."""
+    from vectorsearchutil_spark.operators.analytics import transition_entropy
+
+    return transition_entropy(load_table(spark, sf_dir, "events"))
+
+
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+  FROM events
+),
+days AS (
+  SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day
+  FROM span
+),
+grid AS (
+  SELECT t.event_type, dy.day, COALESCE(d.c, 0) AS c
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN days dy
+  LEFT JOIN daily d ON d.event_type = t.event_type AND d.day = dy.day
+),
+a AS (
+  SELECT event_type, COUNT(*) AS nd,
+         SUM(CAST(c AS HUGEINT)) AS s,
+         SUM(CAST(c AS HUGEINT) * c) AS q
+  FROM grid GROUP BY 1
+)
+SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+       CAST(s AS BIGINT) AS n_events,
+       floor((CAST(nd * q - s * s AS DOUBLE)
+              / NULLIF(CAST(nd - 1 AS DOUBLE) * CAST(s AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS fano_factor
+FROM a
+"""
+
+
+@pending_query("events_fano_daily", _FANO_ORACLE)
+def events_fano_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type burstiness: Fano factor (variance/mean) of daily
+    counts over the zero-filled global day grid — Poisson ≈ 1,
+    bursty ≫ 1 (operators/analytics.py:fano_daily; exact integer
+    moments, grid-bounded)."""
+    from vectorsearchutil_spark.operators.analytics import fano_daily
+
+    return fano_daily(load_table(spark, sf_dir, "events"))
+
+
+_BOILERPLATE_ORACLE = """
+WITH pre AS (
+  SELECT source, substr(text, 1, 24) AS p
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (SELECT source, p, COUNT(*) AS n FROM pre GROUP BY 1, 2),
+mx AS (SELECT source, MAX(n) AS mxn FROM c GROUP BY 1),
+best AS (
+  SELECT c.source, MIN(c.p) AS top_prefix, MAX(c.n) AS bn
+  FROM c JOIN mx ON c.source = mx.source AND c.n = mx.mxn
+  GROUP BY c.source
+),
+tot AS (SELECT source, COUNT(*) AS n_docs FROM pre GROUP BY 1)
+SELECT t.source, CAST(t.n_docs AS BIGINT) AS n_docs, b.top_prefix,
+       CAST(b.bn AS BIGINT) AS top_prefix_docs,
+       floor((CAST(b.bn AS DOUBLE) / CAST(t.n_docs AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS top_prefix_share
+FROM tot t JOIN best b ON t.source = b.source
+"""
+
+
+@pending_query("docs_boilerplate_prefix", _BOILERPLATE_ORACLE)
+def docs_boilerplate_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate screen: per source, the modal 24-char
+    document prefix and its share — cookie banners, licence headers
+    and scraped-template wrappers surface here before they flood the
+    dedup stage (operators/textanalysis.py:boilerplate_prefixes)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        boilerplate_prefixes,
+    )
+
+    return boilerplate_prefixes(load_table(spark, sf_dir, "documents"))
+
+
+_NOVELTY_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS i
+  FROM toks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         (('0x' || substr(md5(t[i] || '_' || t[i+1] || '_' || t[i+2] ||
+                          '_' || t[i+3] || '_' || t[i+4]), 1, 15))::BIGINT)
+           AS h
+  FROM sh0
+),
+first AS (SELECT h, MIN(doc_id) AS intro FROM sh GROUP BY h),
+novel AS (
+  SELECT intro AS doc_id, COUNT(*) AS n_novel FROM first GROUP BY intro
+),
+tot AS (SELECT doc_id, COUNT(*) AS n_grams FROM sh GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(v.n_novel, 0) AS BIGINT) AS n_novel,
+       floor((CAST(COALESCE(v.n_novel, 0) AS DOUBLE)
+              / CAST(t.n_grams AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS novelty_ratio
+FROM tot t LEFT JOIN novel v ON t.doc_id = v.doc_id
+"""
+
+
+@pending_query("docs_ngram_novelty", _NOVELTY_ORACLE)
+def docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 5-gram novelty in corpus order: the fraction of a
+    doc's distinct 5-grams the corpus sees FIRST in this doc — the
+    diminishing-returns diagnostic for whether more of a source still
+    adds information (operators/textanalysis.py:ngram_novelty; md5
+    keys, no pair re-join, text never shuffles)."""
+    from vectorsearchutil_spark.operators.textanalysis import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
+_CHUNK_OVERLAP_ORACLE = """
+WITH c AS (
+  SELECT source,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS t
+  FROM documents
+),
+d AS (
+  SELECT source, t,
+         CASE WHEN t <= 0 THEN 0
+              ELSE 1 + CAST(ceil(CAST(greatest(t - 256, 0) AS DOUBLE)
+                                 / 192.0) AS BIGINT) END AS nc
+  FROM c
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(t) AS BIGINT) AS total_tokens,
+       CAST(SUM(nc) AS BIGINT) AS total_chunks,
+       CAST(SUM(t + 64 * greatest(nc - 1, 0)) AS BIGINT) AS emitted_tokens,
+       floor((CAST(SUM(t + 64 * greatest(nc - 1, 0)) AS DOUBLE)
+              / NULLIF(CAST(SUM(t) AS DOUBLE), 0.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS inflation
+FROM d GROUP BY source
+"""
+
+
+@pending_query("docs_chunk_overlap", _CHUNK_OVERLAP_ORACLE)
+def docs_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-chunking cost report per source: sliding-window (256/192)
+    chunk counts and the token inflation the overlap re-emits —
+    closed-form integer arithmetic on per-doc token counts
+    (operators/textanalysis.py:chunk_overlap_stats)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        chunk_overlap_stats,
+    )
+
+    return chunk_overlap_stats(load_table(spark, sf_dir, "documents"))
+
+
+def _pq_distortion_oracle() -> str:
+    from vectorsearchutil_spark.queries import _pq_cte_chain
+
+    return (
+        "WITH "
+        + _pq_cte_chain()
+        + """
+SELECT CAST(j AS INT) AS subspace,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       floor((CAST(SUM(CAST(floor(d2 * 1000000.0 + 0.5) AS HUGEINT))
+                   AS DOUBLE)
+              / (COUNT(*) * 1000000.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS mean_sq_err,
+       floor(MAX(d2) * 1000000.0 + 0.5) / 1000000.0 AS max_sq_err,
+       CAST(SUM(CASE WHEN d2 = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS exact_zero
+FROM codes GROUP BY j
+"""
+    )
+
+
+@pending_query("embeddings_pq_distortion", _pq_distortion_oracle())
+def embeddings_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-subspace PQ quantization distortion (mean/max squared
+    error + exactly-representable count) for the same deterministic
+    8×16×2-iteration codebooks as embeddings_pq_codes — the
+    diagnostic that says WHICH embedding slice needs a bigger
+    codebook before recall pays for it
+    (operators/pq.py:pq_subspace_distortion; value-quantized exact
+    mean, corpus never shuffles)."""
+    from vectorsearchutil_spark.operators.pq import (
+        pq_subspace_distortion,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.filter(F.col("embedding").isNotNull()).first() is None:
+        return spark.createDataFrame(
+            [],
+            "subspace int, n_vectors long, mean_sq_err double,"
+            " max_sq_err double, exact_zero long",
+        )
+    books = pq_train(emb, m=8, k=16, iterations=2)
+    return pq_subspace_distortion(emb, books)
+
+
+# --- round-8 wave 2: tail statistics + latency distributions ----------
+
+_HILL_ORACLE = """
+WITH pos AS (
+  SELECT event_type AS t, value AS x FROM events
+  WHERE value IS NOT NULL AND isfinite(value) AND value > 0
+),
+top AS (
+  SELECT t, x, ROW_NUMBER() OVER (PARTITION BY t ORDER BY x DESC) AS rn
+  FROM pos
+),
+xk1 AS (SELECT t, x AS xk1 FROM top WHERE rn = 101),
+terms AS (
+  SELECT top.t,
+         CAST(floor(ln(top.x / xk1.xk1) * 1000000000.0 + 0.5)
+              AS HUGEINT) AS q
+  FROM top JOIN xk1 USING (t) WHERE rn <= 100
+)
+SELECT t AS event_type, CAST(COUNT(*) AS INT) AS k,
+       floor((CAST(SUM(q) AS DOUBLE) / (100.0 * 1000000000.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS hill,
+       floor(((100.0 * 1000000000.0)
+              / NULLIF(CAST(SUM(q) AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS alpha
+FROM terms GROUP BY t
+"""
+
+
+@pending_query("events_hill_tail_index", _HILL_ORACLE)
+def events_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the value tail index per event type (top-100
+    order statistics; alpha = 1/hill) — the heavy-tail diagnostic
+    behind sampling-temperature and outlier-cap choices
+    (operators/analytics.py:hill_tail_index; WindowGroupLimit top-k,
+    1e-9-quantized exact log sums)."""
+    from vectorsearchutil_spark.operators.analytics import hill_tail_index
+
+    return hill_tail_index(load_table(spark, sf_dir, "events"))
+
+
+def _norm_anova_oracle() -> str:
+    from vectorsearchutil_spark.functions.vector import FINITE_VEC_SQL
+
+    return f"""
+WITH rows_q AS (
+  SELECT label AS l,
+         CAST(floor(list_sum(list_transform(embedding::DOUBLE[],
+                                            x -> x * x))
+                    * 1000000.0 + 0.5) AS HUGEINT) AS q
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND label IS NOT NULL
+    AND {FINITE_VEC_SQL}
+),
+per_l AS (
+  SELECT l, COUNT(*) AS n, SUM(q) AS s, SUM(q * q) AS qq
+  FROM rows_q GROUP BY l
+),
+tot AS (
+  SELECT SUM(n) AS n, COUNT(*) AS k,
+         CAST(SUM(s) AS DOUBLE) AS S, CAST(SUM(qq) AS DOUBLE) AS Q,
+         SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+           AS B
+  FROM per_l
+)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS INT) AS k_labels,
+       floor(((B - S * S / CAST(n AS DOUBLE))
+              / NULLIF(CAST(k - 1 AS DOUBLE), 0.0))
+             / NULLIF((Q - B) / NULLIF(CAST(n - k AS DOUBLE), 0.0), 0.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS f_stat
+FROM tot
+"""
+
+
+@pending_query("embeddings_norm_anova", _norm_anova_oracle())
+def embeddings_norm_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F of squared vector norms across labels — do
+    classes live at different radii?
+    (operators/analytics.py:norm_anova; 1e-6-quantized exact moment
+    sums, single-row output)."""
+    from vectorsearchutil_spark.operators.analytics import norm_anova
+
+    return norm_anova(load_table(spark, sf_dir, "embeddings"))
+
+
+_SHIP_DELAY_ORACLE = """
+WITH d AS (
+  SELECT o.o_orderpriority AS priority,
+         CAST(CAST(l.l_shipdate AS DATE) - CAST(o.o_orderdate AS DATE)
+              AS INT) AS delay_days
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+hist AS (
+  SELECT priority, delay_days, COUNT(*) AS c FROM d GROUP BY 1, 2
+),
+cum AS (
+  SELECT priority, delay_days, c,
+         SUM(c) OVER (PARTITION BY priority ORDER BY delay_days) AS cm,
+         SUM(c) OVER (PARTITION BY priority) AS n
+  FROM hist
+)
+SELECT priority, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cm >= ceil(0.5 * n) THEN delay_days END)
+            AS INT) AS p50_days,
+       CAST(MIN(CASE WHEN cm >= ceil(0.9 * n) THEN delay_days END)
+            AS INT) AS p90_days,
+       CAST(MIN(CASE WHEN cm >= ceil(0.99 * n) THEN delay_days END)
+            AS INT) AS p99_days
+FROM cum GROUP BY priority
+"""
+
+
+@pending_query("orders_ship_delay_quantiles", _SHIP_DELAY_ORACLE)
+def orders_ship_delay_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 order-to-ship latency (days) per order
+    priority — the fulfilment-SLA report
+    (operators/analytics.py:ship_delay_quantiles; integer-day
+    histogram quantiles, windows over the value domain only)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        ship_delay_quantiles,
+    )
+
+    return ship_delay_quantiles(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+_INTERPURCHASE_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(CAST(o_orderdate AS DATE)
+              - LAG(CAST(o_orderdate AS DATE)) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey) AS INT) AS gap
+  FROM orders
+),
+seg AS (
+  SELECT c.c_mktsegment AS segment, g.gap
+  FROM gaps g JOIN customer c ON g.o_custkey = c.c_custkey
+  WHERE g.gap IS NOT NULL
+),
+hist AS (SELECT segment, gap, COUNT(*) AS c FROM seg GROUP BY 1, 2),
+cum AS (
+  SELECT segment, gap, c,
+         SUM(c) OVER (PARTITION BY segment ORDER BY gap) AS cm,
+         SUM(c) OVER (PARTITION BY segment) AS n
+  FROM hist
+)
+SELECT segment, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       CAST(MIN(CASE WHEN cm >= ceil(0.5 * n) THEN gap END) AS INT)
+         AS median_days,
+       CAST(MIN(CASE WHEN cm >= ceil(0.9 * n) THEN gap END) AS INT)
+         AS p90_days
+FROM cum GROUP BY segment
+"""
+
+
+@pending_query("orders_interpurchase_median", _INTERPURCHASE_ORACLE)
+def orders_interpurchase_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median / p90 days between consecutive orders per market
+    segment — repeat-purchase cadence
+    (operators/analytics.py:interpurchase_median; per-customer lag
+    window + integer-day histogram medians, no serial window)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        interpurchase_median,
+    )
+
+    return interpurchase_median(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
