@@ -23,29 +23,32 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-def _epoch_ntz() -> Column:
-    # NTZ epoch literal — diffs against it never consult a timezone.
-    # Built lazily: F.expr needs an active SparkContext at call time.
-    return F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
-
-
 def epoch_micros(col: Column | str) -> Column:
     """Microseconds since 1970-01-01 00:00:00 (naive), as BIGINT.
 
-    Works on TIMESTAMP_NTZ and TIMESTAMP alike; for NTZ it is computed
-    without any timezone conversion, so the result is identical on
-    every host.
+    Works on TIMESTAMP_NTZ and TIMESTAMP alike. Implementation note:
+    the purest form — ``timestamp_diff`` against an NTZ epoch literal
+    — consults no timezone at all, but it is not whole-stage-codegen
+    friendly and measured 2× slower in bucket-explode hot paths
+    (events_incident_overlap_join 0.97 → 2.0 s at sf0.1). The shipped
+    form hops NTZ→TIMESTAMP→unix_micros, which is value-identical
+    UNDER THE ENGINE'S UTC SESSION PIN (`sources/readers.py:
+    _pin_session_confs`, applied to every session at the load_table
+    boundary) and stays inside codegen. The TZ parity gate
+    (tests/test_tz_parity.py: TZ=America/New_York, both parquet read
+    configs, vs DuckDB oracles) is the enforcement that the pin
+    actually reaches every calendar query on hostile hosts.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.timestamp_diff(
-        "MICROSECOND", _epoch_ntz(), c.cast("timestamp_ntz")
-    )
+    return F.unix_micros(c.cast("timestamp"))
 
 
 def epoch_seconds(col: Column | str) -> Column:
     """Fractional epoch seconds (DOUBLE) — the NTZ-safe replacement
-    for ``ts.cast("double")``."""
-    return epoch_micros(col) / F.lit(1000000.0)
+    for ``ts.cast("double")`` (see :func:`epoch_micros` for the
+    UTC-pin contract)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp").cast("double")
 
 
 def trunc_ntz(unit: str, col: Column | str) -> Column:
