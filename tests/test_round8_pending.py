@@ -308,3 +308,39 @@ def test_interpurchase_gaps(spark):
     assert out.n_gaps == 2
     assert out.median_days == 3  # lower median of {3, 7}
     assert out.p90_days == 7
+
+
+def test_pair_similarity_histogram_bins(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    rows = PENDING_QUERIES["docs_pair_similarity_histogram"](
+        spark, sf_dir
+    ).collect()
+    assert all(10 <= r.sim_bin <= 19 for r in rows)  # j >= 0.5
+    for r in rows:
+        assert r.bin_lo == pytest.approx(r.sim_bin / 20.0, abs=1e-9)
+        assert r.n_pairs > 0
+
+
+def test_source_overlap_is_unordered_and_consistent(spark, sf_dir):
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+    from vectorsearchutil_spark.sources.readers import load_table
+
+    out = PENDING_QUERIES["docs_source_overlap"](spark, sf_dir).collect()
+    # unordered pair labels: source_a <= source_b always
+    assert all(r.source_a <= r.source_b for r in out)
+    # total pair mass equals the raw pair table
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8).count()
+    assert sum(r.n_pairs for r in out) == n_pairs
+
+
+def test_token_quantiles_monotone(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    rows = PENDING_QUERIES["docs_token_quantiles"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.p50_tokens <= r.p90_tokens <= r.p99_tokens
+        assert r.n > 0

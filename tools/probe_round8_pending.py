@@ -272,6 +272,50 @@ PROBES["norm_anova"] = probe_norm_anova
 PROBES["latency_quantiles"] = probe_latency_quantiles
 
 
+def probe_wave3(spark):
+    """Pair-similarity histogram at threshold 0.5 (the weakest prefix
+    filter this family ships), source overlap at 0.8, token
+    quantiles — all over 250k docs."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.operators.analytics import (
+        _int_value_quantiles,
+    )
+    from vectorsearchutil_spark.functions.text import tokens
+
+    docs = _docs(spark, n=250_000, toks=40).selectExpr(
+        "doc_id",
+        "source",
+        # plant near-dup mass: 20% of docs form ~50-doc template
+        # clusters (5000 distinct templates) — realistic dup-cluster
+        # sizes; giant clusters belong to keep_best/cluster_profile,
+        # and their pair table is inherently quadratic in cluster size
+        "CASE WHEN pmod(doc_id, 5) = 0 THEN concat_ws(' ',"
+        " transform(sequence(1, 40), j -> concat('tpl',"
+        " pmod(doc_id, 5000), '_', pmod(j + pmod(doc_id, 3), 42))))"
+        " ELSE text END AS text",
+    ).cache()
+    docs.count()
+    t0 = time.time()
+    h = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).groupBy(
+        F.least(F.floor(F.col("jaccard") * 20), F.lit(19)).alias("b")
+    ).count().agg(F.sum("count").alias("p")).collect()[0]
+    dt1 = time.time() - t0
+    t0 = time.time()
+    q = _int_value_quantiles(
+        docs.select("source", F.size(tokens(F.col("text"))).alias("t")),
+        "source", "t", [0.5, 0.99], ["a", "b"],
+    ).count()
+    dt2 = time.time() - t0
+    docs.unpersist()
+    return (
+        f"pair_hist(0.5) {dt1:.1f}s @ 250k docs -> {h['p']} pairs;"
+        f" token_quantiles {dt2:.1f}s -> {q} sources"
+    )
+
+
+PROBES["wave3"] = probe_wave3
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

@@ -3395,6 +3395,206 @@ def orders_interpurchase_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- round-8 wave 3: dedup-tuning + corpus-sizing diagnostics ---------
+
+_SHINGLES_CTE_P = """
+doctoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents
+),
+sh0 AS (
+  SELECT doc_id, toks,
+         unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i
+  FROM doctoks
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         toks[i] || '_' || toks[i+1] || '_' || toks[i+2] AS shingle
+  FROM sh0
+)
+"""
+
+_PAIR_HIST_ORACLE = f"""
+WITH {_SHINGLES_CTE_P},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT inter * 1.0 / (sa.n_sh + sb.n_sh - inter) AS jac
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+)
+SELECT CAST(LEAST(floor(jac * 20), 19) AS INT) AS sim_bin,
+       floor(LEAST(floor(jac * 20), 19) / 20.0 * 1000000.0 + 0.5)
+         / 1000000.0 AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2
+"""
+
+
+@pending_query("docs_pair_similarity_histogram", _PAIR_HIST_ORACLE)
+def docs_pair_similarity_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup similarity histogram (0.05-wide Jaccard bins over
+    candidate pairs ≥ 0.5) — the threshold-tuning curve every dedup
+    rollout wants BEFORE committing a cutoff. Rides the exact
+    prefix-filtered pair join (operators/dedup.py:
+    ngram_jaccard_pairs); the histogram aggregates the pair table.
+
+    Cost note: at t=0.5 the PPJoin prefix is ~half of each doc's
+    shingles, so candidates (and the true pair table) grow
+    quadratically in dup-cluster size — this is a tuning DIAGNOSTIC.
+    At corpus scale run it over a deterministic hash-sample of docs
+    (`docs.filter(pmod(xxhash64(doc_id), 10) = 0)` — the histogram
+    shape converges fast and the oracle replicates the predicate);
+    production screens at t>=0.8 keep the prefix short."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    bucket = F.least(
+        F.floor(F.col("jaccard") * F.lit(20.0)), F.lit(19)
+    ).cast("int")
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return pairs.groupBy(bucket.alias("sim_bin")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    ).select(
+        "sim_bin",
+        round_half_up(F.col("sim_bin") / F.lit(20.0), 6).alias("bin_lo"),
+        "n_pairs",
+    )
+
+
+_SOURCE_OVERLAP_ORACLE = f"""
+WITH {_SHINGLES_CTE_P},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+p AS (
+  SELECT id_a, id_b
+  FROM inter i
+  JOIN sizes sa ON i.id_a = sa.doc_id
+  JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.8
+),
+lab AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         p.id_a, p.id_b
+  FROM p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT id_a) + COUNT(DISTINCT id_b) AS BIGINT)
+         AS n_docs_involved
+FROM lab GROUP BY 1, 2
+"""
+
+
+@pending_query("docs_source_overlap", _SOURCE_OVERLAP_ORACLE)
+def docs_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate leakage matrix: near-dup pairs (≥0.8)
+    aggregated per unordered source pair — the diagnostic that says
+    WHICH two feeds are re-crawling each other before you debug a
+    mixture weight. Joins the narrow pair table back to the two
+    source labels; the corpus text never re-shuffles."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    src = docs.select("doc_id", "source")
+    lab = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+            ),
+            "id_b",
+        )
+        .select(
+            F.least(F.col("_sa"), F.col("_sb")).alias("source_a"),
+            F.greatest(F.col("_sa"), F.col("_sb")).alias("source_b"),
+            "id_a",
+            "id_b",
+        )
+    )
+    return lab.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.countDistinct("id_a") + F.countDistinct("id_b")
+        ).alias("n_docs_involved"),
+    )
+
+
+_TOKEN_QUANTILES_ORACLE = """
+WITH c AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS INT) AS t
+  FROM documents
+),
+hist AS (SELECT source, t, COUNT(*) AS c FROM c GROUP BY 1, 2),
+cum AS (
+  SELECT source, t, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY t) AS cm,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cm >= ceil(0.5 * n) THEN t END) AS INT)
+         AS p50_tokens,
+       CAST(MIN(CASE WHEN cm >= ceil(0.9 * n) THEN t END) AS INT)
+         AS p90_tokens,
+       CAST(MIN(CASE WHEN cm >= ceil(0.99 * n) THEN t END) AS INT)
+         AS p99_tokens
+FROM cum GROUP BY source
+"""
+
+
+@pending_query("docs_token_quantiles", _TOKEN_QUANTILES_ORACLE)
+def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source token-count quantiles (p50/p90/p99) — the
+    context-length / truncation-budget sizing table
+    (operators/analytics.py:_int_value_quantiles over per-doc counts:
+    quantile windows touch only the integer value domain)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        _int_value_quantiles,
+    )
+    from vectorsearchutil_spark.functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", F.size(tokens(F.col("text"))).cast("int").alias("t")
+    )
+    out = _int_value_quantiles(
+        d, "source", "t", [0.5, 0.9, 0.99],
+        ["p50_tokens", "p90_tokens", "p99_tokens"],
+    )
+    return out.select(
+        "source", "n",
+        F.col("p50_tokens").cast("int").alias("p50_tokens"),
+        F.col("p90_tokens").cast("int").alias("p90_tokens"),
+        F.col("p99_tokens").cast("int").alias("p99_tokens"),
+    )
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
