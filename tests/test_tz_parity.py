@@ -27,10 +27,22 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE = os.path.join(ROOT, "tools", "probe_tz_parity.py")
 
 
-@pytest.mark.parametrize("ntz", ["true", "false"])
-def test_tz_parity_new_york(ntz: str) -> None:
+@pytest.mark.parametrize(
+    "tz,ntz",
+    [
+        # hour-offset zone with DST, both parquet read mappings
+        ("America/New_York", "true"),
+        ("America/New_York", "false"),
+        # half-hour-offset zone (+5:30): catches offset-minute bugs
+        # that whole-hour zones cannot (minute-granularity windows,
+        # sub-hour bucket arithmetic)
+        ("Asia/Kolkata", "true"),
+        ("Asia/Kolkata", "false"),
+    ],
+)
+def test_tz_parity_hostile_zones(tz: str, ntz: str) -> None:
     env = dict(os.environ)
-    env["TZ"] = "America/New_York"
+    env["TZ"] = tz
     # a fresh JVM in the child picks TZ up as its default zone; drop
     # any inherited gateway so the child cannot attach to this suite's
     # UTC JVM

@@ -1021,12 +1021,26 @@ def theil_sen_daily_trend(
 
     Plan: raw rows collapse to the bounded day grid first; the pair
     table is a grid self-join (O(days²) — bounded by the CALENDAR,
-    not row count; ~2.7M pairs for a decade). The median is the
-    LOWER median by rank — smallest slope whose rank·2 ≥ n_pairs —
-    computed via the distinct-slope histogram (group + running sum),
-    not a serial row_number over all pairs. Exactness: each slope is
-    one double division of exact ints (Δcents/Δdays, identical on
-    both engines); rank accumulation is integer.
+    not row count; ~2.7M pairs for a decade). The median — smallest
+    slope whose rank·2 ≥ n_pairs — is a TWO-LEVEL rank: a flat
+    cumsum would be a single-partition window sort over the full
+    pair table (the serial-window wall, 2.9M rows in ONE task at
+    sf0.1), and a distinct-slope pre-aggregate collapses nothing at
+    a multi-year calendar (nearly every pairwise slope is distinct)
+    — it just shuffles the full pair table for free. So: level 1
+    counts pairs per ORDER-PRESERVING magnitude bucket (sign × IEEE
+    octave × 64 mantissa sub-buckets — floor(log2)/floor are
+    monotone, so bucket order = value order, and NO min/max pre-pass
+    is needed) — map-side combine shrinks that shuffle to the ~3k
+    bucket rows; cross-bucket carries are a window over those 3k
+    rows. Level 2 is ``row_number`` over the RAW pairs partitioned
+    by bucket (parallel per-bucket sorts, no global order). Among
+    tied slopes row_number is an arbitrary permutation, but a value
+    qualifies iff its LAST row's position·2 ≥ n_pairs, and
+    ``min(_slope)`` over qualifying rows is exactly the lower
+    median. Exactness: each slope is one double division of exact
+    ints (Δcents/Δdays, identical on both engines); counts and
+    carries are integer sums.
     """
     cents = _cents(F.col(amount_col))
     daily = orders.groupBy(
@@ -1035,30 +1049,73 @@ def theil_sen_daily_trend(
     b = daily.select(
         F.col("_day").alias("_day2"), F.col("_x").alias("_x2")
     )
+    # try_divide, not /: downstream NOT-NULL predicates on the slope
+    # can fuse into the nested-loop join condition, where conjunct
+    # order is unspecified — ANSI divide may then evaluate on the
+    # d2 == d pseudo-pairs BEFORE the range conjunct rejects them.
+    # Real pairs always have datediff >= 1, so values are identical.
     pairs = daily.join(b, F.col("_day2") > F.col("_day")).select(
-        (
-            (F.col("_x2") - F.col("_x")).cast("double")
-            / F.datediff(F.col("_day2"), F.col("_day")).cast("double")
+        F.try_divide(
+            (F.col("_x2") - F.col("_x")).cast("double"),
+            F.datediff(F.col("_day2"), F.col("_day")).cast("double"),
         ).alias("_slope")
     )
-    hist = pairs.groupBy("_slope").agg(F.count(F.lit(1)).alias("_c"))
-    w = Window.orderBy(F.col("_slope").asc()).rowsBetween(
-        Window.unboundedPreceding, 0
+    s = F.col("_slope")
+    # order-preserving bucket key: octave e = floor(log2(|s|)) and a
+    # 64-wide mantissa sub-bucket m = floor(|s| * 2^(6-e)) ∈ [64,128)
+    # (the pow argument is an integer power of two — exact). Both
+    # floor(monotone) — key order == value order, negatives mirrored.
+    def _key(mag):
+        e = F.floor(F.log2(mag))
+        m = F.floor(mag * F.pow(F.lit(2.0), F.lit(6.0) - e))
+        return (e + F.lit(1100)) * F.lit(128) + m
+
+    key = (
+        F.when(s > 0, _key(s))
+        .when(s < 0, -_key(-s))
+        .otherwise(F.lit(0))
+        .cast("long")
     )
-    tot = hist.agg(F.sum("_c").alias("_n"))
+    # level 1: per-bucket pair counts — partial aggregation shrinks
+    # the shuffle to the ~3k bucket rows (the pair join re-runs for
+    # level 2, but it is a broadcast BNLJ over the tiny day grid —
+    # cheaper than materializing 2.9M rows through a cache boundary)
+    lvl1 = pairs.groupBy(key.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_bc")
+    )
+    carry_w = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carries = lvl1.select(  # bucket-count rows only (tiny)
+        "_b",
+        F.coalesce(F.sum("_bc").over(carry_w), F.lit(0)).alias("_carry"),
+    )
+    inner_w = Window.partitionBy("_b").orderBy(F.col("_slope").asc())
+    n_days = daily.agg(F.count(F.lit(1)).alias("_nd"))
     med = (
-        hist.select(
-            "_slope", F.sum("_c").over(w).alias("_cum")
+        pairs.select(key.alias("_b"), "_slope")
+        .join(F.broadcast(carries), "_b")
+        .select(
+            "_slope",
+            (
+                F.col("_carry")
+                + F.row_number().over(inner_w).cast("long")
+            ).alias("_cum"),
         )
-        .crossJoin(F.broadcast(tot))
-        .filter(F.col("_cum") * 2 >= F.col("_n"))
-        .agg(
-            F.min("_slope").alias("_med"),
-            F.max("_n").alias("n_pairs"),
+        .crossJoin(F.broadcast(n_days))
+        .filter(
+            F.col("_cum") * 2
+            >= F.col("_nd").cast("long") * (F.col("_nd") - 1).cast("long") / 2
         )
+        .agg(F.min("_slope").alias("_med"), F.max("_nd").alias("_nd"))
     )
     return med.select(
-        F.col("n_pairs").cast("long").alias("n_pairs"),
+        (
+            F.col("_nd").cast("long")
+            * (F.col("_nd") - 1).cast("long")
+            / F.lit(2)
+        ).cast("long").alias("n_pairs"),
         round_half_up(
             F.col("_med") / F.lit(100.0), 6
         ).alias("slope_per_day"),
