@@ -344,3 +344,190 @@ def test_token_quantiles_monotone(spark, sf_dir):
     for r in rows:
         assert r.p50_tokens <= r.p90_tokens <= r.p99_tokens
         assert r.n > 0
+
+
+# ---------------------------------------------------------------- wave 4
+
+
+def test_lorenz_curve_hand_checked(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        lorenz_curve_by_user,
+    )
+
+    # 10 users with totals 1..10 dollars -> each decile is one user,
+    # cum_share of decile k = k(k+1)/2 / 55
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 12), u, "x", float(u))
+         for i, u in enumerate(range(1, 11))],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double",
+    )
+    out = {r.decile: r for r in lorenz_curve_by_user(df).collect()}
+    assert len(out) == 10
+    assert all(out[d].n_users == 1 for d in out)
+    assert out[1].decile_value == pytest.approx(1.0)
+    assert out[10].cum_share == pytest.approx(1.0)
+    assert out[4].cum_share == pytest.approx(10.0 / 55.0, abs=1e-6)
+
+
+def test_lorenz_rank_ties_deterministic(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        lorenz_curve_by_user,
+    )
+
+    # 20 users all with the SAME total: deciles must still be 2 users
+    # each (row_number tiebreak on user_id), shares exactly k/10
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1, 12), i, "x", 5.0)
+         for i in range(20)],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    out = sorted(lorenz_curve_by_user(df).collect(), key=lambda r: r.decile)
+    assert [r.n_users for r in out] == [2] * 10
+    for k, r in enumerate(out, start=1):
+        assert r.cum_share == pytest.approx(k / 10.0, abs=1e-6)
+
+
+def test_max_drawdown_hand_checked(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        max_drawdown_daily,
+    )
+
+    # daily values: +10, -4, +2, -7, +20  -> cum 10,6,8,1,21
+    # peak 10,10,10,10,21 -> drawdowns 0,4,2,9,0 -> max 9 on day 4
+    df = _day_events(
+        spark,
+        [(0, 1, 10.0), (1, 1, -4.0), (2, 1, 2.0), (3, 1, -7.0),
+         (4, 1, 20.0)],
+    )
+    row = max_drawdown_daily(df).collect()[0]
+    assert row.n_days == 5
+    assert row.max_drawdown == pytest.approx(9.0)
+    assert row.trough_day == "2024-01-04"
+    assert row.peak_at_trough == pytest.approx(10.0)
+
+
+def test_max_drawdown_monotone_series_is_zero(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        max_drawdown_daily,
+    )
+
+    df = _day_events(spark, [(0, 1, 1.0), (1, 1, 2.0), (2, 1, 3.0)])
+    row = max_drawdown_daily(df).collect()[0]
+    assert row.max_drawdown == 0.0
+    # ties on drawdown=0 resolve to the EARLIEST day
+    assert row.trough_day == "2024-01-01"
+
+
+def test_rolling_corr_perfect_and_window_gate(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        rolling_corr_daily,
+    )
+
+    # y = 2x daily for 9 days -> corr exactly 1 for every full window;
+    # first 6 days emit nothing (window not full)
+    rows = []
+    eid = 0
+    for off in range(9):
+        x = float(off + 1)
+        rows.append((eid, dt.datetime(2024, 1, 1 + off, 9), 1,
+                     "purchase", x)); eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1 + off, 9), 1,
+                     "click", 2 * x)); eid += 1
+    df = _ev(spark, rows)
+    out = rolling_corr_daily(df).collect()
+    assert len(out) == 3  # days 7,8,9
+    assert all(r.rolling_corr == pytest.approx(1.0) for r in out)
+
+
+def test_rolling_corr_constant_side_is_null(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        rolling_corr_daily,
+    )
+
+    rows = []
+    eid = 0
+    for off in range(7):
+        rows.append((eid, dt.datetime(2024, 1, 1 + off, 9), 1,
+                     "purchase", 5.0)); eid += 1
+        rows.append((eid, dt.datetime(2024, 1, 1 + off, 9), 1,
+                     "click", float(off))); eid += 1
+    out = rolling_corr_daily(_ev(spark, rows)).collect()
+    assert len(out) == 1 and out[0].rolling_corr is None
+
+
+def test_corr_matrix_exact_signs(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        numeric_corr_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, 9.0), (2.0, 4.0, 6.0), (3.0, 6.0, 3.0)],
+        "a double, b double, c double",
+    )
+    out = {r.pair: r for r in numeric_corr_matrix(
+        df, [("a", 1), ("b", 1), ("c", 1)]).collect()}
+    assert out["a~b"].pearson_r == pytest.approx(1.0)
+    assert out["a~c"].pearson_r == pytest.approx(-1.0)
+    assert out["b~c"].pearson_r == pytest.approx(-1.0)
+    assert all(r.n_rows == 3 for r in out.values())
+
+
+def test_scd2_intervals_and_deletes(spark):
+    from vectorsearchutil_spark.operators.cdc import scd2_build
+
+    log = spark.createDataFrame(
+        [
+            (1, 1, "upsert", 10.0),   # v1 closed by v2
+            (1, 2, "upsert", 20.0),   # current
+            (2, 1, "upsert", 30.0),   # closed by the delete, NOT current
+            (2, 2, "delete", 30.0),
+            (3, 1, "upsert", 40.0),   # current (never touched)
+        ],
+        "k long, seq int, op string, bal double",
+    )
+    out = {(r.k, r.valid_from_seq): r
+           for r in scd2_build(log, "k", "seq").collect()}
+    assert len(out) == 4  # the delete row itself is not a version
+    assert out[(1, 1)].valid_to_seq == 2 and not out[(1, 1)].is_current
+    assert out[(1, 2)].valid_to_seq is None and out[(1, 2)].is_current
+    assert out[(2, 1)].valid_to_seq == 2 and not out[(2, 1)].is_current
+    assert out[(3, 1)].is_current
+
+
+def test_tokenizer_fertility_hand_checked(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        tokenizer_fertility,
+    )
+
+    # "ab cd" -> ws=2, bpe=['ab',' cd']=2, chars=5 -> fertility 1.0
+    # "a1!" -> ws=1, bpe=['a','1','!']=3, chars=3 -> fertility 3.0
+    df = spark.createDataFrame(
+        [(1, "ab cd", "en"), (2, "a1!", "xx")],
+        "doc_id long, text string, lang string",
+    )
+    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    assert out["en"].fertility == pytest.approx(1.0)
+    assert out["en"].chars_per_token == pytest.approx(2.5)
+    assert out["xx"].fertility == pytest.approx(3.0)
+    assert out["xx"].n_bpe_tokens == 3
+
+
+def test_storage_budget_exact_p95(spark):
+    from vectorsearchutil_spark.operators.multimodal import (
+        storage_budget,
+        synthesize_binary,
+    )
+
+    # 20 docs with strictly increasing byte sizes: p95 over n=20 is
+    # the ceil(0.95*20)=19th smallest
+    df = spark.createDataFrame(
+        [(i, "x" * i, "s") for i in range(1, 21)],
+        "doc_id long, text string, source string",
+    )
+    row = storage_budget(synthesize_binary(df)).collect()[0]
+    assert row.n_objects == 20
+    assert row.max_bytes == 20 + 8
+    assert row.p95_bytes == 19 + 8
+    assert row.total_bytes == sum(range(1, 21)) + 8 * 20

@@ -316,6 +316,102 @@ def probe_wave3(spark):
 PROBES["wave3"] = probe_wave3
 
 
+def probe_wave4(spark):
+    """Wave-4 25x probes: lorenz (two-level rank over 2M users),
+    drawdown/rolling-corr (day-grid windows under 25M raw rows),
+    corr matrix (single full-scan aggregate over 150M rows), scd2
+    (per-key lead over 2M keys x 3 versions), fertility (regex
+    tallies over 1.25M docs), storage budget (byte histogram)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        lorenz_curve_by_user,
+        max_drawdown_daily,
+        numeric_corr_matrix,
+        rolling_corr_daily,
+    )
+    from vectorsearchutil_spark.operators.cdc import scd2_build
+    from vectorsearchutil_spark.operators.multimodal import (
+        storage_budget,
+        synthesize_binary,
+    )
+    from vectorsearchutil_spark.operators.textanalysis import (
+        tokenizer_fertility,
+    )
+
+    ev = _events(spark, n=25_000_000, users=2_000_000).selectExpr(
+        "event_id", "ts", "user_id",
+        "CASE WHEN pmod(event_id, 2) = 0 THEN 'purchase'"
+        " ELSE 'click' END AS event_type",
+        "value",
+    ).cache()
+    ev.count()
+    t0 = time.time()
+    lz = lorenz_curve_by_user(ev).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cum_share").alias("s")
+    ).collect()[0]
+    dt_l = time.time() - t0
+    t0 = time.time()
+    max_drawdown_daily(ev).collect()
+    dt_d = time.time() - t0
+    t0 = time.time()
+    rc = rolling_corr_daily(ev).count()
+    dt_r = time.time() - t0
+    ev.unpersist()
+
+    li = spark.range(150_000_000).selectExpr(
+        "cast(pmod(xxhash64(id), 50) + 1 as double) AS l_quantity",
+        "cast(pmod(xxhash64(id, 1), 10000000) as double)"
+        " / 100.0 AS l_extendedprice",
+        "cast(pmod(xxhash64(id, 2), 11) as double) / 100.0 AS l_discount",
+    )
+    t0 = time.time()
+    cm = numeric_corr_matrix(
+        li,
+        [("l_quantity", 1), ("l_extendedprice", 100), ("l_discount", 100)],
+    ).count()
+    dt_c = time.time() - t0
+
+    log = spark.range(2_000_000).selectExpr(
+        "id AS k", "1 AS seq", "'upsert' AS op", "cast(id as double) AS bal"
+    ).unionByName(
+        spark.range(2_000_000).where("id % 10 in (1, 2)").selectExpr(
+            "id AS k", "2 AS seq", "'upsert' AS op",
+            "cast(id + 100 as double) AS bal",
+        )
+    ).unionByName(
+        spark.range(2_000_000).where("id % 10 = 0").selectExpr(
+            "id AS k", "2 AS seq", "'delete' AS op",
+            "cast(id as double) AS bal",
+        )
+    )
+    t0 = time.time()
+    sc = scd2_build(log, "k", "seq").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_current").cast("long")).alias("c"),
+    ).collect()[0]
+    dt_s = time.time() - t0
+
+    docs = _docs(spark).cache()
+    docs.count()
+    t0 = time.time()
+    tokenizer_fertility(docs, group_col="source").count()
+    dt_f = time.time() - t0
+    t0 = time.time()
+    storage_budget(synthesize_binary(docs)).count()
+    dt_b = time.time() - t0
+    docs.unpersist()
+    return (
+        f"lorenz {dt_l:.1f}s @ 25M ev / 2M users ({lz['n']} deciles);"
+        f" drawdown {dt_d:.1f}s; rolling_corr {dt_r:.1f}s ({rc} rows);"
+        f" corr_matrix {dt_c:.1f}s @ 150M rows ({cm} pairs);"
+        f" scd2 {dt_s:.1f}s @ 2M keys ({sc['n']} versions,"
+        f" {sc['c']} current); fertility {dt_f:.1f}s @ 1.25M docs;"
+        f" storage_budget {dt_b:.1f}s"
+    )
+
+
+PROBES["wave4"] = probe_wave4
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

@@ -1769,3 +1769,268 @@ def interpurchase_median(
         F.col("median_days").cast("int").alias("median_days"),
         F.col("p90_days").cast("int").alias("p90_days"),
     )
+
+
+def lorenz_curve_by_user(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Lorenz concentration curve of total event value over users:
+    users ranked ascending by lifetime value, split into 10
+    rank-deciles, each row reporting its user count, exact decile
+    value, and the CUMULATIVE share of the grand total — the "bottom
+    80% of users carry X% of the value" curve behind Gini.
+
+    Plan: raw rows collapse to one exact-cents row per user first.
+    The global user ranking would be a single-partition window sort
+    over every user (millions at corpus scale), so it uses the same
+    TWO-LEVEL rank as the Theil–Sen median: level 1 counts users per
+    order-preserving magnitude bucket of total cents (sign × octave
+    × 64 mantissa sub-buckets, so totals concentrated in one order
+    of magnitude still spread over ~64 buckets; map-side combine →
+    a few-thousand bucket rows on the wire; users with equal totals
+    land in one bucket, so the within-bucket tiebreak stays local),
+    level 2 is ``row_number`` over users partitioned by bucket,
+    ordered by (total, user) — parallel per-bucket sorts, no global
+    order anywhere. Decile = ((rank-1)·10) / n via integer floor
+    division — NOT ntile() (engines disagree on remainder placement).
+    Exactness: cents and counts are integers end-to-end; the two
+    share divisions happen once per output row.
+    """
+    cents = _cents(F.col(value_col))
+    totals = events.groupBy(F.col(user_col).alias("_u")).agg(
+        F.coalesce(F.sum(cents), F.lit(0)).alias("_t")
+    )
+    # order-preserving magnitude bucket key (same construction as the
+    # Theil–Sen median): octave e = floor(log2(|t|)), 64-wide mantissa
+    # sub-bucket m = floor(|t| · 2^(6−e)) ∈ [64,128) — both floors of
+    # monotone maps, so key order == value order, negatives mirrored
+    t = F.col("_t")
+
+    def _key(mag):
+        e = F.floor(F.log2(mag))
+        m = F.floor(mag * F.pow(F.lit(2.0), F.lit(6.0) - e))
+        return (e + F.lit(1100)) * F.lit(128) + m
+
+    td = t.cast("double")
+    mag = (
+        F.when(t > 0, _key(td))
+        .when(t < 0, -_key(-td))
+        .otherwise(F.lit(0))
+    )
+    keyed = totals.select("_u", "_t", mag.cast("long").alias("_b"))
+    lvl1 = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
+    carry_w = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carries = lvl1.select(
+        "_b",
+        F.coalesce(F.sum("_bc").over(carry_w), F.lit(0)).alias("_carry"),
+    )
+    inner_w = Window.partitionBy("_b").orderBy(
+        F.col("_t").asc(), F.col("_u").asc()
+    )
+    ranked = (
+        keyed.join(F.broadcast(carries), "_b")
+        .select(
+            "_t",
+            (
+                F.col("_carry") + F.row_number().over(inner_w).cast("long")
+            ).alias("_rank"),
+        )
+    )
+    nrow = totals.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(t.cast("decimal(38,0)")).alias("_g"),
+    )
+    dec = (
+        ranked.crossJoin(F.broadcast(nrow))
+        .select(
+            (((F.col("_rank") - 1) * 10) / F.col("_n"))
+            .cast("long")
+            .alias("decile"),
+            "_t",
+            "_g",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum(F.col("_t").cast("decimal(38,0)")).alias("_d"),
+            F.max("_g").alias("_g"),
+        )
+    )
+    cum_w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )  # 10 rows
+    return dec.select(
+        (F.col("decile") + 1).cast("int").alias("decile"),
+        F.col("n_users").cast("long").alias("n_users"),
+        round_half_up(
+            F.col("_d").cast("double") / F.lit(100.0), 2
+        ).alias("decile_value"),
+        round_half_up(
+            F.sum(F.col("_d").cast("double")).over(cum_w)
+            / F.nullif(F.col("_g").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def max_drawdown_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Maximum drawdown of the cumulative daily value series: the
+    deepest peak-to-trough fall of the running total — "how far under
+    its own high-water mark did cumulative revenue sink, and when".
+    One summary row: drawdown depth, the (first) trough day, the
+    running peak at that trough, and the day count.
+
+    Plan: raw rows collapse to the calendar-bounded day grid; the
+    cumulative sum, running max, and argmin all run over that grid
+    (≤ a few thousand rows at any corpus scale — the documented
+    bounded-window posture). Exactness: cents integers end-to-end;
+    ties on drawdown resolve to the EARLIEST trough day via min_by
+    on the (drawdown, day) struct — deterministic on both engines.
+    """
+    cents = _cents(F.col(value_col))
+    daily = events.groupBy(F.to_date(F.col(ts_col)).alias("_day")).agg(
+        F.coalesce(F.sum(cents), F.lit(0)).alias("_v")
+    )
+    w = Window.orderBy("_day").rowsBetween(Window.unboundedPreceding, 0)
+    curve = daily.select(
+        "_day",
+        F.sum("_v").over(w).alias("_cum"),
+    ).select(
+        "_day",
+        "_cum",
+        F.max("_cum").over(w.orderBy("_day")).alias("_peak"),
+    )
+    dd = curve.select(
+        "_day", (F.col("_peak") - F.col("_cum")).alias("_dd"), "_peak"
+    )
+    return dd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        round_half_up(
+            F.max("_dd").cast("double") / F.lit(100.0), 2
+        ).alias("max_drawdown"),
+        F.min_by(
+            F.col("_day"), F.struct(-F.col("_dd"), F.col("_day"))
+        ).cast("string").alias("trough_day"),
+        round_half_up(
+            F.min_by(
+                F.col("_peak"), F.struct(-F.col("_dd"), F.col("_day"))
+            ).cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("peak_at_trough"),
+    )
+
+
+def rolling_corr_daily(
+    events: DataFrame,
+    type_x: str = "purchase",
+    type_y: str = "click",
+    window_days: int = 7,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Rolling 7-day Pearson correlation between two event types'
+    daily value sums — "do purchases still track clicks this week?",
+    the co-movement drift monitor. One row per day once the window is
+    full.
+
+    Plan: one pass collapses raw rows to the zero-filled day grid
+    (conditional sums per day — days with no events of a type count
+    as 0, which IS the daily series semantics); every window runs
+    over that calendar-bounded grid. Exactness: the five moment sums
+    are exact integers (cents) accumulated in DECIMAL(38,0) window
+    sums; each output row does one double division, quantized 1e-6.
+    """
+    cents = _cents(F.col(value_col))
+    daily = events.groupBy(F.to_date(F.col(ts_col)).alias("day")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == type_x, cents)), F.lit(0)
+        ).alias("_x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == type_y, cents)), F.lit(0)
+        ).alias("_y"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    w = Window.orderBy("day").rowsBetween(-(window_days - 1), 0)
+    x, y = F.col("_x"), F.col("_y")
+    m = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum(dec(x)).over(w).alias("_sx"),
+        F.sum(dec(y)).over(w).alias("_sy"),
+        F.sum(dec(x) * dec(x)).over(w).alias("_sxx"),
+        F.sum(dec(y) * dec(y)).over(w).alias("_syy"),
+        F.sum(dec(x) * dec(y)).over(w).alias("_sxy"),
+    ).filter(F.col("_k") == window_days)
+    k = F.lit(window_days).cast("decimal(38,0)")
+    num = (k * F.col("_sxy") - F.col("_sx") * F.col("_sy")).cast("double")
+    dx = (k * F.col("_sxx") - F.col("_sx") * F.col("_sx")).cast("double")
+    dy = (k * F.col("_syy") - F.col("_sy") * F.col("_sy")).cast("double")
+    return m.select(
+        F.col("day").cast("string").alias("day"),
+        round_half_up(
+            num / F.sqrt(F.nullif(dx * dy, F.lit(0.0))), 6
+        ).alias("rolling_corr"),
+    )
+
+
+def numeric_corr_matrix(
+    df: DataFrame,
+    cols_scales: list[tuple[str, int]],
+) -> DataFrame:
+    """Pairwise Pearson correlation matrix over integer-quantized
+    numeric columns — the screening pass before any modeling on
+    tabular features. One row per unordered column pair.
+
+    ``cols_scales`` maps each column to its exactness scale (e.g.
+    price → 100 for cents): values become exact integers BEFORE the
+    moment sums, so both engines fold identical DECIMAL(38,0)
+    integers in any order, and each pair does exactly one double
+    division at the end. Plan: a single full-scan aggregate (map-side
+    partials, one reduce); the pair expansion is driver-side over the
+    column list, never a data shuffle.
+    """
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    ints = {
+        name: F.floor(
+            F.col(name).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+        ).cast("long")
+        for name, scale in cols_scales
+    }
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    names = [n for n, _ in cols_scales]
+    for n in names:
+        aggs.append(F.sum(dec(ints[n])).alias(f"_s_{n}"))
+        aggs.append(F.sum(dec(ints[n]) * dec(ints[n])).alias(f"_q_{n}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(dec(ints[a]) * dec(ints[b])).alias(f"_p_{a}_{b}"))
+    m = df.agg(*aggs)
+    rows = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            n = F.col("_n").cast("decimal(38,0)")
+            num = (n * F.col(f"_p_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")).cast("double")
+            da = (n * F.col(f"_q_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")).cast("double")
+            db = (n * F.col(f"_q_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")).cast("double")
+            rows.append(
+                m.select(
+                    F.lit(f"{a}~{b}").alias("pair"),
+                    F.col("_n").cast("long").alias("n_rows"),
+                    round_half_up(
+                        num / F.sqrt(F.nullif(da * db, F.lit(0.0))), 6
+                    ).alias("pearson_r"),
+                )
+            )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

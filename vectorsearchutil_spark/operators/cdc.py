@@ -49,3 +49,40 @@ def cdc_apply(
     survivors = snapshot.join(touched, id_col, "left_anti")
     upserts = winners.filter(F.col(op_col) == "upsert").select(*payload_cols)
     return survivors.unionByName(upserts)
+
+
+def scd2_build(
+    changelog: DataFrame,
+    key_col: str,
+    seq_col: str,
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Build a slowly-changing-dimension TYPE 2 history from a CDC
+    changelog: each upsert opens a version valid from its own change
+    sequence until the NEXT change of the same key (upsert or
+    delete); the last un-deleted version is current. The standard
+    snapshot-reconstruction table behind "what did this row look
+    like at change N".
+
+    Plan: one window per key (lead over (key, seq)) — partitions by
+    the dimension key, so the sort is per-key and parallel; deletes
+    contribute interval CLOSURE only and are dropped from the
+    output. Duplicate (key, seq) rows are the caller's contract to
+    avoid (cdc_apply's latest-change-wins collapse produces one).
+    """
+    w = Window.partitionBy(key_col).orderBy(F.col(seq_col).asc())
+    versions = changelog.select(
+        "*",
+        F.lead(F.col(seq_col)).over(w).alias("_next_seq"),
+    )
+    return (
+        versions.filter(F.col(op_col) != delete_op)
+        .drop(op_col)
+        .withColumnsRenamed(
+            {seq_col: "valid_from_seq", "_next_seq": "valid_to_seq"}
+        )
+        .withColumn(
+            "is_current", F.col("valid_to_seq").isNull()
+        )
+    )

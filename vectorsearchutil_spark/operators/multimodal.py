@@ -487,3 +487,45 @@ def ahash_neardup_pairs(
         )
         .distinct()
     )
+
+
+def storage_budget(
+    df: DataFrame,
+    content_col: str = "content",
+    group_col: str = "source",
+) -> DataFrame:
+    """Per-source storage budget of a binary media column: object
+    count, total/max bytes, and the EXACT p95 object size — the
+    capacity-planning pass before shipping a multimodal corpus
+    (which sources blow the blob store, where the long tail is).
+
+    Byte sizes are integers, so p95 is exact via the value-domain
+    histogram (:func:`analytics._int_value_quantiles` — windows over
+    distinct sizes per source, never raw rows); count/sum/max are
+    one map-side-combined aggregate.
+    """
+    from vectorsearchutil_spark.operators.analytics import (
+        _int_value_quantiles,
+    )
+
+    sized = df.select(
+        F.col(group_col).alias("source"),
+        F.length(F.col(content_col)).cast("long").alias("_bytes"),
+    )
+    base = sized.groupBy("source").agg(
+        F.sum("_bytes").alias("total_bytes"),
+        F.max("_bytes").alias("max_bytes"),
+    )
+    p95 = _int_value_quantiles(
+        sized, "source", "_bytes", [0.95], ["p95_bytes"]
+    )
+    return (
+        base.join(p95, "source")
+        .select(
+            "source",
+            F.col("n").alias("n_objects"),
+            "total_bytes",
+            F.col("p95_bytes").cast("long").alias("p95_bytes"),
+            "max_bytes",
+        )
+    )

@@ -1754,3 +1754,50 @@ def chunk_overlap_stats(
             6,
         ).alias("inflation"),
     )
+
+
+def tokenizer_fertility(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per
+    whitespace word and characters per BPE token — the
+    tokenizer-efficiency screen that decides which languages pay a
+    context-length tax (high fertility = more tokens for the same
+    text, the classic multilingual-tokenizer complaint).
+
+    Exactness: all three tallies are integer sums (token counts,
+    char counts) aggregated per group with map-side partials; the
+    two ratios are one double division each, quantized 1e-6. No
+    shuffle wider than the group key.
+    """
+    text = F.col(text_col)
+    ws = F.size(
+        F.filter(F.split(text, " "), lambda x: x != F.lit(""))
+    )
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_PATTERN), 0))
+    agg = df.groupBy(F.col(group_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(ws.cast("long")).alias("_ws"),
+        F.sum(bpe.cast("long")).alias("_bpe"),
+        F.sum(F.length(text).cast("long")).alias("_chars"),
+    )
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return agg.select(
+        "lang",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("_ws").alias("n_ws_tokens"),
+        F.col("_bpe").alias("n_bpe_tokens"),
+        round_half_up(
+            F.col("_bpe").cast("double")
+            / F.nullif(F.col("_ws").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("fertility"),
+        round_half_up(
+            F.col("_chars").cast("double")
+            / F.nullif(F.col("_bpe").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("chars_per_token"),
+    )

@@ -3595,6 +3595,346 @@ def docs_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ROUND-8 STAGING WAVE 4 — concentration / co-movement / screening
+# --------------------------------------------------------------------------
+
+_LORENZ_ORACLE = """
+WITH tot AS (
+  SELECT user_id AS u,
+         COALESCE(SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
+                  0) AS t
+  FROM events GROUP BY 1
+),
+r AS (
+  SELECT t, ROW_NUMBER() OVER (ORDER BY t, u) AS rk,
+         COUNT(*) OVER () AS n, SUM(t) OVER () AS g
+  FROM tot
+),
+d AS (
+  SELECT CAST(floor(((rk - 1) * 10.0) / n) AS INT) AS d0,
+         COUNT(*) AS n_users, SUM(t) AS dv, MAX(g) AS g
+  FROM r GROUP BY 1
+)
+SELECT CAST(d0 + 1 AS INT) AS decile,
+       CAST(n_users AS BIGINT) AS n_users,
+       floor(CAST(dv AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+         AS decile_value,
+       floor((SUM(CAST(dv AS DOUBLE)) OVER (ORDER BY d0
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              / NULLIF(CAST(g AS DOUBLE), 0.0)) * 1000000.0 + 0.5)
+         / 1000000.0 AS cum_share
+FROM d
+"""
+
+
+@pending_query("events_lorenz_curve", _LORENZ_ORACLE)
+def events_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of lifetime value over users — the
+    decile curve behind Gini. The global user ranking is the
+    two-level bucketed rank (operators/analytics.py:
+    lorenz_curve_by_user), never a single-partition sort."""
+    from vectorsearchutil_spark.operators.analytics import (
+        lorenz_curve_by_user,
+    )
+
+    return lorenz_curve_by_user(load_table(spark, sf_dir, "events"))
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COALESCE(SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
+                  0) AS v
+  FROM events GROUP BY 1
+),
+curve AS (
+  SELECT day,
+         SUM(v) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM daily
+),
+dd AS (
+  SELECT day, cum,
+         MAX(cum) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM curve
+),
+best AS (
+  SELECT day, peak, (peak - cum) AS fall
+  FROM dd ORDER BY fall DESC, day ASC LIMIT 1
+),
+cnt AS (SELECT COUNT(*) AS n_days FROM dd)
+SELECT CAST(cnt.n_days AS BIGINT) AS n_days,
+       floor(CAST(best.fall AS DOUBLE) / 100.0 * 100.0 + 0.5)
+         / 100.0 AS max_drawdown,
+       CAST(best.day AS VARCHAR) AS trough_day,
+       floor(CAST(best.peak AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+         AS peak_at_trough
+FROM best, cnt
+"""
+
+
+@pending_query("events_max_drawdown", _DRAWDOWN_ORACLE)
+def events_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max drawdown of cumulative daily value — deepest fall under
+    the running high-water mark, with the (earliest) trough day. All
+    windows over the calendar-bounded day grid
+    (operators/analytics.py:max_drawdown_daily)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        max_drawdown_daily,
+    )
+
+    return max_drawdown_daily(load_table(spark, sf_dir, "events"))
+
+
+_ROLLING_CORR_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                  AND value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
+                  0) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'click'
+                  AND value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END),
+                  0) AS y
+  FROM events GROUP BY 1
+),
+m AS (
+  SELECT day,
+         COUNT(*) OVER w AS k,
+         SUM(CAST(x AS HUGEINT)) OVER w AS sx,
+         SUM(CAST(y AS HUGEINT)) OVER w AS sy,
+         SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) OVER w AS sxx,
+         SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) OVER w AS syy,
+         SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) OVER w AS sxy
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       floor((CAST(7 * sxy - sx * sy AS DOUBLE)
+              / sqrt(NULLIF(CAST(7 * sxx - sx * sx AS DOUBLE)
+                            * CAST(7 * syy - sy * sy AS DOUBLE), 0.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS rolling_corr
+FROM m WHERE k = 7
+"""
+
+
+@pending_query("events_rolling_corr", _ROLLING_CORR_ORACLE)
+def events_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling Pearson correlation between purchase and click
+    daily value — the co-movement drift monitor. Exact integer moment
+    sums over the zero-filled day grid
+    (operators/analytics.py:rolling_corr_daily)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        rolling_corr_daily,
+    )
+
+    return rolling_corr_daily(load_table(spark, sf_dir, "events"))
+
+
+_CORR_MATRIX_ORACLE = """
+WITH q AS (
+  SELECT CAST(floor(l_quantity * 1.0 + 0.5) AS BIGINT) AS a,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS b,
+         CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS c
+  FROM lineitem
+),
+m AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+         SUM(CAST(c AS HUGEINT)) AS sc,
+         SUM(CAST(a AS HUGEINT) * CAST(a AS HUGEINT)) AS qa,
+         SUM(CAST(b AS HUGEINT) * CAST(b AS HUGEINT)) AS qb,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS qc,
+         SUM(CAST(a AS HUGEINT) * CAST(b AS HUGEINT)) AS pab,
+         SUM(CAST(a AS HUGEINT) * CAST(c AS HUGEINT)) AS pac,
+         SUM(CAST(b AS HUGEINT) * CAST(c AS HUGEINT)) AS pbc
+  FROM q
+)
+SELECT pair, CAST(n AS BIGINT) AS n_rows,
+       floor((CAST(n * p - s1 * s2 AS DOUBLE)
+              / sqrt(NULLIF(CAST(n * q1 - s1 * s1 AS DOUBLE)
+                            * CAST(n * q2 - s2 * s2 AS DOUBLE), 0.0)))
+             * 1000000.0 + 0.5) / 1000000.0 AS pearson_r
+FROM (
+  SELECT 'l_quantity~l_extendedprice' AS pair, n, pab AS p,
+         sa AS s1, sb AS s2, qa AS q1, qb AS q2 FROM m
+  UNION ALL
+  SELECT 'l_quantity~l_discount', n, pac, sa, sc, qa, qc FROM m
+  UNION ALL
+  SELECT 'l_extendedprice~l_discount', n, pbc, sb, sc, qb, qc FROM m
+)
+"""
+
+
+@pending_query("lineitem_corr_matrix", _CORR_MATRIX_ORACLE)
+def lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson screening matrix over lineitem numerics
+    (quantity, price cents, discount points) — one full-scan
+    aggregate with map-side partials; the pair expansion is
+    driver-side (operators/analytics.py:numeric_corr_matrix)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        numeric_corr_matrix,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return numeric_corr_matrix(
+        li,
+        [("l_quantity", 1), ("l_extendedprice", 100), ("l_discount", 100)],
+    )
+
+
+_SCD2_ORACLE = """
+WITH log AS (
+  SELECT c_custkey, 1 AS seq, 'upsert' AS op, c_name, c_acctbal
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2, 'upsert', c_name, c_acctbal + 100
+  FROM customer WHERE c_custkey % 10 IN (1, 2)
+  UNION ALL
+  SELECT c_custkey, 3, 'upsert', c_name, c_acctbal + 200
+  FROM customer WHERE c_custkey % 100 = 1
+  UNION ALL
+  SELECT c_custkey, 2, 'delete', c_name, c_acctbal
+  FROM customer WHERE c_custkey % 10 = 0
+),
+v AS (
+  SELECT c_custkey, seq, op, c_name, c_acctbal,
+         LEAD(seq) OVER (PARTITION BY c_custkey ORDER BY seq)
+           AS next_seq
+  FROM log
+)
+SELECT c_custkey, c_name,
+       floor(c_acctbal * 100.0 + 0.5) / 100.0 AS c_acctbal,
+       CAST(seq AS INT) AS valid_from_seq,
+       CAST(next_seq AS INT) AS valid_to_seq,
+       (next_seq IS NULL) AS is_current
+FROM v WHERE op != 'delete'
+"""
+
+
+@pending_query("customers_scd2_history", _SCD2_ORACLE)
+def customers_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension history from a deterministic CDC
+    changelog (same synthesis family as customers_cdc_merge):
+    validity intervals + current flags via one per-key lead window
+    (operators/cdc.py:scd2_build)."""
+    from vectorsearchutil_spark.operators.cdc import scd2_build
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    k = F.col("c_custkey")
+    v1 = cust.select(
+        k, F.lit(1).alias("seq"), F.lit("upsert").alias("op"),
+        "c_name", F.col("c_acctbal"),
+    )
+    v2 = cust.filter((k % 10).isin(1, 2)).select(
+        k, F.lit(2).alias("seq"), F.lit("upsert").alias("op"),
+        "c_name", (F.col("c_acctbal") + 100).alias("c_acctbal"),
+    )
+    v3 = cust.filter(k % 100 == 1).select(
+        k, F.lit(3).alias("seq"), F.lit("upsert").alias("op"),
+        "c_name", (F.col("c_acctbal") + 200).alias("c_acctbal"),
+    )
+    dels = cust.filter(k % 10 == 0).select(
+        k, F.lit(2).alias("seq"), F.lit("delete").alias("op"),
+        "c_name", F.col("c_acctbal"),
+    )
+    log = v1.unionByName(v2).unionByName(v3).unionByName(dels)
+    out = scd2_build(log, "c_custkey", "seq")
+    from vectorsearchutil_spark.operators.analytics import round_half_up
+
+    return out.select(
+        "c_custkey", "c_name",
+        round_half_up(F.col("c_acctbal"), 2).alias("c_acctbal"),
+        F.col("valid_from_seq").cast("int").alias("valid_from_seq"),
+        F.col("valid_to_seq").cast("int").alias("valid_to_seq"),
+        "is_current",
+    )
+
+
+_FERTILITY_ORACLE = """
+WITH per AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS ws,
+         CAST(len(regexp_extract_all(text,
+              ' ?[a-z]+| ?[0-9]+|[^a-z0-9 ]+')) AS BIGINT) AS bpe,
+         CAST(length(text) AS BIGINT) AS chars
+  FROM documents
+),
+g AS (
+  SELECT lang, COUNT(*) AS n_docs, SUM(ws) AS ws, SUM(bpe) AS bpe,
+         SUM(chars) AS chars
+  FROM per GROUP BY 1
+)
+SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(ws AS BIGINT) AS n_ws_tokens,
+       CAST(bpe AS BIGINT) AS n_bpe_tokens,
+       floor((CAST(bpe AS DOUBLE) / NULLIF(CAST(ws AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS fertility,
+       floor((CAST(chars AS DOUBLE) / NULLIF(CAST(bpe AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token
+FROM g
+"""
+
+
+@pending_query("docs_tokenizer_fertility", _FERTILITY_ORACLE)
+def docs_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language (BPE-ish tokens per
+    whitespace word, chars per token) — which languages pay a
+    context-length tax (operators/textanalysis.py:
+    tokenizer_fertility)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        tokenizer_fertility,
+    )
+
+    return tokenizer_fertility(load_table(spark, sf_dir, "documents"))
+
+
+_STORAGE_BUDGET_ORACLE = """
+WITH sized AS (
+  SELECT source, CAST(strlen(text) + 8 AS BIGINT) AS bytes
+  FROM documents
+),
+hist AS (
+  SELECT source, bytes, COUNT(*) AS c FROM sized GROUP BY 1, 2
+),
+cum AS (
+  SELECT source, bytes, c,
+         SUM(c) OVER (PARTITION BY source ORDER BY bytes) AS cumc,
+         SUM(c) OVER (PARTITION BY source) AS n
+  FROM hist
+)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n_objects,
+       CAST(SUM(bytes * c) AS BIGINT) AS total_bytes,
+       CAST(MIN(CASE WHEN cumc >= CAST(ceil(0.95 * n) AS BIGINT)
+                THEN bytes END) AS BIGINT) AS p95_bytes,
+       CAST(MAX(bytes) AS BIGINT) AS max_bytes
+FROM cum GROUP BY 1
+"""
+
+
+@pending_query("multimodal_storage_budget", _STORAGE_BUDGET_ORACLE)
+def multimodal_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source storage budget of the synthesized binary media
+    column (count, total/max bytes, EXACT p95 size via the
+    value-domain histogram) — capacity planning for a multimodal
+    corpus (operators/multimodal.py:storage_budget)."""
+    from vectorsearchutil_spark.operators.multimodal import (
+        storage_budget,
+        synthesize_binary,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return storage_budget(synthesize_binary(docs))
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
