@@ -531,3 +531,99 @@ def test_storage_budget_exact_p95(spark):
     assert row.max_bytes == 20 + 8
     assert row.p95_bytes == 19 + 8
     assert row.total_bytes == sum(range(1, 21)) + 8 * 20
+
+
+# ---------------------------------------------------------------- wave 5
+
+
+def test_unicode_health_counts(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        unicode_health,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii", "a"),
+            (2, "bad � byte �", "a"),       # 2 repl chars, 1 doc
+            (3, "ctl\x01\x02 and café", "a"),    # 2 ctrl, 1 non-ascii
+        ],
+        "doc_id long, text string, source string",
+    )
+    row = unicode_health(df).collect()[0]
+    assert row.n_docs == 3
+    assert row.n_replacement_docs == 1
+    assert row.n_control_chars == 2
+    # non-ascii chars: 2x U+FFFD + e-acute = 3
+    total_chars = len("clean ascii") + len("bad � byte �") + len(
+        "ctl\x01\x02 and café")
+    assert row.non_ascii_share == pytest.approx(3 / total_chars, abs=1e-6)
+
+
+def test_diversity_indices_uniform_and_degenerate(spark):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        diversity_indices,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "u"),       # 4 uniform types: H=2 bits,
+                                       # simpson=0.75, ttr=1
+            (2, "x x x x", "r"),       # 1 type: H=0, simpson=0, ttr=.25
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in diversity_indices(df).collect()}
+    assert out["u"].shannon_bits == pytest.approx(2.0)
+    assert out["u"].gini_simpson == pytest.approx(0.75)
+    assert out["u"].ttr == pytest.approx(1.0)
+    assert out["r"].shannon_bits == pytest.approx(0.0)
+    assert out["r"].gini_simpson == pytest.approx(0.0)
+    assert out["r"].vocab == 1 and out["r"].n_tokens == 4
+
+
+def test_basket_histogram_shares_sum_to_one(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    out = PENDING_QUERIES["orders_basket_size_histogram"](
+        spark, sf_dir
+    ).collect()
+    assert sum(r.n_orders for r in out) > 0
+    assert sum(r.share for r in out) == pytest.approx(1.0, abs=1e-4)
+    assert all(r.basket_size >= 1 for r in out)
+
+
+def test_discount_band_net_le_gross(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    out = PENDING_QUERIES["lineitem_discount_band_profit"](
+        spark, sf_dir
+    ).collect()
+    assert out
+    for r in out:
+        assert r.net_revenue <= r.gross_revenue + 1e-9
+        if r.disc_pts == 0:
+            assert r.net_revenue == pytest.approx(r.gross_revenue)
+
+
+def test_cluster_lang_purity_hand_built(spark):
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.queries_pending import (  # noqa: F401
+        dedup_cluster_lang_purity,
+    )
+
+    # two near-identical docs in different langs + one singleton:
+    # expect one 2-lang cluster of 2 docs, majority share 0.5
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    df = spark.createDataFrame(
+        [(1, base, "en", "s", len(base)),
+         (2, base + " iota", "fr", "s", len(base) + 5),
+         (3, "totally different words here now", "en", "s", 32)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    pairs = _dd.ngram_jaccard_pairs(df, n=3, threshold=0.5)
+    comp = _dd.connected_components(pairs)
+    from pyspark.sql import functions as F
+    cl = comp.join(df.select("doc_id", "lang"),
+                   comp.node == F.col("doc_id"))
+    assert cl.count() == 2  # the singleton never enters the pair graph

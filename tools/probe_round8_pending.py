@@ -412,6 +412,56 @@ def probe_wave4(spark):
 PROBES["wave4"] = probe_wave4
 
 
+def probe_wave5(spark):
+    """Wave-5 25x probes: basket histogram (150M lines -> 40M order
+    sizes -> tiny PMF), discount bands (one full-scan aggregate to a
+    55-cell grid), unicode health + diversity + fertility-style
+    regex tallies over 1.25M docs (diversity's token shuffle is the
+    top-terms width), cluster lang purity reuses the banded CC path
+    probed in round 5."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        diversity_indices,
+        unicode_health,
+    )
+
+    li = spark.range(150_000_000).selectExpr(
+        "cast(pmod(xxhash64(id), 40000000) as bigint) AS l_orderkey",
+        "cast(pmod(xxhash64(id, 1), 50) + 1 as double) AS l_quantity",
+        "cast(pmod(xxhash64(id, 2), 10000000) as double)"
+        " / 100.0 AS l_extendedprice",
+        "cast(pmod(xxhash64(id, 3), 11) as double) / 100.0 AS l_discount",
+    )
+    t0 = time.time()
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("k"))
+    bh = sizes.groupBy("k").count().count()
+    dt_b = time.time() - t0
+    t0 = time.time()
+    db = li.groupBy(
+        F.floor(F.col("l_discount") * 100.0 + 0.5).alias("d"),
+        F.floor((F.col("l_quantity") - 1) / 10.0).alias("q"),
+    ).agg(F.sum(F.floor(F.col("l_extendedprice") * 100.0 + 0.5))).count()
+    dt_d = time.time() - t0
+
+    docs = _docs(spark).cache()
+    docs.count()
+    t0 = time.time()
+    unicode_health(docs).count()
+    dt_u = time.time() - t0
+    t0 = time.time()
+    dv = diversity_indices(docs).count()
+    dt_v = time.time() - t0
+    docs.unpersist()
+    return (
+        f"basket_hist {dt_b:.1f}s @ 150M lines -> {bh} sizes;"
+        f" discount_bands {dt_d:.1f}s ({db} cells);"
+        f" unicode_health {dt_u:.1f}s @ 1.25M docs;"
+        f" diversity {dt_v:.1f}s ({dv} sources)"
+    )
+
+
+PROBES["wave5"] = probe_wave5
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

@@ -1801,3 +1801,95 @@ def tokenizer_fertility(
             6,
         ).alias("chars_per_token"),
     )
+
+
+def unicode_health(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source encoding-health screen: replacement-character docs
+    (U+FFFD = something already lost bytes upstream), stray control
+    characters, and the non-ASCII share — the triage pass that
+    catches a mis-decoded crawl dump before it poisons a training
+    mix. All counts are exact integers from three narrow regex
+    tallies (identical char-class semantics on Java regex and RE2);
+    the one share is a double division quantized 1e-6.
+    """
+    text = F.col(text_col)
+    repl = F.regexp_count(text, F.lit("�"))
+    ctrl = F.regexp_count(
+        text, F.lit("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]")
+    )
+    non_ascii = F.regexp_count(text, F.lit("[^\\x00-\\x7f]"))
+    agg = df.groupBy(F.col(group_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((repl > 0).cast("long")).alias("n_replacement_docs"),
+        F.sum(ctrl.cast("long")).alias("n_control_chars"),
+        F.sum(non_ascii.cast("long")).alias("_na"),
+        F.sum(F.length(text).cast("long")).alias("_chars"),
+    )
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    return agg.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        "n_replacement_docs",
+        "n_control_chars",
+        round_half_up(
+            F.col("_na").cast("double")
+            / F.nullif(F.col("_chars").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("non_ascii_share"),
+    )
+
+
+def diversity_indices(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Lexical diversity per source: type-token ratio, Gini–Simpson
+    index, and Shannon entropy of the token distribution — the
+    repetitiveness fingerprint that separates boilerplate-heavy
+    sources from genuinely diverse text before mixture weighting.
+
+    Exactness: TTR and Simpson come from exact integers (vocab,
+    token count, Σc² in DECIMAL(38,0) — Simpson = 1 − Σc²/n² does
+    ONE double division); Shannon uses the algebraic form
+    log2(n) − Σ c·log2(c) / n so the only inexactness is the
+    1e-6-quantized double fold over the type table (same tolerance
+    class as transition_entropy). Plan: one explode → one
+    (source, token) count → one per-source aggregate; the token
+    shuffle is the same width as any top-terms pass.
+    """
+    toks = F.explode(
+        F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    ).alias("_tok")
+    counts = df.select(
+        F.col(group_col).alias("source"), toks
+    ).groupBy("source", "_tok").agg(F.count(F.lit(1)).alias("_c"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = counts.groupBy("source").agg(
+        F.sum(dec(F.col("_c"))).alias("_n"),
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c"))).alias("_s2"),
+        F.sum(
+            F.col("_c").cast("double") * F.log2(F.col("_c").cast("double"))
+        ).alias("_clogc"),
+    )
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    n = F.col("_n").cast("double")
+    return agg.select(
+        "source",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        round_half_up(F.col("vocab").cast("double") / n, 6).alias("ttr"),
+        round_half_up(
+            F.lit(1.0) - F.col("_s2").cast("double") / (n * n), 6
+        ).alias("gini_simpson"),
+        round_half_up(
+            F.log2(n) - F.col("_clogc") / n, 6
+        ).alias("shannon_bits"),
+    )

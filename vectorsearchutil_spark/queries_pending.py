@@ -3935,6 +3935,238 @@ def multimodal_storage_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return storage_budget(synthesize_binary(docs))
 
 
+# --------------------------------------------------------------------------
+# ROUND-8 STAGING WAVE 5 — corpus-health / OLAP-profile operators
+# --------------------------------------------------------------------------
+
+_BASKET_HIST_ORACLE = """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS k FROM lineitem GROUP BY 1
+),
+hist AS (
+  SELECT k, COUNT(*) AS n_orders FROM sizes GROUP BY 1
+),
+tot AS (SELECT SUM(n_orders) AS n FROM hist)
+SELECT CAST(k AS INT) AS basket_size,
+       CAST(n_orders AS BIGINT) AS n_orders,
+       floor((CAST(n_orders AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS share
+FROM hist, tot t
+"""
+
+
+@pending_query("orders_basket_size_histogram", _BASKET_HIST_ORACLE)
+def orders_basket_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PMF of lines per order — the basket-size distribution behind
+    co-purchase and packing models. Two map-side-combined aggregates
+    (order sizes, then the size histogram); the share divides by a
+    broadcast 1-row total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sizes = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("_k"))
+    hist = sizes.groupBy("_k").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = hist.agg(F.sum("n_orders").alias("_n"))
+    from vectorsearchutil_spark.operators.analytics import round_half_up
+
+    return hist.crossJoin(F.broadcast(tot)).select(
+        F.col("_k").cast("int").alias("basket_size"),
+        F.col("n_orders").cast("long").alias("n_orders"),
+        round_half_up(
+            F.col("n_orders").cast("double")
+            / F.col("_n").cast("double"),
+            6,
+        ).alias("share"),
+    )
+
+
+_DISCOUNT_BAND_ORACLE = """
+WITH b AS (
+  SELECT CAST(floor(l_discount * 100.0 + 0.5) AS INT) AS disc_pts,
+         CAST(floor((l_quantity - 1) / 10.0) AS INT) AS qty_band,
+         CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+)
+SELECT disc_pts, qty_band,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       floor(CAST(SUM(cents) AS DOUBLE) / 100.0 * 100.0 + 0.5) / 100.0
+         AS gross_revenue,
+       floor(CAST(SUM(cents * CAST(100 - disc_pts AS BIGINT)) AS DOUBLE)
+             / 10000.0 * 100.0 + 0.5) / 100.0 AS net_revenue
+FROM b GROUP BY 1, 2
+"""
+
+
+@pending_query("lineitem_discount_band_profit", _DISCOUNT_BAND_ORACLE)
+def lineitem_discount_band_profit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gross vs net revenue by (discount-point, quantity-band) cell —
+    the band-pricing profile. Net is EXACT integer arithmetic:
+    cents × (100 − discount points) accumulates hundredths of cents;
+    one aggregate pass to the ≤11×5-cell grid."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.floor(F.col("l_discount") * 100.0 + 0.5).cast("int")
+    qb = F.floor((F.col("l_quantity") - 1) / 10.0).cast("int")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    from vectorsearchutil_spark.operators.analytics import round_half_up
+
+    return (
+        li.select(
+            disc.alias("disc_pts"),
+            qb.alias("qty_band"),
+            cents.alias("_c"),
+        )
+        .groupBy("disc_pts", "qty_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            round_half_up(
+                F.sum("_c").cast("double") / F.lit(100.0), 2
+            ).alias("gross_revenue"),
+            round_half_up(
+                F.sum(
+                    F.col("_c") * (F.lit(100) - F.col("disc_pts")).cast("long")
+                ).cast("double")
+                / F.lit(10000.0),
+                2,
+            ).alias("net_revenue"),
+        )
+    )
+
+
+_UNICODE_HEALTH_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN regexp_matches(text, '\\x{FFFD}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_replacement_docs,
+       CAST(SUM(len(regexp_extract_all(text,
+            '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]'))) AS BIGINT)
+         AS n_control_chars,
+       floor((CAST(SUM(len(regexp_extract_all(text, '[^\\x00-\\x7f]')))
+                AS DOUBLE)
+              / NULLIF(CAST(SUM(length(text)) AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS non_ascii_share
+FROM documents GROUP BY 1
+"""
+
+
+@pending_query("text_unicode_health", _UNICODE_HEALTH_ORACLE)
+def text_unicode_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding-health triage (U+FFFD docs, stray control
+    chars, non-ASCII share) — catches a mis-decoded crawl before it
+    poisons a mix (operators/textanalysis.py:unicode_health)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        unicode_health,
+    )
+
+    return unicode_health(load_table(spark, sf_dir, "documents"))
+
+
+_DIVERSITY_ORACLE = """
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split(text, ' '), x -> x != ''))
+           AS tok
+  FROM documents
+),
+c AS (
+  SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2
+),
+g AS (
+  SELECT source,
+         SUM(CAST(c AS HUGEINT)) AS n,
+         COUNT(*) AS vocab,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+         SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS clogc
+  FROM c GROUP BY 1
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       floor((CAST(vocab AS DOUBLE) / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS ttr,
+       floor((1.0 - CAST(s2 AS DOUBLE)
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini_simpson,
+       floor((log2(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS shannon_bits
+FROM g
+"""
+
+
+@pending_query("docs_diversity_indices", _DIVERSITY_ORACLE)
+def docs_diversity_indices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per source (TTR, Gini–Simpson, Shannon) —
+    the repetitiveness fingerprint before mixture weighting
+    (operators/textanalysis.py:diversity_indices)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        diversity_indices,
+    )
+
+    return diversity_indices(load_table(spark, sf_dir, "documents"))
+
+
+def _cluster_lang_purity_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CC_EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+cl AS (
+  SELECT c.component, d.lang
+  FROM comp c JOIN documents d ON c.doc_id = d.doc_id
+),
+langc AS (
+  SELECT component, lang, COUNT(*) AS c FROM cl GROUP BY 1, 2
+),
+per AS (
+  SELECT component, SUM(c) AS nd, COUNT(*) AS nl, MAX(c) AS mc
+  FROM langc GROUP BY 1
+)
+SELECT CAST(nl AS INT) AS n_langs,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(nd) AS BIGINT) AS n_docs,
+       floor((CAST(SUM(mc) AS DOUBLE) / CAST(SUM(nd) AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS majority_share
+FROM per GROUP BY 1
+"""
+
+
+@pending_query("dedup_cluster_lang_purity", _cluster_lang_purity_oracle())
+def dedup_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual contamination of near-dup clusters: for each
+    language-count bucket, how many clusters / docs, and the
+    aggregate majority-language share (Σ max-lang count ÷ Σ docs —
+    exact integers, ONE double division; no per-cluster double AVG
+    whose fold order could differ). Clusters come from the shipped
+    CC operator over 0.8-Jaccard pairs; the lang join touches only
+    cluster members."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.operators.analytics import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = _dd.connected_components(pairs)
+    cl = comp.join(
+        docs.select("doc_id", "lang"),
+        comp.node == F.col("doc_id"),
+    ).select("component", "lang")
+    langc = cl.groupBy("component", "lang").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    per = langc.groupBy("component").agg(
+        F.sum("_c").alias("_nd"),
+        F.count(F.lit(1)).alias("_nl"),
+        F.max("_c").alias("_mc"),
+    )
+    return per.groupBy(F.col("_nl").cast("int").alias("n_langs")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("_nd").cast("long").alias("n_docs"),
+        round_half_up(
+            F.sum("_mc").cast("double") / F.sum("_nd").cast("double"), 6
+        ).alias("majority_share"),
+    )
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
