@@ -627,3 +627,121 @@ def test_cluster_lang_purity_hand_built(spark):
     cl = comp.join(df.select("doc_id", "lang"),
                    comp.node == F.col("doc_id"))
     assert cl.count() == 2  # the singleton never enters the pair graph
+
+
+# ---------------------------------------------------------------- wave 6
+
+
+def test_completeness_gaps_hand_built(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        completeness_gaps,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+
+    def r(eid, hours, typ):
+        return (eid, t0 + dt.timedelta(hours=hours), 1, typ, 1.0)
+
+    # global window = hours 0..5 (6 hours).
+    # type a: hours 0,1,5    -> internal gap 3, present 3, missing 3
+    # type b: hours 2,3,4,5  -> leading gap 2, present 4, missing 2
+    rows = [r(0, 0, "a"), r(1, 1, "a"), r(2, 5, "a"),
+            r(3, 2, "b"), r(4, 3, "b"), r(5, 4, "b"), r(6, 5, "b")]
+    out = {x.event_type: x
+           for x in completeness_gaps(_ev(spark, rows)).collect()}
+    assert out["a"].n_expected_hours == 6
+    assert out["a"].n_present_hours == 3
+    assert out["a"].n_missing_hours == 3
+    assert out["a"].longest_gap_hours == 3
+    assert out["b"].n_present_hours == 4
+    assert out["b"].longest_gap_hours == 2  # leading truncation
+
+
+def test_seasonal_naive_wape_perfect_weekly(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_naive_wape,
+    )
+
+    # exact 7-day periodic series -> WAPE 0, bias 0, 7 scored days
+    rows = []
+    for d in range(14):
+        rows.append((d, dt.datetime(2024, 1, 1 + d), 1,
+                     float(10 + (d % 7))))
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_custkey long,"
+        " o_totalprice double")
+    row = seasonal_naive_wape(df).collect()[0]
+    assert row.n_days_scored == 7
+    assert row.wape == pytest.approx(0.0)
+    assert row.mae == pytest.approx(0.0)
+    assert row.bias == pytest.approx(0.0)
+
+
+def test_seasonal_naive_wape_known_error(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_naive_wape,
+    )
+
+    # week 1 all 10.0, week 2 all 12.0: |err|=2 on each of 7 days
+    rows = [(d, dt.datetime(2024, 1, 1 + d), 1,
+             10.0 if d < 7 else 12.0) for d in range(14)]
+    df = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_custkey long,"
+        " o_totalprice double")
+    row = seasonal_naive_wape(df).collect()[0]
+    assert row.wape == pytest.approx(2.0 / 12.0, abs=1e-6)
+    assert row.mae == pytest.approx(2.0)
+    assert row.bias == pytest.approx(2.0 / 12.0, abs=1e-6)  # over-forecast... y>yhat
+
+
+def test_seasonal_anomalies_flags_planted_spike(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_anomalies_daily,
+    )
+
+    # 28 flat days + one 100x spike: the spike day must flag, flat
+    # days must not
+    rows = []
+    eid = 0
+    for d in range(28):
+        v = 1000.0 if d == 13 else 10.0
+        rows.append((eid, dt.datetime(2024, 1, 1 + d, 12), 1, "x", v))
+        eid += 1
+    out = {r.day: r for r in
+           seasonal_anomalies_daily(_ev(spark, rows)).collect()}
+    assert out["2024-01-14"].is_anomaly
+    flagged = [d for d, r in out.items() if r.is_anomaly]
+    # the spike bleeds into its +-3-day trend neighbours; the spike
+    # day itself must dominate and far-away days must stay clean
+    assert "2024-01-14" in flagged
+    # far-away days NOT sharing the spike's day-of-week stay clean
+    # (same-dow days legitimately inherit part of the spike through
+    # the dow-seasonal term — that is what the decomposition does)
+    assert not out["2024-01-02"].is_anomaly
+    assert not out["2024-01-27"].is_anomaly
+
+
+def test_exact_dup_vectors_synthetic(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    out = PENDING_QUERIES["embeddings_exact_dup_vectors"](
+        spark, sf_dir).collect()
+    tot_red = sum(r.n_redundant for r in out)
+    tot_groups = sum(r.n_dup_groups for r in out)
+    # every vec_id % 7 == 0 vector was re-inserted once
+    assert tot_red == tot_groups > 0
+    for r in out:
+        assert r.n_vectors == r.n_signatures + r.n_redundant
+
+
+def test_dedup_impact_reconciles(spark, sf_dir):
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+
+    out = PENDING_QUERIES["docs_dedup_impact"](spark, sf_dir).collect()
+    assert out
+    for r in out:
+        assert r.docs_after <= r.docs_before
+        assert r.tokens_after <= r.tokens_before
+        if r.tokens_before:
+            assert r.token_removal_share == pytest.approx(
+                1.0 - r.tokens_after / r.tokens_before, abs=1e-6)

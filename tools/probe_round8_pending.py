@@ -462,6 +462,71 @@ def probe_wave5(spark):
 PROBES["wave5"] = probe_wave5
 
 
+def probe_wave6(spark):
+    """Wave-6 25x probes: anomaly screen + completeness over 25M
+    events (grid-bounded after the first aggregate); WAPE over a
+    synthesized 10-year daily grid under 100M order rows; dedup
+    impact reuses the banded CC path (probed separately); exact-dup
+    vectors over 2M 64-dim vectors (md5-narrowed shuffle keys)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        completeness_gaps,
+        seasonal_anomalies_daily,
+        seasonal_naive_wape,
+    )
+
+    ev = _events(spark).cache()
+    ev.count()
+    t0 = time.time()
+    an = seasonal_anomalies_daily(ev).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("is_anomaly").cast("long")).alias("f"),
+    ).collect()[0]
+    dt_a = time.time() - t0
+    t0 = time.time()
+    completeness_gaps(ev).count()
+    dt_c = time.time() - t0
+    ev.unpersist()
+
+    orders = spark.range(100_000_000).selectExpr(
+        "id AS o_orderkey",
+        "cast(timestamp_micros(cast(1400000000000000 + "
+        "pmod(xxhash64(id), 3650) * 86400000000 as bigint))"
+        " as timestamp_ntz) AS o_orderdate",
+        "cast(pmod(xxhash64(id, 1), 100000) as double)"
+        " / 100.0 AS o_totalprice",
+    )
+    t0 = time.time()
+    seasonal_naive_wape(orders).collect()
+    dt_w = time.time() - t0
+
+    emb = spark.range(2_000_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> cast(pmod(xxhash64(id, j), 1000)"
+        " as float) / 1000.0) AS embedding",
+        "cast(pmod(id, 10) as int) AS label",
+    )
+    from vectorsearchutil_spark.queries_pending import PENDING_QUERIES
+    emb.createOrReplaceTempView("_probe_emb")
+    t0 = time.time()
+    sig = F.md5(F.concat_ws(",", F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").cast("string"))))
+    dup = emb.select("label", sig.alias("s")).groupBy("label", "s").agg(
+        F.count(F.lit(1)).alias("c")
+    ).groupBy("label").agg(F.sum(F.col("c") - 1).alias("red")).count()
+    dt_e = time.time() - t0
+    return (
+        f"anomalies {dt_a:.1f}s @ 25M events ({an['n']} days,"
+        f" {an['f']} flagged); completeness {dt_c:.1f}s;"
+        f" wape {dt_w:.1f}s @ 100M orders / 10y grid;"
+        f" exact_dup_vectors {dt_e:.1f}s @ 2M x 64-dim ({dup} labels)"
+    )
+
+
+PROBES["wave6"] = probe_wave6
+
+
 if __name__ == "__main__":
     from vectorsearchutil_spark.session import get_spark
 

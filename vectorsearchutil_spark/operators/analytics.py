@@ -1253,65 +1253,164 @@ def seasonal_decompose_daily(
     (type, day) grid first; the trend window is the offset-exploded
     grid self-join (the daily_peaks shape); the dow means aggregate
     ≤ 7·types rows."""
+    ints = _decompose_cents(
+        events, type_col=type_col, ts_col=ts_col,
+        value_col=value_col, radius=radius,
+    )
+    return ints.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("_v0").cast("double") / 100.0).alias("value"),
+        (F.col("_trend").cast("double") / 100.0).alias("trend"),
+        (F.col("_seas").cast("double") / 100.0).alias("seasonal"),
+        (
+            (F.col("_detr") - F.col("_seas")).cast("double") / 100.0
+        ).alias("residual"),
+    )
+
+
+def _decompose_cents(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    radius: int = 3,
+) -> DataFrame:
+    """Integer core of :func:`seasonal_decompose_daily`: per
+    (event_type, day) exact-cents value ``_v0``, floor-mean trend
+    ``_trend``, detrended ``_detr`` and dow-seasonal ``_seas`` — all
+    LONGS, so downstream consumers (the anomaly screen) keep the
+    bit-identical cross-engine contract.
+
+    Plan: ONE scan of the raw table (the grid aggregate), then
+    everything is windows over the grid: the ±radius-day
+    present-neighbour trend is a RANGE window on the integer day
+    index (identical neighbour set to an offset-exploded self-join,
+    without re-running the raw aggregate per consumer lineage —
+    measured 4 raw scans in the join form at 25M rows), and the
+    dow-seasonal is a (type, dow)-partitioned window aggregate
+    instead of an aggregate-and-join-back. Values are identical to
+    the join form step for step.
+    """
     cents = _cents(F.col(value_col))
     daily = events.groupBy(
         F.col(type_col).alias("event_type"),
         F.to_date(F.col(ts_col)).alias("day"),
     ).agg(F.sum(cents).alias("_v"))
-    offs = F.array(
-        *[F.lit(k) for k in range(-radius, radius + 1)]
+    w_tr = (
+        Window.partitionBy("event_type")
+        .orderBy(F.datediff(F.col("day"), F.lit("1970-01-01")))
+        .rangeBetween(-radius, radius)
     )
-    neighbors = daily.select(
+    with_trend = daily.select(
         "event_type",
-        F.explode(offs).alias("_k"),
-        F.col("_v").alias("_nv"),
         "day",
-    ).select(
+        F.col("_v").alias("_v0"),
+        F.floor(
+            F.sum("_v").over(w_tr).cast("double")
+            / F.count(F.lit(1)).over(w_tr)
+            + F.lit(0.5)
+        ).cast("long").alias("_trend"),
+    ).withColumn("_detr", F.col("_v0") - F.col("_trend"))
+    w_dow = Window.partitionBy("event_type", F.dayofweek(F.col("day")))
+    return with_trend.select(
         "event_type",
-        F.date_add(F.col("day"), F.col("_k")).alias("day"),
-        "_nv",
+        "day",
+        "_v0",
+        "_trend",
+        "_detr",
+        F.floor(
+            F.sum("_detr").over(w_dow).cast("double")
+            / F.count(F.lit(1)).over(w_dow)
+            + F.lit(0.5)
+        ).cast("long").alias("_seas"),
     )
-    with_trend = (
-        daily.join(neighbors, ["event_type", "day"])
-        .groupBy("event_type", "day")
-        .agg(
-            F.max("_v").alias("_v0"),
-            F.sum("_nv").alias("_s"),
-            F.count("_nv").alias("_n"),
-        )
-        .select(
-            "event_type",
-            "day",
-            "_v0",
-            F.floor(
-                F.col("_s").cast("double") / F.col("_n") + F.lit(0.5)
-            ).cast("long").alias("_trend"),
-        )
-        .withColumn("_detr", F.col("_v0") - F.col("_trend"))
+
+
+def seasonal_anomalies_daily(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Seasonal-residual anomaly screen: decompose the per-type daily
+    value series (same exact-integer contract as
+    :func:`seasonal_decompose_daily`), then flag days whose residual
+    exceeds ``k`` × MAD of the type's residuals — the robust "which
+    days genuinely broke pattern" monitor that a mean/σ rule gets
+    wrong under heavy tails. Emits EVERY grid day with its residual,
+    threshold, and flag (not just hits), so downstream dashboards and
+    the correctness gate see the full picture.
+
+    Exactness: residuals are exact integer cents; both medians
+    (residual median, MAD) are type-1 lower medians computed from
+    integer cumulative counts — no doubles until the final /100
+    display division and the k·MAD comparison on integers scaled by
+    10 (k = 3.0 → ·30, exact). Plan: everything after the decompose
+    is CHAINED WINDOWS over one shuffle of the grid by type (the
+    lower median per row is min(value where cum·2 ≥ n) as a window
+    aggregate — the last row of every tie block carries the true
+    ≤-count, so the min is exact) — a join-back through
+    `_int_value_quantiles` would re-run the raw-table aggregate once
+    per consumer lineage (measured 4× the scan at 25M rows).
+    """
+    ints = _decompose_cents(
+        events, type_col=type_col, ts_col=ts_col, value_col=value_col
     )
-    dow = F.dayofweek(F.col("day"))
-    seasonal = (
-        with_trend.groupBy("event_type", dow.alias("_dow"))
-        .agg(
-            F.floor(
-                F.sum("_detr").cast("double")
-                / F.count(F.lit(1))
-                + F.lit(0.5)
-            ).cast("long").alias("_seas")
-        )
+    resid = ints.select(
+        "event_type",
+        "day",
+        "_v0",
+        (F.col("_detr") - F.col("_seas")).alias("_r"),
     )
+    wp = Window.partitionBy("event_type")
+    w_r = wp.orderBy("_r").rowsBetween(Window.unboundedPreceding, 0)
+    d1 = resid.select(
+        "*",
+        F.count(F.lit(1)).over(w_r).alias("_cum"),
+        F.count(F.lit(1)).over(wp).alias("_n"),
+    )
+    d2 = d1.select(
+        "*",
+        F.min(
+            F.when(F.col("_cum") * 2 >= F.col("_n"), F.col("_r"))
+        ).over(wp).alias("_med"),
+    )
+    d3 = d2.select(
+        "event_type",
+        "day",
+        "_v0",
+        "_r",
+        "_n",
+        F.abs(F.col("_r") - F.col("_med")).alias("_ad"),
+        F.col("_med"),
+    )
+    w_a = wp.orderBy("_ad").rowsBetween(Window.unboundedPreceding, 0)
+    d4 = d3.select(
+        "*", F.count(F.lit(1)).over(w_a).alias("_cum2")
+    )
+    dev = d4.select(
+        "*",
+        F.min(
+            F.when(F.col("_cum2") * 2 >= F.col("_n"), F.col("_ad"))
+        ).over(wp).alias("_mad"),
+    )
+    k10 = int(round(k * 10))
     return (
-        with_trend.withColumn("_dow", dow)
-        .join(F.broadcast(seasonal), ["event_type", "_dow"])
+        dev
         .select(
             "event_type",
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             (F.col("_v0").cast("double") / 100.0).alias("value"),
-            (F.col("_trend").cast("double") / 100.0).alias("trend"),
-            (F.col("_seas").cast("double") / 100.0).alias("seasonal"),
+            (F.col("_r").cast("double") / 100.0).alias("residual"),
             (
-                (F.col("_detr") - F.col("_seas")).cast("double") / 100.0
-            ).alias("residual"),
+                F.col("_mad").cast("double") * F.lit(k10) / 1000.0
+            ).alias("threshold"),
+            (
+                F.abs(F.col("_r") - F.col("_med")) * 10
+                > F.col("_mad") * F.lit(k10)
+            ).alias("is_anomaly"),
         )
     )
 
@@ -2034,3 +2133,112 @@ def numeric_corr_matrix(
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+def completeness_gaps(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Hourly data-completeness audit per event type: how many hours
+    of the corpus' global [first, last] hour window each feed
+    actually covered, how many are missing, and the LONGEST silent
+    stretch (internal gap or leading/trailing truncation) — the
+    "did the pipeline silently drop a feed for a day" monitor.
+
+    Plan: raw rows collapse immediately to the distinct
+    (type, hour-index) grid (integer hour = floor(epoch/3600), no
+    timestamp arithmetic downstream); the lag window and min/max run
+    over that calendar-bounded grid. All outputs exact integers.
+    """
+    h = F.floor(epoch_seconds(F.col(ts_col)) / F.lit(3600.0)).cast("long")
+    grid = (
+        events.select(F.col(type_col).alias("event_type"), h.alias("_h"))
+        .distinct()
+    )
+    bounds = grid.agg(
+        F.min("_h").alias("_g0"), F.max("_h").alias("_g1")
+    )
+    w = Window.partitionBy("event_type").orderBy("_h")
+    gaps = grid.select(
+        "event_type",
+        "_h",
+        (F.col("_h") - F.lag("_h").over(w) - 1).alias("_gap"),
+    )
+    per = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_present"),
+        F.min("_h").alias("_t0"),
+        F.max("_h").alias("_t1"),
+        F.coalesce(F.max("_gap"), F.lit(0)).alias("_internal"),
+    )
+    return per.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        (F.col("_g1") - F.col("_g0") + 1).cast("long").alias("n_expected_hours"),
+        F.col("_present").cast("long").alias("n_present_hours"),
+        (F.col("_g1") - F.col("_g0") + 1 - F.col("_present"))
+        .cast("long")
+        .alias("n_missing_hours"),
+        F.greatest(
+            F.col("_internal"),
+            F.col("_t0") - F.col("_g0"),
+            F.col("_g1") - F.col("_t1"),
+        ).cast("long").alias("longest_gap_hours"),
+    )
+
+
+def seasonal_naive_wape(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    lag_days: int = 7,
+) -> DataFrame:
+    """Forecast-baseline evaluation: score the seasonal-naive
+    predictor ŷ(t) = y(t−7 days) on the daily revenue series with
+    WAPE, MAE, and bias — the floor any real forecasting model must
+    beat, and the sanity metric for "is this series even
+    predictable". One summary row.
+
+    Exactness: WAPE = Σ|y−ŷ| / Σ|y| and bias = Σ(y−ŷ) / Σ|y| are
+    ratios of exact integer cent sums (ONE double division each);
+    MAE divides an exact sum by the exact day count. The lag join is
+    a self-join of the calendar-bounded day grid on day−7 (days with
+    no day−7 observation are excluded — the honest evaluation set).
+    """
+    cents = _cents(F.col(amount_col))
+    daily = orders.groupBy(
+        F.to_date(F.col(date_col)).alias("_day")
+    ).agg(F.sum(cents).alias("_y"))
+    prev = daily.select(
+        F.date_add(F.col("_day"), lag_days).alias("_day"),
+        F.col("_y").alias("_yhat"),
+    )
+    scored = daily.join(prev, "_day").select(
+        (F.col("_y") - F.col("_yhat")).alias("_e"),
+        F.abs(F.col("_y") - F.col("_yhat")).alias("_ae"),
+        F.abs(F.col("_y")).alias("_ay"),
+    )
+    agg = scored.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_e").alias("_se"),
+        F.sum("_ae").alias("_sae"),
+        F.sum("_ay").alias("_say"),
+    )
+    return agg.select(
+        F.col("_n").cast("long").alias("n_days_scored"),
+        round_half_up(
+            F.col("_sae").cast("double")
+            / F.nullif(F.col("_say").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("wape"),
+        round_half_up(
+            F.col("_sae").cast("double")
+            / F.col("_n").cast("double")
+            / F.lit(100.0),
+            2,
+        ).alias("mae"),
+        round_half_up(
+            F.col("_se").cast("double")
+            / F.nullif(F.col("_say").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("bias"),
+    )

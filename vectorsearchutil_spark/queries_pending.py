@@ -4167,6 +4167,321 @@ def dedup_cluster_lang_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# ROUND-8 STAGING WAVE 6 — monitoring / evaluation / dedup-impact
+# --------------------------------------------------------------------------
+
+_SEAS_DECOMP_PREFIX = """
+daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN value IS NOT NULL AND isfinite(value)
+                  THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END) AS v
+  FROM events GROUP BY 1, 2
+),
+nb AS (
+  SELECT d.event_type, d.day + CAST(o.k AS INT) AS day, d.v AS nv
+  FROM daily d, range(-3, 4) o(k)
+),
+tr AS (
+  SELECT d.event_type, d.day, MAX(d.v) AS v0,
+         CAST(floor(CAST(SUM(n.nv) AS DOUBLE) / COUNT(n.nv) + 0.5)
+              AS BIGINT) AS trend
+  FROM daily d
+  JOIN nb n ON n.event_type = d.event_type AND n.day = d.day
+  GROUP BY 1, 2
+),
+detr AS (
+  SELECT event_type, day, v0, trend, v0 - trend AS d,
+         dayofweek(day) + 1 AS dow
+  FROM tr
+),
+seas AS (
+  SELECT event_type, dow,
+         CAST(floor(CAST(SUM(d) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT)
+           AS s
+  FROM detr GROUP BY 1, 2
+)
+"""
+
+_SEAS_ANOMALY_ORACLE = f"""
+WITH {_SEAS_DECOMP_PREFIX},
+r AS (
+  SELECT t.event_type, t.day, t.v0, t.d - s.s AS r
+  FROM detr t JOIN seas s
+    ON s.event_type = t.event_type AND s.dow = t.dow
+),
+h1 AS (SELECT event_type, r AS v, COUNT(*) AS c FROM r GROUP BY 1, 2),
+c1 AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h1
+),
+m1 AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+             THEN v END) AS med
+  FROM c1 GROUP BY 1
+),
+d AS (
+  SELECT r.event_type, r.day, r.v0, r.r, m1.med,
+         abs(r.r - m1.med) AS ad
+  FROM r JOIN m1 ON m1.event_type = r.event_type
+),
+h2 AS (SELECT event_type, ad AS v, COUNT(*) AS c FROM d GROUP BY 1, 2),
+c2 AS (
+  SELECT event_type, v,
+         SUM(c) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+         SUM(c) OVER (PARTITION BY event_type) AS n
+  FROM h2
+),
+m2 AS (
+  SELECT event_type,
+         MIN(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT)
+             THEN v END) AS mad
+  FROM c2 GROUP BY 1
+)
+SELECT d.event_type,
+       strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.v0 AS DOUBLE) / 100.0 AS value,
+       CAST(d.r AS DOUBLE) / 100.0 AS residual,
+       CAST(m2.mad AS DOUBLE) * 30 / 1000.0 AS threshold,
+       (abs(d.r - d.med) * 10 > m2.mad * 30) AS is_anomaly
+FROM d JOIN m2 ON m2.event_type = d.event_type
+"""
+
+
+@pending_query("events_seasonal_anomalies", _SEAS_ANOMALY_ORACLE)
+def events_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly screen on the seasonal-decomposition residuals:
+    |residual − median| > 3×MAD per type, every grid day emitted with
+    its flag. Exact-integer residuals + type-1 medians over the value
+    DOMAIN (operators/analytics.py:seasonal_anomalies_daily)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_anomalies_daily,
+    )
+
+    return seasonal_anomalies_daily(load_table(spark, sf_dir, "events"))
+
+
+_COMPLETENESS_ORACLE = """
+WITH g AS (
+  SELECT DISTINCT event_type,
+         CAST(floor(epoch(ts) / 3600.0) AS BIGINT) AS h
+  FROM events
+),
+b AS (SELECT MIN(h) AS g0, MAX(h) AS g1 FROM g),
+l AS (
+  SELECT event_type, h,
+         h - LAG(h) OVER (PARTITION BY event_type ORDER BY h) - 1 AS gap
+  FROM g
+),
+p AS (
+  SELECT event_type, COUNT(*) AS present, MIN(h) AS t0, MAX(h) AS t1,
+         COALESCE(MAX(gap), 0) AS ig
+  FROM l GROUP BY 1
+)
+SELECT event_type,
+       CAST(b.g1 - b.g0 + 1 AS BIGINT) AS n_expected_hours,
+       CAST(present AS BIGINT) AS n_present_hours,
+       CAST(b.g1 - b.g0 + 1 - present AS BIGINT) AS n_missing_hours,
+       CAST(greatest(ig, t0 - b.g0, b.g1 - t1) AS BIGINT)
+         AS longest_gap_hours
+FROM p, b
+"""
+
+
+@pending_query("events_completeness_gaps", _COMPLETENESS_ORACLE)
+def events_completeness_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly completeness audit per feed: coverage of the global
+    hour window, missing hours, longest silent stretch — the
+    pipeline-drop monitor (operators/analytics.py:
+    completeness_gaps; integer hour indexes, no timestamp arithmetic
+    past the first projection)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        completeness_gaps,
+    )
+
+    return completeness_gaps(load_table(spark, sf_dir, "events"))
+
+
+_WAPE_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT a.y, b.y AS yhat
+  FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY
+),
+m AS (
+  SELECT COUNT(*) AS n, SUM(y - yhat) AS se,
+         SUM(abs(y - yhat)) AS sae, SUM(abs(y)) AS say
+  FROM j
+)
+SELECT CAST(n AS BIGINT) AS n_days_scored,
+       floor((CAST(sae AS DOUBLE) / NULLIF(CAST(say AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS wape,
+       floor((CAST(sae AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+             * 100.0 + 0.5) / 100.0 AS mae,
+       floor((CAST(se AS DOUBLE) / NULLIF(CAST(say AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS bias
+FROM m
+"""
+
+
+@pending_query("orders_seasonal_naive_wape", _WAPE_ORACLE)
+def orders_seasonal_naive_wape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast baseline (ŷ(t) = y(t−7)) scored with
+    WAPE / MAE / bias on exact cent sums — the floor any forecaster
+    must beat (operators/analytics.py:seasonal_naive_wape)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_naive_wape,
+    )
+
+    return seasonal_naive_wape(load_table(spark, sf_dir, "orders"))
+
+
+def _dedup_impact_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CC_EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+losers AS (SELECT doc_id FROM comp WHERE doc_id != component),
+tok AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split(text, ' '), x -> x != ''))
+              AS BIGINT) AS t
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS docs_before,
+       CAST(SUM(t) AS BIGINT) AS tokens_before,
+       CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM losers)
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_after,
+       CAST(SUM(CASE WHEN doc_id NOT IN (SELECT doc_id FROM losers)
+                THEN t ELSE 0 END) AS BIGINT) AS tokens_after,
+       floor((1.0 - CAST(SUM(CASE WHEN doc_id NOT IN
+                  (SELECT doc_id FROM losers) THEN t ELSE 0 END)
+                AS DOUBLE)
+              / NULLIF(CAST(SUM(t) AS DOUBLE), 0.0))
+             * 1000000.0 + 0.5) / 1000000.0 AS token_removal_share
+FROM tok GROUP BY 1
+"""
+
+
+@pending_query("docs_dedup_impact", _dedup_impact_oracle())
+def docs_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What dedup costs, per source: docs/tokens before vs after
+    canonical near-dup dedup (0.8 Jaccard, min-id survivor) and the
+    token-removal share — the report that justifies (or indicts) a
+    dedup threshold. The loser set joins back WITHOUT a broadcast
+    hint (unbounded side at corpus dup rates — the keep_best lesson,
+    VERDICT r6 #4); only cluster members shuffle."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.operators.analytics import round_half_up
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = _dd.connected_components(pairs)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("_loser")
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(
+            F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+        ).cast("long").alias("_t"),
+    )
+    flagged = tok.join(
+        losers, tok.doc_id == F.col("_loser"), "left"
+    ).select(
+        "source", "_t", F.col("_loser").isNull().alias("_keep")
+    )
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_before"),
+        F.sum("_t").cast("long").alias("tokens_before"),
+        F.sum(F.col("_keep").cast("long")).cast("long").alias("docs_after"),
+        F.sum(F.when(F.col("_keep"), F.col("_t")).otherwise(F.lit(0)))
+        .cast("long").alias("tokens_after"),
+        round_half_up(
+            F.lit(1.0)
+            - F.sum(
+                F.when(F.col("_keep"), F.col("_t")).otherwise(F.lit(0))
+            ).cast("double")
+            / F.nullif(F.sum("_t").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("token_removal_share"),
+    )
+
+
+_EXACT_DUP_VECTORS_ORACLE = """
+WITH all_v AS (
+  SELECT vec_id, label, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, label, embedding
+  FROM embeddings WHERE vec_id % 7 = 0
+),
+s AS (
+  SELECT label,
+         md5(array_to_string(list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+                       AS BIGINT)), ',')) AS sig
+  FROM all_v
+),
+g AS (SELECT label, sig, COUNT(*) AS c FROM s GROUP BY 1, 2)
+SELECT CAST(label AS INT) AS label,
+       CAST(SUM(c) AS BIGINT) AS n_vectors,
+       CAST(COUNT(*) AS BIGINT) AS n_signatures,
+       CAST(SUM(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_groups,
+       CAST(SUM(c - 1) AS BIGINT) AS n_redundant
+FROM g GROUP BY 1
+"""
+
+
+@pending_query("embeddings_exact_dup_vectors", _EXACT_DUP_VECTORS_ORACLE)
+def embeddings_exact_dup_vectors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact-duplicate embedding detection (1e-6-quantized signature,
+    md5-narrowed BEFORE the shuffle so only 32-char keys move, never
+    vectors) on a deterministic dup-injected corpus (vec_id ≡ 0 mod 7
+    re-inserted under new ids — the CDC synthesis convention).
+    Duplicate vectors inflate ANN graphs and skew retrieval evals;
+    this is the screen that catches re-encoded shards."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dups = emb.filter(F.col("vec_id") % 7 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    allv = emb.select("vec_id", "embedding", "label").unionByName(dups)
+    sig = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: F.floor(x * F.lit(1000000.0) + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+        )
+    )
+    g = allv.select(F.col("label"), sig.alias("_sig")).groupBy(
+        "label", "_sig"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+    return g.groupBy(F.col("label").cast("int").alias("label")).agg(
+        F.sum("_c").cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_signatures"),
+        F.sum((F.col("_c") >= 2).cast("long")).cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.col("_c") - 1).cast("long").alias("n_redundant"),
+    )
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
