@@ -8264,8 +8264,16 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves cannot drag the threshold. BOTH medians (value, then
     |v − median|) run as exact histogram refinement
     (sketches.py::weighted_median_exact with unit weights — never a
-    per-group raw sort; the oracle is the naive window definition);
-    the two tiny per-type tables broadcast onto the scan."""
+    per-group raw sort; the oracle is the naive window definition).
+
+    The per-type median and MAD tables (≤ #types rows) are
+    MATERIALIZED to literal relations between stages: left lazy,
+    Spark re-executes the un-cached wme lineage once per consumer
+    and the nested composition compounds to 36 scans of the raw
+    relation in the optimized plan (scan-count audit, round 7);
+    with the two bounded collects it is 7 scans and 2× faster at
+    sf0.1. Same class as the repo's other bounded collects
+    (k-centroid rows): rows ≤ group cardinality by construction."""
     from vectorsearchutil_spark.operators.sketches import (
         weighted_median_exact,
     )
@@ -8277,16 +8285,24 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("v"),
         F.lit(1.0).alias("w"),
     )
-    med = weighted_median_exact(base, "grp", "v", "w", out_col="med")
+    med = spark.createDataFrame(
+        weighted_median_exact(
+            base, "grp", "v", "w", out_col="med"
+        ).collect(),
+        "grp string, med double",
+    )
     with_med = base.join(F.broadcast(med), "grp").withColumn(
         "av", F.abs(F.col("v") - F.col("med"))
     )
-    mad = weighted_median_exact(
-        with_med.select("grp", F.col("av").alias("v"), "w"),
-        "grp",
-        "v",
-        "w",
-        out_col="mad",
+    mad = spark.createDataFrame(
+        weighted_median_exact(
+            with_med.select("grp", F.col("av").alias("v"), "w"),
+            "grp",
+            "v",
+            "w",
+            out_col="mad",
+        ).collect(),
+        "grp string, mad double",
     )
     z = F.lit(0.6745) * (F.col("v") - F.col("med")) / F.col("mad")
     return (
