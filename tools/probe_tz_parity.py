@@ -53,6 +53,14 @@ DEFAULT_SLICE = [
     "events_interarrival",
     "events_moving_avg",
     "tpch_q1_pricing_summary",
+    # round-8 staged calendar consumers (waves 4/6): day-grid windows,
+    # hour-index lag, 7-day lag join, dow-seasonal medians — each a
+    # distinct calendar mechanism behind the NTZ read boundary
+    "events_max_drawdown",
+    "events_rolling_corr",
+    "events_completeness_gaps",
+    "events_seasonal_anomalies",
+    "orders_seasonal_naive_wape",
 ]
 
 
