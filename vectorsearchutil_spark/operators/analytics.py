@@ -1883,19 +1883,23 @@ def lorenz_curve_by_user(
 
     Plan: raw rows collapse to one exact-cents row per user first.
     The global user ranking would be a single-partition window sort
-    over every user (millions at corpus scale), so it uses the same
-    TWO-LEVEL rank as the Theil–Sen median: level 1 counts users per
-    order-preserving magnitude bucket of total cents (sign × octave
-    × 64 mantissa sub-buckets, so totals concentrated in one order
-    of magnitude still spread over ~64 buckets; map-side combine →
-    a few-thousand bucket rows on the wire; users with equal totals
-    land in one bucket, so the within-bucket tiebreak stays local),
-    level 2 is ``row_number`` over users partitioned by bucket,
-    ordered by (total, user) — parallel per-bucket sorts, no global
-    order anywhere. Decile = ((rank-1)·10) / n via integer floor
-    division — NOT ntile() (engines disagree on remainder placement).
-    Exactness: cents and counts are integers end-to-end; the two
-    share divisions happen once per output row.
+    over every user (millions at corpus scale), so it uses the
+    TWO-LEVEL rank of the Theil–Sen median — level 1 counts users
+    per order-preserving magnitude bucket of total cents (sign ×
+    octave × 64 mantissa sub-buckets; map-side combine → a
+    few-thousand bucket rows on the wire), level 2 runs per bucket —
+    with one extra collapse the Theil–Sen form doesn't need: the
+    per-decile OUTPUT (user count, value sum) is invariant to how
+    tied totals are ordered, so level 2 aggregates to the DISTINCT
+    total histogram first (a constant-value corpus collapses to ONE
+    row per bucket instead of serializing every user through one
+    sort task) and each tie group is split across the ≤10 deciles
+    its rank interval [carry+cum_before+1, +count] straddles by pure
+    integer arithmetic: decile(r) = ((r−1)·10) div n — NOT ntile()
+    (engines disagree on remainder placement) — so the group's
+    per-decile counts are interval overlaps, no per-user row ever
+    ranked. Exactness: cents and counts are integers end-to-end; the
+    two share divisions happen once per output row.
     """
     cents = _cents(F.col(value_col))
     totals = events.groupBy(F.col(user_col).alias("_u")).agg(
@@ -1918,7 +1922,7 @@ def lorenz_curve_by_user(
         .when(t < 0, -_key(-td))
         .otherwise(F.lit(0))
     )
-    keyed = totals.select("_u", "_t", mag.cast("long").alias("_b"))
+    keyed = totals.select("_t", mag.cast("long").alias("_b"))
     lvl1 = keyed.groupBy("_b").agg(F.count(F.lit(1)).alias("_bc"))
     carry_w = Window.orderBy("_b").rowsBetween(
         Window.unboundedPreceding, -1
@@ -1927,35 +1931,61 @@ def lorenz_curve_by_user(
         "_b",
         F.coalesce(F.sum("_bc").over(carry_w), F.lit(0)).alias("_carry"),
     )
-    inner_w = Window.partitionBy("_b").orderBy(
-        F.col("_t").asc(), F.col("_u").asc()
-    )
-    ranked = (
-        keyed.join(F.broadcast(carries), "_b")
-        .select(
-            "_t",
-            (
-                F.col("_carry") + F.row_number().over(inner_w).cast("long")
-            ).alias("_rank"),
-        )
+    # level 2 over DISTINCT totals: ties collapse before the window
+    hist = keyed.groupBy("_b", "_t").agg(F.count(F.lit(1)).alias("_c"))
+    inner_w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     nrow = totals.agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum(t.cast("decimal(38,0)")).alias("_g"),
     )
-    dec = (
-        ranked.crossJoin(F.broadcast(nrow))
+    # rank interval of each tie group: [lo, hi] among all users
+    grp = (
+        hist.join(F.broadcast(carries), "_b")
         .select(
-            (((F.col("_rank") - 1) * 10) / F.col("_n"))
-            .cast("long")
-            .alias("decile"),
             "_t",
+            "_c",
+            (
+                F.col("_carry")
+                + F.sum("_c").over(inner_w)
+                - F.col("_c")
+                + 1
+            ).alias("_lo"),
+            (F.col("_carry") + F.sum("_c").over(inner_w)).alias("_hi"),
+        )
+        .crossJoin(F.broadcast(nrow))
+    )
+    # integer decile boundaries: decile(r) = ((r-1)*10) div n, so
+    # decile d covers ranks [ (d*n+9) div 10 + 1, ((d+1)*n+9) div 10 ]
+    # — the group contributes overlap-sized slices to each straddled d
+    d_lo = F.floor((F.col("_lo") - 1) * 10 / F.col("_n"))
+    d_hi = F.floor((F.col("_hi") - 1) * 10 / F.col("_n"))
+    exploded = grp.select(
+        "_t", "_c", "_lo", "_hi", "_n", "_g",
+        F.explode(F.sequence(d_lo, d_hi)).alias("decile"),
+    )
+    r_min = F.floor((F.col("decile") * F.col("_n") + 9) / 10) + 1
+    r_max = F.floor(((F.col("decile") + 1) * F.col("_n") + 9) / 10)
+    cnt = (
+        F.least(F.col("_hi"), r_max)
+        - F.greatest(F.col("_lo"), r_min)
+        + 1
+    )
+    dec = (
+        exploded.select(
+            "decile",
+            cnt.alias("_cnt"),
+            (cnt.cast("decimal(38,0)") * F.col("_t").cast("decimal(38,0)"))
+            .alias("_dv"),
             "_g",
         )
         .groupBy("decile")
         .agg(
-            F.count(F.lit(1)).alias("n_users"),
-            F.sum(F.col("_t").cast("decimal(38,0)")).alias("_d"),
+            F.sum("_cnt").alias("n_users"),
+            F.sum("_dv").alias("_d"),
             F.max("_g").alias("_g"),
         )
     )
