@@ -1033,12 +1033,15 @@ def theil_sen_daily_trend(
     monotone, so bucket order = value order, and NO min/max pre-pass
     is needed) — map-side combine shrinks that shuffle to the ~3k
     bucket rows; cross-bucket carries are a window over those 3k
-    rows. Level 2 is ``row_number`` over the RAW pairs partitioned
-    by bucket (parallel per-bucket sorts, no global order). Among
-    tied slopes row_number is an arbitrary permutation, but a value
-    qualifies iff its LAST row's position·2 ≥ n_pairs, and
-    ``min(_slope)`` over qualifying rows is exactly the lower
-    median. Exactness: each slope is one double division of exact
+    rows. Level 2 is a count-cumsum over the DISTINCT-slope
+    histogram per bucket: on a multi-year calendar nearly every
+    slope is distinct (the histogram is pair-sized and the window
+    sorts the same rows a raw-pair rank would), but a DEGENERATE
+    series — constant daily revenue → every slope 0, one bucket —
+    collapses to one histogram row instead of serializing millions
+    of raw pairs through a single sort task; the lower median is
+    tie-invariant either way (min slope whose cumulative count·2 ≥
+    n_pairs). Exactness: each slope is one double division of exact
     ints (Δcents/Δdays, identical on both engines); counts and
     carries are integer sums.
     """
@@ -1091,16 +1094,20 @@ def theil_sen_daily_trend(
         "_b",
         F.coalesce(F.sum("_bc").over(carry_w), F.lit(0)).alias("_carry"),
     )
-    inner_w = Window.partitionBy("_b").orderBy(F.col("_slope").asc())
+    inner_w = (
+        Window.partitionBy("_b")
+        .orderBy(F.col("_slope").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     n_days = daily.agg(F.count(F.lit(1)).alias("_nd"))
     med = (
-        pairs.select(key.alias("_b"), "_slope")
+        pairs.groupBy(key.alias("_b"), "_slope")
+        .agg(F.count(F.lit(1)).alias("_c"))
         .join(F.broadcast(carries), "_b")
         .select(
             "_slope",
             (
-                F.col("_carry")
-                + F.row_number().over(inner_w).cast("long")
+                F.col("_carry") + F.sum("_c").over(inner_w)
             ).alias("_cum"),
         )
         .crossJoin(F.broadcast(n_days))
