@@ -2873,11 +2873,13 @@ def customers_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     n mod k buckets take the extra row) WITHOUT the global sort:
     rank = (count of strictly-greater balances, cumulated over the
     DISTINCT-VALUE histogram — bounded by the cents domain, ~1.1M
-    rows at any corpus size) + a within-value row_number partitioned
-    by the balance (parallel across values); the bucket then derives
-    from rank and n arithmetically. The two-level discipline applied
-    to ranking: the only serial window runs over aggregated values,
-    never customer rows. Oracle stays the NTILE definition."""
+    rows at any corpus size) + a within-value rank on the unique
+    custkey, itself TWO-LEVEL (order-preserving custkey magnitude
+    buckets + per-(value, bucket) row_number), so even a
+    constant-balance corpus — where every customer lands in one tie
+    group — never serializes more than one bucket's customers
+    through a single sort task; the decile then derives from rank
+    and n arithmetically. Oracle stays the NTILE definition."""
     from pyspark.sql import Window
 
     c = load_table(spark, sf_dir, "customer").select(
@@ -2892,9 +2894,41 @@ def customers_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         F.coalesce(F.sum("_c").over(vw), F.lit(0)).alias("_before"),
     )
-    inner = Window.partitionBy("c_acctbal").orderBy("c_custkey")
+    # order-preserving custkey bucket (custkey ≥ 0): octave × 64
+    # mantissa sub-buckets — floor(monotone), bucket order = key order
+    ck = F.col("c_custkey").cast("double")
+    kb = (
+        F.when(
+            F.col("c_custkey") > 0,
+            (F.floor(F.log2(ck)) + F.lit(1100)) * F.lit(128)
+            + F.floor(
+                ck * F.pow(F.lit(2.0), F.lit(6.0) - F.floor(F.log2(ck)))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    ckd = c.withColumn("_kb", kb)
+    sub = ckd.groupBy("c_acctbal", "_kb").agg(
+        F.count(F.lit(1)).alias("_kc")
+    )
+    sw = (
+        Window.partitionBy("c_acctbal")
+        .orderBy(F.col("_kb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    subcarry = sub.select(
+        "c_acctbal",
+        "_kb",
+        F.coalesce(F.sum("_kc").over(sw), F.lit(0)).alias("_kcarry"),
+    )
+    inner = Window.partitionBy("c_acctbal", "_kb").orderBy("c_custkey")
     n_df = c.agg(F.count(F.lit(1)).alias("_n"))
-    rank = F.col("_before") + F.row_number().over(inner)
+    rank = (
+        F.col("_before")
+        + F.col("_kcarry")
+        + F.row_number().over(inner)
+    )
     q = F.expr("_n div 10")
     r = F.expr("_n % 10")
     thr = r * (q + 1)
@@ -2906,7 +2940,10 @@ def customers_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         r + (rank - thr - 1) / q
     )
     return (
-        c.join(F.broadcast(vcum), "c_acctbal")
+        ckd.join(F.broadcast(vcum), "c_acctbal")
+        # no broadcast hint: (value, bucket) cardinality scales with
+        # the corpus in the worst case; AQE broadcasts when small
+        .join(subcarry, ["c_acctbal", "_kb"])
         .crossJoin(F.broadcast(n_df))
         .select(
             "c_custkey",
