@@ -74,11 +74,15 @@ def exact_ntile(
 
     rank = (rows strictly before this value, cumulated over the
     DISTINCT-VALUE histogram — bounded by the value domain, never the
-    row count) + row_number within the value (parallel across
-    values, partitioned by value); the bucket then derives from rank
-    and n arithmetically per the NTILE definition (first ``n mod k``
-    buckets take one extra row). The only serial window runs over the
-    aggregated histogram.
+    row count) + a within-value rank on the unique ``tie_col``,
+    itself TWO-LEVEL (order-preserving tie-key magnitude buckets +
+    per-(value, bucket) row_number with per-value bucket carries):
+    small-integer metrics — order counts, scores — tie MILLIONS of
+    rows per value at corpus scale, and a flat within-value
+    row_number would serialize each tie group through ONE sort task.
+    The bucket then derives from rank and n arithmetically per the
+    NTILE definition (first ``n mod k`` buckets take one extra row).
+    The only serial window runs over the aggregated histogram.
 
     Returns the input columns plus ``out_col`` (int bucket 1..k).
     """
@@ -98,9 +102,42 @@ def exact_ntile(
         value_col,
         F.coalesce(F.sum("_c").over(vw), F.lit(0)).alias("_before"),
     )
-    inner = Window.partitionBy(value_col).orderBy(F.col(tie_col).asc())
+    # order-preserving tie-key bucket: octave × 64 mantissa
+    # sub-buckets for positive keys, bucket 0 for everything ≤ 0
+    # (still ordered within by the tie column itself)
+    tk = F.col(tie_col).cast("double")
+    kb = (
+        F.when(
+            F.col(tie_col) > 0,
+            (F.floor(F.log2(tk)) + F.lit(1100)) * F.lit(128)
+            + F.floor(
+                tk * F.pow(F.lit(2.0), F.lit(6.0) - F.floor(F.log2(tk)))
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    keyed = df.withColumn("_kb", kb)
+    sub = keyed.groupBy(value_col, "_kb").agg(
+        F.count(F.lit(1)).alias("_kc")
+    )
+    sw = (
+        Window.partitionBy(value_col)
+        .orderBy(F.col("_kb").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    subcarry = sub.select(
+        value_col,
+        "_kb",
+        F.coalesce(F.sum("_kc").over(sw), F.lit(0)).alias("_kcarry"),
+    )
+    inner = Window.partitionBy(value_col, "_kb").orderBy(
+        F.col(tie_col).asc()
+    )
     n_df = df.agg(F.count(F.lit(1)).alias("_n"))
-    rank = F.col("_before") + F.row_number().over(inner)
+    rank = (
+        F.col("_before") + F.col("_kcarry") + F.row_number().over(inner)
+    )
     q = F.expr(f"_n div {k}")
     r = F.expr(f"_n % {k}")
     thr = r * (q + 1)
@@ -110,10 +147,13 @@ def exact_ntile(
         r + (rank - thr - 1) / q
     )
     return (
-        df.join(F.broadcast(vcum), value_col)
+        keyed.join(F.broadcast(vcum), value_col)
+        # no broadcast hint on subcarry: (value, bucket) cardinality
+        # scales with the corpus in the worst case; AQE decides
+        .join(subcarry, [value_col, "_kb"])
         .crossJoin(F.broadcast(n_df))
         .withColumn(out_col, (F.floor(bucket) + 1).cast("int"))
-        .drop("_before", "_n")
+        .drop("_before", "_kcarry", "_kb", "_n")
     )
 
 

@@ -2870,86 +2870,22 @@ FROM customer
 @query("customers_acctbal_deciles", _NTILE_ORACLE)
 def customers_acctbal_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Account-balance deciles — exact NTILE(10) semantics (first
-    n mod k buckets take the extra row) WITHOUT the global sort:
-    rank = (count of strictly-greater balances, cumulated over the
-    DISTINCT-VALUE histogram — bounded by the cents domain, ~1.1M
-    rows at any corpus size) + a within-value rank on the unique
-    custkey, itself TWO-LEVEL (order-preserving custkey magnitude
-    buckets + per-(value, bucket) row_number), so even a
-    constant-balance corpus — where every customer lands in one tie
-    group — never serializes more than one bucket's customers
-    through a single sort task; the decile then derives from rank
-    and n arithmetically. Oracle stays the NTILE definition."""
-    from pyspark.sql import Window
+    n mod k buckets take the extra row) WITHOUT the global sort,
+    via the shared two-level helper (operators/analytics.py::
+    exact_ntile): distinct-value histogram rank + nested
+    order-preserving custkey buckets within ties, so even a
+    constant-balance corpus never serializes more than one bucket's
+    customers through a single sort task. Oracle stays the NTILE
+    definition."""
+    from vectorsearchutil_spark.operators.analytics import exact_ntile
 
     c = load_table(spark, sf_dir, "customer").select(
         "c_custkey", "c_acctbal"
     )
-    vals = c.groupBy("c_acctbal").agg(F.count(F.lit(1)).alias("_c"))
-    vw = (
-        Window.orderBy(F.col("c_acctbal").desc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    vcum = vals.select(
-        "c_acctbal",
-        F.coalesce(F.sum("_c").over(vw), F.lit(0)).alias("_before"),
-    )
-    # order-preserving custkey bucket (custkey ≥ 0): octave × 64
-    # mantissa sub-buckets — floor(monotone), bucket order = key order
-    ck = F.col("c_custkey").cast("double")
-    kb = (
-        F.when(
-            F.col("c_custkey") > 0,
-            (F.floor(F.log2(ck)) + F.lit(1100)) * F.lit(128)
-            + F.floor(
-                ck * F.pow(F.lit(2.0), F.lit(6.0) - F.floor(F.log2(ck)))
-            ),
-        )
-        .otherwise(F.lit(0))
-        .cast("long")
-    )
-    ckd = c.withColumn("_kb", kb)
-    sub = ckd.groupBy("c_acctbal", "_kb").agg(
-        F.count(F.lit(1)).alias("_kc")
-    )
-    sw = (
-        Window.partitionBy("c_acctbal")
-        .orderBy(F.col("_kb").asc())
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    subcarry = sub.select(
-        "c_acctbal",
-        "_kb",
-        F.coalesce(F.sum("_kc").over(sw), F.lit(0)).alias("_kcarry"),
-    )
-    inner = Window.partitionBy("c_acctbal", "_kb").orderBy("c_custkey")
-    n_df = c.agg(F.count(F.lit(1)).alias("_n"))
-    rank = (
-        F.col("_before")
-        + F.col("_kcarry")
-        + F.row_number().over(inner)
-    )
-    q = F.expr("_n div 10")
-    r = F.expr("_n % 10")
-    thr = r * (q + 1)
-    decile = F.when(
-        rank <= thr, (rank - 1) / (q + 1)
-    ).otherwise(
-        # lazy branch: q = 0 implies every rank <= thr (= n), so the
-        # division by q never evaluates for n < 10
-        r + (rank - thr - 1) / q
-    )
-    return (
-        ckd.join(F.broadcast(vcum), "c_acctbal")
-        # no broadcast hint: (value, bucket) cardinality scales with
-        # the corpus in the worst case; AQE broadcasts when small
-        .join(subcarry, ["c_acctbal", "_kb"])
-        .crossJoin(F.broadcast(n_df))
-        .select(
-            "c_custkey",
-            (F.floor(decile) + 1).cast("int").alias("decile"),
-        )
-    )
+    return exact_ntile(
+        c, "c_acctbal", 10,
+        ascending=False, tie_col="c_custkey", out_col="decile",
+    ).select("c_custkey", "decile")
 
 
 _FIRST_LAST_ORACLE = """
