@@ -626,3 +626,116 @@ def test_fk_audit_matches_naive(spark, child_keys, parent_keys):
     assert row["n_distinct_keys"] == len(set(nonnull))
     assert row["n_orphan_rows"] == len(orphans)
     assert row["n_orphan_keys"] == len(set(orphans))
+
+
+# ------------------------------------------------------- two-level ranks
+# Round-7 rewrote three rankers onto bucketed two-level forms (no
+# global sort, tie collapse). These properties pin them against the
+# naive single-machine definitions on arbitrary small inputs —
+# including adversarial all-tied and single-bucket distributions that
+# unit tests under-sample.
+
+tie_vals = st.lists(
+    st.integers(min_value=-3, max_value=3), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(tie_vals)
+def test_exact_ntile_matches_naive_definition(spark, vals):
+    from vectorsearchutil_spark.operators.analytics import exact_ntile
+
+    rows = [(i + 1, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, v double")
+    got = {
+        r.k: r.bucket
+        for r in exact_ntile(
+            df, "v", 4, ascending=True, tie_col="k"
+        ).collect()
+    }
+    # naive NTILE(4) OVER (ORDER BY v ASC, k ASC)
+    order = sorted(rows, key=lambda r: (r[1], r[0]))
+    n, k = len(order), 4
+    q, rem = divmod(n, k)
+    expect = {}
+    pos = 0
+    for b in range(1, k + 1):
+        size = q + (1 if b <= rem else 0)
+        for key, _ in order[pos : pos + size]:
+            expect[key] = b
+        pos += size
+    assert got == expect
+
+
+@settings(max_examples=5, deadline=None)
+@given(tie_vals)
+def test_lorenz_matches_naive_rank(spark, vals):
+    import datetime as dt
+
+    from vectorsearchutil_spark.operators.analytics import (
+        lorenz_curve_by_user,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1, 12), i + 1, "x", float(v))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double",
+    )
+    got = {
+        r.decile: (r.n_users, r.decile_value)
+        for r in lorenz_curve_by_user(df).collect()
+    }
+    # naive: rank users by (total_cents, user_id); decile via floor
+    totals = sorted(
+        ((round(v * 100), i + 1) for i, v in enumerate(vals)),
+    )
+    n = len(totals)
+    expect = {}
+    for rk, (t, _) in enumerate(totals, start=1):
+        d = ((rk - 1) * 10) // n + 1
+        cnt, s = expect.get(d, (0, 0))
+        expect[d] = (cnt + 1, s + t)
+    for d, (cnt, s) in expect.items():
+        assert got[d][0] == cnt
+        assert got[d][1] == pytest.approx(s / 100.0, abs=1e-6)
+    assert set(got) == set(expect)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=4), min_size=2, max_size=25
+    )
+)
+def test_theilsen_matches_naive_median(spark, daily_cents):
+    import datetime as dt
+
+    from vectorsearchutil_spark.operators.analytics import (
+        theil_sen_daily_trend,
+    )
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + i), 1, float(v))
+        for i, v in enumerate(daily_cents)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_orderdate timestamp, o_custkey long,"
+        " o_totalprice double",
+    )
+    row = theil_sen_daily_trend(df).collect()[0]
+    # naive lower median of all pairwise slopes (cents per day)
+    cents = [round(v * 100) for v in daily_cents]
+    slopes = sorted(
+        (cents[j] - cents[i]) / (j - i)
+        for i in range(len(cents))
+        for j in range(i + 1, len(cents))
+    )
+    n = len(slopes)
+    lower_med = slopes[(n - 1) // 2] if n % 2 else slopes[n // 2 - 1]
+    assert row.n_pairs == n
+    assert row.slope_per_day == pytest.approx(lower_med / 100.0, abs=1e-6)

@@ -2029,6 +2029,10 @@ def lorenz_curve_by_user(
             .alias("_dv"),
             "_g",
         )
+        # a tie group whose rank interval skips tiny middle deciles
+        # (possible when n < 10·group span) explodes to zero-overlap
+        # slices — drop them so empty deciles never emit rows
+        .filter(F.col("_cnt") > 0)
         .groupBy("decile")
         .agg(
             F.sum("_cnt").alias("n_users"),
