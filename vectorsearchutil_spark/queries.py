@@ -4514,7 +4514,7 @@ WITH toks AS (
 dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
 stats AS (
   SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
-         (SELECT AVG(dl) FROM dl) AS avgdl
+         (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) FROM dl) AS avgdl
 ),
 tf AS (
   SELECT doc_id, tok, COUNT(*) AS tf FROM toks
@@ -4524,11 +4524,11 @@ tf AS (
 df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 scored AS (
   SELECT tf.doc_id,
-         SUM(
+         SUM(CAST(ROUND(
            ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * 2.2
            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / NULLIF(s.avgdl, 0)))
-         ) AS score,
+           * 1e9) AS BIGINT)) AS score_n,
          COUNT(*) AS n_terms
   FROM tf
   JOIN df ON tf.tok = df.tok
@@ -4536,7 +4536,8 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id, ROUND(score, 4) AS bm25, CAST(n_terms AS INT) AS n_terms
+SELECT doc_id, ROUND(CAST(score_n AS DOUBLE) / 1e9, 4) AS bm25,
+       CAST(n_terms AS INT) AS n_terms
 FROM scored
 """
 
@@ -4551,9 +4552,11 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     token stream BEFORE any shuffle (only postings for the 3 query
     terms survive — the inverted-index scan analog), doc lengths are
     one partial-agg pass, and the df/avgdl sides are 1-row/3-row
-    broadcasts. Both engines sum the per-term contributions in a
-    3-element aggregate whose addition order cannot affect the
-    rounded result beyond 4dp.
+    broadcasts. Order-independence (the score watch-list item): avgdl
+    is an exact BIGINT sum divided once (no double AVG fold), and the
+    per-term contributions are quantized to integer nano-units and
+    summed as BIGINT on BOTH engines — no double fold anywhere, so
+    engine/partition summation order cannot move the 4dp output.
     """
     from vectorsearchutil_spark.functions.text import tokens as _tokens
 
@@ -4568,7 +4571,9 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
     return (
         tf.join(F.broadcast(dfreq), "tok")
         .join(dl, "doc_id")
@@ -4587,9 +4592,12 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ),
         )
+        .withColumn(
+            "contrib_n", F.round(F.col("contrib") * 1e9).cast("bigint")
+        )
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("contrib"), 4).alias("bm25"),
+            F.round(F.sum("contrib_n").cast("double") / 1e9, 4).alias("bm25"),
             F.count(F.lit(1)).cast("int").alias("n_terms"),
         )
     )
