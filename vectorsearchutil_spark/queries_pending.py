@@ -4481,6 +4481,525 @@ def embeddings_exact_dup_vectors(
         F.sum(F.col("_c") - 1).cast("long").alias("n_redundant"),
     )
 
+# --------------------------------------------------------------------------
+# ROUND-9 STAGING WAVE (wave 7) — graph motifs, funnel analysis,
+# dup-cluster-aware split leakage, triplet mining, audience overlap.
+# Five NEW analysis axes (none is a variant of an existing entry):
+# triangle/motif counting over the similarity graph, ordered
+# multi-step funnels, train/eval split decontamination, contrastive
+# triplet curation, and the event-type audience-overlap matrix.
+# --------------------------------------------------------------------------
+
+
+def _triangle_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CC_EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+deg AS (
+  SELECT node, COUNT(*) AS deg FROM (
+    SELECT id_a AS node FROM pairs
+    UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY 1
+),
+tri AS (
+  SELECT COUNT(*) AS n_tri
+  FROM pairs e1
+  JOIN pairs e2 ON e2.id_a = e1.id_a AND e2.id_b > e1.id_b
+  JOIN pairs e3 ON e3.id_a = e1.id_b AND e3.id_b = e2.id_b
+)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       CAST((SELECT n_tri FROM tri) AS BIGINT) AS n_triangles,
+       CAST(COALESCE((SELECT SUM(deg * (deg - 1)) // 2 FROM deg), 0)
+            AS BIGINT) AS n_wedges,
+       COALESCE(
+         floor(3.0 * (SELECT n_tri FROM tri)
+               / NULLIF(CAST(COALESCE(
+                   (SELECT SUM(deg * (deg - 1)) // 2 FROM deg), 0)
+                   AS DOUBLE), 0.0)
+               * 1000000.0 + 0.5) / 1000000.0,
+         0.0) AS clustering_coeff
+"""
+
+
+@pending_query("graph_triangle_count", _triangle_oracle())
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup similarity graph (0.8-Jaccard
+    pairs): n_nodes / n_edges / n_triangles / n_wedges and the global
+    clustering coefficient 3·Δ/wedges — the "are near-dup clusters
+    cliquey or chainy?" diagnostic that decides whether
+    transitive-closure dedup over-merges (a chain of pairwise-similar
+    docs with NO triangles collapses distinct content; a clique-heavy
+    graph dedups safely). Degree-ordered orientation bounds the wedge
+    join by O(√m) out-degree per node — the 100 TB-safe plan
+    (operators/graph.py:triangle_count). Oracle: triple self-join on
+    the a<b<c ordering (orientation-invariant count)."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return triangle_count(pairs)
+
+
+_FUNNEL_ORACLE = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t FROM events
+  WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+  WHERE e.event_type = 'click' GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t
+  FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+  WHERE e.event_type = 'purchase' GROUP BY 1
+),
+u AS (
+  SELECT (SELECT COUNT(*) FROM t1) AS u1,
+         (SELECT COUNT(*) FROM t2) AS u2,
+         (SELECT COUNT(*) FROM t3) AS u3
+)
+SELECT 1 AS step, 'view' AS step_name, CAST(u1 AS BIGINT) AS users,
+       CAST(NULL AS DOUBLE) AS conv_from_prev,
+       floor(u1 * 1.0 / NULLIF(u1, 0) * 1000000.0 + 0.5) / 1000000.0
+         AS conv_overall
+FROM u
+UNION ALL
+SELECT 2, 'click', CAST(u2 AS BIGINT),
+       floor(u2 * 1.0 / NULLIF(u1, 0) * 1000000.0 + 0.5) / 1000000.0,
+       floor(u2 * 1.0 / NULLIF(u1, 0) * 1000000.0 + 0.5) / 1000000.0
+FROM u
+UNION ALL
+SELECT 3, 'purchase', CAST(u3 AS BIGINT),
+       floor(u3 * 1.0 / NULLIF(u2, 0) * 1000000.0 + 0.5) / 1000000.0,
+       floor(u3 * 1.0 / NULLIF(u1, 0) * 1000000.0 + 0.5) / 1000000.0
+FROM u
+"""
+
+
+@pending_query("events_funnel_conversion", _FUNNEL_ORACLE)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view → click → purchase): a user reaches
+    step k only via an event STRICTLY AFTER their step-(k−1) time —
+    the sequential constraint that separates a funnel from three
+    independent counts. Each stage is a per-user MIN over a
+    type-filtered slice joined to the previous stage's (user, t) —
+    narrow partial-agg shuffles on user_id, never a per-user event
+    sort. The three stage counts are 1-row aggregates assembled into
+    the 3-row funnel with exact-integer conversion ratios (ONE double
+    division each). Timestamp logic is pure comparison — no calendar
+    functions, TZ-immune by construction."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    return funnel_conversion(ev, ("view", "click", "purchase"))
+
+
+def funnel_conversion(
+    ev: DataFrame, steps: tuple[str, str, str]
+) -> DataFrame:
+    """Core of ``events_funnel_conversion`` over any (user_id,
+    event_type, ts) frame — split out so unit tests can pin the
+    strict-ordering semantics on hand-built sequences."""
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    def stage(etype: str, prev: DataFrame | None) -> DataFrame:
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("_t"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("_t"))
+
+    t1 = stage(steps[0], None)
+    t2 = stage(steps[1], t1)
+    t3 = stage(steps[2], t2)
+    u1 = t1.agg(F.count(F.lit(1)).alias("u1"))
+    u2 = t2.agg(F.count(F.lit(1)).alias("u2"))
+    u3 = t3.agg(F.count(F.lit(1)).alias("u3"))
+
+    def conv(num, den):
+        return round_half_up(
+            num.cast("double") * F.lit(1.0)
+            / F.nullif(den.cast("double"), F.lit(0.0)),
+            6,
+        )
+
+    wide = u1.crossJoin(u2).crossJoin(u3)
+    rows = F.array(
+        F.struct(
+            F.lit(1).alias("step"),
+            F.lit(steps[0]).alias("step_name"),
+            F.col("u1").cast("long").alias("users"),
+            F.lit(None).cast("double").alias("conv_from_prev"),
+            conv(F.col("u1"), F.col("u1")).alias("conv_overall"),
+        ),
+        F.struct(
+            F.lit(2).alias("step"),
+            F.lit(steps[1]).alias("step_name"),
+            F.col("u2").cast("long").alias("users"),
+            conv(F.col("u2"), F.col("u1")).alias("conv_from_prev"),
+            conv(F.col("u2"), F.col("u1")).alias("conv_overall"),
+        ),
+        F.struct(
+            F.lit(3).alias("step"),
+            F.lit(steps[2]).alias("step_name"),
+            F.col("u3").cast("long").alias("users"),
+            conv(F.col("u3"), F.col("u2")).alias("conv_from_prev"),
+            conv(F.col("u3"), F.col("u1")).alias("conv_overall"),
+        ),
+    )
+    return wide.select(F.explode(rows).alias("_r")).select("_r.*")
+
+
+_SPLIT_HASH_SQL = (
+    "('0x' || substr(md5('split:' || CAST({key} AS VARCHAR)), 1, 8))"
+    "::BIGINT / 4294967296.0"
+)
+
+
+def _split_leakage_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CC_EDGES_CTE
+
+    un = _SPLIT_HASH_SQL.format(key="doc_id")
+    ua = _SPLIT_HASH_SQL.format(key="rep")
+    return f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+rep AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS rep
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+),
+h AS (SELECT doc_id, rep, {un} AS un, {ua} AS ua FROM rep),
+s AS (
+  SELECT doc_id, rep,
+         CASE WHEN un < 0.8 THEN 'train'
+              WHEN un < 0.9 THEN 'val' ELSE 'test' END AS naive,
+         CASE WHEN ua < 0.8 THEN 'train'
+              WHEN ua < 0.9 THEN 'val' ELSE 'test' END AS aware
+  FROM h
+),
+aw AS (
+  SELECT aware AS split, COUNT(*) AS n_docs,
+         COUNT(DISTINCT rep) AS n_clusters
+  FROM s GROUP BY 1
+),
+sp AS (SELECT rep, COUNT(DISTINCT naive) AS ns FROM s GROUP BY 1),
+nv AS (
+  SELECT s.naive AS split, COUNT(*) AS naive_docs,
+         SUM(CASE WHEN sp.ns > 1 THEN 1 ELSE 0 END) AS naive_leaked_docs
+  FROM s JOIN sp ON s.rep = sp.rep GROUP BY 1
+)
+SELECT COALESCE(aw.split, nv.split) AS split,
+       CAST(COALESCE(aw.n_docs, 0) AS BIGINT) AS n_docs,
+       CAST(COALESCE(aw.n_clusters, 0) AS BIGINT) AS n_clusters,
+       CAST(COALESCE(nv.naive_docs, 0) AS BIGINT) AS naive_docs,
+       CAST(COALESCE(nv.naive_leaked_docs, 0) AS BIGINT)
+         AS naive_leaked_docs
+FROM aw FULL OUTER JOIN nv ON aw.split = nv.split
+"""
+
+
+@pending_query("docs_split_leakage", _split_leakage_oracle())
+def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster-aware train/val/test split (80/10/10) vs the naive
+    per-doc hash split: splitting by the CLUSTER representative's hash
+    guarantees no near-dup cluster straddles train and eval
+    (leakage = 0 by construction); the naive per-doc split's
+    `naive_leaked_docs` column counts the docs it would leak — the
+    number the decontamination literature says inflates eval scores.
+    The split is the deterministic md5 draw every sampling operator
+    uses (pure filter, partitioning-independent, reproducible at
+    100 TB); cluster reps come from the shipped CC operator, and the
+    doc table joins the (dup-members-only) component map once."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+
+    full = load_table(spark, sf_dir, "documents")
+    pairs = _dd.ngram_jaccard_pairs(full, n=3, threshold=0.8)
+    comp = _dd.connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
+    return split_leakage(full.select("doc_id"), comp)
+
+
+def split_leakage(docs: DataFrame, comp: DataFrame) -> DataFrame:
+    """Core of ``docs_split_leakage`` over any (doc_id) frame and
+    (doc_id, component) cluster map — split out for unit tests."""
+    from vectorsearchutil_spark.operators.sampling import hash_uniform
+
+    def split_of(u):
+        return (
+            F.when(u < 0.8, F.lit("train"))
+            .when(u < 0.9, F.lit("val"))
+            .otherwise(F.lit("test"))
+        )
+
+    d = (
+        docs.join(comp, "doc_id", "left")
+        .withColumn("rep", F.coalesce(F.col("component"), F.col("doc_id")))
+        .withColumn(
+            "naive",
+            split_of(hash_uniform(F.col("doc_id").cast("string"), "split")),
+        )
+        .withColumn(
+            "aware",
+            split_of(hash_uniform(F.col("rep").cast("string"), "split")),
+        )
+        .select("doc_id", "rep", "naive", "aware")
+        .localCheckpoint(eager=False)
+    )
+    aw = (
+        d.groupBy("aware", "rep")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .groupBy("aware")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_clusters"),
+        )
+    )
+    sp = d.groupBy("rep").agg(F.countDistinct("naive").alias("_ns"))
+    nv = (
+        d.join(sp, "rep")
+        .groupBy("naive")
+        .agg(
+            F.count(F.lit(1)).alias("naive_docs"),
+            F.sum((F.col("_ns") > 1).cast("long")).alias(
+                "naive_leaked_docs"
+            ),
+        )
+    )
+    return (
+        aw.join(nv, aw.aware == nv.naive, "full")
+        .select(
+            F.coalesce(F.col("aware"), F.col("naive")).alias("split"),
+            F.coalesce(F.col("n_docs"), F.lit(0))
+            .cast("long").alias("n_docs"),
+            F.coalesce(F.col("n_clusters"), F.lit(0))
+            .cast("long").alias("n_clusters"),
+            F.coalesce(F.col("naive_docs"), F.lit(0))
+            .cast("long").alias("naive_docs"),
+            F.coalesce(F.col("naive_leaked_docs"), F.lit(0))
+            .cast("long").alias("naive_leaked_docs"),
+        )
+    )
+
+
+_TRIPLET_ORACLE = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+),
+vv AS (
+  SELECT vec_id, label, e FROM v
+  WHERE e IS NOT NULL
+    AND len(list_filter(e, x -> x IS NULL OR NOT isfinite(x))) = 0
+    AND list_dot_product(e, e) > 0
+),
+p AS (
+  SELECT a.vec_id AS aid, a.label AS albl, b.label AS blbl,
+         floor(list_cosine_similarity(b.e, a.e) * 1000000.0 + 0.5)
+           / 1000000.0 AS cq
+  FROM vv a JOIN vv b ON b.vec_id != a.vec_id
+  WHERE a.vec_id < 32
+),
+pos AS (
+  SELECT aid, MAX(cq) AS pos_sim FROM p WHERE blbl = albl GROUP BY 1
+),
+neg AS (
+  SELECT p.aid,
+         MAX(p.cq) AS hardest_neg_sim,
+         SUM(CASE WHEN p.cq >= pos.pos_sim THEN 1 ELSE 0 END) AS n_hard,
+         SUM(CASE WHEN p.cq < pos.pos_sim
+                   AND p.cq >= pos.pos_sim - 0.05
+                  THEN 1 ELSE 0 END) AS n_semihard
+  FROM p LEFT JOIN pos ON p.aid = pos.aid
+  WHERE p.blbl != p.albl
+  GROUP BY 1
+)
+SELECT a.vec_id, CAST(a.label AS INT) AS label,
+       pos.pos_sim AS pos_sim,
+       neg.hardest_neg_sim AS hardest_neg_sim,
+       CAST(COALESCE(neg.n_hard, 0) AS INT) AS n_hard,
+       CAST(COALESCE(neg.n_semihard, 0) AS INT) AS n_semihard
+FROM (SELECT vec_id, label FROM vv WHERE vec_id < 32) a
+LEFT JOIN pos ON a.vec_id = pos.aid
+LEFT JOIN neg ON a.vec_id = neg.aid
+"""
+
+
+@pending_query("embeddings_triplet_mining", _TRIPLET_ORACLE)
+def embeddings_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-hard triplet census for contrastive training (FaceNet's
+    mining rule): per anchor (vec_id < 32, finite + nonzero-norm
+    participation contract), the best same-label similarity
+    (pos_sim), the hardest different-label similarity, and how many
+    negatives are HARD (≥ pos_sim — rank violations) vs SEMI-HARD
+    (within the 0.05 cosine margin below pos_sim — the ones a triplet
+    loss actually learns from). Complements hard_negative_mining
+    (which returns the negatives themselves): this is the curriculum
+    health check — zero semi-hard negatives means the margin is
+    exhausted and mining must go harder.
+
+    Plan: anchors broadcast onto corpus scans (corpus never
+    shuffles); two passes by construction — pos_sim is itself an
+    aggregate the negative pass compares against, so pass 1's 32-row
+    aggregate broadcasts into pass 2. Cosines quantize to the 1e-6
+    grid on BOTH engines before any threshold compare (the same
+    floor-half-up grid every ranked-similarity entry uses)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return triplet_mining(emb)
+
+
+def triplet_mining(
+    emb: DataFrame, anchor_below: int = 32, margin: float = 0.05
+) -> DataFrame:
+    """Core of ``embeddings_triplet_mining`` — split out for unit
+    tests (anchors = vec_id < anchor_below)."""
+    from vectorsearchutil_spark.functions.vector import (
+        cosine_similarity,
+        finite_vector,
+        l2_norm,
+        round_half_up,
+    )
+
+    vv = emb.filter(
+        finite_vector(F.col("embedding"))
+        & (l2_norm(F.col("embedding")) > 0)
+    ).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("_e"),
+    )
+    anchors = vv.filter(F.col("vec_id") < anchor_below).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("_albl"),
+        F.col("_e").alias("_ae"),
+    )
+    cq = round_half_up(
+        cosine_similarity(F.col("_ae"), F.col("_e")), 6
+    ).alias("cq")
+    pairs = (
+        vv.join(F.broadcast(anchors), F.col("vec_id") != F.col("aid"))
+        .select("aid", "_albl", "label", cq)
+    )
+    pos = (
+        pairs.filter(F.col("label") == F.col("_albl"))
+        .groupBy("aid")
+        .agg(F.max("cq").alias("pos_sim"))
+    )
+    neg = (
+        pairs.filter(F.col("label") != F.col("_albl"))
+        .join(F.broadcast(pos), "aid", "left")
+        .groupBy("aid")
+        .agg(
+            F.max("cq").alias("hardest_neg_sim"),
+            F.sum(
+                F.when(F.col("cq") >= F.col("pos_sim"), 1).otherwise(0)
+            ).alias("n_hard"),
+            F.sum(
+                F.when(
+                    (F.col("cq") < F.col("pos_sim"))
+                    & (F.col("cq") >= F.col("pos_sim") - margin),
+                    1,
+                ).otherwise(0)
+            ).alias("n_semihard"),
+        )
+    )
+    return (
+        anchors.select(F.col("aid"), F.col("_albl"))
+        .join(pos, "aid", "left")
+        .join(neg, "aid", "left")
+        .select(
+            F.col("aid").alias("vec_id"),
+            F.col("_albl").cast("int").alias("label"),
+            "pos_sim",
+            "hardest_neg_sim",
+            F.coalesce(F.col("n_hard"), F.lit(0))
+            .cast("int").alias("n_hard"),
+            F.coalesce(F.col("n_semihard"), F.lit(0))
+            .cast("int").alias("n_semihard"),
+        )
+    )
+
+
+_AUDIENCE_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+sz AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY 1),
+inter AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         COUNT(*) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT i.type_a, i.type_b,
+       CAST(i.n_both AS BIGINT) AS n_both,
+       CAST(sa.n AS BIGINT) AS n_a,
+       CAST(sb.n AS BIGINT) AS n_b,
+       floor(i.n_both * 1.0 / (sa.n + sb.n - i.n_both)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM inter i
+JOIN sz sa ON i.type_a = sa.event_type
+JOIN sz sb ON i.type_b = sb.event_type
+"""
+
+
+@pending_query("events_audience_overlap", _AUDIENCE_ORACLE)
+def events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact |users(A) ∩ users(B)| and
+    Jaccard for every event-type pair — the cross-feature user
+    overlap that decides whether segments can be targeted
+    independently. The (user, type) distinct is ONE shuffle; the
+    self-join fans out ≤ T rows per user (T = 5 event types, so the
+    pair stream is ≤ T² per user, linear in users); per-type sizes
+    are a 5-row broadcast. All counts exact longs, Jaccard is ONE
+    double division on exact integers."""
+    return audience_overlap(load_table(spark, sf_dir, "events"))
+
+
+def audience_overlap(ev: DataFrame) -> DataFrame:
+    """Core of ``events_audience_overlap`` — split out for unit
+    tests."""
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        inter.join(
+            F.broadcast(sz.select(
+                F.col("event_type").alias("type_a"),
+                F.col("n").alias("n_a"),
+            )),
+            "type_a",
+        )
+        .join(
+            F.broadcast(sz.select(
+                F.col("event_type").alias("type_b"),
+                F.col("n").alias("n_b"),
+            )),
+            "type_b",
+        )
+        .select(
+            "type_a", "type_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            round_half_up(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both"))
+                .cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
 
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
