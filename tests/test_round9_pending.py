@@ -11,11 +11,11 @@ import datetime as dt
 import pytest
 
 from vectorsearchutil_spark.operators.graph import triangle_count
+from vectorsearchutil_spark.operators.similarity import triplet_mining
 from vectorsearchutil_spark.queries_pending import (
     audience_overlap,
     funnel_conversion,
     split_leakage,
-    triplet_mining,
 )
 
 
@@ -238,6 +238,23 @@ def test_triplet_excludes_nonfinite_and_zero(spark):
     out = triplet_mining(_emb(spark, rows)).collect()
     assert sorted(r.vec_id for r in out) == [0]
     assert out[0].pos_sim == pytest.approx(1.0)
+
+
+def test_triplet_strategy_equality(spark):
+    # the size gate must be invisible: expr (interpreted HOF) and
+    # matrix (Arrow/BLAS partial stats) produce identical rows on the
+    # 1e-6-quantized grid
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, i % 4, [rng.uniform(-1, 1) for _ in range(16)])
+        for i in range(400)
+    ]
+    emb = _emb(spark, rows)
+    a = sorted(map(tuple, triplet_mining(emb, strategy="expr").collect()))
+    b = sorted(map(tuple, triplet_mining(emb, strategy="matrix").collect()))
+    assert a == b
 
 
 # --------------------------------------------------------- audience overlap

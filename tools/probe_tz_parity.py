@@ -61,6 +61,11 @@ DEFAULT_SLICE = [
     "events_completeness_gaps",
     "events_seasonal_anomalies",
     "orders_seasonal_naive_wape",
+    # round-9 staged ts consumer: pure timestamp COMPARISON (no
+    # calendar functions) — in the slice to prove the funnel's
+    # strict-ordering joins survive hostile zones, not because a
+    # mechanism is suspected
+    "events_funnel_conversion",
 ]
 
 

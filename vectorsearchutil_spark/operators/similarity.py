@@ -1028,3 +1028,237 @@ def hard_negatives_ivf(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def triplet_mining(
+    emb: DataFrame,
+    anchor_below: int = 32,
+    margin: float = 0.05,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    strategy: str = "auto",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Semi-hard triplet census (FaceNet's mining rule): per anchor
+    (``id < anchor_below``, finite + nonzero-norm participation
+    contract), the best same-label cosine (``pos_sim``), the hardest
+    different-label cosine, and how many negatives are HARD
+    (≥ pos_sim — rank violations) vs SEMI-HARD (within ``margin``
+    below pos_sim — the ones a triplet loss actually learns from).
+
+    Two-pass by construction: pos_sim is itself an aggregate the
+    negative pass compares against. Two size-gated physical
+    strategies (identical results — cosines quantize to the 1e-6
+    floor-half-up grid on every path BEFORE any threshold compare,
+    equality-tested; same gate discipline as
+    ``hard_negative_mining``):
+
+    * ``expr`` — anchors broadcast onto corpus scans, per-pair
+      cosine as an expression. Right when rows×anchors×dim is small.
+    * ``matrix`` — anchors collect to a broadcast numpy matrix; each
+      Arrow batch BLAS-scores all anchors at once and forwards ONE
+      partial-stat row per (batch, anchor) — max for pos/hardest,
+      conditional counts for hard/semi-hard (sums/maxes are
+      associative, so per-batch partials reduce exactly). The
+      expression form is interpreted per pair (HOFs sit outside
+      codegen) — the measured ~20M cells/s wall (PERF.md round 4).
+    * ``auto`` — ``matrix`` above 50M rows×anchors×dim cells when
+      ``n_rows`` is given, else ``expr``.
+    """
+    from vectorsearchutil_spark.functions.vector import (
+        cosine_similarity,
+        finite_vector,
+        l2_norm,
+        round_half_up,
+    )
+
+    vv = emb.filter(
+        finite_vector(F.col(vector_col))
+        & (l2_norm(F.col(vector_col)) > 0)
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(label_col).alias("label"),
+        F.col(vector_col).cast("array<double>").alias("_e"),
+    )
+    anchors = vv.filter(F.col("vec_id") < anchor_below).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("_albl"),
+        F.col("_e").alias("_ae"),
+    )
+    if strategy == "auto":
+        strategy = "expr"
+        if n_rows is not None:
+            first = vv.select(F.size("_e").alias("d")).first()
+            dim = first["d"] if first else None
+            if dim and n_rows * anchor_below * dim > 50_000_000:
+                strategy = "matrix"
+    if strategy == "matrix":
+        pos, neg = _triplet_matrix_stats(vv, anchors, margin)
+    else:
+        cq = round_half_up(
+            cosine_similarity(F.col("_ae"), F.col("_e")), 6
+        ).alias("cq")
+        pairs = (
+            vv.join(F.broadcast(anchors), F.col("vec_id") != F.col("aid"))
+            .select("aid", "_albl", "label", cq)
+        )
+        pos = (
+            pairs.filter(F.col("label") == F.col("_albl"))
+            .groupBy("aid")
+            .agg(F.max("cq").alias("pos_sim"))
+        )
+        neg = (
+            pairs.filter(F.col("label") != F.col("_albl"))
+            .join(F.broadcast(pos), "aid", "left")
+            .groupBy("aid")
+            .agg(
+                F.max("cq").alias("hardest_neg_sim"),
+                F.sum(
+                    F.when(F.col("cq") >= F.col("pos_sim"), 1).otherwise(0)
+                ).alias("n_hard"),
+                F.sum(
+                    F.when(
+                        (F.col("cq") < F.col("pos_sim"))
+                        & (F.col("cq") >= F.col("pos_sim") - margin),
+                        1,
+                    ).otherwise(0)
+                ).alias("n_semihard"),
+            )
+        )
+    return (
+        anchors.select(F.col("aid"), F.col("_albl"))
+        .join(pos, "aid", "left")
+        .join(neg, "aid", "left")
+        .select(
+            F.col("aid").alias("vec_id"),
+            F.col("_albl").cast("int").alias("label"),
+            "pos_sim",
+            "hardest_neg_sim",
+            F.coalesce(F.col("n_hard"), F.lit(0))
+            .cast("int").alias("n_hard"),
+            F.coalesce(F.col("n_semihard"), F.lit(0))
+            .cast("int").alias("n_semihard"),
+        )
+    )
+
+
+def _triplet_matrix_stats(
+    vv: DataFrame, anchors: DataFrame, margin: float
+):
+    """BLAS form of ``triplet_mining``'s two passes (see its
+    docstring). Returns the (pos, neg) per-anchor aggregate frames;
+    pass 1's ≤anchor-count result is a bounded collect that
+    parameterizes pass 2's batch closure."""
+    spark = vv.sparkSession
+    arows = anchors.collect()
+    a_ids = np.array([r["aid"] for r in arows], dtype=np.int64)
+    a_lbl = np.array([r["_albl"] for r in arows])
+    A = np.array([r["_ae"] for r in arows], dtype=np.float64)
+    if len(arows) == 0:
+        empty_pos = spark.createDataFrame([], "aid long, pos_sim double")
+        empty_neg = spark.createDataFrame(
+            [],
+            "aid long, hardest_neg_sim double, n_hard long,"
+            " n_semihard long",
+        )
+        return empty_pos, empty_neg
+    anorm = np.linalg.norm(A, axis=1)  # nonzero by contract
+    b = spark.sparkContext.broadcast((a_ids, a_lbl, A, anorm))
+
+    def _q6(x):
+        return np.floor(x * 1e6 + 0.5) / 1e6
+
+    def _sims(pdf):
+        X = np.array(list(pdf["_e"]), dtype=np.float64)
+        xn = np.linalg.norm(X, axis=1)
+        xn[xn == 0.0] = 1.0
+        _, _, mat_a, an = b.value
+        return _q6((X @ mat_a.T) / (xn[:, None] * an[None, :]))
+
+    pos_schema = StructType(
+        [StructField("aid", LongType()), StructField("_p", DoubleType())]
+    )
+
+    def pos_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_a, lbl_a, _, _ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sims = _sims(pdf)
+            cids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            clbl = pdf["label"].to_numpy()
+            out_a, out_p = [], []
+            for j in range(len(ids_a)):
+                mask = (clbl == lbl_a[j]) & (cids != ids_a[j])
+                if mask.any():
+                    out_a.append(ids_a[j])
+                    out_p.append(float(sims[mask, j].max()))
+            if out_a:
+                yield pd.DataFrame(
+                    {"aid": np.array(out_a, dtype=np.int64), "_p": out_p}
+                )
+
+    pos = (
+        vv.mapInPandas(pos_part, pos_schema)
+        .groupBy("aid")
+        .agg(F.max("_p").alias("pos_sim"))
+    )
+    prow = {r["aid"]: r["pos_sim"] for r in pos.collect()}
+    pvec = np.array(
+        [prow.get(int(i), np.nan) for i in a_ids], dtype=np.float64
+    )
+    b2 = spark.sparkContext.broadcast(pvec)
+    # pass 1 already reduced: rebuild its tiny result as a literal
+    # relation so the final assembly doesn't recompute the scan
+    pos = spark.createDataFrame(
+        [(int(i), None if p != p else float(p)) for i, p in zip(a_ids, pvec)],
+        "aid long, pos_sim double",
+    ).filter(F.col("pos_sim").isNotNull())
+
+    neg_schema = StructType(
+        [
+            StructField("aid", LongType()),
+            StructField("_hn", DoubleType()),
+            StructField("_nh", LongType()),
+            StructField("_ns", LongType()),
+        ]
+    )
+
+    def neg_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids_a, lbl_a, _, _ = b.value
+        ps = b2.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sims = _sims(pdf)
+            clbl = pdf["label"].to_numpy()
+            out = {"aid": [], "_hn": [], "_nh": [], "_ns": []}
+            for j in range(len(ids_a)):
+                mask = clbl != lbl_a[j]
+                if not mask.any():
+                    continue
+                sj = sims[mask, j]
+                p = ps[j]
+                if p == p:  # has a positive
+                    nh = int((sj >= p).sum())
+                    ns = int(((sj < p) & (sj >= p - margin)).sum())
+                else:
+                    nh = ns = 0
+                out["aid"].append(ids_a[j])
+                out["_hn"].append(float(sj.max()))
+                out["_nh"].append(nh)
+                out["_ns"].append(ns)
+            if out["aid"]:
+                yield pd.DataFrame(out)
+
+    neg = (
+        vv.mapInPandas(neg_part, neg_schema)
+        .groupBy("aid")
+        .agg(
+            F.max("_hn").alias("hardest_neg_sim"),
+            F.sum("_nh").alias("n_hard"),
+            F.sum("_ns").alias("n_semihard"),
+        )
+    )
+    return pos, neg

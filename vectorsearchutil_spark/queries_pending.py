@@ -4712,7 +4712,9 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     The split is the deterministic md5 draw every sampling operator
     uses (pure filter, partitioning-independent, reproducible at
     100 TB); cluster reps come from the shipped CC operator, and the
-    doc table joins the (dup-members-only) component map once."""
+    corpus is ONE narrow hash groupBy and is never joined — all
+    leakage arithmetic lives on the dup-rate-sized member map (see
+    ``split_leakage``)."""
     from vectorsearchutil_spark.operators import dedup as _dd
 
     full = load_table(spark, sf_dir, "documents")
@@ -4725,63 +4727,83 @@ def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def split_leakage(docs: DataFrame, comp: DataFrame) -> DataFrame:
     """Core of ``docs_split_leakage`` over any (doc_id) frame and
-    (doc_id, component) cluster map — split out for unit tests."""
+    (doc_id, component) cluster map — split out for unit tests.
+
+    Scale shape: the corpus is scanned ONCE with a narrow hash
+    groupBy and never joined — a singleton doc is its own rep, so
+    its aware split EQUALS its naive split and it can never leak;
+    every correction term lives on the cluster-member map, which is
+    dup-rate-sized, not corpus-sized. (The first cut joined the 50M-
+    doc probe corpus twice — 89.8 s; this form does the identical
+    arithmetic from the 2M-row member map: measured 9-14 s across runs.)
+      n_docs(aware s)    = full(s) − members_naive(s) + members_aware(s)
+      n_clusters(aware s) = singleton docs in s + distinct components
+                            hashing to s
+      naive_leaked(s)    = member docs in s whose component spans >1
+                            naive split
+    """
     from vectorsearchutil_spark.operators.sampling import hash_uniform
 
-    def split_of(u):
+    def split_of(key):
+        u = hash_uniform(key.cast("string"), "split")
         return (
             F.when(u < 0.8, F.lit("train"))
             .when(u < 0.9, F.lit("val"))
             .otherwise(F.lit("test"))
         )
 
-    d = (
-        docs.join(comp, "doc_id", "left")
-        .withColumn("rep", F.coalesce(F.col("component"), F.col("doc_id")))
-        .withColumn(
-            "naive",
-            split_of(hash_uniform(F.col("doc_id").cast("string"), "split")),
-        )
-        .withColumn(
-            "aware",
-            split_of(hash_uniform(F.col("rep").cast("string"), "split")),
-        )
-        .select("doc_id", "rep", "naive", "aware")
-        .localCheckpoint(eager=False)
+    # ONE narrow corpus pass: per-naive-split totals (3-row result)
+    full = docs.groupBy(split_of(F.col("doc_id")).alias("split")).agg(
+        F.count(F.lit(1)).alias("_full")
     )
-    aw = (
-        d.groupBy("aware", "rep")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .groupBy("aware")
-        .agg(
-            F.sum("_n").alias("n_docs"),
-            F.count(F.lit(1)).alias("n_clusters"),
-        )
+    # everything else is member-map-sized
+    cm = comp.select(
+        split_of(F.col("doc_id")).alias("naive"),
+        split_of(F.col("component")).alias("aware"),
+        "component",
+    ).localCheckpoint(eager=False)
+    m_naive = cm.groupBy(F.col("naive").alias("split")).agg(
+        F.count(F.lit(1)).alias("_mn")
     )
-    sp = d.groupBy("rep").agg(F.countDistinct("naive").alias("_ns"))
-    nv = (
-        d.join(sp, "rep")
-        .groupBy("naive")
-        .agg(
-            F.count(F.lit(1)).alias("naive_docs"),
-            F.sum((F.col("_ns") > 1).cast("long")).alias(
-                "naive_leaked_docs"
-            ),
-        )
+    m_aware = cm.groupBy(F.col("aware").alias("split")).agg(
+        F.count(F.lit(1)).alias("_ma")
     )
-    return (
-        aw.join(nv, aw.aware == nv.naive, "full")
+    comps = cm.groupBy("component", "aware").agg(
+        F.count(F.lit(1)).alias("_sz")
+    ).groupBy(F.col("aware").alias("split")).agg(
+        F.count(F.lit(1)).alias("_ncomp")
+    )
+    spread = cm.groupBy("component").agg(
+        F.countDistinct("naive").alias("_ns")
+    )
+    leaked = (
+        cm.join(spread, "component")
+        .filter(F.col("_ns") > 1)
+        .groupBy(F.col("naive").alias("split"))
+        .agg(F.count(F.lit(1)).alias("_leak"))
+    )
+    base = (
+        full.join(m_naive, "split", "full")
+        .join(m_aware, "split", "full")
+        .join(comps, "split", "full")
+        .join(leaked, "split", "full")
         .select(
-            F.coalesce(F.col("aware"), F.col("naive")).alias("split"),
-            F.coalesce(F.col("n_docs"), F.lit(0))
-            .cast("long").alias("n_docs"),
-            F.coalesce(F.col("n_clusters"), F.lit(0))
-            .cast("long").alias("n_clusters"),
-            F.coalesce(F.col("naive_docs"), F.lit(0))
-            .cast("long").alias("naive_docs"),
-            F.coalesce(F.col("naive_leaked_docs"), F.lit(0))
-            .cast("long").alias("naive_leaked_docs"),
+            "split",
+            F.coalesce(F.col("_full"), F.lit(0)).alias("_full"),
+            F.coalesce(F.col("_mn"), F.lit(0)).alias("_mn"),
+            F.coalesce(F.col("_ma"), F.lit(0)).alias("_ma"),
+            F.coalesce(F.col("_ncomp"), F.lit(0)).alias("_ncomp"),
+            F.coalesce(F.col("_leak"), F.lit(0)).alias("_leak"),
         )
+    )
+    return base.select(
+        "split",
+        (F.col("_full") - F.col("_mn") + F.col("_ma"))
+        .cast("long").alias("n_docs"),
+        (F.col("_full") - F.col("_mn") + F.col("_ncomp"))
+        .cast("long").alias("n_clusters"),
+        F.col("_full").cast("long").alias("naive_docs"),
+        F.col("_leak").cast("long").alias("naive_leaked_docs"),
     )
 
 
@@ -4846,79 +4868,10 @@ def embeddings_triplet_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate broadcasts into pass 2. Cosines quantize to the 1e-6
     grid on BOTH engines before any threshold compare (the same
     floor-half-up grid every ranked-similarity entry uses)."""
+    from vectorsearchutil_spark.operators.similarity import triplet_mining
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return triplet_mining(emb)
-
-
-def triplet_mining(
-    emb: DataFrame, anchor_below: int = 32, margin: float = 0.05
-) -> DataFrame:
-    """Core of ``embeddings_triplet_mining`` — split out for unit
-    tests (anchors = vec_id < anchor_below)."""
-    from vectorsearchutil_spark.functions.vector import (
-        cosine_similarity,
-        finite_vector,
-        l2_norm,
-        round_half_up,
-    )
-
-    vv = emb.filter(
-        finite_vector(F.col("embedding"))
-        & (l2_norm(F.col("embedding")) > 0)
-    ).select(
-        "vec_id", "label",
-        F.col("embedding").cast("array<double>").alias("_e"),
-    )
-    anchors = vv.filter(F.col("vec_id") < anchor_below).select(
-        F.col("vec_id").alias("aid"),
-        F.col("label").alias("_albl"),
-        F.col("_e").alias("_ae"),
-    )
-    cq = round_half_up(
-        cosine_similarity(F.col("_ae"), F.col("_e")), 6
-    ).alias("cq")
-    pairs = (
-        vv.join(F.broadcast(anchors), F.col("vec_id") != F.col("aid"))
-        .select("aid", "_albl", "label", cq)
-    )
-    pos = (
-        pairs.filter(F.col("label") == F.col("_albl"))
-        .groupBy("aid")
-        .agg(F.max("cq").alias("pos_sim"))
-    )
-    neg = (
-        pairs.filter(F.col("label") != F.col("_albl"))
-        .join(F.broadcast(pos), "aid", "left")
-        .groupBy("aid")
-        .agg(
-            F.max("cq").alias("hardest_neg_sim"),
-            F.sum(
-                F.when(F.col("cq") >= F.col("pos_sim"), 1).otherwise(0)
-            ).alias("n_hard"),
-            F.sum(
-                F.when(
-                    (F.col("cq") < F.col("pos_sim"))
-                    & (F.col("cq") >= F.col("pos_sim") - margin),
-                    1,
-                ).otherwise(0)
-            ).alias("n_semihard"),
-        )
-    )
-    return (
-        anchors.select(F.col("aid"), F.col("_albl"))
-        .join(pos, "aid", "left")
-        .join(neg, "aid", "left")
-        .select(
-            F.col("aid").alias("vec_id"),
-            F.col("_albl").cast("int").alias("label"),
-            "pos_sim",
-            "hardest_neg_sim",
-            F.coalesce(F.col("n_hard"), F.lit(0))
-            .cast("int").alias("n_hard"),
-            F.coalesce(F.col("n_semihard"), F.lit(0))
-            .cast("int").alias("n_semihard"),
-        )
-    )
+    return triplet_mining(emb, n_rows=emb.count())
 
 
 _AUDIENCE_ORACLE = """
