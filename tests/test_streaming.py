@@ -818,3 +818,106 @@ def test_streaming_tdigest_replay_matches_chunked_batch(
         ).collect()
     }
     assert again == got
+
+
+def test_streaming_funnel_matches_batch_twin(spark, sf_dir, tmp_path):
+    """Replaying the events table in (ts, event_id) order through
+    three micro-batches reproduces the batch funnel: per-step user
+    counts equal events_funnel_conversion's users column, and the
+    per-user step times equal the batch stage aggregates
+    row-for-row — per-user 3-long state must carry across batches."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from vectorsearchutil_spark.queries_pending import funnel_conversion
+    from vectorsearchutil_spark.sources.readers import load_table
+    from vectorsearchutil_spark.streaming.stateful import streaming_funnel
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+    # expected per-user stage times: the batch definition, stage by
+    # stage (earliest view; earliest click strictly after; earliest
+    # purchase strictly after)
+    t1 = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    )
+    t2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(t1.select("user_id", F.col("t").alias("_p")), "user_id")
+        .filter(F.col("ts") > F.col("_p"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    t3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(t2.select("user_id", F.col("t").alias("_p")), "user_id")
+        .filter(F.col("ts") > F.col("_p"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    expected = sorted(
+        (r["user_id"], step, r["t"])
+        for step, df in ((1, t1), (2, t2), (3, t3))
+        for r in df.collect()
+    )
+    assert expected, "no funnel completions at this sf — vacuous test"
+    batch_counts = {
+        r["step"]: r["users"]
+        for r in funnel_conversion(
+            ev, ("view", "click", "purchase")
+        ).collect()
+    }
+
+    events = ev.withColumn(
+        "_ord", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    n = events.count()
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(events.drop("_ord").schema)
+            .parquet(src)
+        )
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            streaming_funnel(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    for lo, hi in ((0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)):
+        events.filter(
+            (F.col("_ord") > lo) & (F.col("_ord") <= hi)
+        ).drop("_ord").coalesce(1).write.mode("append").parquet(src)
+        run_once()
+
+    got_rows = (
+        spark.read.parquet(out)
+        .select(
+            "user_id",
+            "step",
+            F.timestamp_micros("step_us").alias("t"),
+        )
+        .collect()
+    )
+    got = sorted((r["user_id"], r["step"], r["t"]) for r in got_rows)
+    assert got == expected
+    got_counts = {}
+    for _, step, _t in got:
+        got_counts[step] = got_counts.get(step, 0) + 1
+    for step in (1, 2, 3):
+        assert got_counts.get(step, 0) == batch_counts[step]

@@ -308,3 +308,105 @@ def streaming_attribution(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1_us", LongType()),
+        StructField("t2_us", LongType()),
+        StructField("t3_us", LongType()),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("step", LongType()),
+        StructField("step_us", LongType()),
+    ]
+)
+
+
+def streaming_funnel(
+    events: DataFrame,
+    steps: tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Live ordered funnel — the streaming twin of the batch
+    ``events_funnel_conversion`` (queries_pending.funnel_conversion):
+    a user reaches step k only via an event STRICTLY AFTER their
+    step-(k−1) time. State per user is three longs (the microsecond
+    first-completion time of each step, −1 = not reached). One row
+    emits per (user, step) at the micro-batch where the step FIRST
+    completes, so per-step row counts over the whole stream equal the
+    batch funnel's ``users`` column, and ``step_us`` equals the batch
+    stage times row-for-row (tested; replay must preserve (ts,
+    event_id) order across batches, the same in-order contract
+    ``streaming_attribution`` documents).
+
+    The per-batch update is vectorized and ORDER-FREE given in-order
+    batches: step k's candidate time is ``min(ts of step-k events
+    with ts > t_{k-1})`` — a value predicate, not a scan position —
+    so the cascade t1 → t2 → t3 computes with three masked mins, no
+    per-row Python loop (the attribution twin's fmax lesson).
+    Timestamps stay exact int64 micros end-to-end; convert with
+    ``timestamp_micros()``.
+
+    Input must be narrow: (event_id, ts, user_id, event_type).
+    """
+
+    def _advance(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            t1, t2, t3 = state.get
+        else:
+            t1 = t2 = t3 = -1
+        old = (t1, t2, t3)
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True)
+            ts_us = (pdf["ts"].astype("int64") // 1000).to_numpy()
+            et = pdf["event_type"].to_numpy()
+
+            def first_after(step_name: str, prev_us: int) -> int:
+                mask = et == step_name
+                if prev_us >= 0:
+                    mask = mask & (ts_us > prev_us)
+                else:
+                    return -1
+                return int(ts_us[mask].min()) if mask.any() else -1
+
+            if t1 < 0:
+                m1 = et == steps[0]
+                if m1.any():
+                    t1 = int(ts_us[m1].min())
+            if t2 < 0 and t1 >= 0:
+                c = first_after(steps[1], t1)
+                if c >= 0:
+                    t2 = c
+            if t3 < 0 and t2 >= 0:
+                c = first_after(steps[2], t2)
+                if c >= 0:
+                    t3 = c
+        state.update((int(t1), int(t2), int(t3)))
+        new = (t1, t2, t3)
+        rows = [
+            (int(user_id), k + 1, int(new[k]))
+            for k in range(3)
+            if old[k] < 0 and new[k] >= 0
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["user_id", "step", "step_us"]
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _advance,
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
