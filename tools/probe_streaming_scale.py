@@ -213,7 +213,66 @@ def probe_budget(spark):
         shutil.rmtree(work, ignore_errors=True)
 
 
+def probe_funnel(spark):
+    from pyspark.sql import functions as F
+
+    from vectorsearchutil_spark.streaming.stateful import streaming_funnel
+
+    events = spark.range(N_EVENTS).selectExpr(
+        "id AS event_id",
+        "timestamp_micros(cast(1700000000000000 + id * 997000 AS BIGINT))"
+        " AS ts",
+        f"pmod(xxhash64(id, 11), {N_USERS}) AS user_id",
+        "CASE pmod(xxhash64(id, 13), 5)"
+        "  WHEN 0 THEN 'purchase' WHEN 1 THEN 'view'"
+        "  WHEN 2 THEN 'click' WHEN 3 THEN 'view' ELSE 'click'"
+        " END AS event_type",
+    )
+    schema = events.schema
+
+    def make_stream(spark, src):
+        return streaming_funnel(
+            spark.readStream.schema(schema).parquet(src)
+        )
+
+    work = tempfile.mkdtemp(prefix="probe_funnel_")
+    try:
+        src = os.path.join(work, "src")
+        cuts = (N_EVENTS // 3, 2 * N_EVENTS // 3, N_EVENTS)
+        slices = [
+            events.filter(
+                (F.col("event_id") >= lo) & (F.col("event_id") < hi)
+            )
+            for lo, hi in zip((0,) + cuts[:-1], cuts)
+        ]
+        out3 = os.path.join(work, "out3")
+        ckpt3 = os.path.join(work, "ckpt3")
+        t0 = time.time()
+        state_rows = 0
+        for s in slices:
+            s.write.mode("append").parquet(src)
+            state_rows = max(
+                state_rows,
+                _run_availablenow(spark, make_stream, src, out3, ckpt3),
+            )
+        dt3 = time.time() - t0
+        got3 = spark.read.parquet(out3)
+        n3 = got3.count()
+        # a (user, step) may emit at most once across the whole stream
+        dup = n3 - got3.select("user_id", "step").distinct().count()
+        ok_state = state_rows <= N_USERS
+        return (
+            f"{dt3:.1f}s 3-restart @ {N_EVENTS} events/{N_USERS} users"
+            f" -> {n3} step completions; state_rows max {state_rows}"
+            f" {'O(keys) OK' if ok_state else 'STATE BLOWUP'};"
+            f" duplicate emissions {dup}"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 PROBES = {
+    "funnel": probe_funnel,
     "attribution": probe_attribution,
     "budget": probe_budget,
 }
