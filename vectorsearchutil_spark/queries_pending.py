@@ -5091,7 +5091,6 @@ def recall_curve(
     )
     from vectorsearchutil_spark.operators.similarity import (
         build_ivf_index,
-        ivf_search,
         knn_batch_matrix,
     )
 
@@ -5130,11 +5129,43 @@ def recall_curve(
             .localCheckpoint(eager=False)
         )
 
+    # One scored candidate table serves every operating point: the
+    # nprobe-p candidate set is the probe_rank<=p SLICE of the
+    # nprobe-max set, so scoring once and ranking per slice does a
+    # third of the distance work of three ivf_search arms (and scans
+    # the index once). Result contract identical to ivf_search's
+    # (distance asc, id asc) per-query top-k.
+    pwin0 = Window.partitionBy("query_id").orderBy(
+        F.col("_pd").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        qs.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_pd",
+            l2_distance(F.col("query_vector"), F.col("centroid_vec")),
+        )
+        .withColumn("_prn", F.row_number().over(pwin0))
+        .filter(F.col("_prn") <= max_probe)
+        .select("query_id", "query_vector", "centroid_id", "_prn")
+    )
+    cand = (
+        indexed.join(F.broadcast(probes), "centroid_id")
+        .withColumn(
+            "_dist",
+            l2_distance(F.col("embedding"), F.col("query_vector")),
+        )
+        .select("query_id", "vec_id", "_dist", "_prn")
+        .localCheckpoint(eager=False)
+    )
     parts = []
     for p in range(1, max_probe + 1):
-        ap = ivf_search(
-            indexed, cents, qs, k=k, n_probe=p,
-            vector_col="embedding", id_col="vec_id",
+        rwin = Window.partitionBy("query_id").orderBy(
+            F.col("_dist").asc(), F.col("vec_id").asc()
+        )
+        ap = (
+            cand.filter(F.col("_prn") <= p)
+            .withColumn("_rk", F.row_number().over(rwin))
+            .filter(F.col("_rk") <= k)
         )
         parts.append(
             ap.join(exact, ["query_id", "vec_id"]).agg(
@@ -5148,20 +5179,11 @@ def recall_curve(
     sizes = indexed.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("_sz")
     )
-    pwin = Window.partitionBy("query_id").orderBy(
-        F.col("_d").asc(), F.col("centroid_id").asc()
-    )
-    cwin = Window.partitionBy("query_id").orderBy(F.col("_rn").asc())
+    cwin = Window.partitionBy("query_id").orderBy(F.col("_prn").asc())
     scanned = (
-        qs.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "_d", l2_distance(F.col("query_vector"), F.col("centroid_vec"))
-        )
-        .withColumn("_rn", F.row_number().over(pwin))
-        .join(sizes, "centroid_id")
+        probes.join(sizes, "centroid_id")
         .withColumn("_cum", F.sum("_sz").over(cwin))
-        .filter(F.col("_rn") <= max_probe)
-        .groupBy(F.col("_rn").alias("nprobe"))
+        .groupBy(F.col("_prn").alias("nprobe"))
         .agg(F.sum("_cum").alias("scanned_rows"))
     )
     tot = (
