@@ -739,3 +739,46 @@ def test_theilsen_matches_naive_median(spark, daily_cents):
     lower_med = slopes[(n - 1) // 2] if n % 2 else slopes[n // 2 - 1]
     assert row.n_pairs == n
     assert row.slope_per_day == pytest.approx(lower_med / 100.0, abs=1e-6)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    edges=st.sets(
+        st.tuples(
+            st.integers(min_value=0, max_value=11),
+            st.integers(min_value=0, max_value=11),
+        ).filter(lambda e: e[0] != e[1]).map(
+            lambda e: (min(e), max(e))
+        ),
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_naive(spark, edges):
+    """Degree-ordered triangle counting equals the naive O(n^3)
+    definition on arbitrary small graphs (incl. hubs, disconnected
+    parts, cliques the generator happens to build)."""
+    from itertools import combinations
+
+    from vectorsearchutil_spark.operators.graph import triangle_count
+
+    eset = set(edges)
+    nodes = sorted({v for e in eset for v in e})
+    naive_tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset
+    )
+    deg = {}
+    for a, b in eset:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    naive_wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    df = spark.createDataFrame(
+        [(a, b) for a, b in sorted(eset)] or [],
+        "id_a long, id_b long",
+    )
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == naive_tri
+    assert row.n_wedges == naive_wedges
+    assert row.n_edges == len(eset)
+    assert row.n_nodes == len(nodes)

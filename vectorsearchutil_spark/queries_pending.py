@@ -4484,12 +4484,15 @@ def embeddings_exact_dup_vectors(
 # --------------------------------------------------------------------------
 # ROUND-9 STAGING WAVE (wave 7) — graph motifs, funnel analysis,
 # dup-cluster-aware split leakage, triplet mining, audience overlap,
-# ANN recall-vs-cost curve. Six NEW analysis axes (none is a variant
-# of an existing entry): triangle/motif counting over the similarity
-# graph, ordered multi-step funnels, train/eval split
-# decontamination, contrastive triplet curation, the event-type
-# audience-overlap matrix, and the IVF recall@k / scanned-fraction
-# operating curve.
+# ANN recall-vs-cost curve. Four axes are brand-new (triangle/motif
+# counting, contrastive triplet curation, the audience-overlap
+# matrix, the IVF recall@k / scanned-fraction operating curve); two
+# REFINE existing veterans and say so: events_funnel_conversion is
+# the strict-ordered per-step-rate form of events_funnel (strictness
+# is what makes its streaming twin exactly replayable), and
+# docs_split_leakage upgrades documents_hash_split's naive per-doc
+# draw to a dup-cluster-aware split plus a leakage audit of the
+# naive form.
 # --------------------------------------------------------------------------
 
 
@@ -4585,10 +4588,15 @@ FROM u
 
 @pending_query("events_funnel_conversion", _FUNNEL_ORACLE)
 def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered 3-step funnel (view → click → purchase): a user reaches
-    step k only via an event STRICTLY AFTER their step-(k−1) time —
-    the sequential constraint that separates a funnel from three
-    independent counts. Each stage is a per-user MIN over a
+    """Ordered 3-step funnel (view → click → purchase), per-step
+    conversion-rate form. Differs from the veteran ``events_funnel``
+    (one wide counts row, at-or-after ≥ semantics) in TWO declared
+    ways: 3-row step/rate output, and STRICTLY-AFTER ordering — a
+    user reaches step k only via an event strictly after their
+    step-(k−1) time. Strictness is load-bearing: it is exactly what
+    makes the streaming twin (streaming/stateful.py:streaming_funnel)
+    a faithful one-pass replay (an at-tie click can never depend on
+    intra-timestamp processing order). Each stage is a per-user MIN over a
     type-filtered slice joined to the previous stage's (user, t) —
     narrow partial-agg shuffles on user_id, never a per-user event
     sort. The three stage counts are 1-row aggregates assembled into
@@ -4706,7 +4714,8 @@ FROM aw FULL OUTER JOIN nv ON aw.split = nv.split
 @pending_query("docs_split_leakage", _split_leakage_oracle())
 def docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dup-cluster-aware train/val/test split (80/10/10) vs the naive
-    per-doc hash split: splitting by the CLUSTER representative's hash
+    per-doc hash split (the veteran ``documents_hash_split``'s
+    mechanism, audited here for leakage): splitting by the CLUSTER representative's hash
     guarantees no near-dup cluster straddles train and eval
     (leakage = 0 by construction); the naive per-doc split's
     `naive_leaked_docs` column counts the docs it would leak — the
