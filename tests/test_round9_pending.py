@@ -312,3 +312,50 @@ def test_recall_curve_hand_built(spark):
     assert out[2].recall == pytest.approx(1.0)
     assert out[2].scanned_rows == 11         # both lists = the corpus
     assert out[2].scanned_frac == pytest.approx(1.0)
+
+
+# -------------------------------------------------------- conformal coverage
+
+
+def test_conformal_coverage_hand_built(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        conformal_coverage_daily,
+    )
+
+    # 27 daily totals, lag 7 -> 20 scored days; calibration = first 14
+    # (residuals 1..14 dollars, so q = ceil(15*0.9)=14th smallest =
+    # $14), eval = last 6 with residuals 5,10,14,15,20,14 -> 4 of 6
+    # inside +/- q
+    base = dt.datetime(2024, 1, 1)
+    prices = {}
+    for i in range(7):
+        prices[i] = 100.0
+    cal_deltas = {i: float(i - 6) for i in range(7, 21)}       # 1..14
+    ev_deltas = dict(zip(range(21, 27), [5.0, 10.0, 14.0, 15.0, 20.0, 14.0]))
+    for i in range(7, 27):
+        d = cal_deltas.get(i, ev_deltas.get(i))
+        prices[i] = prices[i - 7] + d
+    rows = [
+        (i, base + dt.timedelta(days=i), prices[i]) for i in range(27)
+    ]
+    orders = spark.createDataFrame(
+        rows, "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    r = conformal_coverage_daily(orders).collect()[0]
+    assert r.n_calibration == 14
+    assert r.n_eval == 6
+    assert r.q_cents == 1400
+    assert r.coverage == pytest.approx(4 / 6, abs=1e-6)
+
+
+def test_conformal_coverage_degenerate(spark):
+    from vectorsearchutil_spark.operators.analytics import (
+        conformal_coverage_daily,
+    )
+
+    empty = spark.createDataFrame(
+        [], "o_orderkey long, o_orderdate timestamp, o_totalprice double"
+    )
+    r = conformal_coverage_daily(empty).collect()[0]
+    assert (r.n_calibration, r.n_eval) == (0, 0)
+    assert r.q_cents is None and r.coverage is None

@@ -176,7 +176,31 @@ def probe_recall_curve(spark):
     )
 
 
+def probe_conformal(spark):
+    """100M orders over a 10-year grid: ONE narrow daily aggregate,
+    then every window runs on the ~3,650-row day grid."""
+    from vectorsearchutil_spark.operators.analytics import (
+        conformal_coverage_daily,
+    )
+
+    orders = spark.range(100_000_000).selectExpr(
+        "id AS o_orderkey",
+        "timestamp_micros(cast(1500000000000000 + "
+        "pmod(xxhash64(id), 315360000) * 1000000 as bigint)) AS o_orderdate",
+        "cast(pmod(xxhash64(id, 3), 100000) as double) / 100.0"
+        " AS o_totalprice",
+    )
+    t0 = time.time()
+    r = conformal_coverage_daily(orders).collect()[0]
+    dt = time.time() - t0
+    return (
+        f"{dt:.1f}s @ 100M orders / 10y grid -> cal {r.n_calibration},"
+        f" eval {r.n_eval}, coverage {r.coverage}"
+    )
+
+
 PROBES["triangles"] = probe_triangles
+PROBES["conformal"] = probe_conformal
 PROBES["recall_curve"] = probe_recall_curve
 PROBES["funnel"] = probe_funnel
 PROBES["split_leakage"] = probe_split_leakage

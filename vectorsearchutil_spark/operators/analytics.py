@@ -2323,3 +2323,86 @@ def seasonal_naive_wape(
             6,
         ).alias("bias"),
     )
+
+
+def conformal_coverage_daily(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+    lag_days: int = 7,
+    alpha: float = 0.1,
+    cal_frac: float = 0.7,
+) -> DataFrame:
+    """Split-conformal interval check for the seasonal-naive daily
+    forecaster (the modern distribution-free eval that complements
+    ``seasonal_naive_wape``'s point metrics): calibrate q̂ = the
+    ⌈(n_cal+1)(1−α)⌉-th smallest |y−ŷ| on the FIRST ``cal_frac`` of
+    scored days, then report what share of the held-out later days
+    actually fall inside ŷ ± q̂ — valid ≥(1−α) coverage needs only
+    exchangeability, so the gap between ``coverage`` and 1−α is the
+    drift/seasonality diagnostic. One summary row: (n_calibration,
+    n_eval, q_cents, coverage).
+
+    Exactness: residuals are exact integer cents; q̂ is an order
+    statistic picked by a rank, not an interpolated quantile, so both
+    engines select the identical integer; coverage is ONE double
+    division of exact counts. The time split is by day order (leakage
+    direction respected — calibration strictly precedes eval). All
+    windows run over the calendar-bounded day grid. Degenerate
+    inputs: rank > n_cal (fewer than ~1/α calibration days) or an
+    empty eval slice yield NULL q/coverage on BOTH engines rather
+    than a fabricated number.
+    """
+    cents = _cents(F.col(amount_col))
+    daily = orders.groupBy(
+        F.to_date(F.col(date_col)).alias("_day")
+    ).agg(F.sum(cents).alias("_y"))
+    prev = daily.select(
+        F.date_add(F.col("_day"), lag_days).alias("_day"),
+        F.col("_y").alias("_yhat"),
+    )
+    scored = daily.join(prev, "_day").select(
+        "_day", F.abs(F.col("_y") - F.col("_yhat")).alias("_r")
+    )
+    w_day = Window.orderBy(F.col("_day").asc())
+    idxed = scored.withColumn("_i", F.row_number().over(w_day))
+    n_scored = idxed.agg(F.count(F.lit(1)).alias("_n"))
+    split = idxed.crossJoin(F.broadcast(n_scored)).withColumn(
+        "_is_cal",
+        F.col("_i") <= F.ceil(F.col("_n") * F.lit(float(cal_frac))),
+    )
+    cal = split.filter(F.col("_is_cal"))
+    ev = split.filter(~F.col("_is_cal"))
+    w_r = Window.orderBy(F.col("_r").asc(), F.col("_day").asc())
+    cal_stats = cal.agg(F.count(F.lit(1)).alias("_ncal"))
+    qrow = (
+        cal.withColumn("_rk", F.row_number().over(w_r))
+        .crossJoin(F.broadcast(cal_stats))
+        .filter(
+            F.col("_rk")
+            == F.ceil(
+                (F.col("_ncal") + F.lit(1)) * F.lit(float(1.0 - alpha))
+            )
+        )
+        .select(F.col("_r").alias("_q"))
+    )
+    ev_stats = ev.join(F.broadcast(qrow), F.lit(True), "left").agg(
+        F.count(F.lit(1)).alias("_neval"),
+        F.max("_q").alias("_q"),
+        F.sum(
+            F.when(F.col("_r") <= F.col("_q"), 1).otherwise(0)
+        ).alias("_covered"),
+    )
+    return ev_stats.crossJoin(F.broadcast(cal_stats)).select(
+        F.col("_ncal").cast("long").alias("n_calibration"),
+        F.col("_neval").cast("long").alias("n_eval"),
+        F.col("_q").cast("long").alias("q_cents"),
+        F.when(
+            F.col("_q").isNotNull() & (F.col("_neval") > 0),
+            round_half_up(
+                F.col("_covered").cast("double")
+                / F.col("_neval").cast("double"),
+                6,
+            ),
+        ).alias("coverage"),
+    )

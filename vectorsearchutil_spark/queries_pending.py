@@ -5224,6 +5224,62 @@ def recall_curve(
     )
 
 
+_CONFORMAL_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS y
+  FROM orders GROUP BY 1
+),
+sc AS (
+  SELECT a.day, abs(a.y - b.y) AS r
+  FROM daily a JOIN daily b ON a.day = b.day + INTERVAL 7 DAY
+),
+idx AS (
+  SELECT day, r, ROW_NUMBER() OVER (ORDER BY day ASC) AS i,
+         COUNT(*) OVER () AS n
+  FROM sc
+),
+cal AS (SELECT * FROM idx WHERE i <= CAST(ceil(n * 0.7) AS BIGINT)),
+ev AS (SELECT * FROM idx WHERE i > CAST(ceil(n * 0.7) AS BIGINT)),
+cs AS (SELECT COUNT(*) AS ncal FROM cal),
+q AS (
+  SELECT r AS q FROM (
+    SELECT r, ROW_NUMBER() OVER (ORDER BY r ASC, day ASC) AS rk
+    FROM cal
+  ) t, cs WHERE rk = CAST(ceil((cs.ncal + 1) * 0.9) AS BIGINT)
+),
+es AS (
+  SELECT COUNT(*) AS neval, MAX(q.q) AS q,
+         SUM(CASE WHEN ev.r <= q.q THEN 1 ELSE 0 END) AS covered
+  FROM ev LEFT JOIN q ON true
+)
+SELECT CAST(cs.ncal AS BIGINT) AS n_calibration,
+       CAST(es.neval AS BIGINT) AS n_eval,
+       CAST(es.q AS BIGINT) AS q_cents,
+       CASE WHEN es.q IS NOT NULL AND es.neval > 0 THEN
+         floor(CAST(es.covered AS DOUBLE) / CAST(es.neval AS DOUBLE)
+               * 1000000.0 + 0.5) / 1000000.0
+       END AS coverage
+FROM es, cs
+"""
+
+
+@pending_query("orders_conformal_coverage", _CONFORMAL_ORACLE)
+def orders_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal coverage check of the seasonal-naive daily
+    forecaster (declared companion to ``orders_seasonal_naive_wape``,
+    which scores the same predictor's point error): q̂ = the
+    ⌈(n_cal+1)·0.9⌉-th smallest |y−ŷ| over the FIRST 70% of scored
+    days, coverage = share of later days inside ŷ ± q̂. Valid ≥90%
+    under exchangeability — the gap measures drift
+    (operators/analytics.py:conformal_coverage_daily)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        conformal_coverage_daily,
+    )
+
+    return conformal_coverage_daily(load_table(spark, sf_dir, "orders"))
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
