@@ -66,6 +66,9 @@ DEFAULT_SLICE = [
     # strict-ordering joins survive hostile zones, not because a
     # mechanism is suspected
     "events_funnel_conversion",
+    # round-9 staged calendar consumer (to_date + date_add day grid,
+    # the same mechanism class as the wape entry above it)
+    "orders_conformal_coverage",
 ]
 
 
