@@ -782,3 +782,263 @@ def test_triangle_count_matches_naive(spark, edges):
     assert row.n_wedges == naive_wedges
     assert row.n_edges == len(eset)
     assert row.n_nodes == len(nodes)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=4),      # user
+            st.sampled_from(["view", "click", "purchase", "other"]),
+            st.integers(min_value=0, max_value=9),      # minute
+        ),
+        max_size=40,
+    )
+)
+def test_funnel_matches_naive(spark, events):
+    """Strict-ordered funnel equals a pure-python replay on arbitrary
+    event streams (duplicate timestamps, missing steps, out-of-order
+    users all generated)."""
+    import datetime as dt
+
+    from vectorsearchutil_spark.queries_pending import funnel_conversion
+
+    def t(m):
+        return dt.datetime(2024, 1, 1, 12, m, 0)
+
+    naive = {1: set(), 2: set(), 3: set()}
+    by_user = {}
+    for u, e, m in events:
+        by_user.setdefault(u, []).append((e, m))
+    for u, evs in by_user.items():
+        views = [m for e, m in evs if e == "view"]
+        if not views:
+            continue
+        t1 = min(views)
+        naive[1].add(u)
+        clicks = [m for e, m in evs if e == "click" and m > t1]
+        if not clicks:
+            continue
+        t2 = min(clicks)
+        naive[2].add(u)
+        if any(e == "purchase" and m > t2 for e, m in evs):
+            naive[3].add(u)
+
+    df = spark.createDataFrame(
+        [(u, e, t(m)) for u, e, m in events] or [],
+        "user_id long, event_type string, ts timestamp",
+    )
+    rows = {
+        r.step: r.users
+        for r in funnel_conversion(
+            df, ("view", "click", "purchase")
+        ).collect()
+    }
+    assert rows == {k: len(v) for k, v in naive.items()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),          # user
+            st.sampled_from(["a", "b", "c"]),               # type
+        ),
+        max_size=30,
+    )
+)
+def test_audience_overlap_matches_sets(spark, pairs):
+    import datetime as dt
+
+    from vectorsearchutil_spark.queries_pending import audience_overlap
+
+    users = {}
+    for u, ty in pairs:
+        users.setdefault(ty, set()).add(u)
+    df = spark.createDataFrame(
+        [
+            (u, ty, dt.datetime(2024, 1, 1))
+            for u, ty in pairs
+        ] or [],
+        "user_id long, event_type string, ts timestamp",
+    )
+    got = {
+        (r.type_a, r.type_b): (r.n_both, r.n_a, r.n_b)
+        for r in audience_overlap(df).collect()
+    }
+    types = sorted(users)
+    want = {}
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            inter = len(users[a] & users[b])
+            if inter:
+                want[(a, b)] = (inter, len(users[a]), len(users[b]))
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    n_docs=st.integers(min_value=0, max_value=60),
+    clusters=st.lists(
+        st.lists(
+            st.integers(min_value=0, max_value=59),
+            min_size=2, max_size=6, unique=True,
+        ),
+        max_size=4,
+    ),
+)
+def test_split_leakage_matches_naive(spark, n_docs, clusters):
+    """The corpus-never-joins rewrite equals a dict-based reference:
+    aware split = rep's hash split, leaked = members of clusters
+    spanning >1 naive split."""
+    import hashlib
+
+    from vectorsearchutil_spark.queries_pending import split_leakage
+
+    def u(key):
+        h = int(
+            hashlib.md5(f"split:{key}".encode()).hexdigest()[:8], 16
+        ) / 2**32
+        return "train" if h < 0.8 else ("val" if h < 0.9 else "test")
+
+    docs = list(range(n_docs))
+    # disjoint clusters over existing docs, rep = min member
+    comp = {}
+    seen = set()
+    for cl in clusters:
+        cl = [d for d in cl if d < n_docs and d not in seen]
+        if len(cl) < 2:
+            continue
+        seen.update(cl)
+        rep = min(cl)
+        for d in cl:
+            comp[d] = rep
+    want = {}
+    spread = {}
+    for d in docs:
+        rep = comp.get(d, d)
+        spread.setdefault(rep, set()).add(u(d))
+    for d in docs:
+        rep = comp.get(d, d)
+        aware, naive = u(rep), u(d)
+        w = want.setdefault(
+            aware, {"n_docs": 0, "clusters": set()}
+        )
+        w["n_docs"] += 1
+        w["clusters"].add(rep)
+        nv = want.setdefault(
+            naive, {"n_docs": 0, "clusters": set()}
+        )
+        nv.setdefault("naive_docs", 0)
+        nv["naive_docs"] = nv.get("naive_docs", 0) + 1
+        if len(spread[rep]) > 1:
+            nv["leaked"] = nv.get("leaked", 0) + 1
+
+    docs_df = spark.createDataFrame(
+        [(d,) for d in docs] or [], "doc_id long"
+    )
+    comp_df = spark.createDataFrame(
+        [(d, r) for d, r in comp.items()] or [],
+        "doc_id long, component long",
+    )
+    got = {
+        r.split: (r.n_docs, r.n_clusters, r.naive_docs,
+                  r.naive_leaked_docs)
+        for r in split_leakage(docs_df, comp_df).collect()
+    }
+    expect = {
+        s: (
+            w["n_docs"],
+            len(w["clusters"]),
+            w.get("naive_docs", 0),
+            w.get("leaked", 0),
+        )
+        for s, w in want.items()
+    }
+    assert got == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=1),  # label
+            st.lists(
+                st.floats(
+                    min_value=-2, max_value=2,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                min_size=3, max_size=3,
+            ),
+        ),
+        min_size=1, max_size=12,
+    )
+)
+def test_triplet_mining_matches_numpy(spark, vecs):
+    """Both strategies equal a numpy reference on the shared 1e-6
+    quantization grid (anchors = first rows, ids 0..n-1 so every
+    vector below 32 anchors)."""
+    from vectorsearchutil_spark.operators.similarity import triplet_mining
+
+    rows = [
+        (i, lbl, v) for i, (lbl, v) in enumerate(vecs)
+    ]
+    arr = np.array([v for _, _, v in rows], dtype=np.float64)
+    lbl = np.array([l for _, l, _ in rows])
+    norms = np.linalg.norm(arr, axis=1)
+    valid = norms > 0
+    margin = 0.05
+
+    def q6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    expect = {}
+    vids = [i for i in range(len(rows)) if valid[i]]
+    for a in vids:
+        pos, negs = None, []
+        for b in vids:
+            if b == a:
+                continue
+            c = q6(
+                float(arr[a] @ arr[b]) / (norms[a] * norms[b])
+            )
+            if lbl[b] == lbl[a]:
+                pos = c if pos is None else max(pos, c)
+            else:
+                negs.append(c)
+        hardest = max(negs) if negs else None
+        if pos is None:
+            nh = ns = 0
+        else:
+            nh = sum(1 for c in negs if c >= pos)
+            ns = sum(1 for c in negs if pos - margin <= c < pos)
+        expect[a] = (lbl[a], pos, hardest, nh, ns)
+
+    df = spark.createDataFrame(
+        [(i, int(l), [float(x) for x in v]) for i, l, v in rows],
+        "vec_id long, label int, embedding array<double>",
+    )
+    for strategy in ("expr", "matrix"):
+        got = {
+            r.vec_id: (
+                r.label,
+                r.pos_sim,
+                r.hardest_neg_sim,
+                r.n_hard,
+                r.n_semihard,
+            )
+            for r in triplet_mining(df, strategy=strategy).collect()
+        }
+        assert set(got) == set(expect)
+        for a, (el, ep, eh, enh, ens) in expect.items():
+            gl, gp, gh, gnh, gns = got[a]
+            assert gl == el
+            if ep is None:
+                assert gp is None
+            else:
+                assert gp == pytest.approx(ep, abs=2e-6)
+            if eh is None:
+                assert gh is None
+            else:
+                assert gh == pytest.approx(eh, abs=2e-6)
+            assert (gnh, gns) == (enh, ens)
