@@ -193,6 +193,13 @@ def triangle_count(
     closing = oriented.select(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
+    # Evaluated and rejected: bloom-pruning the wedge stream before
+    # its shuffle (functions/bloom.py) — the build side here is the
+    # EDGE SET, and at 20M edges the filter needs ~2^28 bits, where
+    # build_bloom's dense-array assembly is quadratic in words
+    # (designed for small dimension-side builds); the build cost
+    # inverts the ~1.6 GB wedge-shuffle saving. The plain exact join
+    # below IS the honest cost of exact triangle counting.
     tri = wedges.join(closing, ["v1", "v2"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
