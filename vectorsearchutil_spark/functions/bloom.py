@@ -63,14 +63,20 @@ def build_bloom(
     per_word = bits.groupBy("w").agg(
         F.expr("bit_or(mask)").alias("m")
     )
-    # dense word array (missing words = 0), one row
-    return per_word.agg(
-        F.expr(
-            "aggregate(collect_list(struct(w, m)),"
-            f" array_repeat(cast(0 as bigint), {words}),"
-            " (acc, x) -> transform(acc, (v, i) ->"
-            " if(i = x.w, v | x.m, v)))"
-        ).alias(out_col)
+    # Dense word array (missing words = 0), one row. The scatter runs
+    # DRIVER-SIDE over the per-word aggregate — bounded by the filter
+    # size itself (n_bits/64 rows), not the key count. The previous
+    # SQL form folded collect_list through a full-array transform per
+    # entry: O(words²) lambda evaluations, which silently degraded
+    # from "instant" at the 8K-bit default to "hung" at the 2^28 bits
+    # a 20M-key side asks for (found when the triangle-census wedge
+    # join tried edge-set-sized filters; see operators/graph.py).
+    spark = df.sparkSession
+    arr = [0] * words
+    for r in per_word.collect():
+        arr[int(r["w"])] = int(r["m"])
+    return spark.createDataFrame(
+        [(arr,)], f"{out_col} array<bigint>"
     )
 
 

@@ -194,12 +194,15 @@ def triangle_count(
         F.col("u").alias("v1"), F.col("v").alias("v2")
     )
     # Evaluated and rejected: bloom-pruning the wedge stream before
-    # its shuffle (functions/bloom.py) — the build side here is the
-    # EDGE SET, and at 20M edges the filter needs ~2^28 bits, where
-    # build_bloom's dense-array assembly is quadratic in words
-    # (designed for small dimension-side builds); the build cost
-    # inverts the ~1.6 GB wedge-shuffle saving. The plain exact join
-    # below IS the honest cost of exact triangle counting.
+    # its shuffle (functions/bloom.py). The build side here is the
+    # EDGE SET — the attempt exposed (and fixed) build_bloom's
+    # quadratic dense-array assembly, but even the fixed linear build
+    # costs ~29 s at 20M keys / 2^28 bits, roughly the wedge-shuffle
+    # time it would save at this shape — net wash, so the plain
+    # exact join below stays (it IS the honest cost of exact
+    # triangle counting). Revisit only for triangle-sparse hub-heavy
+    # graphs where wedges outnumber edges by far more than the
+    # average degree.
     tri = wedges.join(closing, ["v1", "v2"]).agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
