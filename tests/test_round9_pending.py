@@ -359,3 +359,81 @@ def test_conformal_coverage_degenerate(spark):
     r = conformal_coverage_daily(empty).collect()[0]
     assert (r.n_calibration, r.n_eval) == (0, 0)
     assert r.q_cents is None and r.coverage is None
+
+
+# ------------------------------------------------------------- mutual kNN
+
+
+def test_mutual_knn_hand_built(spark):
+    from vectorsearchutil_spark.operators.knn import knn_mutual_pairs
+
+    # two tight pairs + one outlier whose NN is not reciprocated at
+    # k=1: (0,1) mutual, (2,3) mutual, 4 points at 5's side but 5's
+    # NN is 4 while 4's NN is... build explicitly in 2D
+    rows = [
+        (0, [0.0, 1.0]),
+        (1, [0.05, 1.0]),    # 0 <-> 1 mutual at k=1
+        (2, [1.0, 0.0]),
+        (3, [1.0, 0.05]),    # 2 <-> 3 mutual at k=1
+        (4, [0.7, 0.7]),     # 4's NN is 5, 5's NN is 4: also mutual
+        (5, [0.72, 0.7]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    r = knn_mutual_pairs(df, k=1).collect()[0]
+    assert r.n_points == 6
+    assert r.n_knn_edges == 6
+    assert r.n_mutual_pairs == 3
+    assert r.n_mutual_points == 6
+    assert r.reciprocity == pytest.approx(1.0)
+
+
+def test_mutual_knn_asymmetric(spark):
+    from vectorsearchutil_spark.operators.knn import knn_mutual_pairs
+
+    # hub geometry at k=1: a tight pair (0,1) and a far point 2 whose
+    # NN is 1, but 1's NN is 0 — 2's edge is unreciprocated
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.02]),
+        (2, [0.5, 0.5]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    r = knn_mutual_pairs(df, k=1).collect()[0]
+    assert r.n_knn_edges == 3
+    assert r.n_mutual_pairs == 1
+    assert r.n_mutual_points == 2
+    assert r.reciprocity == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_mutual_knn_strategy_equality(spark):
+    import random
+
+    from vectorsearchutil_spark.operators.knn import knn_mutual_pairs
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    a = knn_mutual_pairs(df, k=5).collect()[0]
+    # force the Arrow path via a fake large n_rows? No — the gate is
+    # n_rows^2*dim; 300 rows with n_rows passed honestly stays expr.
+    # Instead call the arrow top-k directly through the gate by
+    # passing n_rows large enough that the probe path triggers.
+    b = knn_mutual_pairs(df, k=5, n_rows=300_000).collect()[0]
+    assert tuple(a) == tuple(b)
+
+
+def test_mutual_knn_excludes_invalid(spark):
+    from vectorsearchutil_spark.operators.knn import knn_mutual_pairs
+
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [1.0, 0.01]),
+        (2, [float("nan"), 1.0]),
+        (3, [0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "id long, vector array<double>")
+    r = knn_mutual_pairs(df, k=1).collect()[0]
+    assert r.n_points == 2
+    assert r.n_mutual_pairs == 1

@@ -199,7 +199,31 @@ def probe_conformal(spark):
     )
 
 
+def probe_mutual_knn(spark):
+    """50k x 64-dim exact mutual-kNN through the gated Arrow path —
+    same shape as the hubness probe; the mutual self-join adds only
+    n*k-row work on top of the scoring."""
+    from vectorsearchutil_spark.operators.knn import knn_mutual_pairs
+
+    emb = spark.range(50_000).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(1, 64), j -> cast(pmod(xxhash64(id, j), 1000)"
+        " as double) / 1000.0) AS embedding",
+    )
+    t0 = time.time()
+    r = knn_mutual_pairs(
+        emb, k=10, vector_col="embedding", id_col="vec_id",
+        metric="cosine", n_rows=50_000,
+    ).collect()[0]
+    dt = time.time() - t0
+    return (
+        f"{dt:.1f}s @ 50k x 64 (Arrow path) -> {r.n_mutual_pairs} mutual"
+        f" pairs, reciprocity {r.reciprocity}"
+    )
+
+
 PROBES["triangles"] = probe_triangles
+PROBES["mutual_knn"] = probe_mutual_knn
 PROBES["conformal"] = probe_conformal
 PROBES["recall_curve"] = probe_recall_curve
 PROBES["funnel"] = probe_funnel

@@ -189,7 +189,11 @@ def knn_hubness(
             probe = valid.select(vector_col).first()
             dim = len(probe[0]) if probe and probe[0] is not None else 0
         if n_rows * n_rows * dim > _HUBNESS_BLAS_CELLS:
-            occ = _hubness_arrow(valid, k, vector_col, id_col)
+            occ = _self_knn_topk_arrow(
+                valid, k, vector_col, id_col
+            ).groupBy(id_col).agg(
+                F.count(F.lit(1)).cast("int").alias("k_occurrence")
+            )
             return (
                 df.select(id_col)
                 .join(occ, id_col, "left")
@@ -200,23 +204,7 @@ def knn_hubness(
                     ),
                 )
             )
-    queries = valid.select(
-        F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv")
-    )
-    dist, asc = _distance(metric, F.col(vector_col), F.col("_qv"))
-    order = [
-        F.col("_d").asc() if asc else F.col("_d").desc(),
-        F.col(id_col).asc(),
-    ]
-    win = Window.partitionBy("_qid").orderBy(*order)
-    neighbors = (
-        valid.crossJoin(F.broadcast(queries))
-        .filter(F.col(id_col) != F.col("_qid"))
-        .withColumn("_d", dist)
-        .select("_qid", id_col, "_d")
-        .withColumn("_rk", F.row_number().over(win))
-        .filter(F.col("_rk") <= int(k))
-    )
+    neighbors = _self_knn_topk_expr(valid, k, vector_col, id_col, metric)
     occ = neighbors.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("int").alias("k_occurrence")
     )
@@ -230,10 +218,39 @@ def knn_hubness(
     )
 
 
-def _hubness_arrow(
+def _self_knn_topk_expr(
+    valid: DataFrame,
+    k: int,
+    vector_col: str,
+    id_col: str,
+    metric: str,
+) -> DataFrame:
+    """Expression-path exact self-kNN top-k: (_qid, id, _d, _rk) for
+    every valid point's k nearest (self excluded). Shared by
+    ``knn_hubness`` and ``knn_mutual_pairs``."""
+    queries = valid.select(
+        F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv")
+    )
+    dist, asc = _distance(metric, F.col(vector_col), F.col("_qv"))
+    order = [
+        F.col("_d").asc() if asc else F.col("_d").desc(),
+        F.col(id_col).asc(),
+    ]
+    win = Window.partitionBy("_qid").orderBy(*order)
+    return (
+        valid.crossJoin(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("_qid"))
+        .withColumn("_d", dist)
+        .select("_qid", id_col, "_d")
+        .withColumn("_rk", F.row_number().over(win))
+        .filter(F.col("_rk") <= int(k))
+    )
+
+
+def _self_knn_topk_arrow(
     valid: DataFrame, k: int, vector_col: str, id_col: str
 ) -> DataFrame:
-    """Arrow form of the cosine self-kNN count: the full (pre-
+    """Arrow form of the cosine self-kNN TOP-K (returns the\n    (_qid, id, _d, _rk) frame; callers aggregate): the full (pre-
     filtered) point set broadcasts as the query matrix; the corpus
     streams through ``mapInPandas`` in batches, scoring
     dim-at-a-time (``acc += X[:, j] * Q[:, j]``) so every dot and
@@ -339,9 +356,97 @@ def _hubness_arrow(
     win = Window.partitionBy("_qid").orderBy(
         F.col("_d").desc(), F.col(id_col).asc()
     )
+    return cand.withColumn("_rk", F.row_number().over(win)).filter(
+        F.col("_rk") <= int(k)
+    )
+
+
+def knn_mutual_pairs(
+    df: DataFrame,
+    k: int = 10,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    metric: str = "cosine",
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Reciprocal-nearest-neighbour census — the mutuality companion
+    to ``knn_hubness``: of the directed kNN edges, how many are
+    reciprocated (each endpoint in the other's top-k)? Mutual pairs
+    are the high-precision core of a kNN graph (RNN clustering,
+    two-way dedup confidence); a LOW reciprocity rate alongside high
+    hubness skew is the classic symptom of hub-dominated,
+    low-quality neighbourhoods. ONE summary row: (n_points,
+    n_knn_edges, n_mutual_pairs, n_mutual_points, reciprocity =
+    2·pairs/edges).
+
+    Same participation contract, exact top-k machinery, and
+    ``n_rows``-gated Arrow path as ``knn_hubness`` (the scoring is
+    bit-identical across paths, so the mutual join — which needs
+    exact rank equality — is gate-invisible). The mutual self-join
+    runs on the n·k-row top-k table (checkpoint-bounded), never the
+    corpus; counts are exact longs, the rate is ONE double division.
+    At 100 TB, run per IVF probe list like hubness.
+    """
+    from vectorsearchutil_spark.functions.vector import (
+        finite_vector,
+        l2_norm,
+        round_half_up,
+    )
+
+    valid = df.filter(
+        finite_vector(F.col(vector_col))
+        & (l2_norm(F.col(vector_col)) != F.lit(0.0))
+    )
+    use_arrow = False
+    if n_rows and metric == "cosine":
+        if n_rows * n_rows > _HUBNESS_BLAS_CELLS:
+            dim = 1
+        else:
+            probe = valid.select(vector_col).first()
+            dim = len(probe[0]) if probe and probe[0] is not None else 0
+        use_arrow = n_rows * n_rows * dim > _HUBNESS_BLAS_CELLS
+    if use_arrow:
+        topk = _self_knn_topk_arrow(valid, k, vector_col, id_col)
+    else:
+        topk = _self_knn_topk_expr(valid, k, vector_col, id_col, metric)
+    topk = topk.select("_qid", id_col).localCheckpoint(eager=False)
+    fwd = topk.select(
+        F.col("_qid").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    rev = topk.select(
+        F.col(id_col).alias("id_a"), F.col("_qid").alias("id_b")
+    )
+    mut = (
+        fwd.join(rev, ["id_a", "id_b"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .localCheckpoint(eager=False)
+    )
+    n_pts = valid.agg(F.count(F.lit(1)).alias("_np"))
+    n_edges = topk.agg(F.count(F.lit(1)).alias("_ne"))
+    n_mut = mut.agg(F.count(F.lit(1)).alias("_nm"))
+    n_mpts = (
+        mut.select(F.col("id_a").alias("_x"))
+        .unionAll(mut.select(F.col("id_b").alias("_x")))
+        .groupBy("_x")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_nmp"))
+    )
     return (
-        cand.withColumn("_rk", F.row_number().over(win))
-        .filter(F.col("_rk") <= int(k))
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("int").alias("k_occurrence"))
+        n_pts.crossJoin(n_edges)
+        .crossJoin(n_mut)
+        .crossJoin(n_mpts)
+        .select(
+            F.col("_np").cast("long").alias("n_points"),
+            F.col("_ne").cast("long").alias("n_knn_edges"),
+            F.col("_nm").cast("long").alias("n_mutual_pairs"),
+            F.col("_nmp").cast("long").alias("n_mutual_points"),
+            F.when(
+                F.col("_ne") > 0,
+                round_half_up(
+                    F.lit(2.0) * F.col("_nm").cast("double")
+                    / F.col("_ne").cast("double"),
+                    6,
+                ),
+            ).alias("reciprocity"),
+        )
     )

@@ -5280,6 +5280,64 @@ def orders_conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return conformal_coverage_daily(load_table(spark, sf_dir, "orders"))
 
 
+_MUTUAL_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+vv AS MATERIALIZED (
+  SELECT vec_id, e FROM v
+  WHERE e IS NOT NULL
+    AND len(list_filter(e, x -> x IS NULL OR NOT isfinite(x))) = 0
+    AND list_dot_product(e, e) > 0
+),
+nn AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(b.e, a.e) DESC, b.vec_id ASC
+         ) AS rk
+  FROM vv a JOIN vv b ON a.vec_id != b.vec_id
+),
+top AS MATERIALIZED (SELECT qid, nid FROM nn WHERE rk <= 10),
+mut AS MATERIALIZED (
+  SELECT a.qid AS ia, a.nid AS ib
+  FROM top a JOIN top b ON a.qid = b.nid AND a.nid = b.qid
+  WHERE a.qid < a.nid
+),
+em AS (SELECT unnest([ia, ib]) AS x FROM mut),
+ms AS (
+  SELECT CAST(COUNT(*) / 2 AS BIGINT) AS nm,
+         CAST(COUNT(DISTINCT x) AS BIGINT) AS nmp
+  FROM em
+),
+ts AS (SELECT COUNT(*) AS ne FROM top),
+vs AS (SELECT COUNT(*) AS np FROM vv)
+SELECT CAST(vs.np AS BIGINT) AS n_points,
+       CAST(ts.ne AS BIGINT) AS n_knn_edges,
+       ms.nm AS n_mutual_pairs,
+       ms.nmp AS n_mutual_points,
+       CASE WHEN ts.ne > 0 THEN
+         floor(2.0 * ms.nm / ts.ne * 1000000.0 + 0.5) / 1000000.0
+       END AS reciprocity
+FROM vs, ts, ms
+"""
+
+@pending_query("embeddings_mutual_knn", _MUTUAL_ORACLE)
+def embeddings_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-kNN mutuality census (k=10, cosine) — the
+    companion diagnostic to embeddings_hubness: the share of kNN
+    edges that are reciprocated, and the high-precision mutual core
+    they span (operators/knn.py:knn_mutual_pairs; same participation
+    contract, same gated Arrow scoring)."""
+    from vectorsearchutil_spark.operators.knn import knn_mutual_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_mutual_pairs(
+        emb, k=10, vector_col="embedding", id_col="vec_id",
+        metric="cosine", n_rows=emb.count(),
+    )
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
