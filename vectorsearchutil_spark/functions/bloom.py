@@ -46,7 +46,15 @@ def build_bloom(
     words. Build is a partial-aggregated bit_or — each task folds its
     keys locally, the shuffle carries one word array per task. Size
     the filter to the small side: ~10 bits/key gives ~1% false
-    positives at k=3."""
+    positives at k=3.
+
+    EAGER: the per-word aggregate is collected and scattered into the
+    dense array DRIVER-SIDE at call time (two Spark jobs run here,
+    bounded by n_bits/64 words — see the inline comment), so the
+    returned one-row DataFrame is a snapshot of ``df`` as of this
+    call, not a live plan: callers pay the build even if the result
+    is never executed, and a later mutation of the underlying source
+    does not refresh the filter."""
     assert n_bits % 64 == 0
     words = n_bits // 64
     h1 = _H1.format(v=key_col, m=n_bits)

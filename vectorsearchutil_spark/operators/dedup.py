@@ -1437,7 +1437,12 @@ def keep_best_representative(
         best, "component"
     ).filter(F.col("node") != F.col("keep_id")).select(
         F.col("node").alias(id_col)
-    )
+    ).distinct()
+    # distinct() before the anti-join: node→component is 1:1 so the
+    # set is already unique, but the explicit aggregate (a) makes the
+    # anti-join's build side provably minimal whatever upstream pairs
+    # look like and (b) hands AQE an exact post-shuffle size for the
+    # loser set, so its runtime broadcast demotion triggers reliably.
     # Plain left_anti (like dedup_canonical_docs above): at LLM-corpus
     # dup rates (30-50%+) `losers` is an unbounded fraction of the
     # corpus — a forced broadcast hint would override AQE's size logic

@@ -250,7 +250,8 @@ def _self_knn_topk_expr(
 def _self_knn_topk_arrow(
     valid: DataFrame, k: int, vector_col: str, id_col: str
 ) -> DataFrame:
-    """Arrow form of the cosine self-kNN TOP-K (returns the\n    (_qid, id, _d, _rk) frame; callers aggregate): the full (pre-
+    """Arrow form of the cosine self-kNN TOP-K (returns the
+    (_qid, id, _d, _rk) frame; callers aggregate): the full (pre-
     filtered) point set broadcasts as the query matrix; the corpus
     streams through ``mapInPandas`` in batches, scoring
     dim-at-a-time (``acc += X[:, j] * Q[:, j]``) so every dot and

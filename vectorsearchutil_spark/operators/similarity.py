@@ -1049,10 +1049,15 @@ def triplet_mining(
 
     Two-pass by construction: pos_sim is itself an aggregate the
     negative pass compares against. Two size-gated physical
-    strategies (identical results — cosines quantize to the 1e-6
-    floor-half-up grid on every path BEFORE any threshold compare,
-    equality-tested; same gate discipline as
-    ``hard_negative_mining``):
+    strategies (equality-TESTED, not bit-guaranteed: the matrix path
+    scores with one BLAS matmul rather than the dim-at-a-time
+    JVM-fold-identical accumulation the self-kNN Arrow path uses, so
+    cross-strategy agreement relies on the 1e-6 floor-half-up
+    quantization — applied on every path BEFORE any threshold
+    compare — absorbing FP summation-order differences; a pre-
+    quantization difference landing exactly on the grid boundary
+    could in principle flip an n_hard/n_semihard count between
+    strategies. Same gate discipline as ``hard_negative_mining``):
 
     * ``expr`` — anchors broadcast onto corpus scans, per-pair
       cosine as an expression. Right when rows×anchors×dim is small.

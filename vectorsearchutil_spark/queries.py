@@ -21,6 +21,7 @@ from vectorsearchutil_spark.functions.datetime import (
     epoch_micros,
     epoch_seconds,
 )
+from vectorsearchutil_spark.functions.vector import round_half_up
 from vectorsearchutil_spark.operators.knn import knn, knn_batch
 from vectorsearchutil_spark.operators.zeroshot import zeroshot, zeroshot_scores
 from vectorsearchutil_spark.sources.readers import load_table
@@ -4524,11 +4525,11 @@ tf AS (
 df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
 scored AS (
   SELECT tf.doc_id,
-         SUM(CAST(ROUND(
+         SUM(CAST(floor(
            ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
            * tf.tf * 2.2
            / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / NULLIF(s.avgdl, 0)))
-           * 1e9) AS BIGINT)) AS score_n,
+           * 1e9 + 0.5) AS BIGINT)) AS score_n,
          COUNT(*) AS n_terms
   FROM tf
   JOIN df ON tf.tok = df.tok
@@ -4536,7 +4537,8 @@ scored AS (
   CROSS JOIN stats s
   GROUP BY tf.doc_id
 )
-SELECT doc_id, ROUND(CAST(score_n AS DOUBLE) / 1e9, 4) AS bm25,
+SELECT doc_id,
+       floor(CAST(score_n AS DOUBLE) / 1e9 * 10000.0 + 0.5) / 10000.0 AS bm25,
        CAST(n_terms AS INT) AS n_terms
 FROM scored
 """
@@ -4557,6 +4559,10 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-term contributions are quantized to integer nano-units and
     summed as BIGINT on BOTH engines — no double fold anywhere, so
     engine/partition summation order cannot move the 4dp output.
+    Both quantizations use the repo-standard floor form
+    (floor(x·scale + 0.5); contribs and scores are strictly positive,
+    so it is sign-safe) rather than ROUND, which diverges across
+    engines on half-way-boundary doubles (ADVICE r7).
     """
     from vectorsearchutil_spark.functions.text import tokens as _tokens
 
@@ -4593,11 +4599,14 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .withColumn(
-            "contrib_n", F.round(F.col("contrib") * 1e9).cast("bigint")
+            "contrib_n",
+            F.floor(F.col("contrib") * 1e9 + F.lit(0.5)).cast("bigint"),
         )
         .groupBy("doc_id")
         .agg(
-            F.round(F.sum("contrib_n").cast("double") / 1e9, 4).alias("bm25"),
+            round_half_up(
+                F.sum("contrib_n").cast("double") / 1e9, 4
+            ).alias("bm25"),
             F.count(F.lit(1)).cast("int").alias("n_terms"),
         )
     )
