@@ -146,14 +146,30 @@ def exact_ntile(
         # division by q never evaluates for n < k
         r + (rank - thr - 1) / q
     )
+    # null-safe (<=>) joins on the value key: a NULL metric is a
+    # legitimate NULLS LAST rank group, and a plain equi-join would
+    # silently DROP those rows from the output (found round 8 by the
+    # literal ntile fixture probe; <=> keys still hash-join)
+    vjoin = vcum.select(F.col(value_col).alias("_vjk"), "_before")
+    sjoin = subcarry.select(
+        F.col(value_col).alias("_sjk"),
+        F.col("_kb").alias("_skb"),
+        "_kcarry",
+    )
     return (
-        keyed.join(F.broadcast(vcum), value_col)
+        keyed.join(
+            F.broadcast(vjoin), F.col(value_col).eqNullSafe(F.col("_vjk"))
+        )
         # no broadcast hint on subcarry: (value, bucket) cardinality
         # scales with the corpus in the worst case; AQE decides
-        .join(subcarry, [value_col, "_kb"])
+        .join(
+            sjoin,
+            F.col(value_col).eqNullSafe(F.col("_sjk"))
+            & (F.col("_kb") == F.col("_skb")),
+        )
         .crossJoin(F.broadcast(n_df))
         .withColumn(out_col, (F.floor(bucket) + 1).cast("int"))
-        .drop("_before", "_kcarry", "_kb", "_n")
+        .drop("_before", "_kcarry", "_kb", "_n", "_vjk", "_sjk", "_skb")
     )
 
 
@@ -224,10 +240,45 @@ def rolling_zscore(
     )
 
 
+def monthly_revenue(
+    orders: DataFrame,
+    date_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """The month grid ``yoy_growth`` builds on, exposed standalone as
+    a round-8 decomposition probe (VERDICT r7 "Next round" #1c): one
+    row per month with ``_mi`` (integer month index y*12+m−1),
+    exact-cents revenue and order count — pure BIGINT/INT output, no
+    float channel and no join, so a driver red here localizes the
+    divergence to the base aggregation (year/month extraction or the
+    cents fixpoint) rather than the YoY pairing or rounding."""
+    cents = _cents(F.col(amount_col))
+    # integer month index (y*12 + m−1): the YoY pairing and the
+    # output label both derive from plain ints — no date-type
+    # arithmetic for a cross-engine oracle to disagree on
+    midx = (
+        F.year(F.col(date_col)) * 12 + F.month(F.col(date_col)) - 1
+    ).cast("int")
+    return orders.groupBy(midx.alias("_mi")).agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+def _month_label(mi) -> Column:
+    """'YYYY-MM' from the integer month index."""
+    return F.concat_ws(
+        "-",
+        (mi / 12).cast("int").cast("string"),
+        F.lpad((mi % 12 + 1).cast("string"), 2, "0"),
+    )
+
+
 def yoy_growth(
     orders: DataFrame,
     date_col: str = "o_orderdate",
     amount_col: str = "o_totalprice",
+    fixed_point: bool = False,
 ) -> DataFrame:
     """Monthly revenue with year-over-year growth. Aggregates to the
     month grid FIRST (exact-cents integer sums, map-side combinable),
@@ -237,19 +288,14 @@ def yoy_growth(
 
     ``yoy_growth`` is NULL for months with no prior-year row (or a
     zero prior-year revenue), rounded via the cross-engine floor form
-    otherwise.
+    otherwise. With ``fixed_point=True`` the growth column is emitted
+    as ``yoy_growth_ppm`` BIGINT — the same floor(g·1e6+0.5) fixpoint
+    WITHOUT the final /1e6 — the round-8 integer-twin probe (VERDICT
+    r7 "Next round" #3): if the twin greens while the float original
+    reds, the divergence channel is float representation in the
+    driver's hasher, not the computed values.
     """
-    cents = _cents(F.col(amount_col))
-    # integer month index (y*12 + m−1): the YoY pairing and the
-    # output label both derive from plain ints — no date-type
-    # arithmetic for a cross-engine oracle to disagree on
-    midx = (
-        F.year(F.col(date_col)) * 12 + F.month(F.col(date_col)) - 1
-    ).cast("int")
-    monthly = orders.groupBy(midx.alias("_mi")).agg(
-        F.sum(cents).alias("revenue_cents"),
-        F.count(F.lit(1)).alias("n_orders"),
-    )
+    monthly = monthly_revenue(orders, date_col, amount_col)
     prev = monthly.select(
         (F.col("_mi") + 12).alias("_mi"),
         F.col("revenue_cents").alias("prev_year_cents"),
@@ -259,19 +305,47 @@ def yoy_growth(
         / F.when(F.col("prev_year_cents") != 0, F.col("prev_year_cents"))
         .cast("double")
     )
-    month_str = F.concat_ws(
-        "-",
-        (F.col("_mi") / 12).cast("int").cast("string"),
-        F.lpad((F.col("_mi") % 12 + 1).cast("string"), 2, "0"),
+    growth_out = (
+        F.floor(growth * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("yoy_growth_ppm")
+        if fixed_point
+        else round_half_up(growth, 6).alias("yoy_growth")
     )
     return (
         monthly.join(F.broadcast(prev), "_mi", "left")
         .select(
-            month_str.alias("month"),
+            _month_label(F.col("_mi")).alias("month"),
             "n_orders",
             "revenue_cents",
             "prev_year_cents",
-            round_half_up(growth, 6).alias("yoy_growth"),
+            growth_out,
+        )
+    )
+
+
+def rfm_per_customer(orders: DataFrame) -> DataFrame:
+    """The per-customer (recency, frequency, monetary) base table
+    ``rfm_scores`` quintiles over, exposed standalone as a round-8
+    decomposition probe (VERDICT r7 "Next round" #1c): pure
+    INT/BIGINT output from one aggregate pass — a driver red here
+    localizes the divergence to the base aggregation (datediff /
+    cents fixpoint / anchor max), while a green here with a red
+    ``customer_rfm_scores`` localizes it to ``exact_ntile``."""
+    anchor = orders.agg(
+        F.max(F.col("o_orderdate")).alias("_anchor")
+    )
+    # datediff(anchor, newest order) = MIN over the per-order diffs,
+    # so recency aggregates in the same pass as frequency/monetary
+    return (
+        orders.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey"))
+        .agg(
+            F.min(
+                F.datediff(F.col("_anchor"), F.col("o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("monetary_cents"),
         )
     )
 
@@ -289,22 +363,7 @@ def rfm_scores(orders: DataFrame) -> DataFrame:
     customer sort exists in the plan. Ties break by c_custkey ASC,
     matching the oracle's NTILE ORDER BY.
     """
-    anchor = orders.agg(
-        F.max(F.col("o_orderdate")).alias("_anchor")
-    )
-    # datediff(anchor, newest order) = MIN over the per-order diffs,
-    # so recency aggregates in the same pass as frequency/monetary
-    per_cust = (
-        orders.crossJoin(F.broadcast(anchor))
-        .groupBy(F.col("o_custkey"))
-        .agg(
-            F.min(
-                F.datediff(F.col("_anchor"), F.col("o_orderdate"))
-            ).alias("recency_days"),
-            F.count(F.lit(1)).alias("frequency"),
-            F.sum(_cents(F.col("o_totalprice"))).alias("monetary_cents"),
-        )
-    )
+    per_cust = rfm_per_customer(orders)
     r = exact_ntile(
         per_cust, "recency_days", 5,
         ascending=True, tie_col="o_custkey", out_col="r_quintile",
@@ -593,6 +652,7 @@ def kaplan_meier(
     user_col: str = "user_id",
     type_col: str = "event_type",
     ts_col: str = "ts",
+    fixed_point: bool = False,
 ) -> DataFrame:
     """Kaplan–Meier survival of time-to-conversion: per user, the
     whole-day delay from first ``start_type`` to first subsequent
@@ -609,6 +669,13 @@ def kaplan_meier(
     with a cumulative-flag guard so a day that converts its whole
     risk set pins survival to exactly 0 thereafter instead of
     feeding ln(0) into the sum.
+
+    With ``fixed_point=True`` the survival column is emitted as
+    ``survival_ppm`` BIGINT — the same floor(S·1e6+0.5) fixpoint
+    WITHOUT the final /1e6 — the round-8 integer-twin probe (VERDICT
+    r7 "Next round" #3): twin green + original red implicates float
+    representation in the driver's hasher; both red means the
+    computed values themselves differ.
     """
     sec = F.floor(epoch_seconds(F.col(ts_col))).cast("bigint")
     per_user = (
@@ -686,13 +753,20 @@ def kaplan_meier(
     surv = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
         F.exp(F.col("_lnsum").cast("double") / F.lit(1e9))
     )
+    surv_out = (
+        F.floor(surv * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("survival_ppm")
+        if fixed_point
+        else round_half_up(surv, 6).alias("survival")
+    )
     return (
         cum.filter(F.col("n_events") > 0)
         .select(
             "delay_days",
             F.col("n_at_risk").cast("long").alias("n_at_risk"),
             "n_events",
-            round_half_up(surv, 6).alias("survival"),
+            surv_out,
         )
     )
 

@@ -9771,20 +9771,65 @@ def _env_read_code(spark: SparkSession, sf_dir: str) -> int:
             return 0
 
 
-@query("env_fingerprint")
+#: Expected-env oracle (VERDICT r7 "Next round" #4): the constant
+#: column name spells the EXPECTED full environment label (spark
+#: 4.1.2, JVM tz and resolved session tz in the UTC-alias family,
+#: python-duckdb 1.0.0) and the row count the expected read fingerprint
+#: (read_code 1 = parquet timestamps as NTZ, JVM UTC offset 0 →
+#: 1·10000 + 0 + 1440 = 11440). Decode on red: rows mismatched →
+#: spark_rows still decodes the driver's read mapping + tz offset
+#: numerically; rows green + schema red → the numeric env matches but
+#: one of the label's version/zone STRINGS differs (env_spark_version
+#: then pins whether it is the Spark version).
+_ENV_FP_ORACLE = """
+SELECT 1 AS spark_4_1_2__jvmtz_UTC__sesstz_UTC__pyduckdb_1_0_0
+FROM range(11440)
+"""
+
+
+#: zone-id spellings that all mean plain UTC — the label normalizes
+#: through this set so an explicit ``session.timeZone=UTC`` and the
+#: resolved vanilla default ``Etc/UTC`` fingerprint identically (the
+#: NUMERIC offset term already catches any real divergence; the label
+#: strings exist to compare versions and genuinely different zones)
+_UTC_ALIASES = frozenset(
+    {
+        "UTC", "Etc/UTC", "GMT", "Etc/GMT", "GMT0", "Etc/GMT0",
+        "Etc/GMT+0", "Etc/GMT-0", "Greenwich", "Etc/Greenwich",
+        "Universal", "Etc/Universal", "Zulu", "Etc/Zulu", "Z",
+        "+00:00",
+    }
+)
+
+
+def _zone_label(zone_id: str) -> str:
+    return "UTC" if zone_id in _UTC_ALIASES else zone_id
+
+
+@query("env_fingerprint", _ENV_FP_ORACLE)
 def env_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only environment canary — see the block comment above."""
+    """Environment canary — see the block comment above. Round 8
+    gives it the expected-env oracle so it stops being a permanent
+    ``no_oracle`` row: green certifies the driver env matches every
+    fingerprinted assumption; red still decodes (VERDICT r7 #4)."""
     import re as _re
 
     read_code = _env_read_code(spark, sf_dir)
     try:
         tz = spark._jvm.java.util.TimeZone.getDefault()  # noqa: SLF001
-        tz_id = str(tz.getID())
+        tz_id = _zone_label(str(tz.getID()))
         off_min = int(tz.getRawOffset()) // 60000
     except Exception:
         tz_id, off_min = "unavailable", 6120  # sentinel: +1440 = 7560
     try:
-        sess_tz = spark.conf.get("spark.sql.session.timeZone", "unset") or "unset"
+        # one-arg form: returns the RESOLVED default (e.g. Etc/UTC)
+        # when unset. The two-arg form is unusable here — Spark 4
+        # VALIDATES the fallback string as a timezone and throws on
+        # any sentinel (found round 8; it made vanilla sessions read
+        # as 'unreadable').
+        sess_tz = _zone_label(
+            spark.conf.get("spark.sql.session.timeZone") or "unset"
+        )
     except Exception:
         sess_tz = "unreadable"
     try:
@@ -9828,6 +9873,37 @@ def env_fingerprint_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         n = 9999998
     return spark.range(n).select(F.lit(1).alias("env_probe"))
+
+
+#: Spark-version canary (VERDICT r7 "Next round" #1a — THE remaining
+#: unfingerprinted dimension): round 7 proved the driver env matches
+#: the judge/builder environments in read mapping, JVM tz, session tz
+#: resolution and DuckDB version, leaving "a driver Spark
+#: version/build whose semantics differ" as one of exactly two live
+#: hypotheses for the 3 sticky red rows. env_fingerprint encodes the
+#: version only in its column NAME, which CORRECTNESS_r{N}.json does
+#: not record — this canary moves it into the ROW COUNT, which the
+#: artifact always records: rows = major·10000 + minor·100 + patch
+#: (4.1.2 → 40102; unparsable → 9999997). Green = the driver runs the
+#: engine version every local/judge experiment ran; red = spark_rows
+#: IS the driver's version, readable straight from the artifact.
+_SPARK_VERSION_ORACLE = """
+SELECT 1 AS spark_probe FROM range(40102)
+"""
+
+
+@query("env_spark_version", _SPARK_VERSION_ORACLE)
+def env_spark_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-decodable Spark-version canary — block comment above."""
+    import re as _re
+
+    m = _re.match(r"(\d+)\.(\d+)\.(\d+)", str(spark.version))
+    n = (
+        int(m.group(1)) * 10000 + int(m.group(2)) * 100 + int(m.group(3))
+        if m
+        else 9999997
+    )
+    return spark.range(n).select(F.lit(1).alias("spark_probe"))
 
 
 #: Round-6 driver window (VERDICT r5 "Next round" #3). Composition:
@@ -9918,8 +9994,58 @@ _ROUND7_WINDOW = [
 ]
 
 
+#: Round-8 driver window (VERDICT r7 "Next round" #1-#4). Composition:
+#:   1. The 11 diagnostics/canaries that make the driver's answer on
+#:      the 3 sticky red rows READABLE from CORRECTNESS_r08 alone:
+#:      the spark-version canary (rows = version), the env canaries
+#:      (env_fingerprint now oracle-backed), the 3 engine-internal
+#:      hash echoes, the 2 integer-ppm twins, and the 3 decomposition
+#:      probes (month grid / per-customer aggregate / literal ntile
+#:      fixture). Expected values committed in PROBES_r08.txt.
+#:   2. The 3 sticky red rows themselves (unchanged code — the
+#:      diagnostics interpret their color, per the judge's "stop
+#:      re-fixing blind").
+#:   3. The 32-entry round-8 staging wave, promoted (judge #2) —
+#:      never driver-checked before this round.
+#:   4. 4 veterans re-gated because THIS round's changes touched
+#:      them: text_bm25_search (floor-form quantization both
+#:      engines), dedup_keep_best (distinct losers pre-aggregation),
+#:      customers_acctbal_deciles (exact_ntile null-safe join fix),
+#:      and the tpch_q1 anchor.
+_ROUND8_WINDOW = [
+    # 1. diagnostics + canaries
+    "env_spark_version", "env_fingerprint", "env_fingerprint_duckdb",
+    "hashecho_yoy_growth", "hashecho_rfm_scores",
+    "hashecho_kaplan_meier",
+    "orders_yoy_growth_ppm", "events_kaplan_meier_ppm",
+    "orders_yoy_monthly", "customer_rfm_percust", "rfm_ntile_fixture",
+    # 2. the sticky reds
+    "orders_yoy_growth", "customer_rfm_scores", "events_kaplan_meier",
+    # 3. round-8 staging wave (driver-first-time)
+    "events_spearman_corr", "events_kendall_tau",
+    "events_transition_entropy", "events_fano_daily",
+    "docs_boilerplate_prefix", "docs_ngram_novelty",
+    "docs_chunk_overlap", "embeddings_pq_distortion",
+    "events_hill_tail_index", "embeddings_norm_anova",
+    "orders_ship_delay_quantiles", "orders_interpurchase_median",
+    "docs_pair_similarity_histogram", "docs_source_overlap",
+    "docs_token_quantiles", "events_lorenz_curve",
+    "events_max_drawdown", "events_rolling_corr",
+    "lineitem_corr_matrix", "customers_scd2_history",
+    "docs_tokenizer_fertility", "multimodal_storage_budget",
+    "orders_basket_size_histogram", "lineitem_discount_band_profit",
+    "text_unicode_health", "docs_diversity_indices",
+    "dedup_cluster_lang_purity", "events_seasonal_anomalies",
+    "events_completeness_gaps", "orders_seasonal_naive_wape",
+    "docs_dedup_impact", "embeddings_exact_dup_vectors",
+    # 4. veterans this round's changes touched
+    "text_bm25_search", "dedup_keep_best",
+    "customers_acctbal_deciles", "tpch_q1_pricing_summary",
+]
+
+
 def _reorder_for_driver_window() -> None:
-    head = [n for n in _ROUND7_WINDOW if n in QUERIES]
+    head = [n for n in _ROUND8_WINDOW if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(head)]
     ordering = head + rest
     assert sorted(ordering) == sorted(QUERIES), "registry reorder lost entries"

@@ -5338,6 +5338,349 @@ def embeddings_mutual_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ==========================================================================
+# ROUND-8 DIAGNOSTICS (VERDICT r7 "Next round" #1/#3): instruments for
+# the 3 sticky driver-red rows (orders_yoy_growth, customer_rfm_scores,
+# events_kaplan_meier — green in every builder/judge re-run since round
+# 6, red in the driver's artifact both rounds, with every fingerprinted
+# environment dimension now proven identical). Two live hypotheses
+# remain: (H1) the driver's Spark computes different VALUES in some
+# function these plans share, (H2) the driver's hasher/canonicalizer
+# treats these outputs' shape specially. These entries make the
+# driver's answer READABLE from CORRECTNESS_r08 alone:
+#
+#   * hashecho_* — each engine digests ITS OWN computed output of the
+#     exact shipped query (deterministic canonical form: fixed column
+#     order, 'N' for NULL, floats as floor(x·1e6+0.5) integers, rows
+#     byte-sorted, md5) and emits 1000 + first-16-bits-of-digest ROWS.
+#     The artifact's spark_rows/oracle_rows then read as: both equal
+#     the committed expected value (PROBES_r08.txt) while the original
+#     row stays red => both driver engines compute OUR values => H2
+#     (the comparator). spark_rows differs => H1, and WHICH query's
+#     echo moved says where. oracle_rows differs => the driver's
+#     DuckDB diverges (excluded by the version canary, but recorded).
+#   * *_ppm integer twins — the two float-bearing reds re-emitted with
+#     the final /1e6 dropped (BIGINT fixpoint). Twin green + original
+#     red => the channel is float repr in the driver's hasher; both
+#     red => values differ (H1).
+#   * decomposition probes — customer_rfm_scores (pure-integer output
+#     = the sharpest signal) split into its two halves: the per-
+#     customer aggregate (no ntile) and exact_ntile over a LITERAL
+#     fixture (no parquet, no aggregation). Whichever half reds
+#     localizes the divergent subexpression; both green + rfm red
+#     points at the recombining joins or H2. orders_yoy_monthly does
+#     the same for the YoY pair (month grid without the self-join /
+#     growth division).
+# ==========================================================================
+
+
+def _hashecho_df(
+    spark: SparkSession, df: DataFrame, float_cols: tuple = ()
+) -> DataFrame:
+    """Digest ``df`` (computed by THIS Spark) into a row count.
+
+    Canonical form shared with :func:`_echo_oracle`: cells in
+    ``df.columns`` order, NULL → 'N', columns named in ``float_cols``
+    → ``floor(x·1e6 + 0.5)`` rendered as a plain integer, everything
+    else ``str()``; cells joined with ',', rows byte-sorted and
+    joined with '|'; md5; rows = 1000 + int(hex[:4], 16) — bounded at
+    66,535 constant rows, so the collect the driver performs stays
+    trivial. The inner collect is the POINT here: the digest must be
+    of the values the HOST engine computed, not of a plan."""
+    import hashlib
+    import math
+
+    cols = df.columns
+    out = []
+    for r in df.collect():
+        cells = []
+        for c in cols:
+            v = r[c]
+            if v is None:
+                cells.append("N")
+            elif c in float_cols:
+                cells.append(str(int(math.floor(v * 1e6 + 0.5))))
+            else:
+                cells.append(str(v))
+        out.append(",".join(cells))
+    payload = "|".join(sorted(out))
+    n = 1000 + int(hashlib.md5(payload.encode("utf-8")).hexdigest()[:4], 16)
+    return spark.range(n).select(F.lit(1).alias("hash_probe"))
+
+
+def _echo_oracle(base_sql: str, cols: tuple) -> str:
+    """DuckDB twin of :func:`_hashecho_df` over ``base_sql``'s output:
+    same cell rendering ('f' columns through the identical floor
+    fixpoint), same ',' / byte-ordered '|' assembly, same md5 → rows
+    mapping. ASCII-only outputs make Python ``sorted`` and DuckDB's
+    binary-collation ORDER BY agree."""
+    cells = []
+    for name, kind in cols:
+        if kind == "f":
+            v = (
+                f"CAST(CAST(floor({name} * 1000000.0 + 0.5) AS BIGINT)"
+                " AS VARCHAR)"
+            )
+        else:
+            v = f"CAST({name} AS VARCHAR)"
+        cells.append(f"COALESCE({v}, 'N')")
+    rowstr = " || ',' || ".join(cells)
+    return f"""
+WITH base AS ({base_sql}),
+canon AS (SELECT {rowstr} AS rowstr FROM base),
+d AS (SELECT md5(COALESCE(string_agg(rowstr, '|' ORDER BY rowstr), '')) AS h
+      FROM canon)
+SELECT 1 AS hash_probe
+FROM range(66536) r, d
+WHERE r.range < 1000 + ('0x' || substr(d.h, 1, 4))::BIGINT
+"""
+
+
+@pending_query(
+    "hashecho_yoy_growth",
+    _echo_oracle(
+        _YOY_ORACLE,
+        (
+            ("month", "s"), ("n_orders", "s"), ("revenue_cents", "s"),
+            ("prev_year_cents", "s"), ("yoy_growth", "f"),
+        ),
+    ),
+)
+def hashecho_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-internal digest of orders_yoy_growth — section header
+    above; expected row count committed in PROBES_r08.txt."""
+    from vectorsearchutil_spark.operators.analytics import yoy_growth
+
+    return _hashecho_df(
+        spark,
+        yoy_growth(load_table(spark, sf_dir, "orders")),
+        float_cols=("yoy_growth",),
+    )
+
+
+@pending_query(
+    "hashecho_rfm_scores",
+    _echo_oracle(
+        _RFM_ORACLE,
+        (
+            ("o_custkey", "s"), ("recency_days", "s"), ("frequency", "s"),
+            ("monetary_cents", "s"), ("r_quintile", "s"),
+            ("f_quintile", "s"), ("m_quintile", "s"), ("rfm_segment", "s"),
+        ),
+    ),
+)
+def hashecho_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-internal digest of customer_rfm_scores — section header
+    above; expected row count committed in PROBES_r08.txt."""
+    from vectorsearchutil_spark.operators.analytics import rfm_scores
+
+    return _hashecho_df(
+        spark, rfm_scores(load_table(spark, sf_dir, "orders"))
+    )
+
+
+@pending_query(
+    "hashecho_kaplan_meier",
+    _echo_oracle(
+        _KM_ORACLE,
+        (
+            ("delay_days", "s"), ("n_at_risk", "s"),
+            ("n_events", "s"), ("survival", "f"),
+        ),
+    ),
+)
+def hashecho_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-internal digest of events_kaplan_meier — section header
+    above; expected row count committed in PROBES_r08.txt."""
+    from vectorsearchutil_spark.operators.analytics import kaplan_meier
+
+    return _hashecho_df(
+        spark,
+        kaplan_meier(load_table(spark, sf_dir, "events")),
+        float_cols=("survival",),
+    )
+
+
+_YOY_PPM_ORACLE = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(a.mi // 12 AS VARCHAR) || '-'
+         || lpad(CAST(a.mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+       a.n_orders, a.revenue_cents,
+       b.revenue_cents AS prev_year_cents,
+       CAST(floor(CAST(a.revenue_cents - b.revenue_cents AS DOUBLE)
+                  / CAST(CASE WHEN b.revenue_cents != 0
+                              THEN b.revenue_cents END AS DOUBLE)
+                  * 1000000.0 + 0.5) AS BIGINT) AS yoy_growth_ppm
+FROM m a LEFT JOIN m b ON a.mi = b.mi + 12
+"""
+
+
+@pending_query("orders_yoy_growth_ppm", _YOY_PPM_ORACLE)
+def orders_yoy_growth_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer twin of orders_yoy_growth (section header above): the
+    identical plan with the growth column's final /1e6 dropped —
+    ``yoy_growth_ppm`` BIGINT, zero float cells in the output."""
+    from vectorsearchutil_spark.operators.analytics import yoy_growth
+
+    o = load_table(spark, sf_dir, "orders")
+    return yoy_growth(o, fixed_point=True)
+
+
+_KM_PPM_ORACLE = _KM_ORACLE.replace(
+    """SELECT delay_days, n_at_risk, n_events,
+  floor(CASE WHEN dead = 1 THEN 0.0
+             ELSE exp(CAST(lnsum AS DOUBLE) / 1000000000.0) END
+        * 1000000.0 + 0.5) / 1000000.0 AS survival
+FROM cum WHERE n_events > 0""",
+    """SELECT delay_days, n_at_risk, n_events,
+  CAST(floor(CASE WHEN dead = 1 THEN 0.0
+                  ELSE exp(CAST(lnsum AS DOUBLE) / 1000000000.0) END
+             * 1000000.0 + 0.5) AS BIGINT) AS survival_ppm
+FROM cum WHERE n_events > 0""",
+)
+assert "survival_ppm" in _KM_PPM_ORACLE, "KM ppm oracle rewrite missed"
+
+
+@pending_query("events_kaplan_meier_ppm", _KM_PPM_ORACLE)
+def events_kaplan_meier_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer twin of events_kaplan_meier (section header above):
+    the identical plan with the survival column's final /1e6 dropped
+    — ``survival_ppm`` BIGINT, zero float cells in the output."""
+    from vectorsearchutil_spark.operators.analytics import kaplan_meier
+
+    e = load_table(spark, sf_dir, "events")
+    return kaplan_meier(e, fixed_point=True)
+
+
+_YOY_MONTHLY_ORACLE = """
+WITH m AS (
+  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS revenue_cents,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY 1
+)
+SELECT CAST(mi // 12 AS VARCHAR) || '-'
+         || lpad(CAST(mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+       n_orders, revenue_cents
+FROM m
+"""
+
+
+@pending_query("orders_yoy_monthly", _YOY_MONTHLY_ORACLE)
+def orders_yoy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition probe (section header above): orders_yoy_growth's
+    month grid WITHOUT the self-join and growth division — pure
+    VARCHAR/BIGINT output exercising exactly the year/month
+    extraction, cents fixpoint, and month-label string machinery."""
+    from vectorsearchutil_spark.operators.analytics import (
+        _month_label,
+        monthly_revenue,
+    )
+
+    m = monthly_revenue(load_table(spark, sf_dir, "orders"))
+    return m.select(
+        _month_label(F.col("_mi")).alias("month"),
+        "n_orders",
+        "revenue_cents",
+    )
+
+
+_RFM_PERCUST_ORACLE = """
+WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+pc AS (
+  SELECT o_custkey,
+         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
+                            CAST(a AS DATE))) AS INT) AS recency_days,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         SUM(CASE WHEN o_totalprice IS NOT NULL
+                       AND isfinite(o_totalprice)
+                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+             END) AS monetary_cents
+  FROM orders, anchor GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents FROM pc
+"""
+
+
+@pending_query("customer_rfm_percust", _RFM_PERCUST_ORACLE)
+def customer_rfm_percust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition probe (section header above): customer_rfm_scores'
+    per-customer (recency, frequency, monetary) base aggregate
+    WITHOUT any quintile — one groupBy pass, pure INT/BIGINT output
+    (operators/analytics.py:rfm_per_customer)."""
+    from vectorsearchutil_spark.operators.analytics import rfm_per_customer
+
+    return rfm_per_customer(load_table(spark, sf_dir, "orders"))
+
+
+#: literal exact_ntile fixture: heavy value ties (5 distinct values
+#: over 42 rows), tie keys crossing power-of-2 octave boundaries of
+#: the order-preserving bucket math (511/512/513, 1023/1024/1025,
+#: 65535/65536, 2^20, 2^31, ~2^40, ~2^50 — the log2/pow path), and a
+#: NULLS LAST pair — parquet-free, aggregation-free, so a driver red
+#: here indicts exact_ntile's window/bucket arithmetic itself.
+_NTILE_FIXTURE_ROWS: tuple = tuple(
+    [(i, (i * 7) % 5) for i in range(1, 29)]
+    + [
+        (511, 2), (512, 2), (513, 2),
+        (1023, 0), (1024, 0), (1025, 0),
+        (65535, 3), (65536, 3),
+        (1048576, 1), (2147483648, 1),
+        (1099511627783, 4), (1125899906842747, 4),
+    ]
+    + [(39, None), (40, None)]
+)
+
+_NTILE_FIXTURE_ORACLE = (
+    """
+SELECT id, value,
+       CAST(NTILE(5) OVER (
+         ORDER BY value ASC NULLS LAST, id ASC) AS INT) AS bucket_asc,
+       CAST(NTILE(5) OVER (
+         ORDER BY value DESC NULLS LAST, id ASC) AS INT) AS bucket_desc
+FROM (VALUES """
+    + ", ".join(
+        f"({i}, {'NULL' if v is None else v})"
+        for i, v in _NTILE_FIXTURE_ROWS
+    )
+    + ") AS f(id, value)"
+)
+
+
+@pending_query("rfm_ntile_fixture", _NTILE_FIXTURE_ORACLE)
+def rfm_ntile_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decomposition probe (section header above): ``exact_ntile`` —
+    the half of customer_rfm_scores the per-customer probe does NOT
+    cover — run in both directions over a 42-row LITERAL fixture
+    (``sf_dir`` unused by design: no parquet read, no aggregation, no
+    load_table, so the result depends on nothing but the window /
+    bucket arithmetic the driver's Spark executes)."""
+    from vectorsearchutil_spark.operators.analytics import exact_ntile
+
+    rows = [(int(i), v) for i, v in _NTILE_FIXTURE_ROWS]
+    df = spark.createDataFrame(rows, "id long, value int")
+    asc = exact_ntile(
+        df, "value", 5, ascending=True, tie_col="id", out_col="bucket_asc"
+    ).select("id", "value", "bucket_asc")
+    desc = exact_ntile(
+        df, "value", 5, ascending=False, tie_col="id", out_col="bucket_desc"
+    ).select("id", "bucket_desc")
+    return asc.join(desc, "id").select(
+        "id", "value", "bucket_asc", "bucket_desc"
+    )
+
+
 #: (round-7+ staging waves) stay PENDING — validated by the
 #: CHECK_ORACLES_PENDING / PLAN_LINT_PENDING / degenerate-sweep lanes
 #: but NOT served to the driver until their own promotion round, per
@@ -5368,6 +5711,34 @@ ROUND6_PROMOTED = (
     "docs_curriculum_sharded", "events_retention_triangle",
     "dedup_cluster_profile", "docs_readability",
     "events_seasonal_decompose", "embeddings_silhouette",
+    # round-8 promotion (VERDICT r7 "Next round" #2): the 32-entry
+    # round-8 staging wave — every entry oracle-green at 3 scales +
+    # unicode fixture + vanilla session + degenerate sweeps across
+    # rounds 7a-7c (CORRECTNESS_SELF_r07.json) — plus the 8 round-8
+    # diagnostics (hash echoes / integer twins / decomposition
+    # probes, VERDICT r7 #1/#3). The 8 round-9 wave entries (wave 7 +
+    # addenda) stay staged for the round-9 window per the two-window
+    # ROADMAP plan.
+    "events_spearman_corr", "events_kendall_tau",
+    "events_transition_entropy", "events_fano_daily",
+    "docs_boilerplate_prefix", "docs_ngram_novelty",
+    "docs_chunk_overlap", "embeddings_pq_distortion",
+    "events_hill_tail_index", "embeddings_norm_anova",
+    "orders_ship_delay_quantiles", "orders_interpurchase_median",
+    "docs_pair_similarity_histogram", "docs_source_overlap",
+    "docs_token_quantiles", "events_lorenz_curve",
+    "events_max_drawdown", "events_rolling_corr",
+    "lineitem_corr_matrix", "customers_scd2_history",
+    "docs_tokenizer_fertility", "multimodal_storage_budget",
+    "orders_basket_size_histogram", "lineitem_discount_band_profit",
+    "text_unicode_health", "docs_diversity_indices",
+    "dedup_cluster_lang_purity", "events_seasonal_anomalies",
+    "events_completeness_gaps", "orders_seasonal_naive_wape",
+    "docs_dedup_impact", "embeddings_exact_dup_vectors",
+    "hashecho_yoy_growth", "hashecho_rfm_scores",
+    "hashecho_kaplan_meier", "orders_yoy_growth_ppm",
+    "events_kaplan_meier_ppm", "orders_yoy_monthly",
+    "customer_rfm_percust", "rfm_ntile_fixture",
 )
 
 # Complete the round-6 promotion when THIS module is the last of the
