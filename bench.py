@@ -172,6 +172,42 @@ HEADLINE = [
     "docs_readability",
     "events_seasonal_decompose",
     "embeddings_silhouette",
+    # round-8 promoted lane (the 32-entry wave; the round-8
+    # DIAGNOSTICS — canaries, hash echoes, literal fixture — are
+    # deliberately NOT timed: they are constant-size probes whose
+    # cost is an inner collect, not a plan worth benchmarking)
+    "events_spearman_corr",
+    "events_kendall_tau",
+    "events_transition_entropy",
+    "events_fano_daily",
+    "docs_boilerplate_prefix",
+    "docs_ngram_novelty",
+    "docs_chunk_overlap",
+    "embeddings_pq_distortion",
+    "events_hill_tail_index",
+    "embeddings_norm_anova",
+    "orders_ship_delay_quantiles",
+    "orders_interpurchase_median",
+    "docs_pair_similarity_histogram",
+    "docs_source_overlap",
+    "docs_token_quantiles",
+    "events_lorenz_curve",
+    "events_max_drawdown",
+    "events_rolling_corr",
+    "lineitem_corr_matrix",
+    "customers_scd2_history",
+    "docs_tokenizer_fertility",
+    "multimodal_storage_budget",
+    "orders_basket_size_histogram",
+    "lineitem_discount_band_profit",
+    "text_unicode_health",
+    "docs_diversity_indices",
+    "dedup_cluster_lang_purity",
+    "events_seasonal_anomalies",
+    "events_completeness_gaps",
+    "orders_seasonal_naive_wape",
+    "docs_dedup_impact",
+    "embeddings_exact_dup_vectors",
 ]
 
 

@@ -5386,7 +5386,14 @@ def _hashecho_df(
     joined with '|'; md5; rows = 1000 + int(hex[:4], 16) — bounded at
     66,535 constant rows, so the collect the driver performs stays
     trivial. The inner collect is the POINT here: the digest must be
-    of the values the HOST engine computed, not of a plan."""
+    of the values the HOST engine computed, not of a plan.
+
+    Scale contract: this is a DIAGNOSTIC for the sf0.01 correctness
+    window, not a production operator — the inner collect is bounded
+    by the wrapped query's output cardinality (80 months / 15k
+    customers / 9 delay-days at sf0.1), which is fine for the probe's
+    purpose and would NOT be acceptable for an unbounded corpus-sized
+    result."""
     import hashlib
     import math
 
