@@ -69,6 +69,17 @@ DEFAULT_SLICE = [
     # round-9 staged calendar consumer (to_date + date_add day grid,
     # the same mechanism class as the wape entry above it)
     "orders_conformal_coverage",
+    # round-8 diagnostics that consume calendar functions (the
+    # COVERAGE.md window-composition rule): the integer twins and
+    # decomposition probes of the yoy/rfm/km family, plus the
+    # KM hash echo — the last also proves the engine-internal digest
+    # itself is zone-invariant (both engines' digests recompute under
+    # each hostile config and must still agree).
+    "orders_yoy_growth_ppm",
+    "events_kaplan_meier_ppm",
+    "orders_yoy_monthly",
+    "customer_rfm_percust",
+    "hashecho_kaplan_meier",
 ]
 
 
