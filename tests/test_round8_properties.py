@@ -1,0 +1,305 @@
+"""Hypothesis properties pinning the round-8 wave statistics to their
+naive definitions on arbitrary generated data — the same program that
+covers ntile/lorenz/theilsen/funnel/triangle (tests/test_properties.py),
+extended to the newly promoted stats (spearman, kendall tau-b,
+transition entropy, max drawdown, Hill estimator).
+
+Replication discipline: integer/cents fixpoints are reproduced
+EXACTLY (the operators' moment sums are exact integers, so equality
+is bitwise); the two places a genuine double FOLD or libm call sits
+inside the operator (entropy term sum; hill's ln) compare within one
+quantization step instead.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+from datetime import datetime, timedelta
+
+from hypothesis import given, settings, strategies as st
+
+BASE = datetime(2024, 1, 1)
+
+
+def _day_ts(d: int, i: int = 0) -> datetime:
+    # distinct intra-day second per row keeps (ts, id) orders stable
+    return BASE + timedelta(days=d, seconds=i % 86_400)
+
+
+def _cents(v: float) -> int:
+    return int(math.floor(v * 100.0 + 0.5))
+
+
+def _q6(x: float) -> float:
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _dbl_midranks(vals):
+    """2*midrank per element = 2*rank_min + ties − 1, exact ints."""
+    out = []
+    for v in vals:
+        rank_min = 1 + sum(1 for o in vals if o < v)
+        ties = sum(1 for o in vals if o == v)
+        out.append(2 * rank_min + ties - 1)
+    return out
+
+
+# ------------------------------------------------------------------
+# spearman_daily
+# ------------------------------------------------------------------
+
+ev_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b"]),
+        st.integers(0, 7),
+        st.floats(-50, 50, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ev_rows)
+def test_spearman_daily_matches_naive_midrank(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import spearman_daily
+
+    df = spark.createDataFrame(
+        [(t, _day_ts(d, i), float(v)) for i, (t, d, v) in enumerate(rows)],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    got = {
+        r["event_type"]: (r["n_days"], r["spearman_rho"])
+        for r in spearman_daily(df).collect()
+    }
+
+    grid = defaultdict(lambda: [0, 0])  # (type, day) -> [n, v_cents]
+    for t, d, v in rows:
+        g = grid[(t, d)]
+        g[0] += 1
+        g[1] += _cents(v)
+    per_type = defaultdict(list)
+    for (t, d), (n, vc) in grid.items():
+        per_type[t].append((n, vc))
+    want = {}
+    for t, pts in per_type.items():
+        xs = _dbl_midranks([p[0] for p in pts])
+        ys = _dbl_midranks([p[1] for p in pts])
+        n = len(pts)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        num = n * sxy - sx * sy
+        denx = n * sxx - sx * sx
+        deny = n * syy - sy * sy
+        prod = float(denx) * float(deny)
+        rho = None if prod == 0.0 else _q6(float(num) / math.sqrt(prod))
+        want[t] = (n, rho)
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# kendall_tau_daily
+# ------------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(ev_rows)
+def test_kendall_daily_matches_naive_pairs(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import kendall_tau_daily
+
+    df = spark.createDataFrame(
+        [(t, _day_ts(d, i), float(v)) for i, (t, d, v) in enumerate(rows)],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_pairs"], r["concordant"], r["discordant"], r["tau_b"]
+        )
+        for r in kendall_tau_daily(df).collect()
+    }
+
+    grid = defaultdict(lambda: [0, 0])
+    for t, d, v in rows:
+        g = grid[(t, d)]
+        g[0] += 1
+        g[1] += _cents(v)
+    per_type = defaultdict(list)  # type -> [(day, n, vc)]
+    for (t, d), (n, vc) in grid.items():
+        per_type[t].append((d, n, vc))
+    want = {}
+    for t, pts in per_type.items():
+        pts.sort()
+        C = D = tx = ty = n0 = 0
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                n0 += 1
+                dx = pts[i][1] - pts[j][1]
+                dy = pts[i][2] - pts[j][2]
+                if dx == 0:
+                    tx += 1
+                if dy == 0:
+                    ty += 1
+                if (dx > 0 and dy > 0) or (dx < 0 and dy < 0):
+                    C += 1
+                elif (dx > 0 and dy < 0) or (dx < 0 and dy > 0):
+                    D += 1
+        if n0 == 0:
+            # a single-day type emits no pair rows at all
+            continue
+        prod = (float(n0) - float(tx)) * (float(n0) - float(ty))
+        tau = None if prod == 0.0 else _q6((C - D) / math.sqrt(prod))
+        want[t] = (n0, C, D, tau)
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# transition_entropy
+# ------------------------------------------------------------------
+
+seq_rows = st.lists(
+    st.tuples(st.integers(0, 3), st.sampled_from(["x", "y", "z"])),
+    min_size=2,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(seq_rows)
+def test_transition_entropy_matches_naive_bigrams(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import (
+        transition_entropy,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (int(u), t, _day_ts(0, i), int(i))
+            for i, (u, t) in enumerate(rows)
+        ],
+        "user_id long, event_type string, ts timestamp_ntz,"
+        " event_id long",
+    )
+    got = {
+        r["from_type"]: (
+            r["n_transitions"], r["n_next_types"], r["h_bits"], r["share"]
+        )
+        for r in transition_entropy(df).collect()
+    }
+
+    byuser = defaultdict(list)
+    for i, (u, t) in enumerate(rows):
+        byuser[u].append((i, t))  # event_id == insertion order == ts order
+    trans = defaultdict(int)
+    for u, seq in byuser.items():
+        seq.sort()
+        for (_, a), (_, b) in zip(seq, seq[1:]):
+            trans[(a, b)] += 1
+    n_all = sum(trans.values())
+    per_from = defaultdict(dict)
+    for (a, b), c in trans.items():
+        per_from[a][b] = c
+    assert set(got) == set(per_from)
+    for a, nexts in per_from.items():
+        ni = sum(nexts.values())
+        h = sum(
+            -(c / ni) * math.log2(c / ni) for c in nexts.values()
+        )
+        g = got[a]
+        assert g[0] == ni
+        assert g[1] == len(nexts)
+        # the entropy term sum is a true double fold inside the
+        # engine (order unspecified) — compare within one 1e-6 step
+        assert g[2] is not None and abs(g[2] - _q6(h)) <= 1e-6 + 1e-12
+        assert g[3] == _q6(ni / n_all)
+
+
+# ------------------------------------------------------------------
+# max_drawdown_daily
+# ------------------------------------------------------------------
+
+dd_rows = st.lists(
+    st.tuples(
+        st.integers(0, 9),
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(dd_rows)
+def test_max_drawdown_matches_naive_scan(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import (
+        max_drawdown_daily,
+    )
+
+    df = spark.createDataFrame(
+        [(_day_ts(d, i), float(v)) for i, (d, v) in enumerate(rows)],
+        "ts timestamp_ntz, value double",
+    )
+    (r,) = max_drawdown_daily(df).collect()
+
+    daily = defaultdict(int)
+    for d, v in rows:
+        daily[d] += _cents(v)
+    cum = peak = 0
+    best = None  # (dd, day, peak) with earliest-day tie-break on max dd
+    first = True
+    for d in sorted(daily):
+        cum = cum + daily[d]
+        peak = cum if first else max(peak, cum)
+        first = False
+        dd = peak - cum
+        if best is None or dd > best[0]:
+            best = (dd, d, peak)
+    want_day = (BASE + timedelta(days=best[1])).strftime("%Y-%m-%d")
+    assert r["n_days"] == len(daily)
+    assert r["max_drawdown"] == math.floor(best[0] + 0.5) / 100.0
+    assert r["trough_day"] == want_day
+    assert r["peak_at_trough"] == math.floor(best[2] + 0.5) / 100.0
+
+
+# ------------------------------------------------------------------
+# hill_tail_index
+# ------------------------------------------------------------------
+
+hill_rows = st.lists(
+    st.floats(0.001, 1e6, allow_nan=False, allow_infinity=False),
+    min_size=5,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(hill_rows)
+def test_hill_matches_naive_order_stats(spark, xs):
+    from vectorsearchutil_spark.operators.analytics import hill_tail_index
+
+    k = 3
+    df = spark.createDataFrame(
+        [("t", float(x)) for x in xs],
+        "event_type string, value double",
+    )
+    out = hill_tail_index(df, k=k).collect()
+    pos = sorted((x for x in xs if x > 0), reverse=True)
+    if len(pos) < k + 1:
+        assert out == []
+        return
+    (r,) = out
+    xk1 = pos[k]
+    want = sum(math.log(x / xk1) for x in pos[:k]) / k
+    assert r["k"] == k
+    # ln is libm (JVM vs CPython may differ in the last ulp, and the
+    # engine quantizes each term to 1e-9 before the exact sum) —
+    # allow one 1e-6 output step plus the k-term nano slack
+    assert abs(r["hill"] - _q6(want)) <= 1e-6 + k * 1e-9
+    # alpha = 1/hill is computed from the UNROUNDED nano sum, so
+    # compare against the unquantized naive value — and only when the
+    # reciprocal is well-conditioned (a near-flat tail has hill→0
+    # where nano-level noise amplifies as 1/hill² and the check would
+    # test arithmetic conditioning, not the operator)
+    if want > 1e-3:
+        assert abs(r["alpha"] - 1.0 / want) <= (1.0 / want) * 1e-5 + 1e-5
