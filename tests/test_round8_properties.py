@@ -303,3 +303,209 @@ def test_hill_matches_naive_order_stats(spark, xs):
     # test arithmetic conditioning, not the operator)
     if want > 1e-3:
         assert abs(r["alpha"] - 1.0 / want) <= (1.0 / want) * 1e-5 + 1e-5
+
+
+# ------------------------------------------------------------------
+# rolling_corr_daily
+# ------------------------------------------------------------------
+
+rc_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["purchase", "click", "view"]),
+        st.integers(0, 12),
+        st.floats(-40, 40, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(rc_rows)
+def test_rolling_corr_matches_naive_moments(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import (
+        rolling_corr_daily,
+    )
+
+    df = spark.createDataFrame(
+        [(t, _day_ts(d, i), float(v)) for i, (t, d, v) in enumerate(rows)],
+        "event_type string, ts timestamp_ntz, value double",
+    )
+    W = 3
+    got = {
+        r["day"]: r["rolling_corr"]
+        for r in rolling_corr_daily(df, window_days=W).collect()
+    }
+
+    daily = defaultdict(lambda: [0, 0])  # observed day -> [x, y]
+    for t, d, v in rows:
+        g = daily[d]
+        if t == "purchase":
+            g[0] += _cents(v)
+        elif t == "click":
+            g[1] += _cents(v)
+    days = sorted(daily)
+    want = {}
+    for i, d in enumerate(days):
+        if i + 1 < W:
+            continue  # window not full yet (rows-based, observed days)
+        win = [daily[days[j]] for j in range(i - W + 1, i + 1)]
+        sx = sum(p[0] for p in win)
+        sy = sum(p[1] for p in win)
+        sxx = sum(p[0] * p[0] for p in win)
+        syy = sum(p[1] * p[1] for p in win)
+        sxy = sum(p[0] * p[1] for p in win)
+        num = W * sxy - sx * sy
+        dx = W * sxx - sx * sx
+        dy = W * syy - sy * sy
+        prod = float(dx) * float(dy)
+        day_str = (BASE + timedelta(days=d)).strftime("%Y-%m-%d")
+        want[day_str] = (
+            None if prod == 0.0 else _q6(float(num) / math.sqrt(prod))
+        )
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# completeness_gaps
+# ------------------------------------------------------------------
+
+cg_rows = st.lists(
+    st.tuples(st.sampled_from(["x", "y"]), st.integers(0, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(cg_rows)
+def test_completeness_gaps_matches_naive(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import (
+        completeness_gaps,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (t, BASE + timedelta(hours=h, minutes=i % 60))
+            for i, (t, h) in enumerate(rows)
+        ],
+        "event_type string, ts timestamp_ntz",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_expected_hours"],
+            r["n_present_hours"],
+            r["n_missing_hours"],
+            r["longest_gap_hours"],
+        )
+        for r in completeness_gaps(df).collect()
+    }
+
+    base_h = int(BASE.timestamp()) // 3600  # UTC session, NTZ data
+    per = defaultdict(set)
+    for t, h in rows:
+        per[t].add(base_h + h)
+    g0 = min(min(s) for s in per.values())
+    g1 = max(max(s) for s in per.values())
+    want = {}
+    for t, hs in per.items():
+        span = g1 - g0 + 1
+        srt = sorted(hs)
+        internal = max(
+            (b - a - 1 for a, b in zip(srt, srt[1:])), default=0
+        )
+        longest = max(internal, srt[0] - g0, g1 - srt[-1])
+        want[t] = (span, len(hs), span - len(hs), longest)
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# seasonal_naive_wape
+# ------------------------------------------------------------------
+
+wape_rows = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.floats(-100, 100, allow_nan=False, allow_infinity=False),
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(wape_rows)
+def test_seasonal_naive_wape_matches_naive(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import (
+        seasonal_naive_wape,
+    )
+
+    LAG = 7
+    df = spark.createDataFrame(
+        [(_day_ts(d, i), float(v)) for i, (d, v) in enumerate(rows)],
+        "o_orderdate timestamp_ntz, o_totalprice double",
+    )
+    (r,) = seasonal_naive_wape(df, lag_days=LAG).collect()
+
+    daily = defaultdict(int)
+    for d, v in rows:
+        daily[d] += _cents(v)
+    scored = [
+        (daily[d] - daily[d - LAG], abs(daily[d] - daily[d - LAG]), abs(daily[d]))
+        for d in daily
+        if d - LAG in daily
+    ]
+    n = len(scored)
+    assert r["n_days_scored"] == n
+    if n == 0:
+        assert r["wape"] is None and r["mae"] is None and r["bias"] is None
+        return
+    se = sum(e for e, _, _ in scored)
+    sae = sum(a for _, a, _ in scored)
+    say = sum(y for _, _, y in scored)
+    assert r["wape"] == (None if say == 0 else _q6(sae / say))
+    assert r["mae"] == math.floor(sae / n / 100.0 * 100 + 0.5) / 100
+    assert r["bias"] == (None if say == 0 else _q6(se / say))
+
+
+# ------------------------------------------------------------------
+# fano_daily
+# ------------------------------------------------------------------
+
+fano_rows = st.lists(
+    st.tuples(st.sampled_from(["p", "q"]), st.integers(0, 10)),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(fano_rows)
+def test_fano_matches_naive_zero_filled(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import fano_daily
+
+    df = spark.createDataFrame(
+        [(t, _day_ts(d, i)) for i, (t, d) in enumerate(rows)],
+        "event_type string, ts timestamp_ntz",
+    )
+    got = {
+        r["event_type"]: (r["n_days"], r["n_events"], r["fano_factor"])
+        for r in fano_daily(df).collect()
+    }
+
+    d0 = min(d for _, d in rows)
+    d1 = max(d for _, d in rows)
+    types = {t for t, _ in rows}
+    want = {}
+    for t in types:
+        counts = [
+            sum(1 for tt, dd in rows if tt == t and dd == d)
+            for d in range(d0, d1 + 1)
+        ]
+        n = len(counts)
+        s = sum(counts)
+        q = sum(c * c for c in counts)
+        num = float(n * q - s * s)
+        den = float(n - 1) * float(s)
+        want[t] = (n, s, None if den == 0.0 else _q6(num / den))
+    assert got == want
