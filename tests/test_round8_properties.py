@@ -509,3 +509,98 @@ def test_fano_matches_naive_zero_filled(spark, rows):
         den = float(n - 1) * float(s)
         want[t] = (n, s, None if den == 0.0 else _q6(num / den))
     assert got == want
+
+
+# ------------------------------------------------------------------
+# _int_value_quantiles — the shared helper behind
+# orders_ship_delay_quantiles / docs_token_quantiles /
+# multimodal_storage_budget: one property covers all three consumers
+# ------------------------------------------------------------------
+
+q_rows = st.lists(
+    st.tuples(st.sampled_from(["g1", "g2"]), st.integers(-20, 20)),
+    min_size=1,
+    max_size=80,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(q_rows, st.sampled_from([[0.5], [0.5, 0.9, 0.99], [0.01, 1.0]]))
+def test_int_value_quantiles_match_type1_order_stats(spark, rows, ps):
+    from vectorsearchutil_spark.operators.analytics import (
+        _int_value_quantiles,
+    )
+
+    names = [f"q{int(p * 100)}" for p in ps]
+    df = spark.createDataFrame(rows, "g string, v int")
+    got = {
+        r["g"]: (r["n"], tuple(r[nm] for nm in names))
+        for r in _int_value_quantiles(df, "g", "v", ps, names).collect()
+    }
+
+    groups = defaultdict(list)
+    for g, v in rows:
+        groups[g].append(v)
+    want = {}
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        qs = tuple(vals[max(math.ceil(p * n), 1) - 1] for p in ps)
+        want[g] = (n, qs)
+    assert got == want
+
+
+# ------------------------------------------------------------------
+# scd2_build — interval partition validity on arbitrary changelogs
+# ------------------------------------------------------------------
+
+scd_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),                      # key
+        st.sampled_from(["upsert", "delete"]),  # op
+        st.integers(0, 30),                     # payload
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(scd_rows)
+def test_scd2_intervals_partition_history(spark, rows):
+    from vectorsearchutil_spark.operators.cdc import scd2_build
+
+    # unique, strictly increasing seq per row = arrival order (the
+    # caller contract: no duplicate (key, seq))
+    df = spark.createDataFrame(
+        [(k, op, p, i) for i, (k, op, p) in enumerate(rows)],
+        "k long, op string, payload long, seq long",
+    )
+    out = scd2_build(df, "k", "seq").collect()
+
+    per_key = defaultdict(list)
+    for i, (k, op, p) in enumerate(rows):
+        per_key[k].append((i, op, p))
+    want = set()
+    for k, seq in per_key.items():
+        for idx, (i, op, p) in enumerate(seq):
+            if op == "delete":
+                continue
+            nxt = seq[idx + 1][0] if idx + 1 < len(seq) else None
+            want.add((k, p, i, nxt, nxt is None))
+    got = {
+        (r["k"], r["payload"], r["valid_from_seq"], r["valid_to_seq"],
+         r["is_current"])
+        for r in out
+    }
+    assert got == want
+    # structural invariants: per key, versions chain without overlap
+    # and at most one current
+    chains = defaultdict(list)
+    for k, p, f, t, cur in got:
+        chains[k].append((f, t, cur))
+    for k, ivs in chains.items():
+        ivs.sort()
+        assert sum(1 for _, t, _ in ivs if t is None) <= 1
+        for (f1, t1, _), (f2, _, _) in zip(ivs, ivs[1:]):
+            assert t1 is not None and t1 <= f2
