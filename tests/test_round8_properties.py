@@ -604,3 +604,142 @@ def test_scd2_intervals_partition_history(spark, rows):
         assert sum(1 for _, t, _ in ivs if t is None) <= 1
         for (f1, t1, _), (f2, _, _) in zip(ivs, ivs[1:]):
             assert t1 is not None and t1 <= f2
+
+
+# ------------------------------------------------------------------
+# text-side wave operators (ASCII-token generated corpora)
+# ------------------------------------------------------------------
+
+word = st.sampled_from(["aa", "bb", "cc", "dd", "ee"])
+doc_text = st.lists(word, min_size=0, max_size=12).map(" ".join)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["s1", "s2"]), doc_text),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_diversity_indices_match_naive(spark, docs):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        diversity_indices,
+    )
+
+    df = spark.createDataFrame(docs, "source string, text string")
+    got = {
+        r["source"]: (
+            r["n_tokens"], r["vocab"], r["ttr"], r["gini_simpson"],
+            r["shannon_bits"],
+        )
+        for r in diversity_indices(df).collect()
+    }
+
+    per = defaultdict(lambda: defaultdict(int))
+    for s, t in docs:
+        for w in t.split(" "):
+            if w:
+                per[s][w] += 1
+    # a source whose docs are all empty still has a (source, token)
+    # group only if a token exists; zero-token sources emit no row
+    want_keys = {s for s, cnts in per.items() if cnts}
+    assert set(got) == want_keys
+    for s in want_keys:
+        cnts = per[s]
+        n = sum(cnts.values())
+        vocab = len(cnts)
+        s2 = sum(c * c for c in cnts.values())
+        clogc = sum(c * math.log2(c) for c in cnts.values())
+        g = got[s]
+        assert g[0] == n and g[1] == vocab
+        assert g[2] == _q6(vocab / n)
+        assert g[3] == _q6(1.0 - s2 / (n * n))
+        # the c·log2 c fold is a true double sum inside the engine
+        assert abs(g[4] - _q6(math.log2(n) - clogc / n)) <= 1e-6 + 1e-12
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2"]),
+            st.text(alphabet="abc ", min_size=0, max_size=40),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_boilerplate_prefix_matches_naive(spark, docs):
+    from vectorsearchutil_spark.operators.textanalysis import (
+        boilerplate_prefixes,
+    )
+
+    P = 6
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(docs)],
+        "doc_id long, source string, text string",
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["top_prefix"], r["top_prefix_docs"],
+            r["top_prefix_share"],
+        )
+        for r in boilerplate_prefixes(df, prefix_chars=P).collect()
+    }
+
+    per = defaultdict(list)
+    for s, t in docs:
+        per[s].append(t[:P])
+    want = {}
+    for s, prefixes in per.items():
+        cnt = defaultdict(int)
+        for p in prefixes:
+            cnt[p] += 1
+        mx = max(cnt.values())
+        top = min(p for p, c in cnt.items() if c == mx)
+        want[s] = (len(prefixes), top, mx, _q6(mx / len(prefixes)))
+    assert got == want
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(word, min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_ngram_novelty_matches_naive_first_wins(spark, texts):
+    from vectorsearchutil_spark.operators.textanalysis import ngram_novelty
+
+    N = 2
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty_ratio"])
+        for r in ngram_novelty(df, n=N).collect()
+    }
+
+    def grams(t):
+        toks = [w for w in t.split(" ") if w]
+        return {
+            " ".join(toks[i : i + N]) for i in range(len(toks) - N + 1)
+        }
+
+    seen_intro = {}  # gram -> first doc_id
+    per_doc = {}
+    for i, t in enumerate(texts):
+        g = grams(t)
+        per_doc[i] = g
+        for x in g:
+            seen_intro.setdefault(x, i)
+    want = {}
+    for i, g in per_doc.items():
+        if not g:
+            continue  # docs with no n-gram emit no row
+        novel = sum(1 for x in g if seen_intro[x] == i)
+        want[i] = (len(g), novel, _q6(novel / len(g)))
+    assert got == want
