@@ -743,3 +743,53 @@ def test_ngram_novelty_matches_naive_first_wins(spark, texts):
         novel = sum(1 for x in g if seen_intro[x] == i)
         want[i] = (len(g), novel, _q6(novel / len(g)))
     assert got == want
+
+
+# ------------------------------------------------------------------
+# interpurchase_median — lag gaps + the shared quantile helper,
+# end-to-end vs a naive per-customer scan
+# ------------------------------------------------------------------
+
+ip_rows = st.lists(
+    st.tuples(st.integers(0, 4), st.integers(0, 25)),  # (cust, day)
+    min_size=1,
+    max_size=50,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(ip_rows)
+def test_interpurchase_median_matches_naive(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import (
+        interpurchase_median,
+    )
+
+    seg_of = {0: "A", 1: "A", 2: "B", 3: "B", 4: "C"}
+    orders = spark.createDataFrame(
+        [(c, i, _day_ts(d)) for i, (c, d) in enumerate(rows)],
+        "o_custkey long, o_orderkey long, o_orderdate timestamp_ntz",
+    )
+    customer = spark.createDataFrame(
+        [(c, s) for c, s in seg_of.items()],
+        "c_custkey long, c_mktsegment string",
+    )
+    got = {
+        r["segment"]: (r["n_gaps"], r["median_days"], r["p90_days"])
+        for r in interpurchase_median(orders, customer).collect()
+    }
+
+    bycust = defaultdict(list)
+    for i, (c, d) in enumerate(rows):
+        bycust[c].append((d, i))  # order by (date, orderkey=i)
+    gaps = defaultdict(list)
+    for c, seq in bycust.items():
+        seq.sort()
+        for (d1, _), (d2, _) in zip(seq, seq[1:]):
+            gaps[seg_of[c]].append(d2 - d1)
+    want = {}
+    for s, g in gaps.items():
+        g.sort()
+        n = len(g)
+        q = lambda p: g[max(math.ceil(p * n), 1) - 1]  # noqa: E731
+        want[s] = (n, q(0.5), q(0.9))
+    assert got == want
