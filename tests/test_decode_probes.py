@@ -130,3 +130,32 @@ def test_missing_probe_reports_not_in_window(tmp_path):
     del art["rfm_ntile_fixture"]
     out = _run(tmp_path, art)
     assert "rfm_ntile_fixture: NOT IN WINDOW" in out
+
+
+def test_sentinels_decode_as_sentinels_not_versions(tmp_path):
+    art = _base_artifact()
+    art["env_spark_version"].update(
+        spark_rows=9999997, rows_match=False, hash_match=False
+    )
+    art["env_fingerprint"].update(
+        spark_rows=7560, rows_match=False, hash_match=False
+    )  # 0*10000 + 6120 + 1440: read unknown + tz-unreadable sentinel
+    art["env_fingerprint_duckdb"].update(
+        spark_rows=9999998, rows_match=False, hash_match=False
+    )
+    out = _run(tmp_path, art)
+    assert "UNPARSABLE" in out
+    assert "999.99.97" not in out
+    assert "JVM tz UNREADABLE (sentinel 6120)" in out
+    assert "python duckdb module absent" in out
+
+
+def test_env_canaries_report_absent_and_errored(tmp_path):
+    art = _base_artifact()
+    del art["env_fingerprint_duckdb"]
+    art["env_fingerprint"].update(
+        spark_rows=None, rows_match=None, hash_match=None, err="boom"
+    )
+    out = _run(tmp_path, art)
+    assert "env_fingerprint: errored (boom)" in out
+    assert "env_fingerprint_duckdb: NOT IN WINDOW" in out

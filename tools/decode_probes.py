@@ -71,6 +71,14 @@ def main() -> None:
             print("env_spark_version: 40102 -> driver Spark IS 4.1.2")
         elif n is None:
             print(f"env_spark_version: errored ({r.get('err')})")
+        elif n == 9999997:
+            # the canary's own sentinel, NOT a version: the driver's
+            # spark.version did not parse as maj.min.patch
+            print(
+                "env_spark_version: 9999997 SENTINEL -> the driver's"
+                " spark.version string is UNPARSABLE (custom build"
+                " string?) — version unknown, not a named release"
+            )
         else:
             maj, rem = divmod(int(n), 10000)
             mi, pa = divmod(rem, 100)
@@ -80,25 +88,42 @@ def main() -> None:
                 " has a named build to reproduce against"
             )
     r = row("env_fingerprint")
-    if r:
+    if r is None:
+        print("env_fingerprint: NOT IN WINDOW")
+    else:
         n = r.get("spark_rows")
-        if n is not None:
+        if n is None:
+            print(f"env_fingerprint: errored ({r.get('err')})")
+        else:
             code, off = divmod(int(n), 10000)
             off -= 1440
+            off_s = (
+                f"JVM UTC offset {off} min"
+                if off != 6120
+                else "JVM tz UNREADABLE (sentinel 6120)"
+            )
             print(
                 f"env_fingerprint: rows {n} -> read_code {code} "
                 f"({{1:'NTZ',2:'LTZ',3:'nanos-long',4:'nanos+conf-set',0:'unknown'}}"
-                f".get({code})), JVM UTC offset {off} min; "
+                f".get({code})), {off_s}; "
                 f"schema_match={r.get('schema_match')} "
                 "(False => a version/zone STRING in the label differs)"
             )
     r = row("env_fingerprint_duckdb")
-    if r:
+    if r is None:
+        print("env_fingerprint_duckdb: NOT IN WINDOW")
+    else:
         n = r.get("spark_rows")
         m = r.get("oracle_rows")
+        sent = {
+            9999999: "SENTINEL: version string unparsable",
+            9999998: "SENTINEL: python duckdb module absent",
+            None: f"errored ({r.get('err')})",
+        }
         print(
-            f"env_fingerprint_duckdb: python-duckdb {n} vs oracle engine "
-            f"{m} (10000 = 1.0.0)"
+            "env_fingerprint_duckdb: python-duckdb "
+            f"{sent.get(n, n)} vs oracle engine {sent.get(m, m)} "
+            "(10000 = 1.0.0)"
         )
     print()
 

@@ -1082,8 +1082,14 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 20. Monthly revenue with year-over-year growth
 # --------------------------------------------------------------------------
 
-_YOY_ORACLE = """
-WITH m AS (
+#: shared month-grid CTE + YoY select skeleton — SINGLE SOURCE for
+#: orders_yoy_growth, its round-8 ppm integer twin, and the
+#: month-grid decomposition probe: the probes exist to rule out
+#: divergence between halves of the original, so they must not be
+#: able to drift from the original's own base expressions (review
+#: r8; same discipline as _KM_PPM_ORACLE's derive-with-assert)
+_YOY_MONTH_CTE = """
+m AS (
   SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
          SUM(CASE WHEN o_totalprice IS NOT NULL
                        AND isfinite(o_totalprice)
@@ -1092,16 +1098,35 @@ WITH m AS (
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY 1
 )
-SELECT CAST(a.mi // 12 AS VARCHAR) || '-'
-         || lpad(CAST(a.mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
-       a.n_orders, a.revenue_cents,
-       b.revenue_cents AS prev_year_cents,
-       floor(CAST(a.revenue_cents - b.revenue_cents AS DOUBLE)
+"""
+
+_YOY_MONTH_LABEL = """CAST({a}mi // 12 AS VARCHAR) || '-'
+         || lpad(CAST({a}mi % 12 + 1 AS VARCHAR), 2, '0') AS month"""
+
+#: the growth ratio in raw 1e-6 fixpoint units (pre-division)
+_YOY_GROWTH_RAW = """floor(CAST(a.revenue_cents - b.revenue_cents AS DOUBLE)
              / CAST(CASE WHEN b.revenue_cents != 0
                          THEN b.revenue_cents END AS DOUBLE)
-             * 1000000.0 + 0.5) / 1000000.0 AS yoy_growth
+             * 1000000.0 + 0.5)"""
+
+_YOY_SELECT = (
+    "SELECT "
+    + _YOY_MONTH_LABEL.format(a="a.")
+    + """,
+       a.n_orders, a.revenue_cents,
+       b.revenue_cents AS prev_year_cents,
+       {growth}
 FROM m a LEFT JOIN m b ON a.mi = b.mi + 12
 """
+)
+
+_YOY_ORACLE = (
+    "WITH "
+    + _YOY_MONTH_CTE
+    + _YOY_SELECT.format(
+        growth=_YOY_GROWTH_RAW + " / 1000000.0 AS yoy_growth"
+    )
+)
 
 
 @pending_query("orders_yoy_growth", _YOY_ORACLE)
@@ -1119,8 +1144,11 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 21. RFM customer segmentation with exact quintiles
 # --------------------------------------------------------------------------
 
-_RFM_ORACLE = """
-WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
+#: shared per-customer RFM base CTEs — SINGLE SOURCE for
+#: customer_rfm_scores and the round-8 per-customer decomposition
+#: probe (same no-drift discipline as _YOY_MONTH_CTE above)
+_RFM_PC_CTE = """
+anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
 pc AS (
   SELECT o_custkey,
          CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
@@ -1131,7 +1159,13 @@ pc AS (
                   THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
              END) AS monetary_cents
   FROM orders, anchor GROUP BY o_custkey
-),
+)
+"""
+
+_RFM_ORACLE = (
+    "WITH "
+    + _RFM_PC_CTE
+    + """,
 scored AS (
   SELECT o_custkey, recency_days, frequency, monetary_cents,
          CAST(NTILE(5) OVER (
@@ -1151,6 +1185,7 @@ SELECT o_custkey, recency_days, frequency, monetary_cents,
          || CAST(m_quintile AS VARCHAR) AS rfm_segment
 FROM scored
 """
+)
 
 
 @pending_query("customer_rfm_scores", _RFM_ORACLE)
@@ -5408,6 +5443,18 @@ def _hashecho_df(
             elif c in float_cols:
                 cells.append(str(int(math.floor(v * 1e6 + 0.5))))
             else:
+                # guard the canonical form: Python str() and DuckDB's
+                # CAST(x AS VARCHAR) agree ONLY for ints and strings
+                # (bool renders 'True' vs 'true'; an undeclared float
+                # compares repr vs duckdb's formatting) — a silent
+                # divergence here would decode as a phantom H1, so
+                # refuse any dtype outside the contract (review r8)
+                if isinstance(v, bool) or not isinstance(v, (int, str)):
+                    raise TypeError(
+                        f"hashecho cell {c!r} has unsupported type "
+                        f"{type(v).__name__}; declare floats in "
+                        "float_cols, pre-stringify everything else"
+                    )
                 cells.append(str(v))
         out.append(",".join(cells))
     payload = "|".join(sorted(out))
@@ -5508,26 +5555,19 @@ def hashecho_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_YOY_PPM_ORACLE = """
-WITH m AS (
-  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
-         SUM(CASE WHEN o_totalprice IS NOT NULL
-                       AND isfinite(o_totalprice)
-                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             END) AS revenue_cents,
-         CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM orders GROUP BY 1
+#: derived from the SAME shared pieces as _YOY_ORACLE (no drift
+#: possible): identical month CTE, identical raw growth fixpoint —
+#: only the final cast differs (BIGINT ppm instead of /1e6)
+_YOY_PPM_ORACLE = (
+    "WITH "
+    + _YOY_MONTH_CTE
+    + _YOY_SELECT.format(
+        growth="CAST("
+        + _YOY_GROWTH_RAW
+        + " AS BIGINT) AS yoy_growth_ppm"
+    )
 )
-SELECT CAST(a.mi // 12 AS VARCHAR) || '-'
-         || lpad(CAST(a.mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
-       a.n_orders, a.revenue_cents,
-       b.revenue_cents AS prev_year_cents,
-       CAST(floor(CAST(a.revenue_cents - b.revenue_cents AS DOUBLE)
-                  / CAST(CASE WHEN b.revenue_cents != 0
-                              THEN b.revenue_cents END AS DOUBLE)
-                  * 1000000.0 + 0.5) AS BIGINT) AS yoy_growth_ppm
-FROM m a LEFT JOIN m b ON a.mi = b.mi + 12
-"""
+assert "yoy_growth_ppm" in _YOY_PPM_ORACLE, "yoy ppm oracle derive missed"
 
 
 @pending_query("orders_yoy_growth_ppm", _YOY_PPM_ORACLE)
@@ -5567,21 +5607,19 @@ def events_kaplan_meier_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kaplan_meier(e, fixed_point=True)
 
 
-_YOY_MONTHLY_ORACLE = """
-WITH m AS (
-  SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
-         SUM(CASE WHEN o_totalprice IS NOT NULL
-                       AND isfinite(o_totalprice)
-                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             END) AS revenue_cents,
-         CAST(COUNT(*) AS BIGINT) AS n_orders
-  FROM orders GROUP BY 1
-)
-SELECT CAST(mi // 12 AS VARCHAR) || '-'
-         || lpad(CAST(mi % 12 + 1 AS VARCHAR), 2, '0') AS month,
+#: the month grid CTE verbatim from _YOY_ORACLE's shared source +
+#: the shared label expression — the probe cannot drift from the
+#: original's base aggregation
+_YOY_MONTHLY_ORACLE = (
+    "WITH "
+    + _YOY_MONTH_CTE
+    + "SELECT "
+    + _YOY_MONTH_LABEL.format(a="")
+    + """,
        n_orders, revenue_cents
 FROM m
 """
+)
 
 
 @pending_query("orders_yoy_monthly", _YOY_MONTHLY_ORACLE)
@@ -5603,21 +5641,13 @@ def orders_yoy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RFM_PERCUST_ORACLE = """
-WITH anchor AS (SELECT MAX(o_orderdate) AS a FROM orders),
-pc AS (
-  SELECT o_custkey,
-         CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
-                            CAST(a AS DATE))) AS INT) AS recency_days,
-         CAST(COUNT(*) AS BIGINT) AS frequency,
-         SUM(CASE WHEN o_totalprice IS NOT NULL
-                       AND isfinite(o_totalprice)
-                  THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             END) AS monetary_cents
-  FROM orders, anchor GROUP BY o_custkey
+#: the pc CTE verbatim from _RFM_ORACLE's shared source — the probe
+#: cannot drift from the original's base aggregation
+_RFM_PERCUST_ORACLE = (
+    "WITH "
+    + _RFM_PC_CTE
+    + "SELECT o_custkey, recency_days, frequency, monetary_cents FROM pc"
 )
-SELECT o_custkey, recency_days, frequency, monetary_cents FROM pc
-"""
 
 
 @pending_query("customer_rfm_percust", _RFM_PERCUST_ORACLE)
