@@ -793,3 +793,57 @@ def test_interpurchase_median_matches_naive(spark, rows):
         q = lambda p: g[max(math.ceil(p * n), 1) - 1]  # noqa: E731
         want[s] = (n, q(0.5), q(0.9))
     assert got == want
+
+
+# ------------------------------------------------------------------
+# norm_anova — exact quantized moments vs a naive Python replication
+# ------------------------------------------------------------------
+
+vec_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["l0", "l1", "l2"]),
+        st.lists(
+            st.floats(-5, 5, allow_nan=False, allow_infinity=False),
+            min_size=3,
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=5, deadline=None)
+@given(vec_rows)
+def test_norm_anova_matches_naive_moments(spark, rows):
+    from vectorsearchutil_spark.operators.analytics import norm_anova
+
+    df = spark.createDataFrame(
+        [(lbl, [float(x) for x in v]) for lbl, v in rows],
+        "label string, embedding array<double>",
+    )
+    (r,) = norm_anova(df).collect()
+
+    per = defaultdict(list)
+    for lbl, v in rows:
+        n2 = 0.0
+        for x in v:  # same index-order IEEE fold as the JVM accumulate
+            n2 += x * x
+        per[lbl].append(int(math.floor(n2 * 1e6 + 0.5)))
+    n = sum(len(g) for g in per.values())
+    k = len(per)
+    assert r["n"] == n and r["k_labels"] == k
+    S = float(sum(sum(g) for g in per.values()))
+    Q = float(sum(q * q for g in per.values() for q in g))
+    B = sum(float(sum(g)) * float(sum(g)) / float(len(g)) for g in per.values())
+    ssb = B - S * S / n
+    ssw = Q - B
+    if k - 1 == 0 or n - k == 0 or ssw / (n - k) == 0.0:
+        assert r["f_stat"] is None
+        return
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    # _B is a double fold over the (small) label set inside the
+    # engine — order unspecified, compare within one 1e-6 step plus
+    # relative slack for the fold noise amplified through the ratio
+    assert r["f_stat"] is not None
+    assert abs(r["f_stat"] - _q6(f)) <= 1e-6 + abs(f) * 1e-9 + 1e-12
