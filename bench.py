@@ -208,6 +208,59 @@ HEADLINE = [
     "orders_seasonal_naive_wape",
     "docs_dedup_impact",
     "embeddings_exact_dup_vectors",
+    # round-9 promoted lane (the 8-entry wave)
+    "graph_triangle_count",
+    "events_funnel_conversion",
+    "docs_split_leakage",
+    "embeddings_triplet_mining",
+    "events_audience_overlap",
+    "ann_recall_curve",
+    "orders_conformal_coverage",
+    "embeddings_mutual_knn",
+]
+
+#: Cross-round pinned subset (VERDICT r8 "Next round" #5): the full
+#: HEADLINE total grows with every promoted wave, so round-over-round
+#: speed degraded into per-query averages computed by hand. This list
+#: is FROZEN as of round 9 — the 13 top-cost queries from BENCH_r08
+#: plus one representative per operator family — so `pinned_total` is
+#: directly comparable across rounds on identical members. Do NOT add
+#: entries here when promoting new waves; open a new pinned list
+#: (PINNED_R{N}) only if membership must ever change, and report both
+#: during the transition round. PERF.md (round 9) documents the split.
+PINNED = [
+    # 13 top-cost from BENCH_r08 (bench_detail.json)
+    "docs_pair_similarity_histogram",
+    "orders_theilsen_trend",
+    "dedup_cluster_profile",
+    "embeddings_knn_label_eval",
+    "embeddings_pq_distortion",
+    "dedup_cluster_lang_purity",
+    "dedup_keep_best",
+    "docs_source_overlap",
+    "dedup_connected_components",
+    "customers_fuzzy_name_pairs",
+    "docs_dedup_impact",
+    "orders_ship_delay_quantiles",
+    "events_value_mad_outliers",
+    # one per operator family
+    "knn_batch",                      # brute-force vector search
+    "ann_ivfpq_search",               # ANN (IVF-PQ/ADC)
+    "zeroshot_cosine",                # zero-shot classification
+    "tpch_q1_pricing_summary",        # scan + aggregate
+    "tpch_q9_product_profit",         # multi-join + decimal money
+    "orders_topn_per_customer",       # window / top-k
+    "events_sessionize",              # sessionization
+    "dedup_exact",                    # exact dedup
+    "dedup_minhash_lsh",              # approximate dedup
+    "dedup_semantic",                 # semantic dedup
+    "text_quality_score",             # text quality
+    "text_bm25_search",               # lexical search
+    "docs_tfidf_hashed",              # tf-idf featurization
+    "kmeans_clusters",                # clustering
+    "events_user_hll_distinct",       # sketches
+    "docs_pack_bins_ffd",             # sequence packing
+    "multimodal_image_ahash",         # multimodal
 ]
 
 
@@ -265,11 +318,19 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    pinned = {n: timings[n] for n in PINNED if n in timings}
+    assert len(pinned) == len(PINNED), (
+        f"pinned subset lost members: {sorted(set(PINNED) - set(pinned))}"
+    )
     summary = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n": len(timings),
+        # frozen cross-round subset (see PINNED): round-over-round
+        # speed is THIS number; `value` grows with registry promotion
+        "pinned_total": round(sum(pinned.values()), 3),
+        "pinned_n": len(pinned),
         "sf": sf_val,
         "queries": timings,
     }

@@ -64,6 +64,46 @@ def norm_cell(v):
     return f"{type(v).__name__}:{v}"
 
 
+def arrow_class(t) -> str:
+    """Collapse an Arrow type to the class a typed hasher compares.
+
+    Round-8 lesson (VERDICT r8): the driver hashes typed cells at the
+    Arrow/materialized level, so DuckDB HUGEINT (Arrow
+    decimal128(38,0)) vs Spark int64 red-flags EQUAL values — while
+    python-duckdb's python-object fetch collapses HUGEINT to plain
+    ``int`` before norm_cell ever sees it, making the value-level
+    check structurally blind.  This closes the channel: both sides'
+    limit-0 Arrow schemas are compared by TYPE CLASS (int widths and
+    string/large_string collapse; int-vs-decimal-vs-float does not).
+    """
+    import pyarrow as pa
+
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_integer(t):
+        # unsigned has no Spark twin — surface it as its own class
+        return "int" if pa.types.is_signed_integer(t) else "uint"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_null(t):
+        return "null"
+    return f"other:{t}"
+
+
+def arrow_schema_classes(schema) -> dict[str, str]:
+    return {f.name: arrow_class(f.type) for f in schema}
+
+
 def norm_rows(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
@@ -131,6 +171,7 @@ def main():
             "rows_match": None,
             "schema_match": None,
             "hash_match": None,
+            "arrow_schema_match": None,
             "spark_rows": None,
             "oracle_rows": None,
             "err": None,
@@ -165,6 +206,29 @@ def main():
             failures += 1
             continue
         problems = []
+        # Arrow-level schema compare (limit-0 on both engines: types
+        # don't depend on rows, so this costs one trivial job).  This
+        # is the channel the python-object fetch erases — see
+        # arrow_class's docstring.  Recorded SEPARATELY from the
+        # value-hash gate: the round-8 failure signature is exactly
+        # "values equal, typed cells differ", and we want both facts.
+        arrow_problem = None
+        try:
+            s_classes = arrow_schema_classes(sdf.limit(0).toArrow().schema)
+            d_classes = arrow_schema_classes(
+                con.sql(oracles[name]).limit(0).arrow().schema
+            )
+            rec["arrow_schema_match"] = s_classes == d_classes
+            if not rec["arrow_schema_match"]:
+                diffs = {
+                    c: (s_classes.get(c), d_classes.get(c))
+                    for c in sorted(set(s_classes) | set(d_classes))
+                    if s_classes.get(c) != d_classes.get(c)
+                }
+                arrow_problem = f"arrow type classes spark!=duck: {diffs}"
+        except Exception as e:  # pragma: no cover - diagnostic path
+            rec["arrow_schema_match"] = False
+            arrow_problem = f"arrow schema fetch failed: {e}"
         rec["schema_match"] = sorted(scols) == sorted(dcols)
         if not rec["schema_match"]:
             problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
@@ -186,6 +250,8 @@ def main():
                     problems.append(f"values differ; first diffs: {diff}")
         else:
             rec["hash_match"] = False
+        if arrow_problem:
+            problems.append(arrow_problem)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))

@@ -139,12 +139,17 @@ def main() -> None:
             continue
         echo = row(ECHO_OF[red])
         exp = EXPECT[ECHO_OF[red]]
+        # what the echo concluded, for gating the twin read below
+        # (ADVICE r8: the twin's float-representation conclusion must
+        # not contradict an H1 echo in the same decode)
+        echo_read = "absent"
         if echo is None:
             print("  echo: NOT IN WINDOW")
         else:
             s, o = echo.get("spark_rows"), echo.get("oracle_rows")
             print(f"  echo: spark_rows={s} oracle_rows={o} expected={exp}")
             if s == exp and o == exp:
+                echo_read = "H2"
                 if state == "RED":
                     print(
                         "  => BOTH driver engines computed OUR values while"
@@ -154,6 +159,7 @@ def main() -> None:
                 else:
                     print("  => values match everywhere (consistent with green)")
             elif s != exp and o == exp:
+                echo_read = "H1"
                 print(
                     "  => the driver's SPARK computed different VALUES for"
                     f" this query (H1): its digest {s} != expected {exp}"
@@ -183,11 +189,25 @@ def main() -> None:
                 tg = "green" if _green(t) else f"red ({t})"
                 print(f"  twin {twin}: {tg}")
                 if _green(t) and state == "RED":
-                    print(
-                        "  => integer twin green + float original red:"
-                        " the channel is FLOAT REPRESENTATION in the"
-                        " driver's hasher."
-                    )
+                    if echo_read == "H1":
+                        # the echo already proved different VALUES —
+                        # a float-representation claim would
+                        # contradict it within one decode (ADVICE r8)
+                        print(
+                            "  => integer twin green + float original"
+                            " red, but the echo above already"
+                            " implicates different VALUES (H1) — read"
+                            " the echo conclusion first; the twin"
+                            " alone is not float-representation"
+                            " evidence here."
+                        )
+                    else:
+                        print(
+                            "  => integer twin green + float original"
+                            " red: consistent with a FLOAT"
+                            " REPRESENTATION channel in the driver's"
+                            " hasher."
+                        )
     print()
 
     # --- rfm decomposition ----------------------------------------

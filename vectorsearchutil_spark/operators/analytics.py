@@ -42,6 +42,10 @@ __all__ = [
     "theil_sen_daily_trend",
     "block_bootstrap_mean_ci",
     "seasonal_decompose_daily",
+    # standalone decomposition probes of yoy_growth / rfm_scores
+    # (documented public API — ADVICE r8)
+    "monthly_revenue",
+    "rfm_per_customer",
 ]
 
 

@@ -1091,10 +1091,10 @@ def events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 _YOY_MONTH_CTE = """
 m AS (
   SELECT (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS mi,
-         SUM(CASE WHEN o_totalprice IS NOT NULL
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
                        AND isfinite(o_totalprice)
                   THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             END) AS revenue_cents,
+             END) AS BIGINT) AS revenue_cents,
          CAST(COUNT(*) AS BIGINT) AS n_orders
   FROM orders GROUP BY 1
 )
@@ -1154,10 +1154,10 @@ pc AS (
          CAST(MIN(date_diff('day', CAST(o_orderdate AS DATE),
                             CAST(a AS DATE))) AS INT) AS recency_days,
          CAST(COUNT(*) AS BIGINT) AS frequency,
-         SUM(CASE WHEN o_totalprice IS NOT NULL
+         CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
                        AND isfinite(o_totalprice)
                   THEN CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
-             END) AS monetary_cents
+             END) AS BIGINT) AS monetary_cents
   FROM orders, anchor GROUP BY o_custkey
 )
 """
@@ -1440,12 +1440,12 @@ grid AS (
 ),
 risked AS (
   SELECT delay_days, n_events,
-    n_total
+    CAST(n_total
       - COALESCE(SUM(n_events) OVER (ORDER BY delay_days ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       - COALESCE(SUM(nc) OVER (ORDER BY delay_days ASC
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-      AS n_at_risk
+      AS BIGINT) AS n_at_risk
   FROM grid, nt
 ),
 cum AS (
@@ -5441,7 +5441,17 @@ def _hashecho_df(
             if v is None:
                 cells.append("N")
             elif c in float_cols:
-                cells.append(str(int(math.floor(v * 1e6 + 0.5))))
+                # non-finite floats have no floor: render them as
+                # fixed tokens so a future wrapped query that CAN
+                # emit NaN/Inf stays decodable instead of erroring
+                # the probe (ADVICE r8); _echo_oracle mirrors these
+                fv = float(v)
+                if math.isnan(fv):
+                    cells.append("NaN")
+                elif math.isinf(fv):
+                    cells.append("Inf" if fv > 0 else "-Inf")
+                else:
+                    cells.append(str(int(math.floor(fv * 1e6 + 0.5))))
             else:
                 # guard the canonical form: Python str() and DuckDB's
                 # CAST(x AS VARCHAR) agree ONLY for ints and strings
@@ -5471,9 +5481,14 @@ def _echo_oracle(base_sql: str, cols: tuple) -> str:
     cells = []
     for name, kind in cols:
         if kind == "f":
+            # NaN/Inf tokens mirror _hashecho_df (NULL falls through
+            # the CASE to the floor branch, yielding NULL → 'N')
             v = (
-                f"CAST(CAST(floor({name} * 1000000.0 + 0.5) AS BIGINT)"
-                " AS VARCHAR)"
+                f"CASE WHEN isnan({name}) THEN 'NaN'"
+                f" WHEN isinf({name}) THEN"
+                f" (CASE WHEN {name} > 0 THEN 'Inf' ELSE '-Inf' END)"
+                f" ELSE CAST(CAST(floor({name} * 1000000.0 + 0.5)"
+                " AS BIGINT) AS VARCHAR) END"
             )
         else:
             v = f"CAST({name} AS VARCHAR)"
@@ -5776,6 +5791,17 @@ ROUND6_PROMOTED = (
     "hashecho_kaplan_meier", "orders_yoy_growth_ppm",
     "events_kaplan_meier_ppm", "orders_yoy_monthly",
     "customer_rfm_percust", "rfm_ntile_fixture",
+    # round-9 promotion (VERDICT r8 "Next round" #3): the 8-entry
+    # round-9 staging wave — oracle-green at sf0.001/0.01/0.1 +
+    # unicode fixture + vanilla session + degenerate sweeps during
+    # round 8 (CORRECTNESS_SELF_r08.json covers all 283 incl. these).
+    # With this promotion the pending lane is EMPTY; the next staging
+    # wave opens only after the round-10 window plan is written
+    # (ROADMAP lane-discipline rule, VERDICT r8 #7).
+    "graph_triangle_count", "events_funnel_conversion",
+    "docs_split_leakage", "embeddings_triplet_mining",
+    "events_audience_overlap", "ann_recall_curve",
+    "orders_conformal_coverage", "embeddings_mutual_knn",
 )
 
 # Complete the round-6 promotion when THIS module is the last of the
