@@ -46,6 +46,15 @@ __all__ = [
     # (documented public API — ADVICE r8)
     "monthly_revenue",
     "rfm_per_customer",
+    # round-10 staging wave
+    "normal_sf",
+    "nelson_aalen",
+    "mann_kendall_daily",
+    "fdr_bh_trend",
+    "ewma_forecast_daily",
+    "dau_mau_stickiness",
+    "diff_in_diff",
+    "price_elasticity",
 ]
 
 
@@ -681,6 +690,63 @@ def kaplan_meier(
     representation in the driver's hasher; both red means the
     computed values themselves differ.
     """
+    risked = _survival_risk_table(
+        events, start_type, convert_type, user_col, type_col, ts_col
+    )
+    frac = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
+        "n_at_risk"
+    ).cast("double")
+    term = F.when(
+        F.col("n_events") < F.col("n_at_risk"),
+        F.floor(F.log(frac) * F.lit(1e9) + F.lit(0.5)).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    dead = (F.col("n_events") >= F.col("n_at_risk")).cast("int")
+    wcum = Window.orderBy(F.col("delay_days").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = risked.select(
+        "delay_days",
+        "n_at_risk",
+        "n_events",
+        F.sum(term).over(wcum).alias("_lnsum"),
+        F.max(dead).over(wcum).alias("_dead"),
+    )
+    surv = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
+        F.exp(F.col("_lnsum").cast("double") / F.lit(1e9))
+    )
+    surv_out = (
+        F.floor(surv * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("survival_ppm")
+        if fixed_point
+        else round_half_up(surv, 6).alias("survival")
+    )
+    return (
+        cum.filter(F.col("n_events") > 0)
+        .select(
+            "delay_days",
+            F.col("n_at_risk").cast("long").alias("n_at_risk"),
+            "n_events",
+            surv_out,
+        )
+    )
+
+
+def _survival_risk_table(
+    events: DataFrame,
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Shared survival risk table: one row per distinct conversion-
+    delay day (event days AND censor days) with ``delay_days``,
+    ``n_events``, ``n_at_risk`` — the common substrate of
+    :func:`kaplan_meier` (product-limit) and :func:`nelson_aalen`
+    (cumulative hazard). Extracted verbatim from kaplan_meier so the
+    two estimators CANNOT drift (the _YOY_MONTH_CTE discipline);
+    plan shape and semantics documented there."""
     sec = F.floor(epoch_seconds(F.col(ts_col))).cast("bigint")
     per_user = (
         events.groupBy(F.col(user_col))
@@ -731,19 +797,44 @@ def kaplan_meier(
         - F.coalesce(F.sum("n_events").over(wprev), F.lit(0))
         - F.coalesce(F.sum("_nc").over(wprev), F.lit(0))
     )
-    risked = grid.crossJoin(F.broadcast(n_total)).select(
+    return grid.crossJoin(F.broadcast(n_total)).select(
         "delay_days",
         "n_events",
         at_risk.alias("n_at_risk"),
     )
-    frac = F.lit(1.0) - F.col("n_events").cast("double") / F.col(
-        "n_at_risk"
-    ).cast("double")
-    term = F.when(
-        F.col("n_events") < F.col("n_at_risk"),
-        F.floor(F.log(frac) * F.lit(1e9) + F.lit(0.5)).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    dead = (F.col("n_events") >= F.col("n_at_risk")).cast("int")
+
+
+def nelson_aalen(
+    events: DataFrame,
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Nelson–Aalen cumulative hazard of time-to-conversion:
+    H(t) = Σ_{u≤t} d_u / n_u over the same right-censored risk table
+    as :func:`kaplan_meier` (kin declared: shared
+    :func:`_survival_risk_table`, different estimator — NA estimates
+    the integrated hazard directly and is the standard input to
+    hazard-ratio eyeballing where KM's product-limit is the survival
+    curve).
+
+    Exactness: each increment d/n is a 1e9 fixed-point BIGINT term —
+    the cumulative sum is order-free long addition (the zipf_fit /
+    KM-lnsum convention), divided back to double once per row.
+    Plan: identical to KM — everything after the per-user collapse
+    runs on the bounded distinct-delay-day histogram.
+    """
+    risked = _survival_risk_table(
+        events, start_type, convert_type, user_col, type_col, ts_col
+    )
+    inc = F.floor(
+        F.col("n_events").cast("double")
+        / F.col("n_at_risk").cast("double")
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
     wcum = Window.orderBy(F.col("delay_days").asc()).rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -751,27 +842,17 @@ def kaplan_meier(
         "delay_days",
         "n_at_risk",
         "n_events",
-        F.sum(term).over(wcum).alias("_lnsum"),
-        F.max(dead).over(wcum).alias("_dead"),
+        F.sum(F.when(F.col("n_at_risk") > 0, inc).otherwise(F.lit(0)))
+        .over(wcum)
+        .alias("_hsum"),
     )
-    surv = F.when(F.col("_dead") == 1, F.lit(0.0)).otherwise(
-        F.exp(F.col("_lnsum").cast("double") / F.lit(1e9))
-    )
-    surv_out = (
-        F.floor(surv * F.lit(1e6) + F.lit(0.5))
-        .cast("long")
-        .alias("survival_ppm")
-        if fixed_point
-        else round_half_up(surv, 6).alias("survival")
-    )
-    return (
-        cum.filter(F.col("n_events") > 0)
-        .select(
-            "delay_days",
-            F.col("n_at_risk").cast("long").alias("n_at_risk"),
-            "n_events",
-            surv_out,
-        )
+    return cum.filter(F.col("n_events") > 0).select(
+        "delay_days",
+        F.col("n_at_risk").cast("long").alias("n_at_risk"),
+        "n_events",
+        round_half_up(
+            F.col("_hsum").cast("double") / F.lit(1e9), 6
+        ).alias("cum_hazard"),
     )
 
 
@@ -2483,4 +2564,464 @@ def conformal_coverage_daily(
                 6,
             ),
         ).alias("coverage"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging wave (pending lane) — trend testing, multiple-testing
+# correction, forecasting, engagement, and causal-lite estimators.
+# ---------------------------------------------------------------------------
+
+
+def normal_sf(x: Column) -> Column:
+    """Upper-tail P(Z > x) of the standard normal for x ≥ 0, via the
+    Abramowitz–Stegun 26.2.19 polynomial (|error| < 1.5e-7).
+
+    Cross-engine parity is the design constraint, not accuracy: the
+    oracle spells out the IDENTICAL arithmetic DAG (Horner polynomial
+    + four squarings for t^16 — no ``pow`` with non-integer exponent
+    anywhere), so both engines produce bit-identical doubles and a
+    6dp floor-round can't flip.
+    """
+    d1, d2, d3 = 0.0498673470, 0.0211410061, 0.0032776263
+    d4, d5, d6 = 0.0000380036, 0.0000488906, 0.0000053830
+    t = (
+        F.lit(1.0)
+        + x
+        * (
+            F.lit(d1)
+            + x
+            * (
+                F.lit(d2)
+                + x
+                * (F.lit(d3) + x * (F.lit(d4) + x * (F.lit(d5) + x * F.lit(d6))))
+            )
+        )
+    )
+    t2 = t * t
+    t4 = t2 * t2
+    t8 = t4 * t4
+    return F.lit(0.5) / (t8 * t8)
+
+
+#: the same polynomial as DuckDB SQL, parameterized on the x expression
+NORMAL_SF_SQL = (
+    "0.5 / (((((1.0 + {x} * (0.0498673470 + {x} * (0.0211410061 + {x} *"
+    " (0.0032776263 + {x} * (0.0000380036 + {x} * (0.0000488906 + {x} *"
+    " 0.0000053830))))))"
+    " * ((1.0 + {x} * (0.0498673470 + {x} * (0.0211410061 + {x} *"
+    " (0.0032776263 + {x} * (0.0000380036 + {x} * (0.0000488906 + {x} *"
+    " 0.0000053830)))))))"
+    ")^2)^2)^2"
+)
+
+
+def mann_kendall_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Mann–Kendall trend test on the daily value-sum series, per
+    event type (kin declared: :func:`kendall_tau_daily` correlates
+    the daily COUNT and VALUE series with each other; this tests the
+    value series against TIME and attaches significance).
+
+    S = Σ_{i<j} sign(v_j − v_i) over day-ordered pairs; the
+    tie-corrected variance Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)]
+    / 18; z applies the ±1 continuity correction. S, both variance
+    numerators, and the tie term are exact BIGINT; z and the two-sided
+    p (via :func:`normal_sf`) divide to double once at the end.
+
+    Plan: the O(d²) pair join and the tie histogram both run on the
+    AGGREGATED day grid (≤ calendar-days rows per type) — broadcast
+    at any corpus scale, the kendall_tau posture.
+    """
+    g = _daily_type_grid(events, ts_col)
+    a = g.select(
+        "event_type", F.col("day").alias("d1"), F.col("v_cents").alias("v1")
+    )
+    b = g.select(
+        "event_type", F.col("day").alias("d2"), F.col("v_cents").alias("v2")
+    )
+    s_tbl = (
+        a.join(F.broadcast(b), "event_type")
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.signum((F.col("v2") - F.col("v1")).cast("double")))
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    n_tbl = g.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        g.groupBy("event_type", "v_cents")
+        .agg(F.count(F.lit(1)).alias("_t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("_t")
+                * (F.col("_t") - F.lit(1))
+                * (F.lit(2) * F.col("_t") + F.lit(5))
+            ).alias("_tie_term")
+        )
+    )
+    n = F.col("n_days")
+    var_num = (
+        n * (n - F.lit(1)) * (F.lit(2) * n + F.lit(5)) - F.col("_tie_term")
+    )
+    joined = (
+        n_tbl.join(s_tbl, "event_type").join(ties, "event_type")
+        .select(
+            "event_type", "n_days", "s_stat", var_num.alias("_var18")
+        )
+    )
+    var_s = F.col("_var18").cast("double") / F.lit(18.0)
+    s = F.col("s_stat").cast("double")
+    z = F.when(
+        (F.col("_var18") > 0) & (F.col("s_stat") != 0),
+        (s - F.signum(s)) / F.sqrt(var_s),
+    ).otherwise(F.lit(0.0))
+    p = F.lit(2.0) * normal_sf(F.abs(z))
+    return joined.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        round_half_up(var_s, 6).alias("var_s"),
+        round_half_up(z, 6).alias("z_mk"),
+        round_half_up(F.least(p, F.lit(1.0)), 6).alias("p_value"),
+    )
+
+
+def fdr_bh_trend(
+    events: DataFrame, ts_col: str = "ts", q: float = 0.10
+) -> DataFrame:
+    """Benjamini–Hochberg FDR selection over the per-type
+    Mann–Kendall trend p-values (kin declared: consumes
+    :func:`mann_kendall_daily`'s output; events_ks_drift /
+    events_mannwhitney emit single tests — this adds the
+    multiple-testing layer a per-segment drift screen needs).
+
+    BH: sort p ascending; reject H_1..H_k where k = max{i : p_(i) ≤
+    q·i/m}. The step-up scan is a running max over the boolean
+    ``p_(i) ≤ q·i/m`` REVERSED — expressed as a window over the
+    m-row test table (m = #event types, tiny by construction).
+    """
+    mk = mann_kendall_daily(events, ts_col)
+    wrank = Window.orderBy(F.col("p_value").asc(), F.col("event_type").asc())
+    ranked = mk.select(
+        "event_type",
+        "z_mk",
+        "p_value",
+        F.row_number().over(wrank).alias("p_rank"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("m_tests"),
+    )
+    thresh = (
+        F.lit(q)
+        * F.col("p_rank").cast("double")
+        / F.col("m_tests").cast("double")
+    )
+    passed = (F.col("p_value") <= thresh).cast("int")
+    wtail = Window.orderBy(F.col("p_rank").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return ranked.select(
+        "event_type",
+        "z_mk",
+        "p_value",
+        "p_rank",
+        "m_tests",
+        round_half_up(thresh, 6).alias("bh_threshold"),
+        (F.max(passed).over(wtail) == 1).alias("rejected"),
+    )
+
+
+def ewma_forecast_daily(
+    events: DataFrame, ts_col: str = "ts", alpha: float = 0.3
+) -> DataFrame:
+    """One-step-ahead EWMA forecast accuracy on the daily value-sum
+    series, per event type (kin declared: events_user_ewma folds the
+    smoother per USER over raw event order; this runs on the
+    calendar-bounded day grid and scores forecasts).
+
+    s_t = α·v_t + (1−α)·s_{t−1} (s_1 = v_1); the forecast for day t
+    is s_{t−1}. WAPE = Σ|v_t − f_t| / Σ|v_t| over t ≥ 2. Both
+    engines fold the identical left-to-right recurrence on doubles
+    (the events_user_ewma convention — identical IEEE op sequence),
+    then quantize each |error| term to a 1e6 fixpoint BIGINT so the
+    SUMS are order-free; only the final ratios divide in double.
+
+    Plan: ONE groupBy collapses raw events to the day grid; the
+    O(d²) prefix refolds run inside array expressions on a ≤
+    calendar-days list per type — bounded lambda work per group, no
+    shuffle after the grid.
+    """
+    g = _daily_type_grid(events, ts_col)
+    per_type = g.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("day", F.col("v_cents")))
+            ),
+            lambda x: x["v_cents"].cast("double"),
+        ).alias("_vals")
+    )
+    vals = F.col("_vals")
+    n = F.size(vals)
+
+    def smoothed_prefix(t):
+        # s_{t-1}: fold vals[2..t-1] starting from vals[1]
+        return F.aggregate(
+            F.slice(vals, 2, t - 2),
+            F.element_at(vals, 1),
+            lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
+        )
+
+    # per t in [2..n]: quantized |v_t - s_{t-1}|
+    errs = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda t: F.floor(
+            F.abs(F.element_at(vals, t) - smoothed_prefix(t)) * F.lit(1e6)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    abs_sum = F.aggregate(
+        F.slice(vals, 2, n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5))
+        .cast("long"),
+    )
+    err_sum = F.aggregate(
+        errs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    next_fc = smoothed_prefix(n + 1)  # fold over the whole series
+    out = per_type.select(
+        "event_type",
+        n.alias("n_days"),
+        err_sum.alias("_es"),
+        abs_sum.alias("_as"),
+        next_fc.alias("_fc"),
+    )
+    return out.filter(F.col("n_days") >= 2).select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("_as") > 0,
+            round_half_up(
+                F.col("_es").cast("double") / F.col("_as").cast("double"), 6
+            ),
+        ).alias("wape"),
+        round_half_up(
+            F.col("_es").cast("double")
+            / F.lit(1e6)
+            / (F.col("n_days") - F.lit(1)).cast("double"),
+            4,
+        ).alias("mae_cents"),
+        round_half_up(F.col("_fc"), 4).alias("next_forecast_cents"),
+    )
+
+
+def dau_mau_stickiness(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Exact DAU/MAU stickiness per day (kin declared:
+    events_user_hll_distinct is the sketched running-distinct cousin;
+    this is the EXACT trailing-30-day ratio).
+
+    MAU(d) counts users with ≥1 event in [d−29, d]. A user active on
+    day a covers days [a, a+29]; per user, activity days collapse to
+    coverage ISLANDS (gaps > 29 days break an island), each island
+    [first, last+29] contributing +1 at its start and −1 after its
+    end. MAU(d) is then the running sum of island deltas — a window
+    over the bounded distinct-day delta grid, never over users.
+
+    Plan: one distinct (user, day) aggregate; per-user island
+    detection windows over ≤ calendar-days rows per user; everything
+    after is day-grid-sized. No step touches raw rows twice.
+    """
+    ud = events.select(
+        F.col("user_id"), F.to_date(F.col(ts_col)).alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    wuser = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    gap = F.datediff(
+        F.col("day"), F.lag("day", 1).over(wuser)
+    )
+    marked = ud.select(
+        "user_id",
+        "day",
+        F.when(gap.isNull() | (gap > 29), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("_new_island"),
+    )
+    islands = marked.select(
+        "user_id",
+        "day",
+        F.sum("_new_island").over(
+            wuser.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("_island"),
+    ).groupBy("user_id", "_island").agg(
+        F.min("day").alias("_start"),
+        F.date_add(F.max("day"), 30).alias("_after_end"),
+    )
+    deltas = islands.select(
+        F.col("_start").alias("day"), F.lit(1).alias("_d")
+    ).unionAll(
+        islands.select(
+            F.col("_after_end").alias("day"), F.lit(-1).alias("_d")
+        )
+    ).groupBy("day").agg(F.sum("_d").alias("_delta"))
+    merged = deltas.join(dau, "day", "full").select(
+        "day",
+        F.coalesce(F.col("_delta"), F.lit(0)).alias("_delta"),
+        F.col("dau"),
+    )
+    wday = Window.orderBy(F.col("day").asc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = merged.select(
+        "day",
+        "dau",
+        F.sum("_delta").over(wday).alias("mau"),
+    )
+    return cum.filter(F.col("dau").isNotNull()).select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("mau").cast("long").alias("mau"),
+        round_half_up(
+            F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+        ).alias("stickiness"),
+    )
+
+
+def diff_in_diff(
+    events: DataFrame,
+    value_col: str = "value",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    seed: str = "did",
+) -> DataFrame:
+    """Difference-in-differences estimator on event values over a
+    deterministic hash-assigned treatment and a midpoint pre/post
+    split: DiD = (post_T − pre_T) − (post_C − pre_C) of group mean
+    value.
+
+    Treatment is ``hash_uniform(user_id, seed) < 0.5`` — the md5 draw
+    every split/sample in this repo uses, so assignment is
+    partitioning-independent and the oracle reproduces it
+    bit-for-bit. The period boundary is the midpoint day of
+    [min_day, max_day] (post = day > midpoint, exact integer day
+    arithmetic). Means are exact cents-sum / count; the four means
+    and the DiD subtract in double once at the end.
+
+    Plan: two tiny scalar aggregates (calendar bounds) broadcast onto
+    one scan; the output is a single row from one groupBy over 4
+    groups. Scan-speed at any corpus size.
+    """
+    from vectorsearchutil_spark.operators.sampling import hash_uniform
+
+    day = F.to_date(F.col(ts_col))
+    bounds = events.agg(
+        F.min(day).alias("_d0"), F.max(day).alias("_d1")
+    )
+    base = events.crossJoin(F.broadcast(bounds)).select(
+        (
+            hash_uniform(F.col(user_col).cast("string"), seed) < F.lit(0.5)
+        ).alias("_treated"),
+        (
+            F.datediff(day, F.col("_d0"))
+            > F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / F.lit(2))
+        ).alias("_post"),
+        _cents(F.col(value_col)).alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    cell = base.groupBy("_treated", "_post").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_v").alias("_s")
+    )
+    mean = F.col("_s").cast("double") / F.col("_n").cast("double")
+    pivoted = cell.agg(
+        F.max(F.when(F.col("_treated") & F.col("_post"), mean)).alias("_tp"),
+        F.max(F.when(F.col("_treated") & ~F.col("_post"), mean)).alias("_t0"),
+        F.max(F.when(~F.col("_treated") & F.col("_post"), mean)).alias("_cp"),
+        F.max(F.when(~F.col("_treated") & ~F.col("_post"), mean)).alias("_c0"),
+        F.sum("_n").alias("n_events"),
+    )
+    return pivoted.select(
+        F.col("n_events").cast("long").alias("n_events"),
+        round_half_up(F.col("_t0") / F.lit(100.0), 4).alias("pre_treat"),
+        round_half_up(F.col("_tp") / F.lit(100.0), 4).alias("post_treat"),
+        round_half_up(F.col("_c0") / F.lit(100.0), 4).alias("pre_control"),
+        round_half_up(F.col("_cp") / F.lit(100.0), 4).alias("post_control"),
+        round_half_up(
+            (
+                (F.col("_tp") - F.col("_t0"))
+                - (F.col("_cp") - F.col("_c0"))
+            )
+            / F.lit(100.0),
+            4,
+        ).alias("did_estimate"),
+    )
+
+
+def price_elasticity(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """Per-brand log-log OLS price elasticity of demand: the slope of
+    ln(quantity) on ln(unit price) across a brand's line items (kin
+    declared: orders_theilsen_trend is the robust pairwise-slope
+    cousin on the daily grid; this is grouped closed-form OLS on raw
+    observations — the classic demand-curve estimate).
+
+    Exactness: each ln quantizes to a 1e9-fixpoint BIGINT (the
+    zipf_fit / KM-lnsum convention), the five OLS moments accumulate
+    in DECIMAL(38,0) — order-free — and the closed form
+    (nΣxy − ΣxΣy)/(nΣxx − Σx²) combines moments in double once per
+    brand. Rows with non-positive or non-finite price/quantity are
+    excluded on both engines.
+
+    Plan: one lineitem→part equi-join on partkey (both sides shuffle
+    on the key; the join carries only (partkey, qty, price) vs
+    (partkey, brand) — no wide payload), then one partial-aggregated
+    groupBy(brand). Moment headroom: |lx| ≤ ~1.2e10, Σlx² per brand
+    ≤ 1.5e20·n — DECIMAL(38,0) holds n up to ~1e17 rows per brand.
+    """
+    li = lineitem.filter(
+        F.col("l_quantity").isNotNull()
+        & F.col("l_extendedprice").isNotNull()
+        & (F.col("l_quantity") > 0)
+        & (F.col("l_extendedprice") > 0)
+        & ~F.isnan(F.col("l_quantity"))
+        & ~F.isnan(F.col("l_extendedprice"))
+    ).select(
+        "l_partkey",
+        F.floor(
+            F.log(F.col("l_extendedprice") / F.col("l_quantity"))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long").alias("_lx"),
+        F.floor(F.log(F.col("l_quantity")) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("_ly"),
+    )
+    joined = li.join(
+        part.select(F.col("p_partkey").alias("l_partkey"), "p_brand"),
+        "l_partkey",
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = joined.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(dec(F.col("_lx"))).alias("_sx"),
+        F.sum(dec(F.col("_ly"))).alias("_sy"),
+        F.sum(dec(F.col("_lx")) * dec(F.col("_lx"))).alias("_sxx"),
+        F.sum(dec(F.col("_lx")) * dec(F.col("_ly"))).alias("_sxy"),
+    )
+    n = F.col("n_obs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = n * sxx - sx * sx
+    slope = F.when(den != 0, (n * sxy - sx * sy) / den)
+    intercept = F.when(
+        den != 0, (sy - slope * sx) / (n * F.lit(1e9))
+    )
+    return m.select(
+        "p_brand",
+        F.col("n_obs").cast("long").alias("n_obs"),
+        round_half_up(slope, 6).alias("elasticity"),
+        round_half_up(intercept, 6).alias("ln_q_intercept"),
     )

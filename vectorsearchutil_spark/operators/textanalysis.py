@@ -1893,3 +1893,337 @@ def diversity_indices(
             F.log2(n) - F.col("_clogc") / n, 6
         ).alias("shannon_bits"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 staging wave — LM scoring depth, template detection, data
+# ablation, and score-calibration measurement.
+# ---------------------------------------------------------------------------
+
+
+def trigram_stupid_backoff(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document mean stupid-backoff trigram score (Brants et al.
+    2007, "Large Language Models in Machine Translation") under the
+    corpus's own counts — the standard web-scale LM quality signal
+    where a smoothed probability is overkill (kin declared:
+    :func:`bigram_logprob` is the add-k bigram cousin; this adds the
+    3→2→1-gram fallback chain with the canonical α=0.4).
+
+    S(w₃|w₁w₂) = c(w₁w₂w₃)/c(w₁w₂) if the trigram was seen, else
+    α·c(w₂w₃)/c(w₂) if the bigram was seen, else α²·c(w₃)/N. The
+    denominators exist whenever the branch is taken (a seen trigram
+    implies its context bigram). Per-position scores quantize to a
+    1e6-fixpoint BIGINT before the per-doc SUM (order-free — stricter
+    than bigram_logprob's rounded AVG); one double division at the
+    end. Docs with <3 tokens have no trigram and are absent.
+
+    Plan: ONE tokenize pass; trigram positions derive array-side and
+    only narrow (id, w1, w2, w3) rows shuffle. All count tables are
+    Zipf-small aggregates; the DISTINCT trigram table is scored once
+    (the bigram_logprob lp_table trick) and the position stream joins
+    back exactly once on the trigram key. The 100 TB watch item is
+    head-trigram join skew — mitigated by the distinct-table
+    pre-scoring (the stream side of the final join carries no
+    payload but the key).
+    """
+    toks = df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+    tri = toks.selectExpr(
+        id_col,
+        "explode(CASE WHEN size(_toks) >= 3 THEN "
+        "transform(sequence(0, size(_toks) - 3), "
+        "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2,"
+        " _toks[i + 2] AS w3)) "
+        "ELSE array() END) AS tg",
+    ).select(id_col, "tg.w1", "tg.w2", "tg.w3")
+    big = toks.selectExpr(
+        id_col,
+        "explode(CASE WHEN size(_toks) >= 2 THEN "
+        "transform(sequence(0, size(_toks) - 2), "
+        "i -> struct(_toks[i] AS w1, _toks[i + 1] AS w2)) "
+        "ELSE array() END) AS bg",
+    ).select("bg.w1", "bg.w2")
+    uni = toks.select(F.explode("_toks").alias("w"))
+    tri_counts = tri.groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c3")
+    )
+    bg_counts = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
+    n_total = uni.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    # score the distinct trigram table: context bigram (w1,w2) always
+    # exists; backoff bigram (w2,w3) and unigram w3 may not
+    scored = (
+        tri_counts.join(
+            bg_counts.select(
+                F.col("w1"), F.col("w2"), F.col("cb").alias("c_ctx")
+            ),
+            ["w1", "w2"],
+        )
+        .join(
+            bg_counts.select(
+                F.col("w1").alias("w2"),
+                F.col("w2").alias("w3"),
+                F.col("cb").alias("c_back"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni_counts.select(
+                F.col("w").alias("w2"), F.col("cu").alias("cu_ctx")
+            ),
+            ["w2"],
+        )
+        .join(
+            uni_counts.select(
+                F.col("w").alias("w3"), F.col("cu").alias("cu_w")
+            ),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(n_total))
+    )
+    s = (
+        F.when(
+            F.col("c3") > 0,
+            F.col("c3").cast("double") / F.col("c_ctx").cast("double"),
+        )
+        .when(
+            F.col("c_back").isNotNull(),
+            F.lit(backoff)
+            * (F.col("c_back").cast("double") / F.col("cu_ctx").cast("double")),
+        )
+        .otherwise(
+            F.lit(backoff)
+            * (
+                F.lit(backoff)
+                * (
+                    F.coalesce(F.col("cu_w"), F.lit(0)).cast("double")
+                    / F.col("nn")
+                )
+            )
+        )
+    )
+    sbo_table = scored.select(
+        "w1",
+        "w2",
+        "w3",
+        F.floor(s * F.lit(1e6) + F.lit(0.5)).cast("long").alias("s_ppm"),
+    )
+    per_doc = (
+        tri.join(sbo_table, ["w1", "w2", "w3"])
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("s_ppm").alias("_sp"),
+        )
+    )
+    return per_doc.select(
+        F.col(id_col),
+        "n_trigrams",
+        round_half_up(
+            F.col("_sp").cast("double")
+            / F.lit(1e6)
+            / F.col("n_trigrams").cast("double"),
+            6,
+        ).alias("sbo_score"),
+    )
+
+
+def template_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chars_col: str = "n_chars",
+    min_cluster: int = 2,
+) -> DataFrame:
+    """Template-spam detection by structural skeleton: every maximal
+    ASCII-alphanumeric run collapses to ``x`` and whitespace runs to
+    one space, so documents generated from the same fill-in template
+    hash identically regardless of the filled values (kin declared:
+    :func:`boilerplate_prefixes` finds shared literal PREFIXES; this
+    clusters on the whole-document SHAPE).
+
+    ASCII classes only — Java and RE2 agree on ``[A-Za-z0-9]+`` and
+    ``\\s+`` byte-for-byte, so the skeleton is engine-portable by
+    construction. Output: one row per template with ≥ ``min_cluster``
+    members, with the doc count, the smallest member id, and the
+    bytes the cluster occupies (dedup-savings estimate).
+
+    Plan: one narrow projection + one groupBy on the 32-char hash —
+    scan-speed; no joins, no windows, nothing quadratic.
+    """
+    skeleton = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col(text_col), "[A-Za-z0-9]+", "x"),
+            "\\s+",
+            " ",
+        )
+    )
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.md5(skeleton).alias("template_hash"),
+            F.col(id_col),
+            F.col(chars_col),
+        )
+        .groupBy("template_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("example_doc_id"),
+            F.sum(chars_col).cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= min_cluster)
+    )
+
+
+def loo_source_influence(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Leave-one-source-out influence of each source on the corpus
+    mean quality — the cheapest honest data-ablation estimate ("what
+    happens to average quality if we drop this source?") and the
+    standard first pass before expensive DSIR-style reweighting (kin
+    declared: :func:`quality_score` supplies the metric;
+    docs_source_divergence measures distributional distance — this
+    measures the MEAN-SHIFT a source's removal causes).
+
+    influence(s) = mean(corpus) − mean(corpus \\ s): positive means
+    the source was pulling the average UP. Pure aggregate algebra:
+    LOO means come from (ΣQ − ΣQ_s)/(N − n_s) on 1e4-fixpoint BIGINT
+    sums — no second scan, no per-source recomputation.
+
+    Plan: one quality pass, one groupBy(source), a 1-row corpus
+    aggregate broadcast back. Scan-bound at any corpus size.
+    """
+    q = quality_score(df, text_col=text_col, id_col=id_col)
+    src = df.select(F.col(id_col), F.col("source"))
+    qi = (
+        q.filter(F.col("quality_score").isNotNull())
+        .join(src, id_col)
+        .select(
+            "source",
+            F.floor(F.col("quality_score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("_q4"),
+        )
+    )
+    per_src = qi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_q4").alias("_s4")
+    )
+    corpus = qi.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_q4").alias("_s")
+    )
+    j = per_src.crossJoin(F.broadcast(corpus))
+    mean_all = F.col("_s").cast("double") / (
+        F.lit(10000.0) * F.col("_n").cast("double")
+    )
+    loo = F.when(
+        F.col("_n") > F.col("n_docs"),
+        (F.col("_s") - F.col("_s4")).cast("double")
+        / (F.lit(10000.0) * (F.col("_n") - F.col("n_docs")).cast("double")),
+    )
+    src_mean = F.col("_s4").cast("double") / (
+        F.lit(10000.0) * F.col("n_docs").cast("double")
+    )
+    return j.select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        round_half_up(src_mean, 6).alias("source_mean"),
+        round_half_up(loo, 6).alias("loo_mean"),
+        round_half_up(mean_all - loo, 6).alias("influence"),
+    )
+
+
+def quality_ece(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram + expected-calibration-error decomposition
+    of the per-doc quality score as a predictor of "this doc's SOURCE
+    is a top-half-quality source" (kin declared:
+    docs_calibrated_quality NORMALIZES scores within source; this
+    MEASURES whether the raw score is calibrated against a
+    source-level outcome — a non-circular doc-level probe of the
+    quality-by-source halo).
+
+    The outcome: sources rank by (mean quality desc, source asc); the
+    top ⌈S/2⌉ sources are positive — an exact rank cut, no
+    tie-ambiguous median. Bins are equal-width on the score; per bin
+    the row reports n, mean confidence (1e4-fixpoint exact sums),
+    positive fraction, |gap|, and the n_b/N-weighted ECE
+    contribution (sum the column for ECE).
+
+    Plan: one quality pass; the source ranking is a tiny aggregate
+    window; the bin table is ≤ n_bins rows. Scan-bound.
+    """
+    from pyspark.sql import Window
+
+    q = quality_score(df, text_col=text_col, id_col=id_col)
+    src = df.select(F.col(id_col), F.col("source"))
+    qi = (
+        q.filter(F.col("quality_score").isNotNull())
+        .join(src, id_col)
+        .select(
+            "source",
+            F.col("quality_score").alias("_q"),
+            F.floor(F.col("quality_score") * F.lit(10000.0) + F.lit(0.5))
+            .cast("long")
+            .alias("_q4"),
+        )
+    )
+    per_src = qi.groupBy("source").agg(
+        F.count(F.lit(1)).alias("_ns"), F.sum("_q4").alias("_ss")
+    )
+    wsrc = Window.orderBy(
+        (
+            F.col("_ss").cast("double") / F.col("_ns").cast("double")
+        ).desc(),
+        F.col("source").asc(),
+    )
+    ranked = per_src.select(
+        "source",
+        F.row_number().over(wsrc).alias("_rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_S"),
+    ).select(
+        "source",
+        (F.col("_rk") <= F.ceil(F.col("_S") / F.lit(2))).alias("_pos"),
+    )
+    binned = qi.join(F.broadcast(ranked), "source").select(
+        F.least(
+            F.lit(n_bins - 1), F.floor(F.col("_q") * F.lit(n_bins))
+        ).cast("int").alias("bin"),
+        "_q4",
+        F.col("_pos").cast("long").alias("_y"),
+    )
+    agg = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_q4").alias("_sq"),
+        F.sum("_y").alias("_sy"),
+    )
+    total = binned.agg(F.count(F.lit(1)).alias("_N"))
+    conf = F.col("_sq").cast("double") / (
+        F.lit(10000.0) * F.col("n_docs").cast("double")
+    )
+    acc = F.col("_sy").cast("double") / F.col("n_docs").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(total))
+        .select(
+            "bin",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            round_half_up(conf, 6).alias("avg_conf"),
+            round_half_up(acc, 6).alias("frac_pos"),
+            round_half_up(
+                F.col("n_docs").cast("double")
+                / F.col("_N").cast("double")
+                * F.abs(acc - conf),
+                6,
+            ).alias("ece_contrib"),
+        )
+    )
