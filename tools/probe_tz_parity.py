@@ -80,6 +80,17 @@ DEFAULT_SLICE = [
     "orders_yoy_monthly",
     "customer_rfm_percust",
     "hashecho_kaplan_meier",
+    # round-10 staged calendar consumers (the COVERAGE.md standing
+    # rule): NA shares KM's epoch-floor day arithmetic; MK/FDR/EWMA
+    # run on the to_date day grid; DAU/MAU adds date_add interval
+    # arithmetic + a datediff island break; DiD anchors on a
+    # min/max-date midpoint split.
+    "events_nelson_aalen",
+    "events_mann_kendall",
+    "events_fdr_bh",
+    "events_ewma_forecast",
+    "events_dau_mau_stickiness",
+    "events_diff_in_diff",
 ]
 
 

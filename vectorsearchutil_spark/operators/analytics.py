@@ -2604,16 +2604,21 @@ def normal_sf(x: Column) -> Column:
     return F.lit(0.5) / (t8 * t8)
 
 
-#: the same polynomial as DuckDB SQL, parameterized on the x expression
-NORMAL_SF_SQL = (
-    "0.5 / (((((1.0 + {x} * (0.0498673470 + {x} * (0.0211410061 + {x} *"
-    " (0.0032776263 + {x} * (0.0000380036 + {x} * (0.0000488906 + {x} *"
-    " 0.0000053830))))))"
-    " * ((1.0 + {x} * (0.0498673470 + {x} * (0.0211410061 + {x} *"
-    " (0.0032776263 + {x} * (0.0000380036 + {x} * (0.0000488906 + {x} *"
-    " 0.0000053830)))))))"
-    ")^2)^2)^2"
-)
+def normal_sf_sql(x: str) -> str:
+    """The identical polynomial as DuckDB SQL, parameterized on the
+    (already-nonnegative) x expression. The t^16 builds from the same
+    pairing of multiplies as :func:`normal_sf` (t2=t·t, t4=t2·t2,
+    t8=t4·t4, t16=t8·t8) — no ``pow``/``^`` anywhere, so both engines
+    execute the identical IEEE op tree."""
+    t = (
+        f"(1.0 + {x} * (0.0498673470 + {x} * (0.0211410061 + {x} *"
+        f" (0.0032776263 + {x} * (0.0000380036 + {x} * (0.0000488906 +"
+        f" {x} * 0.0000053830))))))"
+    )
+    t2 = f"({t} * {t})"
+    t4 = f"({t2} * {t2})"
+    t8 = f"({t4} * {t4})"
+    return f"(0.5 / ({t8} * {t8}))"
 
 
 def mann_kendall_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
@@ -2752,9 +2757,14 @@ def ewma_forecast_daily(
     Plan: ONE groupBy collapses raw events to the day grid; the
     O(d²) prefix refolds run inside array expressions on a ≤
     calendar-days list per type — bounded lambda work per group, no
-    shuffle after the grid.
+    shuffle after the grid. Days with no finite value (NULL v_cents)
+    are excluded from the series on both engines; types with <2
+    remaining days are filtered BEFORE the array expressions so no
+    degenerate sequence/slice is ever evaluated.
     """
-    g = _daily_type_grid(events, ts_col)
+    g = _daily_type_grid(events, ts_col).filter(
+        F.col("v_cents").isNotNull()
+    )
     per_type = g.groupBy("event_type").agg(
         F.transform(
             F.array_sort(
@@ -2762,7 +2772,7 @@ def ewma_forecast_daily(
             ),
             lambda x: x["v_cents"].cast("double"),
         ).alias("_vals")
-    )
+    ).filter(F.size(F.col("_vals")) >= 2)
     vals = F.col("_vals")
     n = F.size(vals)
 
@@ -2799,7 +2809,7 @@ def ewma_forecast_daily(
         abs_sum.alias("_as"),
         next_fc.alias("_fc"),
     )
-    return out.filter(F.col("n_days") >= 2).select(
+    return out.select(
         "event_type",
         "n_days",
         F.when(
@@ -2834,7 +2844,7 @@ def dau_mau_stickiness(events: DataFrame, ts_col: str = "ts") -> DataFrame:
     detection windows over ≤ calendar-days rows per user; everything
     after is day-grid-sized. No step touches raw rows twice.
     """
-    ud = events.select(
+    ud = events.filter(F.col(ts_col).isNotNull()).select(
         F.col("user_id"), F.to_date(F.col(ts_col)).alias("day")
     ).distinct()
     dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
@@ -2916,6 +2926,9 @@ def diff_in_diff(
     from vectorsearchutil_spark.operators.sampling import hash_uniform
 
     day = F.to_date(F.col(ts_col))
+    events = events.filter(
+        F.col(ts_col).isNotNull() & F.col(user_col).isNotNull()
+    )
     bounds = events.agg(
         F.min(day).alias("_d0"), F.max(day).alias("_d1")
     )

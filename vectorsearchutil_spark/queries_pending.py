@@ -1404,7 +1404,14 @@ def orders_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 26. Kaplan-Meier time-to-conversion survival curve
 # --------------------------------------------------------------------------
 
-_KM_ORACLE = """
+#: shared survival risk-table CTE chain (everything through `risked`)
+#: — SINGLE SOURCE for events_kaplan_meier (product-limit tail) and
+#: the round-10 events_nelson_aalen (cumulative-hazard tail), the
+#: same no-drift discipline as _YOY_MONTH_CTE: the two estimators'
+#: oracles cannot diverge on the risk sets because they share them
+#: textually (mirrors analytics._survival_risk_table on the Spark
+#: side).
+_KM_RISK_CTE = """
 WITH pu AS (
   SELECT user_id,
     MIN(CASE WHEN event_type = 'signup'
@@ -1447,7 +1454,9 @@ risked AS (
           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
       AS BIGINT) AS n_at_risk
   FROM grid, nt
-),
+)"""
+
+_KM_ORACLE = _KM_RISK_CTE + """,
 cum AS (
   SELECT delay_days, n_at_risk, n_events,
     SUM(CASE WHEN n_events < n_at_risk
@@ -5810,3 +5819,657 @@ ROUND6_PROMOTED = (
 from vectorsearchutil_spark.queries import _promote_pending  # noqa: E402
 
 _promote_pending()
+
+
+# ==========================================================================
+# ROUND-10 STAGING WAVE (pending — NOT in ROUND6_PROMOTED; promoted in the
+# round-10 window per the ROADMAP plan written before this wave opened).
+# Kinship per entry is declared in the operator docstrings
+# (operators/analytics.py, operators/textanalysis.py) and COVERAGE.md.
+# ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# R10-1. Nelson-Aalen cumulative hazard (shares _KM_RISK_CTE — no drift)
+# --------------------------------------------------------------------------
+
+_NA_ORACLE = _KM_RISK_CTE + """,
+cum AS (
+  SELECT delay_days, n_at_risk, n_events,
+    SUM(CASE WHEN n_at_risk > 0
+             THEN CAST(floor(CAST(n_events AS DOUBLE)
+                             / CAST(n_at_risk AS DOUBLE)
+                             * 1000000000.0 + 0.5) AS BIGINT)
+             ELSE 0 END)
+      OVER (ORDER BY delay_days ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hsum
+  FROM risked
+)
+SELECT delay_days, n_at_risk, n_events,
+  floor(CAST(hsum AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5)
+    / 1000000.0 AS cum_hazard
+FROM cum WHERE n_events > 0
+"""
+
+
+@pending_query("events_nelson_aalen", _NA_ORACLE)
+def events_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nelson-Aalen cumulative hazard of signup->purchase delay over
+    the SAME right-censored risk table as events_kaplan_meier (shared
+    _survival_risk_table / _KM_RISK_CTE on both engines): H(t) =
+    order-free cumulative sum of 1e9-fixpoint d/n increments."""
+    from vectorsearchutil_spark.operators.analytics import nelson_aalen
+
+    return nelson_aalen(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R10-2/3. Mann-Kendall trend test + Benjamini-Hochberg FDR selection
+#          (shared _MK_CORE — the FDR oracle cannot drift from the test)
+# --------------------------------------------------------------------------
+
+from vectorsearchutil_spark.operators.analytics import (  # noqa: E402
+    normal_sf_sql as _normal_sf_sql,
+)
+
+#: CTE chain ending in `pt(event_type, n_days, s_stat, var_s_raw,
+#: z_raw, p_raw)` — raw (unrounded) doubles, identical arithmetic to
+#: analytics.mann_kendall_daily / normal_sf.
+_MK_CORE = (
+    "WITH "
+    + _DAILY_GRID_SQL
+    + """,
+s AS (
+  SELECT a.event_type,
+         CAST(SUM(CASE WHEN b.v_cents > a.v_cents THEN 1
+                       WHEN b.v_cents < a.v_cents THEN -1
+                       ELSE 0 END) AS BIGINT) AS s_stat
+  FROM g a JOIN g b
+    ON a.event_type = b.event_type AND a.day < b.day
+  GROUP BY 1
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM g GROUP BY 1
+),
+ties AS (
+  SELECT event_type,
+         CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+  FROM (SELECT event_type, v_cents, CAST(COUNT(*) AS BIGINT) AS t
+        FROM g GROUP BY 1, 2)
+  GROUP BY 1
+),
+mk AS (
+  SELECT nd.event_type, n_days, s_stat,
+         n_days * (n_days - 1) * (2 * n_days + 5) - tie_term AS var18
+  FROM nd
+  JOIN s ON nd.event_type = s.event_type
+  JOIN ties ON nd.event_type = ties.event_type
+),
+zt AS (
+  SELECT event_type, n_days, s_stat,
+         CAST(var18 AS DOUBLE) / 18.0 AS var_s_raw,
+         CASE WHEN var18 > 0 AND s_stat != 0
+              THEN (CAST(s_stat AS DOUBLE) - sign(s_stat))
+                   / sqrt(CAST(var18 AS DOUBLE) / 18.0)
+              ELSE 0.0 END AS z_raw
+  FROM mk
+),
+pt AS (
+  SELECT event_type, n_days, s_stat, var_s_raw, z_raw,
+         2.0 * """
+    + _normal_sf_sql("abs(z_raw)")
+    + """ AS p_raw
+  FROM zt
+)
+"""
+)
+
+_MK_ROUNDED_SELECT = """
+SELECT event_type, n_days, s_stat,
+  floor(var_s_raw * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+  floor(z_raw * 1000000.0 + 0.5) / 1000000.0 AS z_mk,
+  floor(LEAST(p_raw, 1.0) * 1000000.0 + 0.5) / 1000000.0 AS p_value
+FROM pt
+"""
+
+_MK_ORACLE = _MK_CORE + _MK_ROUNDED_SELECT
+
+
+@pending_query("events_mann_kendall", _MK_ORACLE)
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Mann-Kendall trend test on the daily value-sum series
+    (exact integer S / tie term / variance numerator; the two-sided p
+    uses the pow-free A&S 26.2.19 polynomial both engines spell
+    identically). Types with a single day have no pairs and are
+    absent on both engines."""
+    from vectorsearchutil_spark.operators.analytics import (
+        mann_kendall_daily,
+    )
+
+    return mann_kendall_daily(load_table(spark, sf_dir, "events"))
+
+
+_FDR_ORACLE = (
+    _MK_CORE
+    + ",\nmkr AS ("
+    + _MK_ROUNDED_SELECT
+    + """),
+ranked AS (
+  SELECT event_type, z_mk, p_value,
+         CAST(ROW_NUMBER() OVER (ORDER BY p_value ASC, event_type ASC)
+              AS INT) AS p_rank,
+         CAST(COUNT(*) OVER () AS BIGINT) AS m_tests
+  FROM mkr
+)
+SELECT event_type, z_mk, p_value, p_rank, m_tests,
+  floor(0.1 * p_rank / CAST(m_tests AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS bh_threshold,
+  MAX(CASE WHEN p_value <= 0.1 * p_rank / CAST(m_tests AS DOUBLE)
+           THEN 1 ELSE 0 END)
+    OVER (ORDER BY p_rank ASC
+          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = 1
+    AS rejected
+FROM ranked
+"""
+)
+
+
+@pending_query("events_fdr_bh", _FDR_ORACLE)
+def events_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up (q=0.10) over the per-type
+    Mann-Kendall p-values — the multiple-testing layer for per-
+    segment drift screens. The oracle derives from the SAME _MK_CORE
+    fragment as events_mann_kendall (no-drift); the step-up is a
+    reversed running max over the m-row (tiny) test table."""
+    from vectorsearchutil_spark.operators.analytics import fdr_bh_trend
+
+    return fdr_bh_trend(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R10-4. One-step EWMA forecast accuracy on the day grid
+# --------------------------------------------------------------------------
+
+_EWMA_FC_ORACLE = (
+    "WITH "
+    + _DAILY_GRID_SQL
+    + """,
+per AS (
+  SELECT event_type,
+         list(CAST(v_cents AS DOUBLE) ORDER BY day) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM g WHERE v_cents IS NOT NULL GROUP BY 1
+),
+sp AS (
+  SELECT event_type, n, vals,
+         list_transform(range(1, n + 1),
+           t -> list_reduce(list_slice(vals, 1, t),
+                            (a, x) -> 0.3 * x + 0.7 * a)) AS sm
+  FROM per WHERE n >= 2
+),
+ag AS (
+  SELECT event_type, CAST(n AS INT) AS n_days,
+         CAST(list_sum(list_transform(range(2, n + 1),
+              t -> CAST(floor(abs(vals[t] - sm[t - 1]) * 1000000.0 + 0.5)
+                        AS BIGINT))) AS BIGINT) AS es,
+         CAST(list_sum(list_transform(range(2, n + 1),
+              t -> CAST(floor(abs(vals[t]) * 1000000.0 + 0.5) AS BIGINT)))
+              AS BIGINT) AS asum,
+         sm[n] AS fc
+  FROM sp
+)
+SELECT event_type, n_days,
+  CASE WHEN asum > 0
+       THEN floor(CAST(es AS DOUBLE) / CAST(asum AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 END AS wape,
+  floor(CAST(es AS DOUBLE) / 1000000.0 / CAST(n_days - 1 AS DOUBLE)
+        * 10000.0 + 0.5) / 10000.0 AS mae_cents,
+  floor(fc * 10000.0 + 0.5) / 10000.0 AS next_forecast_cents
+FROM ag
+"""
+)
+
+
+@pending_query("events_ewma_forecast", _EWMA_FC_ORACLE)
+def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type one-step EWMA (α=0.3) forecast WAPE/MAE on the daily
+    value grid: both engines fold the identical left-to-right
+    recurrence (Spark F.aggregate ≡ DuckDB list_reduce, seeded with
+    the first element), error terms quantize to 1e6-fixpoint BIGINTs
+    before summing."""
+    from vectorsearchutil_spark.operators.analytics import (
+        ewma_forecast_daily,
+    )
+
+    return ewma_forecast_daily(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R10-5. Exact DAU/MAU stickiness (coverage islands + sweep deltas)
+# --------------------------------------------------------------------------
+
+_DAU_MAU_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL
+),
+dau AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+),
+marked AS (
+  SELECT user_id, day,
+         CASE WHEN lag(day) OVER w IS NULL
+                   OR date_diff('day', lag(day) OVER w, day) > 29
+              THEN 1 ELSE 0 END AS ni
+  FROM ud
+  WINDOW w AS (PARTITION BY user_id ORDER BY day ASC)
+),
+isl AS (
+  SELECT user_id, day,
+         SUM(ni) OVER (PARTITION BY user_id ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM marked
+),
+islands AS (
+  SELECT user_id, island, MIN(day) AS s, MAX(day) + 30 AS e
+  FROM isl GROUP BY 1, 2
+),
+delta AS (
+  SELECT day, CAST(SUM(d) AS BIGINT) AS delta FROM (
+    SELECT s AS day, 1 AS d FROM islands
+    UNION ALL
+    SELECT e AS day, -1 AS d FROM islands
+  ) GROUP BY 1
+),
+merged AS (
+  SELECT COALESCE(delta.day, dau.day) AS day,
+         COALESCE(delta, 0) AS delta, dau
+  FROM delta FULL JOIN dau ON delta.day = dau.day
+),
+cum AS (
+  SELECT day, dau,
+         SUM(delta) OVER (ORDER BY day ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mau
+  FROM merged
+)
+SELECT day, dau, CAST(mau AS BIGINT) AS mau,
+  floor(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS stickiness
+FROM cum WHERE dau IS NOT NULL
+"""
+
+
+@pending_query("events_dau_mau_stickiness", _DAU_MAU_ORACLE)
+def events_dau_mau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DAU / trailing-30-day MAU per day via per-user coverage
+    islands (+1/−1 sweep deltas, prefix sum over the bounded day
+    grid) — never a distinct-count window over users."""
+    from vectorsearchutil_spark.operators.analytics import (
+        dau_mau_stickiness,
+    )
+
+    return dau_mau_stickiness(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R10-6. Difference-in-differences (hash treatment, midpoint period)
+# --------------------------------------------------------------------------
+
+_DID_ORACLE = """
+WITH ev AS (
+  SELECT * FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL
+),
+b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM ev
+),
+base AS (
+  SELECT (('0x' || substr(md5('did:' || CAST(user_id AS VARCHAR)), 1, 8))
+            ::BIGINT / 4294967296.0 < 0.5) AS treated,
+         (date_diff('day', d0, CAST(ts AS DATE))
+          > floor(date_diff('day', d0, d1) / 2)) AS post,
+         CASE WHEN value IS NOT NULL AND isfinite(value)
+              THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS v
+  FROM ev, b
+),
+cell AS (
+  SELECT treated, post, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv
+  FROM base WHERE v IS NOT NULL GROUP BY 1, 2
+),
+piv AS (
+  SELECT
+    MAX(CASE WHEN treated AND post
+             THEN CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) END) AS tp,
+    MAX(CASE WHEN treated AND NOT post
+             THEN CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) END) AS t0,
+    MAX(CASE WHEN NOT treated AND post
+             THEN CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) END) AS cp,
+    MAX(CASE WHEN NOT treated AND NOT post
+             THEN CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) END) AS c0,
+    CAST(SUM(n) AS BIGINT) AS n_events
+  FROM cell
+)
+SELECT n_events,
+  floor(t0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS pre_treat,
+  floor(tp / 100.0 * 10000.0 + 0.5) / 10000.0 AS post_treat,
+  floor(c0 / 100.0 * 10000.0 + 0.5) / 10000.0 AS pre_control,
+  floor(cp / 100.0 * 10000.0 + 0.5) / 10000.0 AS post_control,
+  floor(((tp - t0) - (cp - c0)) / 100.0 * 10000.0 + 0.5) / 10000.0
+    AS did_estimate
+FROM piv
+"""
+
+
+@pending_query("events_diff_in_diff", _DID_ORACLE)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DiD estimator: deterministic md5-hash treatment assignment
+    (the repo's standard draw — the oracle reproduces it bit-for-bit)
+    × a midpoint pre/post split; four exact cents-mean cells, one
+    output row."""
+    from vectorsearchutil_spark.operators.analytics import diff_in_diff
+
+    return diff_in_diff(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R10-7. Stupid-backoff trigram LM scoring (reference-half counts)
+# --------------------------------------------------------------------------
+
+_SBO_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+ref AS (
+  SELECT * FROM toks
+  WHERE ('0x' || substr(md5('sbo:' || CAST(doc_id AS VARCHAR)), 1, 8))
+          ::BIGINT / 4294967296.0 < 0.5
+),
+tri0 AS (
+  SELECT doc_id, t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+  FROM toks
+),
+tri AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM tri0
+),
+rtri0 AS (
+  SELECT t, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i FROM ref
+),
+tc AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3,
+         CAST(COUNT(*) AS BIGINT) AS c3
+  FROM rtri0 GROUP BY 1, 2, 3
+),
+rbig0 AS (
+  SELECT t, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS i FROM ref
+),
+bc AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS cb
+  FROM rbig0 GROUP BY 1, 2
+),
+runi AS (SELECT unnest(t) AS w FROM ref),
+uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cu FROM runi GROUP BY 1),
+nt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM runi),
+tall AS (SELECT DISTINCT w1, w2, w3 FROM tri),
+sc AS (
+  SELECT tall.w1, tall.w2, tall.w3,
+    CAST(floor(
+      CASE WHEN tc.c3 IS NOT NULL
+           THEN CAST(tc.c3 AS DOUBLE) / CAST(ctx.cb AS DOUBLE)
+           WHEN back.cb IS NOT NULL
+           THEN 0.4 * (CAST(back.cb AS DOUBLE) / CAST(ucx.cu AS DOUBLE))
+           WHEN nn > 0
+           THEN 0.4 * (0.4 * (CAST(COALESCE(uw.cu, 0) AS DOUBLE) / nn))
+           ELSE 0.0
+      END * 1000000.0 + 0.5) AS BIGINT) AS s_ppm
+  FROM tall
+  LEFT JOIN tc ON tc.w1 = tall.w1 AND tc.w2 = tall.w2 AND tc.w3 = tall.w3
+  LEFT JOIN bc ctx ON ctx.w1 = tall.w1 AND ctx.w2 = tall.w2
+  LEFT JOIN bc back ON back.w1 = tall.w2 AND back.w2 = tall.w3
+  LEFT JOIN uc ucx ON ucx.w = tall.w2
+  LEFT JOIN uc uw ON uw.w = tall.w3
+  CROSS JOIN nt
+),
+pd AS (
+  SELECT tri.doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+         CAST(SUM(s_ppm) AS BIGINT) AS sp
+  FROM tri
+  JOIN sc ON tri.w1 = sc.w1 AND tri.w2 = sc.w2 AND tri.w3 = sc.w3
+  GROUP BY 1
+)
+SELECT doc_id, n_trigrams,
+  floor(CAST(sp AS DOUBLE) / 1000000.0 / CAST(n_trigrams AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS sbo_score
+FROM pd
+"""
+
+
+@pending_query("docs_trigram_backoff", _SBO_ORACLE)
+def docs_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean stupid-backoff trigram score against an n-gram LM
+    counted on a deterministic md5 reference half of the corpus (the
+    CCNet shape); 3->2->1-gram fallback with α=0.4; per-position
+    1e6-fixpoint sums (kin: docs_bigram_logprob)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        trigram_stupid_backoff,
+    )
+
+    return trigram_stupid_backoff(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# R10-8. Template-skeleton clustering
+# --------------------------------------------------------------------------
+
+_TEMPLATE_ORACLE = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(text, '[A-Za-z0-9]+', 'x',
+                                              'g'),
+                               '[ \t\n\f\r]+', ' ', 'g')))
+         AS template_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS example_doc_id,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents WHERE text IS NOT NULL
+GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+@pending_query("docs_template_clusters", _TEMPLATE_ORACLE)
+def docs_template_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam clusters by structural skeleton hash (ASCII
+    alnum runs -> 'x', explicit [ \\t\\n\\f\\r]+ whitespace class —
+    Java/RE2-portable); one groupBy, scan-speed (kin:
+    docs_boilerplate_prefix)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        template_clusters,
+    )
+
+    return template_clusters(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# R10-9/10. LOO source influence + quality-score calibration (shared
+#           quality CTE — the two oracles cannot drift on the metric)
+# --------------------------------------------------------------------------
+
+#: per-doc 4dp quality + 1e4-fixpoint int + source — the SAME quality
+#: expression as _QUALITY_ORACLE (text_quality_score), with source
+#: carried through; shared by the LOO-influence and ECE oracles.
+_QSRC_CTE = """
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+),
+q AS (
+  SELECT doc_id, source,
+         ROUND(LEAST(1.0, len(t) / 100.0) *
+               (1.0 - len(list_filter(t, x -> list_contains(
+                 ['the','a','of','and','to','is','in','on'], x)))
+                * 1.0 / len(t)), 4) AS quality
+  FROM toks WHERE len(t) > 0
+),
+qi AS (
+  SELECT source, quality,
+         CAST(floor(quality * 10000.0 + 0.5) AS BIGINT) AS q4
+  FROM q
+)
+"""
+
+_LOO_ORACLE = (
+    "WITH "
+    + _QSRC_CTE
+    + """,
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(q4) AS BIGINT) AS s4
+  FROM qi GROUP BY 1
+),
+corpus AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(q4) AS BIGINT) AS s
+  FROM qi
+)
+SELECT source, n_docs,
+  floor(CAST(s4 AS DOUBLE) / (10000.0 * CAST(n_docs AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS source_mean,
+  floor(CASE WHEN n > n_docs
+             THEN CAST(s - s4 AS DOUBLE)
+                  / (10000.0 * CAST(n - n_docs AS DOUBLE)) END
+        * 1000000.0 + 0.5) / 1000000.0 AS loo_mean,
+  floor((CAST(s AS DOUBLE) / (10000.0 * CAST(n AS DOUBLE))
+         - CASE WHEN n > n_docs
+                THEN CAST(s - s4 AS DOUBLE)
+                     / (10000.0 * CAST(n - n_docs AS DOUBLE)) END)
+        * 1000000.0 + 0.5) / 1000000.0 AS influence
+FROM per_src, corpus
+"""
+)
+
+
+@pending_query("docs_loo_source_influence", _LOO_ORACLE)
+def docs_loo_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out influence on the corpus mean quality —
+    pure aggregate algebra on 1e4-fixpoint sums, one scan (kin:
+    quality_score supplies the metric; docs_source_divergence is the
+    distributional cousin)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        loo_source_influence,
+    )
+
+    return loo_source_influence(load_table(spark, sf_dir, "documents"))
+
+
+_ECE_ORACLE = (
+    "WITH "
+    + _QSRC_CTE
+    + """,
+per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns,
+         CAST(SUM(q4) AS BIGINT) AS ss
+  FROM qi GROUP BY 1
+),
+ranked AS (
+  SELECT source,
+         ROW_NUMBER() OVER (
+           ORDER BY CAST(ss AS DOUBLE) / CAST(ns AS DOUBLE) DESC,
+                    source ASC) AS rk,
+         COUNT(*) OVER () AS S
+  FROM per_src
+),
+pos AS (SELECT source, rk <= ceil(S / 2.0) AS p FROM ranked),
+binned AS (
+  SELECT CAST(LEAST(9, floor(quality * 10.0)) AS INT) AS bin, q4,
+         CASE WHEN p THEN 1 ELSE 0 END AS y
+  FROM qi JOIN pos USING (source)
+),
+agg AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(q4) AS BIGINT) AS sq, CAST(SUM(y) AS BIGINT) AS sy
+  FROM binned GROUP BY 1
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS N FROM binned)
+SELECT bin, n_docs,
+  floor(CAST(sq AS DOUBLE) / (10000.0 * CAST(n_docs AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS avg_conf,
+  floor(CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS frac_pos,
+  floor(CAST(n_docs AS DOUBLE) / CAST(N AS DOUBLE)
+        * abs(CAST(sy AS DOUBLE) / CAST(n_docs AS DOUBLE)
+              - CAST(sq AS DOUBLE) / (10000.0 * CAST(n_docs AS DOUBLE)))
+        * 1000000.0 + 0.5) / 1000000.0 AS ece_contrib
+FROM agg, total
+"""
+)
+
+
+@pending_query("docs_quality_ece", _ECE_ORACLE)
+def docs_quality_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram ECE decomposition of the quality score as
+    a predictor of 'doc's source is a top-half-quality source' —
+    exact rank cut on source means, 1e4-fixpoint confidence sums
+    (kin: docs_calibrated_quality). Sum ece_contrib for the ECE."""
+    from vectorsearchutil_spark.operators.textanalysis import quality_ece
+
+    return quality_ece(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# R10-11. Per-brand log-log OLS price elasticity
+# --------------------------------------------------------------------------
+
+_ELASTICITY_ORACLE = """
+WITH li AS (
+  SELECT l_partkey,
+    CAST(floor(ln(l_extendedprice / l_quantity) * 1000000000.0 + 0.5)
+         AS BIGINT) AS lx,
+    CAST(floor(ln(l_quantity) * 1000000000.0 + 0.5) AS BIGINT) AS ly
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_quantity > 0 AND l_extendedprice > 0
+    AND isfinite(l_quantity) AND isfinite(l_extendedprice)
+),
+m AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         SUM(CAST(lx AS HUGEINT)) AS sx,
+         SUM(CAST(ly AS HUGEINT)) AS sy,
+         SUM(CAST(lx AS HUGEINT) * lx) AS sxx,
+         SUM(CAST(lx AS HUGEINT) * ly) AS sxy
+  FROM li JOIN part ON p_partkey = l_partkey
+  GROUP BY 1
+),
+raw AS (
+  SELECT p_brand, n_obs,
+         CAST(n_obs AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sxd,
+         CAST(sy AS DOUBLE) AS syd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(sxy AS DOUBLE) AS sxyd
+  FROM m
+),
+sl AS (
+  SELECT p_brand, n_obs, n, sxd, syd,
+         CASE WHEN n * sxxd - sxd * sxd != 0
+              THEN (n * sxyd - sxd * syd) / (n * sxxd - sxd * sxd)
+         END AS slope
+  FROM raw
+)
+SELECT p_brand, n_obs,
+  floor(slope * 1000000.0 + 0.5) / 1000000.0 AS elasticity,
+  floor(CASE WHEN slope IS NOT NULL
+             THEN (syd - slope * sxd) / (n * 1000000000.0) END
+        * 1000000.0 + 0.5) / 1000000.0 AS ln_q_intercept
+FROM sl
+"""
+
+
+@pending_query("lineitem_price_elasticity", _ELASTICITY_ORACLE)
+def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand log-log OLS price elasticity of demand: 1e9-fixpoint
+    ln terms (zipf_fit convention), exact DECIMAL(38,0) moment sums,
+    closed-form slope in double once per brand (kin:
+    orders_theilsen_trend is the robust pairwise-slope cousin)."""
+    from vectorsearchutil_spark.operators.analytics import price_elasticity
+
+    return price_elasticity(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
