@@ -248,7 +248,7 @@ PINNED = [
     "ann_ivfpq_search",               # ANN (IVF-PQ/ADC)
     "zeroshot_cosine",                # zero-shot classification
     "tpch_q1_pricing_summary",        # scan + aggregate
-    "tpch_q9_product_profit",         # multi-join + decimal money
+    "tpch_q3_shipping_priority",      # multi-join (HEADLINE member)
     "orders_topn_per_customer",       # window / top-k
     "events_sessionize",              # sessionization
     "dedup_exact",                    # exact dedup

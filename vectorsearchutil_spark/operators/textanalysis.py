@@ -1973,7 +1973,11 @@ def trigram_stupid_backoff(
         F.count(F.lit(1)).alias("cb")
     )
     uni_counts = ref_uni.groupBy("w").agg(F.count(F.lit(1)).alias("cu"))
-    n_total = ref_uni.agg(F.count(F.lit(1)).cast("double").alias("nn"))
+    # N = Σ cu — derived from the count table, NOT a second pass over
+    # the reference tokens (one fewer tokenize+explode of the corpus)
+    n_total = uni_counts.agg(
+        F.sum("cu").cast("double").alias("nn")
+    )
     # pre-compose each fallback level on the aggregate side: a seen
     # trigram implies its context bigram, a seen bigram its first
     # word, so these inner joins never lose a branch
