@@ -200,8 +200,8 @@ def test_ewma_forecast_hand_rolled(spark):
     err_sum = 0
     abs_sum = 0
     for t in range(1, 4):
-        err_sum += math.floor(abs(cents[t] - s) * 1e6 + 0.5)
-        abs_sum += math.floor(abs(cents[t]) * 1e6 + 0.5)
+        err_sum += math.floor(abs(cents[t] - s) * 1e2 + 0.5)
+        abs_sum += math.floor(abs(cents[t]) * 1e2 + 0.5)
         s = 0.3 * cents[t] + 0.7 * s
     assert r.n_days == 4
     assert r.wape == pytest.approx(err_sum / abs_sum, abs=1e-6)
@@ -461,3 +461,83 @@ def sf001_docs(spark):
     from vectorsearchutil_spark.sources.readers import load_table
 
     return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+# ---------------------------------------------------- metric drift guard
+
+
+def test_qsrc_quality_matches_live_quality_oracle():
+    """_QSRC_CTE re-expresses the quality metric of _QUALITY_ORACLE
+    (list-side instead of explode-side). The formula now lives in
+    three places (textanalysis.QUALITY_STOPWORDS / queries.py /
+    queries_pending.py) — this DuckDB-only gate pins the two SQL
+    formulations to per-doc equality on real data, so a future metric
+    edit that misses one site goes red here instead of silently
+    desyncing the LOO/ECE oracles (review r9)."""
+    import duckdb
+
+    from vectorsearchutil_spark.queries import _QUALITY_ORACLE
+    from vectorsearchutil_spark.queries_pending import _QSRC_CTE
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    live = dict(
+        con.execute(
+            f"SELECT doc_id, quality_score FROM ({_QUALITY_ORACLE})"
+        ).fetchall()
+    )
+    staged = dict(
+        con.execute(
+            "WITH " + _QSRC_CTE + " SELECT doc_id, quality FROM q"
+        ).fetchall()
+    )
+    assert staged, "staged quality CTE returned nothing"
+    assert staged == {k: live[k] for k in staged}
+
+
+def test_quality_stopword_lists_agree_across_sites():
+    from vectorsearchutil_spark.operators.textanalysis import (
+        QUALITY_STOPWORDS,
+    )
+    from vectorsearchutil_spark.queries import _QUALITY_ORACLE
+    from vectorsearchutil_spark.queries_pending import _QSRC_CTE
+
+    canonical = ",".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    assert canonical in _QSRC_CTE.replace("\n", "").replace(" ", "").replace(
+        "','", "','"
+    ) or all(f"'{w}'" in _QSRC_CTE for w in QUALITY_STOPWORDS)
+    assert all(f"'{w}'" in _QUALITY_ORACLE for w in QUALITY_STOPWORDS)
+
+
+# ------------------------------------------- review-r9 parity regressions
+
+
+def test_mann_kendall_all_null_values_s_zero(spark):
+    """Review r9: a type whose every day has only NULL values must
+    emit s_stat=0 (the oracle's CASE...ELSE 0), not NULL."""
+    rows = [(1, _d(1), 1, "x", None), (2, _d(2), 1, "x", None)]
+    r = mann_kendall_daily(_ev(spark, rows)).collect()[0]
+    assert r.s_stat == 0 and r.z_mk == 0.0 and r.p_value == 1.0
+
+
+def test_price_elasticity_excludes_infinite_rows(spark):
+    """Review r9: +Inf passes isnan/>0 but the oracle's isfinite
+    drops it — Spark must drop it too."""
+    li = spark.createDataFrame(
+        [
+            (1, 1, 2.0, float("inf")),
+            (2, 1, 3.0, 30.0),
+            (3, 1, 4.0, 40.0),
+            (4, 1, float("inf"), 10.0),
+        ],
+        "l_orderkey long, l_partkey long, l_quantity double,"
+        " l_extendedprice double",
+    )
+    part = spark.createDataFrame(
+        [(1, "B")], "p_partkey long, p_brand string"
+    )
+    r = price_elasticity(li, part).collect()[0]
+    assert r.n_obs == 2

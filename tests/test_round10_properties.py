@@ -189,11 +189,11 @@ def test_ewma_forecast_matches_naive_fold(spark, rows):
         es = 0
         asum = 0
         for i in range(1, n):
-            es += int(math.floor(abs(vals[i] - s) * 1e6 + 0.5))
-            asum += int(math.floor(abs(vals[i]) * 1e6 + 0.5))
+            es += int(math.floor(abs(vals[i] - s) * 1e2 + 0.5))
+            asum += int(math.floor(abs(vals[i]) * 1e2 + 0.5))
             s = 0.3 * vals[i] + 0.7 * s
         wape = _q(float(es) / float(asum), 6) if asum > 0 else None
-        mae = _q(float(es) / 1e6 / float(n - 1), 4)
+        mae = _q(float(es) / 1e2 / float(n - 1), 4)
         want[t] = (n, wape, mae, _q(s, 4))
     assert got == want
 

@@ -2649,7 +2649,15 @@ def mann_kendall_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("event_type")
         .agg(
-            F.sum(F.signum((F.col("v2") - F.col("v1")).cast("double")))
+            # a pair with a NULL v_cents day contributes 0, NOT NULL:
+            # the oracle's CASE...ELSE 0 does the same, and an
+            # all-NULL type must emit s_stat=0 on both engines
+            F.sum(
+                F.coalesce(
+                    F.signum((F.col("v2") - F.col("v1")).cast("double")),
+                    F.lit(0.0),
+                )
+            )
             .cast("long")
             .alias("s_stat")
         )
@@ -2751,8 +2759,14 @@ def ewma_forecast_daily(
     is s_{t−1}. WAPE = Σ|v_t − f_t| / Σ|v_t| over t ≥ 2. Both
     engines fold the identical left-to-right recurrence on doubles
     (the events_user_ewma convention — identical IEEE op sequence),
-    then quantize each |error| term to a 1e6 fixpoint BIGINT so the
+    then quantize each |error| term to a 1e2 fixpoint BIGINT so the
     SUMS are order-free; only the final ratios divide in double.
+    Headroom: the terms are DAILY VALUE-CENT SUMS, unbounded in
+    corpus size — at 1e2 fixpoint a $100B/day type (1e13 cents) is
+    1e15 per term × ~730 calendar days ≈ 7e17, 10× inside int64;
+    a 1e6 fixpoint would overflow at ~$2B/day×400d, and the engines
+    fail DIFFERENTLY there (Spark's long fold wraps silently,
+    DuckDB's list_sum widens then errors on the BIGINT cast).
 
     Plan: ONE groupBy collapses raw events to the day grid; the
     O(d²) prefix refolds run inside array expressions on a ≤
@@ -2784,18 +2798,19 @@ def ewma_forecast_daily(
             lambda acc, x: F.lit(alpha) * x + F.lit(1.0 - alpha) * acc,
         )
 
-    # per t in [2..n]: quantized |v_t - s_{t-1}|
+    # per t in [2..n]: quantized |v_t - s_{t-1}| (1e2 fixpoint — see
+    # the headroom note in the docstring)
     errs = F.transform(
         F.sequence(F.lit(2), n),
         lambda t: F.floor(
-            F.abs(F.element_at(vals, t) - smoothed_prefix(t)) * F.lit(1e6)
+            F.abs(F.element_at(vals, t) - smoothed_prefix(t)) * F.lit(1e2)
             + F.lit(0.5)
         ).cast("long"),
     )
     abs_sum = F.aggregate(
         F.slice(vals, 2, n - 1),
         F.lit(0).cast("long"),
-        lambda acc, x: acc + F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5))
+        lambda acc, x: acc + F.floor(F.abs(x) * F.lit(1e2) + F.lit(0.5))
         .cast("long"),
     )
     err_sum = F.aggregate(
@@ -2820,7 +2835,7 @@ def ewma_forecast_daily(
         ).alias("wape"),
         round_half_up(
             F.col("_es").cast("double")
-            / F.lit(1e6)
+            / F.lit(1e2)
             / (F.col("n_days") - F.lit(1)).cast("double"),
             4,
         ).alias("mae_cents"),
@@ -2999,6 +3014,10 @@ def price_elasticity(
         & (F.col("l_extendedprice") > 0)
         & ~F.isnan(F.col("l_quantity"))
         & ~F.isnan(F.col("l_extendedprice"))
+        # +Inf passes the isnan/>0 guards but the oracle's isfinite
+        # drops it — exclude explicitly (the _cents guard pattern)
+        & (F.col("l_quantity") != F.lit(float("inf")))
+        & (F.col("l_extendedprice") != F.lit(float("inf")))
     ).select(
         "l_partkey",
         F.floor(

@@ -6011,10 +6011,10 @@ sp AS (
 ag AS (
   SELECT event_type, CAST(n AS INT) AS n_days,
          CAST(list_sum(list_transform(range(2, n + 1),
-              t -> CAST(floor(abs(vals[t] - sm[t - 1]) * 1000000.0 + 0.5)
+              t -> CAST(floor(abs(vals[t] - sm[t - 1]) * 100.0 + 0.5)
                         AS BIGINT))) AS BIGINT) AS es,
          CAST(list_sum(list_transform(range(2, n + 1),
-              t -> CAST(floor(abs(vals[t]) * 1000000.0 + 0.5) AS BIGINT)))
+              t -> CAST(floor(abs(vals[t]) * 100.0 + 0.5) AS BIGINT)))
               AS BIGINT) AS asum,
          sm[n] AS fc
   FROM sp
@@ -6023,7 +6023,7 @@ SELECT event_type, n_days,
   CASE WHEN asum > 0
        THEN floor(CAST(es AS DOUBLE) / CAST(asum AS DOUBLE)
                   * 1000000.0 + 0.5) / 1000000.0 END AS wape,
-  floor(CAST(es AS DOUBLE) / 1000000.0 / CAST(n_days - 1 AS DOUBLE)
+  floor(CAST(es AS DOUBLE) / 100.0 / CAST(n_days - 1 AS DOUBLE)
         * 10000.0 + 0.5) / 10000.0 AS mae_cents,
   floor(fc * 10000.0 + 0.5) / 10000.0 AS next_forecast_cents
 FROM ag
