@@ -75,3 +75,87 @@ def test_binary_rerank_recall_and_plan(spark, sf_dir):
     got = {r["vec_id"] for r in rows}
     assert len(got & exact) >= 5  # ≥50% recall@10 on this corpus
     assert "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def _census_frames(spark, sf_dir, strategy):
+    from vectorsearchutil_spark.operators.knn import (
+        knn_hubness,
+        knn_mutual_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    hub = knn_hubness(
+        emb, k=10, vector_col="embedding", id_col="vec_id",
+        metric="cosine", n_rows=n, strategy=strategy,
+    )
+    mut = knn_mutual_pairs(
+        emb, k=10, vector_col="embedding", id_col="vec_id",
+        metric="cosine", n_rows=n, strategy=strategy,
+    )
+    return (
+        sorted(tuple(r) for r in hub.collect()),
+        sorted(tuple(r) for r in mut.collect()),
+    )
+
+
+def test_self_knn_strategy_equality(spark, sf_dir):
+    """VERDICT r9 #6: the blocked (no-collect, no-broadcast) self-kNN
+    census path must be BIT-IDENTICAL to the expression and arrow
+    paths — scores share the same IEEE fold order, ranks share the
+    same (score desc, id asc) total order, and the tie-widened
+    per-task cut is partitioning-independent."""
+    expr = _census_frames(spark, sf_dir, "expr")
+    arrow = _census_frames(spark, sf_dir, "arrow")
+    blocked = _census_frames(spark, sf_dir, "blocked")
+    assert expr == arrow
+    assert expr == blocked
+
+
+def test_self_knn_blocked_odd_block_counts(spark, sf_dir):
+    """Blocking is invisible for any n_blocks, including counts that
+    leave some blocks near-empty (n_blocks ~ rows/arity edge)."""
+    from vectorsearchutil_spark.operators.knn import (
+        _self_knn_topk_blocked,
+        _self_knn_topk_expr,
+    )
+    from vectorsearchutil_spark.functions.vector import (
+        finite_vector,
+        l2_norm,
+    )
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 40)
+        .filter(
+            finite_vector(F.col("embedding"))
+            & (l2_norm(F.col("embedding")) != F.lit(0.0))
+        )
+    )
+    want = sorted(
+        tuple(r)
+        for r in _self_knn_topk_expr(
+            emb, 5, "embedding", "vec_id", "cosine"
+        ).collect()
+    )
+    for nb in (1, 3, 64):
+        got = sorted(
+            tuple(r)
+            for r in _self_knn_topk_blocked(
+                emb, 5, "embedding", "vec_id", n_blocks=nb
+            ).collect()
+        )
+        assert got == want, f"n_blocks={nb} diverged"
+
+
+def test_self_knn_blocked_rejects_l2(spark, sf_dir):
+    import pytest
+
+    from vectorsearchutil_spark.operators.knn import knn_hubness
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="cosine only"):
+        knn_hubness(
+            emb, k=3, vector_col="embedding", id_col="vec_id",
+            metric="l2", strategy="blocked",
+        )

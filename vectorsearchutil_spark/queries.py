@@ -1307,7 +1307,43 @@ def _mlp_regressor_out(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mlp_classifier_predictions")
+def _mlp_pred_oracle(name: str) -> str | None:
+    """Full-row constant oracle for the MLP prediction frames
+    (VERDICT r9 #4 — close the `no_oracle` class). The committed
+    golden (tools/gen_mlp_pred_oracle.py) holds every sf0.01
+    prediction row; the oracle serves them back as a typed VALUES
+    table, so the driver's order-insensitive value hash certifies the
+    LIVE seeded fit reproduces the committed predictions per cell —
+    strictly stronger than the digest gate, which stays on as the
+    raise-on-drift self-assert (`_mlp_golden_check`). sf0.01-only by
+    the same contract as `_mlp_golden_oracle` (the driver's and the
+    full-registry self-check's comparison scale)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "mlp_pred_golden.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        g = json.load(fh).get("sf0.01", {}).get(name)
+    if g is None:
+        return None
+    sql_type = {"bigint": "BIGINT", "int": "INTEGER", "double": "DOUBLE"}
+
+    def cell(value: object, spark_type: str) -> str:
+        duck = sql_type[spark_type]
+        return f"CAST({'NULL' if value is None else value} AS {duck})"
+
+    cols = g["columns"]
+    rows = ", ".join(
+        "(" + ", ".join(cell(v, t) for v, (_, t) in zip(row, cols)) + ")"
+        for row in g["rows"]
+    )
+    names = ", ".join(c for c, _ in cols)
+    return f"SELECT * FROM (VALUES {rows}) AS t({names})"
+
+
+@query("mlp_classifier_predictions", _mlp_pred_oracle("mlp_classifier_predictions"))
 def mlp_classifier_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A15: seeded MLP classifier (stratified 75/25, seed 810),
     distributed inference; self-asserts the golden contract."""
@@ -1318,7 +1354,7 @@ def mlp_classifier_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mlp_regressor_predictions")
+@query("mlp_regressor_predictions", _mlp_pred_oracle("mlp_regressor_predictions"))
 def mlp_regressor_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A16: seeded MLP regressor (random_state=1 per reference),
     distributed inference; self-asserts the golden contract."""
@@ -10096,8 +10132,61 @@ _ROUND9_WINDOW = [
 ]
 
 
+#: Round-10 driver window (VERDICT r9 "Next round" #1/#2/#3).
+#: Composition (exactly 50 rows):
+#:   1. The 3 env canaries — cheap, permanently diagnostic. The rest
+#:      of the round-8 probe layer (3 hashecho echoes, 2 ppm twins,
+#:      orders_yoy_monthly, customer_rfm_percust, rfm_ntile_fixture)
+#:      is RETIRED to the pending lane this round (judge #2): the
+#:      HUGEINT fix they isolated is driver-confirmed (r9: 50/50).
+#:   2. The 11-entry round-10 staging wave, promoted — the only
+#:      never-driver-checked entries in the repo (judge #1). Green =
+#:      cumulative driver coverage 294/294.
+#:   3. 36 stalest veterans (judge #3): staleness = last round a
+#:      driver CORRECTNESS_r{N} artifact carried the row. ALL 28
+#:      rows last checked in round 2, plus the first 8 of the
+#:      round-3 cohort in registry order. Max staleness after this
+#:      window: last-checked-r3 (29-8=21 rows), from last-checked-r2
+#:      before it. Per-row last-checked table: ROADMAP round-10 note.
+#:      mlp_classifier_predictions / mlp_regressor_predictions are in
+#:      the r2 cohort AND this round replaced their rows-only check
+#:      with full 500-row constant-VALUES oracles (judge #4), so
+#:      their first re-exposure is also their first hash-checked one.
+_ROUND10_WINDOW = [
+    # 1. env canaries (permanent)
+    "env_spark_version", "env_fingerprint", "env_fingerprint_duckdb",
+    # 2. round-10 staging wave (driver-first-time)
+    "events_nelson_aalen", "events_mann_kendall", "events_fdr_bh",
+    "events_ewma_forecast", "events_dau_mau_stickiness",
+    "events_diff_in_diff", "docs_trigram_backoff",
+    "docs_template_clusters", "docs_loo_source_influence",
+    "docs_quality_ece", "lineitem_price_elasticity",
+    # 3a. the complete last-checked-round-2 cohort (28)
+    "knn_cosine", "orders_topn_per_customer",
+    "setop_intersect", "setop_except",
+    "events_json_extract", "dedup_ngram_jaccard",
+    "dedup_simhash", "dedup_embedding_cosine",
+    "text_token_stats", "text_langid",
+    "text_fingerprint", "text_top_tokens",
+    "multimodal_decode_meta",
+    "mlp_classifier_predictions", "mlp_regressor_predictions",
+    "store_query_with_info",
+    "customers_semi_join", "customers_anti_join",
+    "orders_distinct_customers", "embed_documents_hash64",
+    "orders_range_join", "orders_cube",
+    "zeroshot_scores_pivot", "text_bpe_token_stats",
+    "text_rolling_fingerprint", "multimodal_frame_sample",
+    "dedup_embedding_lsh", "kmeans_clusters",
+    # 3b. first 8 of the last-checked-round-3 cohort (registry order)
+    "dedup_embedding_cosine_blocked", "text_normalize",
+    "text_chunking", "lineitem_quantiles",
+    "tpch_q18_large_orders", "tpch_q4_order_priority",
+    "text_repetition_ratio", "events_first_last_per_user",
+]
+
+
 def _reorder_for_driver_window() -> None:
-    head = [n for n in _ROUND9_WINDOW if n in QUERIES]
+    head = [n for n in _ROUND10_WINDOW if n in QUERIES]
     rest = [n for n in QUERIES if n not in set(head)]
     ordering = head + rest
     assert sorted(ordering) == sorted(QUERIES), "registry reorder lost entries"

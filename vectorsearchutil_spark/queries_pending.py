@@ -5796,10 +5796,17 @@ ROUND6_PROMOTED = (
     "dedup_cluster_lang_purity", "events_seasonal_anomalies",
     "events_completeness_gaps", "orders_seasonal_naive_wape",
     "docs_dedup_impact", "embeddings_exact_dup_vectors",
-    "hashecho_yoy_growth", "hashecho_rfm_scores",
-    "hashecho_kaplan_meier", "orders_yoy_growth_ppm",
-    "events_kaplan_meier_ppm", "orders_yoy_monthly",
-    "customer_rfm_percust", "rfm_ntile_fixture",
+    # round-10 retirement (VERDICT r9 "Next round" #2): the round-8
+    # probe layer (hashecho_yoy_growth / hashecho_rfm_scores /
+    # hashecho_kaplan_meier / orders_yoy_growth_ppm /
+    # events_kaplan_meier_ppm / orders_yoy_monthly /
+    # customer_rfm_percust / rfm_ntile_fixture) did its job — the
+    # HUGEINT fix it isolated is driver-confirmed green (r9 window
+    # 50/50) — so those 8 diagnostic rows return to the pending lane
+    # here (still defined above, still covered by the
+    # CHECK_ORACLES_PENDING lane and CORRECTNESS_SELF full-tree runs,
+    # just no longer served to the driver or re-run per driver pass).
+    # The 3 cheap env canaries stay live in queries.py per the judge.
     # round-9 promotion (VERDICT r8 "Next round" #3): the 8-entry
     # round-9 staging wave — oracle-green at sf0.001/0.01/0.1 +
     # unicode fixture + vanilla session + degenerate sweeps during
@@ -5811,6 +5818,20 @@ ROUND6_PROMOTED = (
     "docs_split_leakage", "embeddings_triplet_mining",
     "events_audience_overlap", "ann_recall_curve",
     "orders_conformal_coverage", "embeddings_mutual_knn",
+    # round-10 promotion (VERDICT r9 "Next round" #1): the 11-entry
+    # round-10 staging wave — oracle-green at sf0.001/0.01/0.1 +
+    # unicode fixture + vanilla session + degenerate sweeps + 25x
+    # probes + 12 property tests during round 9
+    # (CORRECTNESS_SELF_r09.json covers all 294 incl. these; the
+    # judge re-ran the property tests live). With this promotion the
+    # pending STAGING lane is again empty; the round-11 staging wave
+    # opens only after the round-11 window plan is written (ROADMAP
+    # lane-discipline rule, VERDICT r9 #7).
+    "events_nelson_aalen", "events_mann_kendall", "events_fdr_bh",
+    "events_ewma_forecast", "events_dau_mau_stickiness",
+    "events_diff_in_diff", "docs_trigram_backoff",
+    "docs_template_clusters", "docs_loo_source_influence",
+    "docs_quality_ece", "lineitem_price_elasticity",
 )
 
 # Complete the round-6 promotion when THIS module is the last of the
