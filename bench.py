@@ -217,6 +217,18 @@ HEADLINE = [
     "ann_recall_curve",
     "orders_conformal_coverage",
     "embeddings_mutual_knn",
+    # round-10 promoted lane (the 11-entry wave)
+    "events_nelson_aalen",
+    "events_mann_kendall",
+    "events_fdr_bh",
+    "events_ewma_forecast",
+    "events_dau_mau_stickiness",
+    "events_diff_in_diff",
+    "docs_trigram_backoff",
+    "docs_template_clusters",
+    "docs_loo_source_influence",
+    "docs_quality_ece",
+    "lineitem_price_elasticity",
 ]
 
 #: Cross-round pinned subset (VERDICT r8 "Next round" #5): the full
