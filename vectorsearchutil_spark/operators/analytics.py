@@ -3057,3 +3057,439 @@ def price_elasticity(
         round_half_up(slope, 6).alias("elasticity"),
         round_half_up(intercept, 6).alias("ln_q_intercept"),
     )
+
+
+def logrank_test(
+    events: DataFrame,
+    start_type: str = "signup",
+    convert_type: str = "purchase",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    seed: str = "logrank",
+) -> DataFrame:
+    """Two-group log-rank test of signup→purchase survival (kin
+    declared: :func:`kaplan_meier` / :func:`nelson_aalen` — same
+    per-user collapse, event/censor days, and at-risk prefix-sum
+    semantics, here maintained PER GROUP on the pooled event-day
+    grid; a property test pins the constant-group degenerate case to
+    ``_survival_risk_table`` exactly, so the machinery cannot
+    drift).
+
+    Groups are the repo-standard deterministic md5 draw
+    (``hash_uniform(user_id, seed) < 0.5`` → group A), the
+    ``diff_in_diff`` convention, so assignment is partitioning-
+    independent and the oracle reproduces it bit-for-bit. At each
+    pooled event day j: O_A += d_Aj, E_A += d_j·n_Aj/n_j, V +=
+    d_j·(n_Aj/n_j)·(n_Bj/n_j)·(n_j−d_j)/(n_j−1); Z = (O_A−E_A)/√V,
+    chi2 = Z², p = 2·SF(|Z|) via the shared A&S 26.2.19 fragment.
+
+    Exactness: O's are exact longs; each E and V increment is a 1e9
+    fixed-point BIGINT term (order-free sums — the KM-lnsum
+    convention); Z/chi2/p divide in double once at the end, rounded
+    via the floor form.
+
+    Plan: one per-user collapse, then everything runs on the bounded
+    (2 groups × distinct-delay-days) grid — windows partition by
+    group over day-grid-sized input, never raw rows. ONE output row.
+    """
+    from vectorsearchutil_spark.operators.sampling import hash_uniform
+
+    sec = F.floor(epoch_seconds(F.col(ts_col))).cast("bigint")
+    per_user = (
+        events.groupBy(F.col(user_col))
+        .agg(
+            F.min(F.when(F.col(type_col) == start_type, sec)).alias("_start"),
+            F.min(F.when(F.col(type_col) == convert_type, sec)).alias("_conv"),
+            F.max(sec).alias("_seen"),
+        )
+        .filter(F.col("_start").isNotNull())
+        .select(
+            F.when(
+                hash_uniform(F.col(user_col).cast("string"), seed)
+                < F.lit(0.5),
+                F.lit("A"),
+            )
+            .otherwise(F.lit("B"))
+            .alias("_grp"),
+            "_start",
+            "_conv",
+            "_seen",
+        )
+    )
+    horizon = per_user.agg(F.max("_seen").alias("_hmax"))
+    day = lambda c: F.floor(c / F.lit(86400)).cast("long")  # noqa: E731
+    obs = per_user.crossJoin(F.broadcast(horizon)).select(
+        "_grp",
+        F.when(
+            F.col("_conv").isNotNull() & (F.col("_conv") >= F.col("_start")),
+            day(F.col("_conv")) - day(F.col("_start")),
+        ).alias("_edays"),
+        (day(F.col("_hmax")) - day(F.col("_start"))).alias("_cdays"),
+    )
+    n_total = obs.groupBy("_grp").agg(F.count(F.lit(1)).alias("_nt"))
+    ev = obs.filter(F.col("_edays").isNotNull()).groupBy(
+        "_grp", F.col("_edays").alias("delay_days")
+    ).agg(F.count(F.lit(1)).alias("_ne"))
+    cens = obs.filter(F.col("_edays").isNull()).groupBy(
+        "_grp", F.col("_cdays").alias("delay_days")
+    ).agg(F.count(F.lit(1)).alias("_nc"))
+    # pooled day grid × groups, zero-filled, so each group's at-risk
+    # prefix is defined at every pooled day
+    days = (
+        ev.select("delay_days")
+        .unionAll(cens.select("delay_days"))
+        .distinct()
+    )
+    grps = n_total.select("_grp")
+    grid = (
+        days.crossJoin(grps)
+        .join(ev, ["_grp", "delay_days"], "left")
+        .join(cens, ["_grp", "delay_days"], "left")
+        .select(
+            "_grp",
+            "delay_days",
+            F.coalesce("_ne", F.lit(0)).alias("_ne"),
+            F.coalesce("_nc", F.lit(0)).alias("_nc"),
+        )
+    )
+    wprev = (
+        Window.partitionBy("_grp")
+        .orderBy(F.col("delay_days").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risked = grid.join(n_total, "_grp").select(
+        "_grp",
+        "delay_days",
+        "_ne",
+        (
+            F.col("_nt")
+            - F.coalesce(F.sum("_ne").over(wprev), F.lit(0))
+            - F.coalesce(F.sum("_nc").over(wprev), F.lit(0))
+        ).alias("_nr"),
+    )
+    pooled = risked.groupBy("delay_days").agg(
+        F.sum(F.when(F.col("_grp") == "A", F.col("_ne"))).alias("_da"),
+        F.sum(F.when(F.col("_grp") == "B", F.col("_ne"))).alias("_db"),
+        F.sum(F.when(F.col("_grp") == "A", F.col("_nr"))).alias("_na"),
+        F.sum(F.when(F.col("_grp") == "B", F.col("_nr"))).alias("_nb"),
+    ).select(
+        "delay_days",
+        *[F.coalesce(c, F.lit(0)).alias(c) for c in ("_da", "_db", "_na", "_nb")],
+    ).filter((F.col("_da") + F.col("_db")) > 0)
+    dd = (F.col("_da") + F.col("_db")).cast("double")
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    nn = (F.col("_na") + F.col("_nb")).cast("double")
+    e_a = F.floor(dd * na / nn * F.lit(1e9) + F.lit(0.5)).cast("long")
+    e_b = F.floor(dd * nb / nn * F.lit(1e9) + F.lit(0.5)).cast("long")
+    v = F.when(
+        (F.col("_na") + F.col("_nb")) > 1,
+        F.floor(
+            dd * na / nn * nb / nn * (nn - dd) / (nn - F.lit(1.0))
+            * F.lit(1e9)
+            + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    tot = pooled.agg(
+        F.sum("_da").alias("_oa"),
+        F.sum("_db").alias("_ob"),
+        F.sum(e_a).alias("_ea"),
+        F.sum(e_b).alias("_eb"),
+        F.sum(v).alias("_v"),
+    )
+    counts = n_total.groupBy().pivot("_grp", ["A", "B"]).sum("_nt")
+    z = (F.col("_oa").cast("double") - F.col("_ea").cast("double") / F.lit(1e9)) / F.sqrt(
+        F.col("_v").cast("double") / F.lit(1e9)
+    )
+    p = F.lit(2.0) * normal_sf(F.abs(z))
+    return (
+        tot.crossJoin(F.broadcast(counts))
+        .filter(F.col("_oa").isNotNull())
+        .select(
+            F.coalesce(F.col("A"), F.lit(0)).cast("long").alias("n_a"),
+            F.coalesce(F.col("B"), F.lit(0)).cast("long").alias("n_b"),
+            F.col("_oa").cast("long").alias("observed_a"),
+            round_half_up(F.col("_ea").cast("double") / F.lit(1e9), 6).alias(
+                "expected_a"
+            ),
+            F.col("_ob").cast("long").alias("observed_b"),
+            round_half_up(F.col("_eb").cast("double") / F.lit(1e9), 6).alias(
+                "expected_b"
+            ),
+            F.when(F.col("_v") > 0, round_half_up(z * z, 6)).alias(
+                "chi2"
+            ),
+            F.when(F.col("_v") > 0, round_half_up(p, 6)).alias(
+                "p_value"
+            ),
+        )
+    )
+
+
+def poisson_rate_test(
+    events: DataFrame, ts_col: str = "ts", type_col: str = "event_type"
+) -> DataFrame:
+    """Two-period Poisson rate-ratio test per event type (kin
+    declared: :func:`ab_test_ztest` compares proportions between
+    hash groups; this compares event RATES between the pre/post
+    halves of the calendar — the :func:`diff_in_diff` midpoint
+    split — via the standard conditional-binomial z: under H0 the
+    pre-count n1 | n ~ Bin(n, t1/(t1+t2)), z = (n1 − n·p)/√(n·p·(1−p)),
+    p-value = 2·SF(|z|) from the shared A&S 26.2.19 fragment).
+
+    Exactness: counts and day spans are exact integers; p, z, and
+    the per-day rates are a handful of IEEE ops both engines spell
+    identically, rounded via the floor form.
+
+    Plan: one scalar calendar-bounds aggregate broadcast onto one
+    scan, one groupBy(type) — scan-speed at any corpus size.
+    """
+    day = F.to_date(F.col(ts_col))
+    ev = events.filter(F.col(ts_col).isNotNull())
+    bounds = ev.agg(F.min(day).alias("_d0"), F.max(day).alias("_d1"))
+    base = ev.crossJoin(F.broadcast(bounds)).select(
+        F.col(type_col).alias("event_type"),
+        (
+            F.datediff(day, F.col("_d0"))
+            <= F.floor(F.datediff(F.col("_d1"), F.col("_d0")) / F.lit(2))
+        ).alias("_pre"),
+        F.datediff(F.col("_d1"), F.col("_d0")).alias("_span"),
+    )
+    cell = base.groupBy("event_type").agg(
+        F.sum(F.when(F.col("_pre"), 1).otherwise(0)).alias("_n1"),
+        F.sum(F.when(F.col("_pre"), 0).otherwise(1)).alias("_n2"),
+        F.max("_span").alias("_span"),
+    )
+    # t1 = mid+1 pre days, t2 = span - mid post days (exact integers)
+    mid = F.floor(F.col("_span") / F.lit(2)).cast("long")
+    t1 = (mid + F.lit(1)).cast("double")
+    t2 = (F.col("_span") - mid).cast("double")
+    n = (F.col("_n1") + F.col("_n2")).cast("double")
+    p = t1 / (t1 + t2)
+    z = (F.col("_n1").cast("double") - n * p) / F.sqrt(
+        n * p * (F.lit(1.0) - p)
+    )
+    ok = (F.col("_span") > 0) & ((F.col("_n1") + F.col("_n2")) > 0)
+    pv = F.lit(2.0) * normal_sf(F.abs(z))
+    return cell.select(
+        "event_type",
+        F.col("_n1").cast("long").alias("n_pre"),
+        F.col("_n2").cast("long").alias("n_post"),
+        round_half_up(F.col("_n1").cast("double") / t1, 6).alias(
+            "rate_pre"
+        ),
+        round_half_up(F.col("_n2").cast("double") / t2, 6).alias(
+            "rate_post"
+        ),
+        F.when(ok, round_half_up(z, 6)).alias("z_stat"),
+        F.when(ok, round_half_up(pv, 6)).alias("p_value"),
+    )
+
+
+def holt_forecast_daily(
+    events: DataFrame,
+    ts_col: str = "ts",
+    alpha: float = 0.3,
+    beta: float = 0.1,
+) -> DataFrame:
+    """One-step-ahead Holt double-exponential (level + trend)
+    forecast accuracy on the daily value-sum series, per event type
+    (kin declared: :func:`ewma_forecast_daily` is the level-only
+    cousin — same grid, same fold technique, same scoring; Holt adds
+    the trend recursion, the standard upgrade when a series drifts).
+
+    Recurrences (l_1 = v_1, b_1 = 0): l_t = α·v_t + (1−α)·(l_{t−1} +
+    b_{t−1}); b_t = β·(l_t − l_{t−1}) + (1−β)·b_{t−1}; the forecast
+    for day t is l_{t−1} + b_{t−1}. WAPE/MAE over t ≥ 2, exactly the
+    EWMA scoring: each |error| term quantizes to a 1e2-fixpoint
+    BIGINT before the order-free sum (same $100B/day × 730-day int64
+    headroom bound), ratios divide in double once.
+
+    Engine parity: Spark folds ``array(l, b)`` state through
+    ``F.aggregate``; DuckDB folds ``DOUBLE[]`` elements through
+    ``list_reduce`` seeded by the first element — the identical IEEE
+    op sequence per step, with the smoothing coefficients written as
+    LITERAL doubles (0.3/0.7, 0.1/0.9) on both sides. The O(d²)
+    prefix refolds run inside array expressions on a ≤ calendar-days
+    list per type — bounded lambda work per group, no shuffle after
+    the ONE grid aggregate.
+    """
+    assert (alpha, beta) == (0.3, 0.1), (
+        "coefficients are literal-pinned cross-engine; change the "
+        "oracle literals together with these"
+    )
+    g = _daily_type_grid(events, ts_col).filter(
+        F.col("v_cents").isNotNull()
+    )
+    per_type = g.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("day", F.col("v_cents")))
+            ),
+            lambda x: x["v_cents"].cast("double"),
+        ).alias("_vals")
+    ).filter(F.size(F.col("_vals")) >= 2)
+    vals = F.col("_vals")
+    n = F.size(vals)
+
+    def step(acc, x):
+        new_l = F.lit(0.3) * x + F.lit(0.7) * (acc[0] + acc[1])
+        new_b = (
+            F.lit(0.1)
+            * (
+                (F.lit(0.3) * x + F.lit(0.7) * (acc[0] + acc[1]))
+                - acc[0]
+            )
+            + F.lit(0.9) * acc[1]
+        )
+        return F.array(new_l, new_b)
+
+    def state_at(t):
+        # [l_t, b_t]: fold vals[2..t] from [v_1, 0]
+        return F.aggregate(
+            F.slice(vals, 2, t - 1),
+            F.array(F.element_at(vals, 1), F.lit(0.0)),
+            step,
+        )
+
+    def pred(t):  # forecast for day t: l_{t-1} + b_{t-1}
+        st = state_at(t - 1)
+        return st[0] + st[1]
+
+    errs = F.transform(
+        F.sequence(F.lit(2), n),
+        lambda t: F.floor(
+            F.abs(F.element_at(vals, t) - pred(t)) * F.lit(1e2)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    abs_sum = F.aggregate(
+        F.slice(vals, 2, n - 1),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.floor(F.abs(x) * F.lit(1e2) + F.lit(0.5)).cast("long"),
+    )
+    err_sum = F.aggregate(
+        errs, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    final = state_at(n)
+    out = per_type.select(
+        "event_type",
+        n.alias("n_days"),
+        err_sum.alias("_es"),
+        abs_sum.alias("_as"),
+        (final[0] + final[1]).alias("_fc"),
+    )
+    return out.select(
+        "event_type",
+        "n_days",
+        F.when(
+            F.col("_as") > 0,
+            round_half_up(
+                F.col("_es").cast("double") / F.col("_as").cast("double"),
+                6,
+            ),
+        ).alias("wape"),
+        round_half_up(
+            F.col("_es").cast("double")
+            / F.lit(1e2)
+            / (F.col("n_days") - F.lit(1)).cast("double"),
+            4,
+        ).alias("mae_cents"),
+        round_half_up(F.col("_fc"), 4).alias("next_forecast_cents"),
+    )
+
+
+def hurst_exponent_daily(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Aggregated-variance Hurst exponent of the daily value series,
+    per event type (kin declared: :func:`daily_acf` measures
+    short-lag memory; Hurst summarizes LONG-RANGE dependence —
+    H≈0.5 random walk, H>0.5 persistent/trending, H<0.5 mean-
+    reverting — the standard pre-check before trusting naive
+    day-over-day forecasts like :func:`ewma_forecast_daily`).
+
+    Method: for block sizes m ∈ {1,2,4,16,8}… ordered {1,2,4,8,16},
+    the population variance of full-block means follows
+    V(m) ∝ m^{2H−2}; H = 1 + slope/2 of the ln V(m) vs ln m OLS.
+
+    Exactness: block sums are exact cent BIGINTs; V(m) combines
+    exact DECIMAL(38,0)/HUGEINT moments in double with one spelled
+    op order; each ln quantizes to a 1e9-fixpoint BIGINT and the
+    closed-form OLS runs on DECIMAL moments (the price_elasticity
+    convention, ≤5 points per type).
+
+    Plan: ONE grid aggregate; the ×5 scale explode and both
+    groupBys run on the calendar-bounded day grid, never raw rows.
+    """
+    g = _daily_type_grid(events, ts_col).filter(
+        F.col("v_cents").isNotNull()
+    )
+    w = Window.partitionBy("event_type").orderBy(F.col("day").asc())
+    gi = g.select(
+        "event_type",
+        F.row_number().over(w).alias("_i"),
+        "v_cents",
+    )
+    nd = gi.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days")
+    )
+    exploded = gi.select(
+        "event_type",
+        "_i",
+        "v_cents",
+        F.explode(
+            F.array(*[F.lit(m) for m in (1, 2, 4, 8, 16)])
+        ).alias("_m"),
+    )
+    blocks = exploded.groupBy(
+        "event_type",
+        "_m",
+        F.floor((F.col("_i") - 1) / F.col("_m")).alias("_blk"),
+    ).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.sum("v_cents").alias("_s"),
+    ).filter(F.col("_c") == F.col("_m"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    vm = blocks.groupBy("event_type", "_m").agg(
+        F.count(F.lit(1)).alias("_k"),
+        F.sum(dec(F.col("_s"))).alias("_a"),
+        F.sum(dec(F.col("_s")) * dec(F.col("_s"))).alias("_b"),
+    ).filter(F.col("_k") >= 2)
+    k = F.col("_k").cast("double")
+    a = F.col("_a").cast("double")
+    b = F.col("_b").cast("double")
+    m_d = F.col("_m").cast("double")
+    var = (k * b - a * a) / (k * k * m_d * m_d)
+    pts = vm.select(
+        "event_type",
+        F.floor(F.log(m_d) * F.lit(1e9) + F.lit(0.5))
+        .cast("long")
+        .alias("_x"),
+        F.when(
+            var > 0,
+            F.floor(F.log(var) * F.lit(1e9) + F.lit(0.5)).cast("long"),
+        ).alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    mo = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scales"),
+        F.sum(dec(F.col("_x"))).alias("_sx"),
+        F.sum(dec(F.col("_y"))).alias("_sy"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_x"))).alias("_sxx"),
+        F.sum(dec(F.col("_x")) * dec(F.col("_y"))).alias("_sxy"),
+    ).filter(F.col("n_scales") >= 2)
+    p = F.col("n_scales").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    sxx = F.col("_sxx").cast("double")
+    sxy = F.col("_sxy").cast("double")
+    den = p * sxx - sx * sx
+    slope = F.when(den != 0, (p * sxy - sx * sy) / den)
+    return mo.join(nd, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_scales").cast("long").alias("n_scales"),
+        round_half_up(F.lit(1.0) + slope * F.lit(0.5), 6).alias(
+            "hurst"
+        ),
+    )

@@ -6494,3 +6494,355 @@ def lineitem_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "part"),
     )
+
+
+# ==========================================================================
+# ROUND-11 STAGING WAVE (pending — NOT in ROUND6_PROMOTED; promoted in the
+# round-11 window per the ROADMAP plan written BEFORE this wave opened).
+# Kinship per entry declared in the operator docstrings and COVERAGE.md.
+# ==========================================================================
+
+
+# --------------------------------------------------------------------------
+# R11-1. Two-group log-rank survival test (KM/NA risk machinery, md5 split)
+# --------------------------------------------------------------------------
+
+_LOGRANK_ORACLE = """
+WITH pu AS (
+  SELECT user_id,
+    MIN(CASE WHEN event_type = 'signup'
+             THEN CAST(epoch(ts) AS BIGINT) END) AS s,
+    MIN(CASE WHEN event_type = 'purchase'
+             THEN CAST(epoch(ts) AS BIGINT) END) AS c,
+    MAX(CAST(epoch(ts) AS BIGINT)) AS seen
+  FROM events GROUP BY user_id
+),
+pu2 AS (
+  SELECT CASE WHEN ('0x' || substr(md5('logrank:'
+                    || CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+                   / 4294967296.0 < 0.5
+              THEN 'A' ELSE 'B' END AS grp, s, c, seen
+  FROM pu WHERE s IS NOT NULL
+),
+h AS (SELECT MAX(seen) AS hmax FROM pu2),
+obs AS (
+  SELECT grp,
+    CASE WHEN c IS NOT NULL AND c >= s
+         THEN CAST(floor(c / 86400.0) - floor(s / 86400.0) AS BIGINT)
+    END AS edays,
+    CAST(floor(hmax / 86400.0) - floor(s / 86400.0) AS BIGINT) AS cdays
+  FROM pu2, h
+),
+nt AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_total FROM obs GROUP BY 1),
+ev AS (
+  SELECT grp, edays AS delay_days, CAST(COUNT(*) AS BIGINT) AS ne
+  FROM obs WHERE edays IS NOT NULL GROUP BY 1, 2
+),
+cens AS (
+  SELECT grp, cdays AS delay_days, CAST(COUNT(*) AS BIGINT) AS nc
+  FROM obs WHERE edays IS NULL GROUP BY 1, 2
+),
+days AS (
+  SELECT DISTINCT delay_days FROM
+    (SELECT delay_days FROM ev UNION ALL SELECT delay_days FROM cens)
+),
+grid AS (
+  SELECT g.grp, d.delay_days,
+         COALESCE(ev.ne, 0) AS ne, COALESCE(cens.nc, 0) AS nc
+  FROM days d CROSS JOIN (SELECT grp FROM nt) g
+  LEFT JOIN ev ON ev.grp = g.grp AND ev.delay_days = d.delay_days
+  LEFT JOIN cens ON cens.grp = g.grp AND cens.delay_days = d.delay_days
+),
+risked AS (
+  SELECT grid.grp, grid.delay_days, ne,
+    CAST(n_total - COALESCE(SUM(ne) OVER w, 0)
+                 - COALESCE(SUM(nc) OVER w, 0) AS BIGINT) AS nr
+  FROM grid JOIN nt ON nt.grp = grid.grp
+  WINDOW w AS (PARTITION BY grid.grp ORDER BY grid.delay_days ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+pooled AS (
+  SELECT delay_days,
+    COALESCE(SUM(CASE WHEN grp = 'A' THEN ne END), 0) AS da,
+    COALESCE(SUM(CASE WHEN grp = 'B' THEN ne END), 0) AS db,
+    COALESCE(SUM(CASE WHEN grp = 'A' THEN nr END), 0) AS na,
+    COALESCE(SUM(CASE WHEN grp = 'B' THEN nr END), 0) AS nb
+  FROM risked GROUP BY 1
+  HAVING COALESCE(SUM(CASE WHEN grp = 'A' THEN ne END), 0)
+       + COALESCE(SUM(CASE WHEN grp = 'B' THEN ne END), 0) > 0
+),
+terms AS (
+  SELECT da, db,
+    CAST(floor(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+               / CAST(na + nb AS DOUBLE) * 1000000000.0 + 0.5)
+         AS BIGINT) AS ea,
+    CAST(floor(CAST(da + db AS DOUBLE) * CAST(nb AS DOUBLE)
+               / CAST(na + nb AS DOUBLE) * 1000000000.0 + 0.5)
+         AS BIGINT) AS eb,
+    CASE WHEN na + nb > 1 THEN
+      CAST(floor(CAST(da + db AS DOUBLE) * CAST(na AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE) * CAST(nb AS DOUBLE)
+                 / CAST(na + nb AS DOUBLE)
+                 * (CAST(na + nb AS DOUBLE) - CAST(da + db AS DOUBLE))
+                 / (CAST(na + nb AS DOUBLE) - 1.0)
+                 * 1000000000.0 + 0.5) AS BIGINT)
+    ELSE 0 END AS vt
+  FROM pooled
+),
+tot AS (
+  SELECT CAST(SUM(da) AS BIGINT) AS oa, CAST(SUM(db) AS BIGINT) AS ob,
+         CAST(SUM(ea) AS BIGINT) AS sea, CAST(SUM(eb) AS BIGINT) AS seb,
+         CAST(SUM(vt) AS BIGINT) AS sv
+  FROM terms
+),
+cnts AS (
+  SELECT CAST(COALESCE(SUM(CASE WHEN grp = 'A' THEN n_total END), 0)
+              AS BIGINT) AS n_a,
+         CAST(COALESCE(SUM(CASE WHEN grp = 'B' THEN n_total END), 0)
+              AS BIGINT) AS n_b
+  FROM nt
+),
+zc AS (
+  SELECT *,
+    CASE WHEN sv > 0 THEN
+      (CAST(oa AS DOUBLE) - CAST(sea AS DOUBLE) / 1000000000.0)
+      / sqrt(CAST(sv AS DOUBLE) / 1000000000.0)
+    END AS zz
+  FROM tot, cnts WHERE oa IS NOT NULL
+)
+SELECT n_a, n_b,
+  oa AS observed_a,
+  floor(CAST(sea AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5)
+    / 1000000.0 AS expected_a,
+  ob AS observed_b,
+  floor(CAST(seb AS DOUBLE) / 1000000000.0 * 1000000.0 + 0.5)
+    / 1000000.0 AS expected_b,
+  CASE WHEN sv > 0
+       THEN floor(zz * zz * 1000000.0 + 0.5) / 1000000.0 END AS chi2,
+  CASE WHEN sv > 0
+       THEN floor(2.0 * {SF} * 1000000.0 + 0.5) / 1000000.0
+  END AS p_value
+FROM zc
+""".replace("{SF}", _normal_sf_sql("abs(zz)"))
+
+
+@pending_query("events_logrank_test", _LOGRANK_ORACLE)
+def events_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank test of signup→purchase survival over a
+    deterministic md5 user split (kin: events_kaplan_meier /
+    events_nelson_aalen share the risk-set machinery;
+    events_diff_in_diff shares the hash_uniform treatment draw;
+    p-value via the shared A&S 26.2.19 normal-SF fragment)."""
+    from vectorsearchutil_spark.operators.analytics import logrank_test
+
+    return logrank_test(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R11-2. Two-period Poisson rate-ratio z-test per type (shared normal SF)
+# --------------------------------------------------------------------------
+
+_POISSON_RATE_ORACLE = """
+WITH ev AS (SELECT * FROM events WHERE ts IS NOT NULL),
+b AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM ev
+),
+base AS (
+  SELECT event_type,
+    (date_diff('day', d0, CAST(ts AS DATE))
+     <= floor(date_diff('day', d0, d1) / 2)) AS pre,
+    date_diff('day', d0, d1) AS span
+  FROM ev, b
+),
+cell AS (
+  SELECT event_type,
+    CAST(SUM(CASE WHEN pre THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+    CAST(SUM(CASE WHEN pre THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+    MAX(span) AS span
+  FROM base GROUP BY 1
+),
+calc AS (
+  SELECT event_type, n1, n2, span,
+    CAST(CAST(floor(span / 2) AS BIGINT) + 1 AS DOUBLE) AS t1,
+    CAST(span - CAST(floor(span / 2) AS BIGINT) AS DOUBLE) AS t2,
+    CAST(n1 + n2 AS DOUBLE) AS n
+  FROM cell
+),
+zc AS (
+  SELECT *,
+    t1 / (t1 + t2) AS p,
+    (CAST(n1 AS DOUBLE) - n * (t1 / (t1 + t2)))
+      / sqrt(n * (t1 / (t1 + t2)) * (1.0 - t1 / (t1 + t2))) AS zz
+  FROM calc
+)
+SELECT event_type, n1 AS n_pre, n2 AS n_post,
+  floor(CAST(n1 AS DOUBLE) / t1 * 1000000.0 + 0.5) / 1000000.0
+    AS rate_pre,
+  floor(CAST(n2 AS DOUBLE) / t2 * 1000000.0 + 0.5) / 1000000.0
+    AS rate_post,
+  CASE WHEN span > 0 AND n1 + n2 > 0
+       THEN floor(zz * 1000000.0 + 0.5) / 1000000.0 END AS z_stat,
+  CASE WHEN span > 0 AND n1 + n2 > 0
+       THEN floor(2.0 * {SF} * 1000000.0 + 0.5) / 1000000.0
+  END AS p_value
+FROM zc
+""".replace("{SF}", _normal_sf_sql("abs(zz)"))
+
+
+@pending_query("events_poisson_rate_test", _POISSON_RATE_ORACLE)
+def events_poisson_rate_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type two-period Poisson rate-ratio z-test over the
+    midpoint calendar split (kin: events_ab_test compares hash-group
+    proportions; events_diff_in_diff shares the midpoint split;
+    p-value via the shared A&S 26.2.19 normal-SF fragment)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        poisson_rate_test,
+    )
+
+    return poisson_rate_test(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R11-3. Holt double-exponential one-step forecast (EWMA kin, [l,b] fold)
+# --------------------------------------------------------------------------
+
+_HOLT_ORACLE = (
+    "WITH "
+    + _DAILY_GRID_SQL
+    + """,
+per AS (
+  SELECT event_type,
+         list(CAST(v_cents AS DOUBLE) ORDER BY day) AS vals,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM g WHERE v_cents IS NOT NULL GROUP BY 1
+),
+sp AS (
+  SELECT event_type, n, vals,
+         list_transform(range(1, n + 1),
+           t -> list_reduce(
+                  list_slice(list_transform(vals,
+                               v -> [v, CAST(0.0 AS DOUBLE)]), 1, t),
+                  (a, x) -> [0.3 * x[1] + 0.7 * (a[1] + a[2]),
+                             0.1 * ((0.3 * x[1] + 0.7 * (a[1] + a[2]))
+                                    - a[1]) + 0.9 * a[2]])) AS st
+  FROM per WHERE n >= 2
+),
+ag AS (
+  SELECT event_type, CAST(n AS INT) AS n_days,
+         CAST(list_sum(list_transform(range(2, n + 1),
+              t -> CAST(floor(abs(vals[t] - (st[t - 1][1] + st[t - 1][2]))
+                              * 100.0 + 0.5) AS BIGINT))) AS BIGINT) AS es,
+         CAST(list_sum(list_transform(range(2, n + 1),
+              t -> CAST(floor(abs(vals[t]) * 100.0 + 0.5) AS BIGINT)))
+              AS BIGINT) AS asum,
+         st[n][1] + st[n][2] AS fc
+  FROM sp
+)
+SELECT event_type, n_days,
+  CASE WHEN asum > 0
+       THEN floor(CAST(es AS DOUBLE) / CAST(asum AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0 END AS wape,
+  floor(CAST(es AS DOUBLE) / 100.0 / CAST(n_days - 1 AS DOUBLE)
+        * 10000.0 + 0.5) / 10000.0 AS mae_cents,
+  floor(fc * 10000.0 + 0.5) / 10000.0 AS next_forecast_cents
+FROM ag
+"""
+)
+
+
+@pending_query("events_holt_forecast", _HOLT_ORACLE)
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type one-step Holt (level+trend, α=0.3, β=0.1) forecast
+    WAPE/MAE on the daily value grid (kin: events_ewma_forecast is
+    the level-only twin — same grid, fold technique, and 1e2-fixpoint
+    scoring; Spark F.aggregate over array(l,b) ≡ DuckDB list_reduce
+    over DOUBLE[] elements seeded with [v1, 0])."""
+    from vectorsearchutil_spark.operators.analytics import (
+        holt_forecast_daily,
+    )
+
+    return holt_forecast_daily(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R11-4. Aggregated-variance Hurst exponent per type (daily grid)
+# --------------------------------------------------------------------------
+
+_HURST_ORACLE = (
+    "WITH "
+    + _DAILY_GRID_SQL
+    + """,
+gi AS (
+  SELECT event_type, v_cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+  FROM g WHERE v_cents IS NOT NULL
+),
+nd AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+  FROM gi GROUP BY 1
+),
+ex AS (
+  SELECT event_type, i, v_cents, m
+  FROM gi CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16]) AS m)
+),
+blk AS (
+  SELECT event_type, m, CAST(floor((i - 1) / m) AS BIGINT) AS blk,
+         COUNT(*) AS c, CAST(SUM(v_cents) AS BIGINT) AS s
+  FROM ex GROUP BY 1, 2, 3
+),
+vm AS (
+  SELECT event_type, m, CAST(COUNT(*) AS BIGINT) AS k,
+         SUM(CAST(s AS HUGEINT)) AS a,
+         SUM(CAST(s AS HUGEINT) * s) AS b
+  FROM blk WHERE c = m GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+),
+pts AS (
+  SELECT event_type,
+    CAST(floor(ln(CAST(m AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+      AS x,
+    CASE WHEN (CAST(k AS DOUBLE) * CAST(b AS DOUBLE)
+               - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+              / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)) > 0
+         THEN CAST(floor(ln((CAST(k AS DOUBLE) * CAST(b AS DOUBLE)
+                             - CAST(a AS DOUBLE) * CAST(a AS DOUBLE))
+                            / (CAST(k AS DOUBLE) * CAST(k AS DOUBLE)
+                               * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)))
+                         * 1000000000.0 + 0.5) AS BIGINT)
+    END AS y
+  FROM vm
+),
+pts2 AS (SELECT * FROM pts WHERE y IS NOT NULL),
+mo AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_scales,
+         SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM pts2 GROUP BY 1 HAVING COUNT(*) >= 2
+)
+SELECT mo.event_type, n_days, n_scales,
+  floor((1.0 + (CASE WHEN CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+                     THEN (CAST(n_scales AS DOUBLE) * CAST(sxy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                          / (CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                END) * 0.5) * 1000000.0 + 0.5) / 1000000.0 AS hurst
+FROM mo JOIN nd ON nd.event_type = mo.event_type
+"""
+)
+
+
+@pending_query("events_hurst_exponent", _HURST_ORACLE)
+def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated-variance Hurst exponent per event type over the
+    daily value grid: V(m) of full-block means for m ∈ {1,2,4,8,16},
+    H = 1 + slope/2 of the 1e9-fixpoint ln-ln OLS (kin:
+    orders_daily_acf measures short-lag memory; lineitem_
+    price_elasticity shares the DECIMAL-moment closed-form OLS)."""
+    from vectorsearchutil_spark.operators.analytics import (
+        hurst_exponent_daily,
+    )
+
+    return hurst_exponent_daily(load_table(spark, sf_dir, "events"))
