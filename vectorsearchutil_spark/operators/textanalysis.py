@@ -2236,3 +2236,192 @@ def quality_ece(
             ).alias("ece_contrib"),
         )
     )
+
+
+def term_burstiness(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_n: int = 50,
+) -> DataFrame:
+    """Per-term burstiness over the corpus: for the ``top_n`` most
+    frequent terms, the variance-to-mean ratio (index of dispersion)
+    of per-document occurrence counts, zeros included — VMR ≈ 1 is
+    Poisson scatter, VMR ≫ 1 marks bursty/topical terms concentrated
+    in few documents, the signature of template spam and topic
+    boilerplate that raw frequency hides (kin declared:
+    :func:`zipf_fit` fits the FREQUENCY law, :func:`top_terms_per_doc`
+    ranks within docs; this measures cross-document DISPERSION).
+
+    Exactness: VMR = (n·Σc² − cf²) / (n·cf) entirely from exact
+    integer moments (DECIMAL(38,0) products), one double division;
+    doc_rate = df/n likewise. The (cf desc, term asc) top-N cut is a
+    deterministic total order.
+
+    Plan: one explode → per-(doc, term) counts (map-side combinable)
+    → per-term moments → TakeOrderedAndProject. Vocabulary-sized
+    everywhere after the first aggregate.
+    """
+    docs = df.filter(F.col(text_col).isNotNull())
+    nd = docs.agg(F.count(F.lit(1)).alias("_n"))
+    dc = (
+        docs.select(
+            F.col(id_col), F.explode(tokens(F.col(text_col))).alias("term")
+        )
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per = dc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_df"),
+        F.sum("_c").alias("_cf"),
+        F.sum(dec(F.col("_c")) * dec(F.col("_c"))).alias("_scc"),
+    )
+    top = per.orderBy(
+        F.col("_cf").desc(), F.col("term").asc()
+    ).limit(int(top_n))
+    n = F.col("_n")
+    vmr = (
+        (dec(n) * F.col("_scc") - dec(F.col("_cf")) * dec(F.col("_cf")))
+        .cast("double")
+        / (dec(n) * dec(F.col("_cf"))).cast("double")
+    )
+    return top.crossJoin(F.broadcast(nd)).select(
+        "term",
+        F.col("_df").cast("long").alias("doc_freq"),
+        F.col("_cf").cast("long").alias("coll_freq"),
+        round_half_up(
+            F.col("_df").cast("double") / n.cast("double"), 6
+        ).alias("doc_rate"),
+        round_half_up(vmr, 6).alias("burstiness_vmr"),
+    )
+
+
+def rater_agreement(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Cohen's kappa between two deterministic binary quality raters
+    (kin declared: :func:`quality_ece` measures CALIBRATION of a
+    score against an outcome; this measures AGREEMENT between two
+    raters — the inter-annotator-consistency check run before
+    trusting any single heuristic as a filter label):
+
+    - rater A (length): n_tokens ≥ 30
+    - rater B (lexical diversity): 2·n_unique ≥ n_tokens
+
+    Both raters are pure integer predicates, so the 2×2 table is
+    exact on both engines; po, pe, and kappa = (n·agree − pe_num) /
+    (n² − pe_num) with pe_num = a1·b1 + a0·b0 combine exact
+    DECIMAL(38,0) counts in double once. ONE output row; NULL kappa
+    when a rater is constant (pe = 1, the undefined case).
+
+    Plan: one projection + one 4-cell aggregate — scan-speed.
+    """
+    docs = df.filter(F.col(text_col).isNotNull())
+    toks = tokens(F.col(text_col))
+    rated = docs.select(
+        (F.size(toks) >= 30).alias("_a"),
+        (
+            F.lit(2) * F.size(F.array_distinct(toks)) >= F.size(toks)
+        ).alias("_b"),
+    )
+    cell = rated.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(F.when(F.col("_a") & F.col("_b"), 1).otherwise(0)).alias(
+            "_n11"
+        ),
+        F.sum(F.when(F.col("_a") & ~F.col("_b"), 1).otherwise(0)).alias(
+            "_n10"
+        ),
+        F.sum(F.when(~F.col("_a") & F.col("_b"), 1).otherwise(0)).alias(
+            "_n01"
+        ),
+        F.sum(F.when(~F.col("_a") & ~F.col("_b"), 1).otherwise(0)).alias(
+            "_n00"
+        ),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    a1 = F.col("_n11") + F.col("_n10")
+    a0 = F.col("_n01") + F.col("_n00")
+    b1 = F.col("_n11") + F.col("_n01")
+    b0 = F.col("_n10") + F.col("_n00")
+    agree = F.col("_n11") + F.col("_n00")
+    pe_num = dec(a1) * dec(b1) + dec(a0) * dec(b0)
+    n = F.col("_n")
+    po = agree.cast("double") / n.cast("double")
+    pe = pe_num.cast("double") / (n.cast("double") * n.cast("double"))
+    k_num = (dec(n) * dec(agree) - pe_num).cast("double")
+    k_den = (dec(n) * dec(n) - pe_num).cast("double")
+    return cell.filter(F.col("_n") > 0).select(
+        F.col("_n").cast("long").alias("n_docs"),
+        F.col("_n11").cast("long").alias("n_both_good"),
+        F.col("_n10").cast("long").alias("n_only_a"),
+        F.col("_n01").cast("long").alias("n_only_b"),
+        F.col("_n00").cast("long").alias("n_neither"),
+        round_half_up(po, 6).alias("p_observed"),
+        round_half_up(pe, 6).alias("p_expected"),
+        F.when(k_den != 0, round_half_up(k_num / k_den, 6)).alias(
+            "kappa"
+        ),
+    )
+
+
+def ocr_garbage_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """OCR/extraction-garbage heuristics per document from explicit
+    character-class counts (kin declared: text_unicode_health audits
+    the codepoint inventory; this scores TOKEN-SHAPE damage — the
+    digit-letter blends, symbol residue, and single-char shrapnel
+    that OCR and bad PDF extraction leave behind):
+
+    - mixed_token_share: tokens containing BOTH a digit and a letter
+    - nonalnum_char_share: characters outside
+      ``[a-zA-Z0-9 \\t\\n\\f\\r]`` (explicit class — the Java-vs-RE2
+      ``\\s``/``\\x0B`` lesson) over all characters
+    - single_char_share: 1-character tokens
+    - garbage_score: the plain mean ((m + s) + c) / 3 of the three
+
+    Exactness: every numerator/denominator is an exact integer
+    count; the shares and mean divide in double with one spelled op
+    order, floor-rounded at 6dp. Empty docs emit NULL shares (no
+    division by zero on either engine).
+
+    Plan: per-row projection only — no shuffle, scan-speed.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    mixed = F.size(
+        F.filter(
+            toks,
+            lambda t: t.rlike("[0-9]") & t.rlike("[a-zA-Z]"),
+        )
+    )
+    single = F.size(F.filter(toks, lambda t: F.length(t) == 1))
+    nonal = n_chars - F.length(
+        F.regexp_replace(
+            F.col(text_col), "[^a-zA-Z0-9 \t\n\f\r]", ""
+        )
+    )
+    m_share = F.when(
+        n_tok > 0, mixed.cast("double") / n_tok.cast("double")
+    )
+    s_share = F.when(
+        n_tok > 0, single.cast("double") / n_tok.cast("double")
+    )
+    c_share = F.when(
+        n_chars > 0, nonal.cast("double") / n_chars.cast("double")
+    )
+    score = F.when(
+        (n_tok > 0) & (n_chars > 0),
+        ((m_share + s_share) + c_share) / F.lit(3.0),
+    )
+    return df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_tok.alias("n_tokens"),
+        round_half_up(m_share, 6).alias("mixed_token_share"),
+        round_half_up(s_share, 6).alias("single_char_share"),
+        round_half_up(c_share, 6).alias("nonalnum_char_share"),
+        round_half_up(score, 6).alias("garbage_score"),
+    )

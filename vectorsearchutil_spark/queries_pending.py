@@ -6846,3 +6846,296 @@ def events_hurst_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return hurst_exponent_daily(load_table(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# R11-5/6. Near-dup graph: degree assortativity + common-neighbour link
+#          prediction (shared _CC_EDGES_CTE — same edges as triangles/CC)
+# --------------------------------------------------------------------------
+
+def _assortativity_oracle() -> str:
+    from vectorsearchutil_spark.queries import _CC_EDGES_CTE
+
+    return f"""
+WITH RECURSIVE {_CC_EDGES_CTE},
+stubs AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS dg FROM stubs GROUP BY 1),
+att AS (
+  SELECT dx.dg AS x, dy.dg AS y
+  FROM stubs s JOIN dg dx ON dx.a = s.a JOIN dg dy ON dy.a = s.b
+),
+mo AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m,
+         SUM(CAST(x AS HUGEINT)) AS sx,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy
+  FROM att
+)
+SELECT CAST((SELECT COUNT(*) FROM dg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+  CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0
+       THEN floor((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * 1000000.0 + 0.5) / 1000000.0
+  END AS assortativity
+FROM mo WHERE m > 0
+"""
+
+
+@pending_query("graph_degree_assortativity", _assortativity_oracle())
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman degree assortativity of the 0.8-Jaccard near-dup graph
+    (kin: graph_triangle_count — same edge set via _CC_EDGES_CTE,
+    structural companion; hubs-to-hubs r>0 means template families,
+    hub-and-spoke r<0 means boilerplate stars)."""
+    from vectorsearchutil_spark.operators import dedup as _dd
+    from vectorsearchutil_spark.operators.graph import degree_assortativity
+
+    docs = load_table(spark, sf_dir, "documents")
+    return degree_assortativity(
+        _dd.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    )
+
+
+#: The 0.8-Jaccard text graph is pure CLIQUES on this corpus (exact
+#: near-dup groups — zero open wedges at ANY Jaccard threshold, 25
+#: edges at 0.5), so link prediction over it is vacuous. The
+#: embedding cosine graph at the LIVE dedup_embedding_cosine
+#: threshold (0.35) has chains (sf0.01: 271 edges, 268 open wedges)
+#: — and reusing that exact pair-mining call means edge membership
+#: at the float threshold boundary inherits the already-driver-green
+#: parity of dedup_embedding_cosine.
+_LINKPRED_EDGES_CTE = """
+v AS (SELECT vec_id, embedding::DOUBLE[] AS emb
+      FROM embeddings WHERE embedding IS NOT NULL),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.35
+)"""
+
+
+def _linkpred_oracle() -> str:
+    return f"""
+WITH {_LINKPRED_EDGES_CTE},
+stubs AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+dg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS dg FROM stubs GROUP BY 1),
+cand AS (
+  SELECT w1.b AS u, w2.b AS v, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM stubs w1 JOIN stubs w2 ON w1.a = w2.a AND w1.b < w2.b
+  GROUP BY 1, 2
+),
+nonedge AS (
+  SELECT c.u, c.v, c.cn FROM cand c
+  LEFT JOIN pairs p ON p.id_a = c.u AND p.id_b = c.v
+  WHERE p.id_a IS NULL
+),
+sc AS (
+  SELECT u, v, cn, du.dg AS da, dv.dg AS db
+  FROM nonedge JOIN dg du ON du.a = u JOIN dg dv ON dv.a = v
+)
+SELECT u AS id_a, v AS id_b, cn AS common_neighbors,
+       da AS deg_a, db AS deg_b,
+       floor(CAST(cn AS DOUBLE) / CAST(da + db - cn AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM sc
+ORDER BY cn DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+@pending_query("graph_common_neighbors", _linkpred_oracle())
+def graph_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 common-neighbour/Jaccard link predictions over the
+    SEMANTIC near-dup graph (cosine ≥ 0.35 — the exact
+    dedup_embedding_cosine edge set, whose threshold-boundary parity
+    is already driver-green) — the open wedges transitive dedup
+    would close (kin: graph_triangle_count counts the CLOSED ones on
+    the text graph; dedup_connected_components merges blindly, this
+    ranks the audit list; deterministic (cn desc, id_a, id_b)
+    k-cut)."""
+    from vectorsearchutil_spark.operators.graph import (
+        common_neighbor_link_prediction,
+    )
+    from vectorsearchutil_spark.operators.similarity import neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return common_neighbor_link_prediction(
+        neardup_pairs(emb, threshold=0.35, strategy="auto"), k=20
+    )
+
+
+# --------------------------------------------------------------------------
+# R11-7. Per-term burstiness (variance-to-mean dispersion, zeros included)
+# --------------------------------------------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH doctoks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+tk AS (SELECT doc_id, unnest(toks) AS term FROM doctoks),
+dc AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM tk GROUP BY 1, 2
+),
+per AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+         CAST(SUM(c) AS BIGINT) AS cf,
+         SUM(CAST(c AS HUGEINT) * c) AS scc
+  FROM dc GROUP BY 1
+),
+top AS (SELECT * FROM per ORDER BY cf DESC, term ASC LIMIT 50)
+SELECT term, df AS doc_freq, cf AS coll_freq,
+  floor(CAST(df AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+    / 1000000.0 AS doc_rate,
+  floor(CAST(CAST(n AS HUGEINT) * scc
+             - CAST(cf AS HUGEINT) * cf AS DOUBLE)
+        / CAST(CAST(n AS HUGEINT) * cf AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS burstiness_vmr
+FROM top, nd
+"""
+
+
+@pending_query("docs_term_burstiness", _BURSTINESS_ORACLE)
+def docs_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-to-mean dispersion of per-doc term counts (zeros in)
+    for the 50 most frequent terms — bursty topical/template terms vs
+    Poisson background (kin: docs_zipf_fit fits frequency,
+    docs_top_terms ranks within docs; exact integer moments)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        term_burstiness,
+    )
+
+    return term_burstiness(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# R11-8. Cohen's kappa between two deterministic quality raters
+# --------------------------------------------------------------------------
+
+_KAPPA_ORACLE = """
+WITH d AS (
+  SELECT list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+r AS (
+  SELECT (len(toks) >= 30) AS a,
+         (2 * len(list_distinct(toks)) >= len(toks)) AS b
+  FROM d
+),
+cell AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+    CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+    CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+    CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+    CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+      AS n00
+  FROM r
+),
+pe AS (
+  SELECT *,
+    CAST(n11 + n10 AS HUGEINT) * (n11 + n01)
+      + CAST(n01 + n00 AS HUGEINT) * (n10 + n00) AS pe_num
+  FROM cell
+)
+SELECT n AS n_docs, n11 AS n_both_good, n10 AS n_only_a,
+  n01 AS n_only_b, n00 AS n_neither,
+  floor(CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+        * 1000000.0 + 0.5) / 1000000.0 AS p_observed,
+  floor(CAST(pe_num AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))
+        * 1000000.0 + 0.5) / 1000000.0 AS p_expected,
+  CASE WHEN CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE) <> 0
+       THEN floor(CAST(CAST(n AS HUGEINT) * (n11 + n00) - pe_num
+                       AS DOUBLE)
+                  / CAST(CAST(n AS HUGEINT) * n - pe_num AS DOUBLE)
+                  * 1000000.0 + 0.5) / 1000000.0
+  END AS kappa
+FROM pe WHERE n > 0
+"""
+
+
+@pending_query("docs_rater_agreement", _KAPPA_ORACLE)
+def docs_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic binary quality raters
+    (length ≥ 30 tokens vs type-token ratio ≥ 0.5) — the
+    inter-annotator-consistency audit (kin: docs_quality_ece measures
+    calibration; exact 2x2 integer table, one double division)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        rater_agreement,
+    )
+
+    return rater_agreement(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# R11-9. OCR/extraction garbage heuristics (explicit char classes)
+# --------------------------------------------------------------------------
+
+_OCR_ORACLE = r"""
+WITH d AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), x -> x != '') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+    CAST(len(toks) AS INT) AS n_tokens,
+    CAST(len(list_filter(toks,
+         t -> regexp_matches(t, '[0-9]')
+              AND regexp_matches(t, '[a-zA-Z]'))) AS BIGINT) AS mixed,
+    CAST(len(list_filter(toks, t -> length(t) = 1)) AS BIGINT)
+      AS single,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(length(text)
+         - length(regexp_replace(text, '[^a-zA-Z0-9 \t\n\f\r]', '', 'g'))
+         AS BIGINT) AS nonal
+  FROM d
+),
+s AS (
+  SELECT doc_id, n_tokens,
+    CASE WHEN n_tokens > 0
+         THEN CAST(mixed AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS m,
+    CASE WHEN n_tokens > 0
+         THEN CAST(single AS DOUBLE) / CAST(n_tokens AS DOUBLE) END AS sg,
+    CASE WHEN n_chars > 0
+         THEN CAST(nonal AS DOUBLE) / CAST(n_chars AS DOUBLE) END AS nc,
+    n_chars
+  FROM c
+)
+SELECT doc_id, n_tokens,
+  floor(m * 1000000.0 + 0.5) / 1000000.0 AS mixed_token_share,
+  floor(sg * 1000000.0 + 0.5) / 1000000.0 AS single_char_share,
+  floor(nc * 1000000.0 + 0.5) / 1000000.0 AS nonalnum_char_share,
+  CASE WHEN n_tokens > 0 AND n_chars > 0
+       THEN floor(((m + sg) + nc) / 3.0 * 1000000.0 + 0.5) / 1000000.0
+  END AS garbage_score
+FROM s
+"""
+
+
+@pending_query("docs_ocr_garbage_score", _OCR_ORACLE)
+def docs_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc OCR/extraction-garbage heuristics from explicit
+    char-class counts: digit-letter blend tokens, 1-char shrapnel,
+    non-alphanumeric residue, and their mean (kin:
+    text_unicode_health audits codepoints; explicit
+    [^a-zA-Z0-9 \\t\\n\\f\\r] class per the Java-vs-RE2 lesson)."""
+    from vectorsearchutil_spark.operators.textanalysis import (
+        ocr_garbage_score,
+    )
+
+    return ocr_garbage_score(load_table(spark, sf_dir, "documents"))
