@@ -675,3 +675,129 @@ def power_iteration_top2(
         for i in range(d)
     ]
     return spark.createDataFrame(rows, schema)
+
+
+def cka_dim_split(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    split: int = 32,
+    fp_scale: int = 10_000,
+) -> DataFrame:
+    """Linear CKA (centered-kernel alignment, Kornblith et al. 2019)
+    between the FIRST ``split`` dimensions and the NEXT ``split``
+    dimensions of an embedding column — the representation-
+    redundancy audit: CKA ≈ 1 means the two halves encode the same
+    geometry (truncation / matryoshka-style cuts are safe, see
+    :func:`matryoshka_truncate`), CKA ≈ 0 means the halves carry
+    independent structure (kin declared: :func:`dim_covariance`
+    computes the covariance substrate; this compares two covariance
+    BLOCKS: CKA = ||S_xy||²_F / (||S_xx||_F · ||S_yy||_F) with
+    S_ab(i,j) = n·Σa_i b_j − Σa_i·Σb_j).
+
+    Exactness: components quantize to ``fp_scale`` fixpoint longs,
+    so every moment is an exact integer accumulated in
+    DECIMAL(38,0)/HUGEINT (order-free); the three Frobenius sums
+    stay integer; only the final ratio divides in double. Headroom:
+    |q| ≤ 1e5-ish ⇒ pair products ≤ 1e10, S ≤ n²·1e10, S² ≤
+    n⁴·1e20 — DECIMAL(38,0) holds n up to ~50k rows; past that,
+    lower ``fp_scale`` (documented bound, asserted nowhere hot).
+
+    Plan: the per-row ``split``² product explode feeds a groupBy
+    whose partial (map-side) aggregation collapses each partition to
+    ``split``² rows — the shuffle carries O(split² × partitions)
+    rows regardless of corpus size; per-dim sums are one posexplode
+    aggregate; the final algebra runs on split²-sized frames with
+    two broadcast joins.
+    """
+    from vectorsearchutil_spark.functions.vector import (
+        finite_vector,
+        round_half_up,
+    )
+
+    valid = df.filter(
+        finite_vector(F.col(vector_col))
+        & (F.size(F.col(vector_col)) >= 2 * split)
+    )
+    q = valid.select(
+        F.transform(
+            F.col(vector_col),
+            lambda x: F.floor(
+                x * F.lit(float(fp_scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("_q")
+    )
+    nrow = q.agg(F.count(F.lit(1)).alias("_n"))
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    dims = (
+        q.select(F.posexplode(F.col("_q")).alias("_i", "_v"))
+        .filter(F.col("_i") < 2 * split)
+        .groupBy("_i")
+        .agg(F.sum(dec(F.col("_v"))).alias("_s"))
+    )
+    el = lambda idx: F.element_at(  # noqa: E731
+        F.col("_q"), (idx + F.lit(1)).cast("int")
+    )
+    ij = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(split - 1)),
+            lambda i: F.transform(
+                F.sequence(F.lit(0), F.lit(split - 1)),
+                lambda j: F.struct(
+                    i.alias("i"),
+                    j.alias("j"),
+                    (el(i) * el(F.lit(split) + j)).alias("pxy"),
+                    (el(i) * el(j)).alias("pxx"),
+                    (
+                        el(F.lit(split) + i) * el(F.lit(split) + j)
+                    ).alias("pyy"),
+                ),
+            ),
+        )
+    )
+    prs = (
+        q.select(F.explode(ij).alias("_s"))
+        .select("_s.i", "_s.j", "_s.pxy", "_s.pxx", "_s.pyy")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(dec(F.col("pxy"))).alias("_pxy"),
+            F.sum(dec(F.col("pxx"))).alias("_pxx"),
+            F.sum(dec(F.col("pyy"))).alias("_pyy"),
+        )
+    )
+    d = lambda alias: F.broadcast(  # noqa: E731
+        dims.select(F.col("_i").alias(f"_k{alias}"),
+                    F.col("_s").alias(f"_s{alias}"))
+    )
+    sc = (
+        prs.crossJoin(F.broadcast(nrow))
+        .join(d("xi"), F.col("i") == F.col("_kxi"))
+        .join(d("xj"), F.col("j") == F.col("_kxj"))
+        .join(d("yi"), F.lit(split) + F.col("i") == F.col("_kyi"))
+        .join(d("yj"), F.lit(split) + F.col("j") == F.col("_kyj"))
+        .select(
+            (dec(F.col("_n")) * F.col("_pxy")
+             - F.col("_sxi") * F.col("_syj")).alias("_sxy"),
+            (dec(F.col("_n")) * F.col("_pxx")
+             - F.col("_sxi") * F.col("_sxj")).alias("_sxx"),
+            (dec(F.col("_n")) * F.col("_pyy")
+             - F.col("_syi") * F.col("_syj")).alias("_syy"),
+        )
+    )
+    fro = sc.agg(
+        F.sum(F.col("_sxy") * F.col("_sxy")).alias("_fxy"),
+        F.sum(F.col("_sxx") * F.col("_sxx")).alias("_fxx"),
+        F.sum(F.col("_syy") * F.col("_syy")).alias("_fyy"),
+    )
+    cka = F.when(
+        (F.col("_fxx") > 0) & (F.col("_fyy") > 0),
+        F.col("_fxy").cast("double")
+        / (
+            F.sqrt(F.col("_fxx").cast("double"))
+            * F.sqrt(F.col("_fyy").cast("double"))
+        ),
+    )
+    return fro.crossJoin(F.broadcast(nrow)).select(
+        F.col("_n").cast("long").alias("n_points"),
+        F.lit(split).cast("int").alias("n_dims_split"),
+        round_half_up(cka, 6).alias("cka"),
+    )

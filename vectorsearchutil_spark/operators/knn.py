@@ -654,3 +654,76 @@ def knn_mutual_pairs(
             ).alias("reciprocity"),
         )
     )
+
+
+def intrinsic_dim_twonn(
+    df: DataFrame,
+    vector_col: str = "vector",
+    id_col: str = "id",
+    n_rows: int | None = None,
+    strategy: str = "auto",
+) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate (Facco et al. 2017) from
+    each point's two nearest neighbours under cosine distance
+    d = 1 − s (kin declared: :func:`knn_hubness` /
+    :func:`knn_mutual_pairs` — the same ``_self_knn_topk`` machinery
+    including the blocked no-collect path; run BEFORE choosing PQ/IVF
+    sizes, since both degrade with intrinsic, not ambient, dimension).
+
+    MLE: d̂ = N / Σ ln μ_i with μ_i = d2_i/d1_i over usable points
+    (d1 > 0 — exact-duplicate neighbours are excluded, the standard
+    TwoNN discard).
+
+    Exactness: neighbour RANKS come from the bit-identical self-kNN
+    paths; distances quantize to 1e6-fixpoint integer
+    micro-distances BEFORE the ratio, so both engines take ln of the
+    IDENTICAL double d2/d1; each ln term is a 1e9-fixpoint BIGINT
+    (order-free sum, the zipf_fit convention), one double division
+    at the end. ONE output row.
+    """
+    from vectorsearchutil_spark.functions.vector import (
+        finite_vector,
+        l2_norm,
+        round_half_up,
+    )
+
+    valid = df.filter(
+        finite_vector(F.col(vector_col))
+        & (l2_norm(F.col(vector_col)) != F.lit(0.0))
+    )
+    topk = _self_knn_topk(
+        valid, 2, vector_col, id_col, "cosine", n_rows, strategy
+    )
+    per = topk.groupBy("_qid").agg(
+        F.max(F.when(F.col("_rk") == 1, F.col("_d"))).alias("_s1"),
+        F.max(F.when(F.col("_rk") == 2, F.col("_d"))).alias("_s2"),
+    )
+    micro = lambda s: F.floor(  # noqa: E731
+        (F.lit(1.0) - s) * F.lit(1e6) + F.lit(0.5)
+    ).cast("long")
+    pts = per.select(
+        micro(F.col("_s1")).alias("_d1"), micro(F.col("_s2")).alias("_d2")
+    ).filter(F.col("_s2").isNotNull() & (F.col("_d1") > 0))
+    term = F.floor(
+        F.log(F.col("_d2").cast("double") / F.col("_d1").cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    n_points = valid.agg(F.count(F.lit(1)).alias("_np"))
+    agg = pts.agg(
+        F.count(F.lit(1)).alias("_nu"), F.sum(term).alias("_ls")
+    )
+    dim = F.when(
+        F.col("_ls") > 0,
+        F.col("_nu").cast("double")
+        / (F.col("_ls").cast("double") / F.lit(1e9)),
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_points))
+        .filter(F.col("_np") > 0)
+        .select(
+            F.col("_np").cast("long").alias("n_points"),
+            F.col("_nu").cast("long").alias("n_used"),
+            round_half_up(dim, 6).alias("intrinsic_dim"),
+        )
+    )

@@ -7139,3 +7139,142 @@ def docs_ocr_garbage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return ocr_garbage_score(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# R11-10. TwoNN intrinsic dimension (self-kNN machinery, k=2)
+# --------------------------------------------------------------------------
+
+_TWONN_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+vv AS (
+  SELECT vec_id, e FROM v
+  WHERE e IS NOT NULL
+    AND len(list_filter(e, x -> x IS NULL OR NOT isfinite(x))) = 0
+    AND list_dot_product(e, e) > 0
+),
+nn AS (
+  SELECT a.vec_id AS qid, list_cosine_similarity(b.e, a.e) AS s,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(b.e, a.e) DESC, b.vec_id ASC
+         ) AS rk
+  FROM vv a JOIN vv b ON a.vec_id != b.vec_id
+),
+per AS (
+  SELECT qid, MAX(CASE WHEN rk = 1 THEN s END) AS s1,
+              MAX(CASE WHEN rk = 2 THEN s END) AS s2
+  FROM nn WHERE rk <= 2 GROUP BY 1
+),
+pts AS (
+  SELECT CAST(floor((1.0 - s1) * 1000000.0 + 0.5) AS BIGINT) AS d1,
+         CAST(floor((1.0 - s2) * 1000000.0 + 0.5) AS BIGINT) AS d2
+  FROM per WHERE s2 IS NOT NULL
+),
+pts2 AS (SELECT * FROM pts WHERE d1 > 0),
+np AS (SELECT CAST(COUNT(*) AS BIGINT) AS np FROM vv),
+ag AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nu,
+         CAST(SUM(CAST(floor(ln(CAST(d2 AS DOUBLE) / CAST(d1 AS DOUBLE))
+                             * 1000000000.0 + 0.5) AS BIGINT))
+              AS BIGINT) AS ls
+  FROM pts2
+)
+SELECT np AS n_points, nu AS n_used,
+  CASE WHEN ls > 0
+       THEN floor(CAST(nu AS DOUBLE)
+                  / (CAST(ls AS DOUBLE) / 1000000000.0)
+                  * 1000000.0 + 0.5) / 1000000.0
+  END AS intrinsic_dim
+FROM ag, np WHERE np > 0
+"""
+
+
+@pending_query("embeddings_intrinsic_dim", _TWONN_ORACLE)
+def embeddings_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension MLE from each point's two nearest
+    cosine neighbours (kin: embeddings_hubness — same self-kNN
+    machinery incl. the round-10 blocked no-collect path; 1e6
+    micro-distance quantization before the ratio, 1e9-fixpoint ln
+    sum)."""
+    from vectorsearchutil_spark.operators.knn import intrinsic_dim_twonn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return intrinsic_dim_twonn(
+        emb, vector_col="embedding", id_col="vec_id",
+        n_rows=emb.count(),
+    )
+
+
+# --------------------------------------------------------------------------
+# R11-11. Linear CKA between embedding dim-halves (dim_covariance kin)
+# --------------------------------------------------------------------------
+
+_CKA_ORACLE = """
+WITH v AS (
+  SELECT embedding::DOUBLE[] AS e FROM embeddings
+  WHERE embedding IS NOT NULL
+    AND len(list_filter(embedding,
+          x -> x IS NULL OR NOT isfinite(x))) = 0
+    AND len(embedding) >= 64
+),
+q AS (
+  SELECT list_transform(e,
+           x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS q
+  FROM v
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM q),
+dims AS (
+  SELECT i, SUM(CAST(q[i + 1] AS HUGEINT)) AS s
+  FROM q, (SELECT unnest(range(0, 64)) AS i) GROUP BY i
+),
+prs AS (
+  SELECT i, j,
+    SUM(CAST(q[i + 1] AS HUGEINT) * q[32 + j + 1]) AS pxy,
+    SUM(CAST(q[i + 1] AS HUGEINT) * q[j + 1]) AS pxx,
+    SUM(CAST(q[32 + i + 1] AS HUGEINT) * q[32 + j + 1]) AS pyy
+  FROM q, (SELECT unnest(range(0, 32)) AS i),
+          (SELECT unnest(range(0, 32)) AS j)
+  GROUP BY i, j
+),
+sc AS (
+  SELECT
+    n.n * pxy - dxi.s * dyj.s AS sxy,
+    n.n * pxx - dxi.s * dxj.s AS sxx,
+    n.n * pyy - dyi.s * dyj.s AS syy
+  FROM prs p, n
+  JOIN dims dxi ON dxi.i = p.i
+  JOIN dims dxj ON dxj.i = p.j
+  JOIN dims dyi ON dyi.i = 32 + p.i
+  JOIN dims dyj ON dyj.i = 32 + p.j
+),
+fro AS (
+  SELECT SUM(sxy * sxy) AS fxy, SUM(sxx * sxx) AS fxx,
+         SUM(syy * syy) AS fyy
+  FROM sc
+)
+SELECT (SELECT n FROM n) AS n_points,
+       CAST(32 AS INT) AS n_dims_split,
+  CASE WHEN fxx > 0 AND fyy > 0
+       THEN floor(CAST(fxy AS DOUBLE)
+                  / (sqrt(CAST(fxx AS DOUBLE)) * sqrt(CAST(fyy AS DOUBLE)))
+                  * 1000000.0 + 0.5) / 1000000.0
+  END AS cka
+FROM fro
+"""
+
+
+@pending_query("embeddings_cka_similarity", _CKA_ORACLE)
+def embeddings_cka_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear CKA between the first and second 32 embedding dims —
+    the representation-redundancy audit before matryoshka-style
+    truncation (kin: dim_covariance computes the substrate,
+    embeddings_matryoshka consumes the verdict; exact 1e4-fixpoint
+    integer moments, integer Frobenius sums, ONE double ratio)."""
+    from vectorsearchutil_spark.operators.embeddings import cka_dim_split
+
+    return cka_dim_split(
+        load_table(spark, sf_dir, "embeddings"), vector_col="embedding"
+    )
