@@ -91,6 +91,14 @@ DEFAULT_SLICE = [
     "events_ewma_forecast",
     "events_dau_mau_stickiness",
     "events_diff_in_diff",
+    # round-11 staged calendar consumers (the standing rule):
+    # log-rank shares KM's epoch-floor day arithmetic per GROUP;
+    # the Poisson rate test anchors on the min/max-date midpoint
+    # split; Holt and Hurst run on the to_date day grid.
+    "events_logrank_test",
+    "events_poisson_rate_test",
+    "events_holt_forecast",
+    "events_hurst_exponent",
 ]
 
 

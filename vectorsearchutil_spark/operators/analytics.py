@@ -3272,6 +3272,10 @@ def poisson_rate_test(
     )
     ok = (F.col("_span") > 0) & ((F.col("_n1") + F.col("_n2")) > 0)
     pv = F.lit(2.0) * normal_sf(F.abs(z))
+    # t1 = mid+1 >= 1 always; t2 = 0 exactly when the corpus spans a
+    # single day — the rate and z divisions must stay unevaluated
+    # there (ANSI divide-by-zero; caught by the one-row degenerate
+    # fixture)
     return cell.select(
         "event_type",
         F.col("_n1").cast("long").alias("n_pre"),
@@ -3279,9 +3283,9 @@ def poisson_rate_test(
         round_half_up(F.col("_n1").cast("double") / t1, 6).alias(
             "rate_pre"
         ),
-        round_half_up(F.col("_n2").cast("double") / t2, 6).alias(
-            "rate_post"
-        ),
+        F.when(
+            t2 > 0, round_half_up(F.col("_n2").cast("double") / t2, 6)
+        ).alias("rate_post"),
         F.when(ok, round_half_up(z, 6)).alias("z_stat"),
         F.when(ok, round_half_up(pv, 6)).alias("p_value"),
     )

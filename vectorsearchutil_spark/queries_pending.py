@@ -6057,8 +6057,8 @@ def events_ewma_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type one-step EWMA (α=0.3) forecast WAPE/MAE on the daily
     value grid: both engines fold the identical left-to-right
     recurrence (Spark F.aggregate ≡ DuckDB list_reduce, seeded with
-    the first element), error terms quantize to 1e6-fixpoint BIGINTs
-    before summing."""
+    the first element), error terms quantize to 1e2-fixpoint BIGINTs
+    before summing (the int64-headroom rebase, round-9 close #3)."""
     from vectorsearchutil_spark.operators.analytics import (
         ewma_forecast_daily,
     )
@@ -6670,16 +6670,18 @@ calc AS (
 ),
 zc AS (
   SELECT *,
-    t1 / (t1 + t2) AS p,
-    (CAST(n1 AS DOUBLE) - n * (t1 / (t1 + t2)))
-      / sqrt(n * (t1 / (t1 + t2)) * (1.0 - t1 / (t1 + t2))) AS zz
+    CASE WHEN span > 0 AND n1 + n2 > 0 THEN
+      (CAST(n1 AS DOUBLE) - n * (t1 / (t1 + t2)))
+        / sqrt(n * (t1 / (t1 + t2)) * (1.0 - t1 / (t1 + t2)))
+    END AS zz
   FROM calc
 )
 SELECT event_type, n1 AS n_pre, n2 AS n_post,
   floor(CAST(n1 AS DOUBLE) / t1 * 1000000.0 + 0.5) / 1000000.0
     AS rate_pre,
-  floor(CAST(n2 AS DOUBLE) / t2 * 1000000.0 + 0.5) / 1000000.0
-    AS rate_post,
+  CASE WHEN t2 > 0
+       THEN floor(CAST(n2 AS DOUBLE) / t2 * 1000000.0 + 0.5)
+            / 1000000.0 END AS rate_post,
   CASE WHEN span > 0 AND n1 + n2 > 0
        THEN floor(zz * 1000000.0 + 0.5) / 1000000.0 END AS z_stat,
   CASE WHEN span > 0 AND n1 + n2 > 0
