@@ -53,8 +53,10 @@ def _edges(spark, n=500_000, nodes=100_000):
     via a squared hash draw, self-loops and dup edges removed."""
     e = spark.range(n).selectExpr(
         f"pmod(xxhash64(id), {nodes}) AS x",
-        f"pmod(xxhash64(id, 7) * pmod(xxhash64(id, 11), 317), {nodes})"
-        " AS y",
+        # skew via the product of two bounded draws (317² ≪ 2^63 —
+        # a raw xxhash64 product overflows under ANSI)
+        "pmod(pmod(xxhash64(id, 7), 317) * pmod(xxhash64(id, 11), 317),"
+        f" {nodes}) AS y",
     )
     return (
         e.filter(F.col("x") != F.col("y"))

@@ -429,7 +429,11 @@ def _self_knn_topk_blocked(
         ]
     )
     kk = int(k)
-    NTILE = 256  # corpus tile rows: score tile stays L2-resident
+    # double tiling (the arrow path's measured layout): 256-row
+    # corpus tiles x 256-column query blocks keep the accumulator
+    # ~512 KB (L2-resident) while the dim loop re-touches it d times
+    NTILE = 256
+    QBLOCK = 256
 
     def compute(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         def matrix(part: pd.DataFrame):
@@ -452,7 +456,7 @@ def _self_knn_topk_blocked(
 
         def widened_cut(q, c, s):
             """Per-query tie-widened top-kk over a candidate pool.
-            Keeps every row scoring ≥ its query's kk-th best — the
+            Keeps every row scoring >= its query's kk-th best - the
             same widening rule as the arrow path, so the cut is
             partitioning-independent."""
             if not len(q):
@@ -480,47 +484,79 @@ def _self_knn_topk_blocked(
                 }
             )
         d = a_mat.shape[1]
-        mb = len(b_ids)
-        # pools: queries-on-B accumulate across A tiles (re-cut each
-        # tile, so the pool stays O(mb·kk)); queries-on-A are final
-        # per tile (each A row sees ALL of B at once)
-        bq_q = np.empty(0, dtype=np.int64)
-        bq_c = np.empty(0, dtype=np.int64)
-        bq_s = np.empty(0, dtype=np.float64)
-        outs = []
+        # candidate pool: block-local argpartition pre-cuts keep
+        # extraction O(block*k) per score block (the first version
+        # extracted and lexsorted EVERY score - measured 86 of a
+        # 119 s/task profile); one deferred widened cut bounds the
+        # task output, with a 4M-row flush guard for large k
+        pool_q: list = []
+        pool_c: list = []
+        pool_s: list = []
+        pooled = 0
+
+        def flush():
+            nonlocal pool_q, pool_c, pool_s, pooled
+            q = np.concatenate(pool_q)
+            c = np.concatenate(pool_c)
+            sv = np.concatenate(pool_s)
+            q, c, sv = widened_cut(q, c, sv)
+            pool_q, pool_c, pool_s = [q], [c], [sv]
+            pooled = len(q)
+
         for lo in range(0, len(a_ids), NTILE):
             sl = slice(lo, min(lo + NTILE, len(a_ids)))
             tn = sl.stop - lo
-            acc = np.zeros((tn, mb), dtype=np.float64)
-            for j in range(d):
-                acc += a_mat[sl, j][:, None] * b_mat[:, j][None, :]
-            # same two IEEE ops as try_divide(dot, na*nb); norm
-            # product order is irrelevant (IEEE · commutes)
-            s = acc / (a_n[sl][:, None] * b_n[None, :])
-            if ba == bb:
-                s[a_ids[sl][:, None] == b_ids[None, :]] = -np.inf
-            # direction 1: B rows as queries (columns), pooled
-            finite = s > -np.inf
-            ti, qj = np.nonzero(finite)
-            bq_q = np.concatenate([bq_q, b_ids[qj]])
-            bq_c = np.concatenate([bq_c, a_ids[sl][ti]])
-            bq_s = np.concatenate([bq_s, s[ti, qj]])
-            bq_q, bq_c, bq_s = widened_cut(bq_q, bq_c, bq_s)
-            # direction 2: A rows as queries (cross tasks only —
-            # the diagonal's single direction already covers all)
-            if ba != bb:
-                qi, cj = np.nonzero(finite)
-                aq, ac, asc_ = widened_cut(
-                    a_ids[sl][qi], b_ids[cj], s[qi, cj]
-                )
-                outs.append((aq, ac, asc_))
-        outs.append((bq_q, bq_c, bq_s))
+            for q0 in range(0, len(b_ids), QBLOCK):
+                qsl = slice(q0, min(q0 + QBLOCK, len(b_ids)))
+                qb = qsl.stop - q0
+                acc = np.zeros((tn, qb), dtype=np.float64)
+                for j in range(d):
+                    acc += a_mat[sl, j][:, None] * b_mat[qsl, j][None, :]
+                # same two IEEE ops as try_divide(dot, na*nb); norm
+                # product order is irrelevant (IEEE multiply commutes)
+                s = acc / (a_n[sl][:, None] * b_n[qsl][None, :])
+                if ba == bb:
+                    s[a_ids[sl][:, None] == b_ids[qsl][None, :]] = -np.inf
+                valid = s > -np.inf
+                # direction 1: B columns as queries - block-local
+                # tie-widened top-k per column (a provable superset
+                # of each query's task-level top-k)
+                take = min(kk, tn)
+                if tn > take:
+                    part = np.argpartition(-s, take - 1, axis=0)[:take]
+                    kth1 = np.take_along_axis(s, part, 0).min(axis=0)
+                else:
+                    kth1 = np.full(qb, -np.inf)
+                keep1 = (s >= kth1[None, :]) & valid
+                r1, c1 = np.nonzero(keep1)
+                pool_q.append(b_ids[qsl][c1])
+                pool_c.append(a_ids[sl][r1])
+                pool_s.append(s[r1, c1])
+                pooled += len(r1)
+                # direction 2: A rows as queries (cross tasks only -
+                # the diagonal's single direction already covers all)
+                if ba != bb:
+                    take2 = min(kk, qb)
+                    if qb > take2:
+                        part2 = np.argpartition(
+                            -s, take2 - 1, axis=1
+                        )[:, :take2]
+                        kth2 = np.take_along_axis(s, part2, 1).min(
+                            axis=1
+                        )
+                    else:
+                        kth2 = np.full(tn, -np.inf)
+                    keep2 = (s >= kth2[:, None]) & valid
+                    r2, c2 = np.nonzero(keep2)
+                    pool_q.append(a_ids[sl][r2])
+                    pool_c.append(b_ids[qsl][c2])
+                    pool_s.append(s[r2, c2])
+                    pooled += len(r2)
+                if pooled > 4_000_000:
+                    flush()
+        flush()
         return pd.DataFrame(
-            {
-                "_qid": np.concatenate([o[0] for o in outs]),
-                id_col: np.concatenate([o[1] for o in outs]),
-                "_d": np.concatenate([o[2] for o in outs]),
-            }
+            {"_qid": pool_q[0], id_col: pool_c[0], "_d": pool_s[0]}
         )
 
     cand = both.groupBy("ba", "bb").applyInPandas(compute, out_schema)
