@@ -25,10 +25,12 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-N_EVENTS = 2_500_000
-N_USERS = 50_000
-N_DOCS = 250_000
-N_SOURCES = 200
+# Overridable for larger-key sweeps (VERDICT r9 #8: probe state at
+# bigger key counts, e.g. PROBE_N_USERS=500000 PROBE_N_EVENTS=5000000)
+N_EVENTS = int(os.environ.get("PROBE_N_EVENTS", 2_500_000))
+N_USERS = int(os.environ.get("PROBE_N_USERS", 50_000))
+N_DOCS = int(os.environ.get("PROBE_N_DOCS", 250_000))
+N_SOURCES = int(os.environ.get("PROBE_N_SOURCES", 200))
 
 
 def _state_rows(q) -> int:
