@@ -1,0 +1,37 @@
+"""Dump the formatted physical plan of named registry queries to
+plans/r10/<name>_<tag>.txt (judge evidence for optimization rounds).
+
+Usage: python tools/dump_plan.py TAG name [name ...]
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+OUT = os.path.join(ROOT, "plans", "r10")
+
+
+def main() -> None:
+    from vectorsearchutil_spark import queries as Q
+    from vectorsearchutil_spark.plans.explain import formatted_plan
+    from vectorsearchutil_spark.session import get_spark
+
+    tag = sys.argv[1]
+    names = sys.argv[2:]
+    spark = get_spark("dump-plan")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(OUT, exist_ok=True)
+    for name in names:
+        df = Q.QUERIES[name](spark, SF_DIR)
+        path = os.path.join(OUT, f"{name}_{tag}.txt")
+        with open(path, "w") as f:
+            f.write(formatted_plan(df))
+        print(path)
+
+
+if __name__ == "__main__":
+    main()

@@ -1244,10 +1244,19 @@ def theil_sen_daily_trend(
     ints (Δcents/Δdays, identical on both engines); counts and
     carries are integer sums.
     """
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
     cents = _cents(F.col(amount_col))
-    daily = orders.groupBy(
-        F.to_date(F.col(date_col)).alias("_day")
-    ).agg(F.sum(cents).alias("_x"))
+    # ungated fan-out floor: AQE coalesces the KB-sized day grid to
+    # ONE post-shuffle partition, serializing the O(days²) pair join
+    # on one core; the grid is calendar-bounded so the extra exchange
+    # is ~free at any corpus size (guide §2)
+    daily = fanout_repartition(
+        orders.groupBy(
+            F.to_date(F.col(date_col)).alias("_day")
+        ).agg(F.sum(cents).alias("_x")),
+        gated=False,
+    )
     b = daily.select(
         F.col("_day").alias("_day2"), F.col("_x").alias("_x2")
     )
@@ -1278,50 +1287,57 @@ def theil_sen_daily_trend(
         .otherwise(F.lit(0))
         .cast("long")
     )
-    # level 1: per-bucket pair counts — partial aggregation shrinks
-    # the shuffle to the ~3k bucket rows (the pair join re-runs for
-    # level 2, but it is a broadcast BNLJ over the tiny day grid —
-    # cheaper than materializing 2.9M rows through a cache boundary)
+    # level 1: per-bucket pair counts — the aggregate state is bounded
+    # by the KEY DOMAIN (sign × ~2048 octaves × 64 sub-buckets), so the
+    # partial agg collapses map-side and the shuffle moves ≤ a few
+    # thousand rows. The bucket holding the lower median is then
+    # selected with a BOUNDED DRIVER COLLECT (the repo's k-centroid /
+    # median-table class), and level 2 re-runs the pair join FILTERED
+    # to that one bucket. Compared to the shipped r9 form this removes
+    # the 2.9M-row (bucket, slope) histogram entirely — its hash-agg
+    # built pair-count-sized state (nearly every slope distinct) and
+    # its shuffle + per-bucket window moved the full pair table twice;
+    # both rank levels now touch only bucket-sized frames. The pair
+    # BNLJ still runs twice (level 1 + the filtered level 2), as it
+    # did in r9 — but parallelized by the grid repartition above.
     lvl1 = pairs.groupBy(key.alias("_b")).agg(
         F.count(F.lit(1)).alias("_bc")
     )
-    carry_w = (
-        Window.orderBy("_b")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    carries = lvl1.select(  # bucket-count rows only (tiny)
-        "_b",
-        F.coalesce(F.sum("_bc").over(carry_w), F.lit(0)).alias("_carry"),
-    )
+    buckets = sorted(
+        (r["_b"], r["_bc"]) for r in lvl1.collect()
+    )  # ≤ key-domain rows — bounded, never corpus-sized
+    n_pairs = sum(bc for _, bc in buckets)
+    carry, bstar = 0, None
+    for bkt, bc in buckets:
+        # lower median = min slope whose cumulative count·2 ≥ n_pairs
+        if 2 * (carry + bc) >= n_pairs:
+            bstar = bkt
+            break
+        carry += bc
+    if bstar is None:  # no pairs (≤ 1 day): the r9 form's all-NULL row
+        return pairs.agg(F.min("_slope").alias("_med")).select(
+            F.lit(None).cast("long").alias("n_pairs"),
+            round_half_up(
+                F.col("_med") / F.lit(100.0), 6
+            ).alias("slope_per_day"),
+        )
     inner_w = (
-        Window.partitionBy("_b")
-        .orderBy(F.col("_slope").asc())
+        Window.orderBy(F.col("_slope").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    n_days = daily.agg(F.count(F.lit(1)).alias("_nd"))
     med = (
-        pairs.groupBy(key.alias("_b"), "_slope")
+        pairs.filter(key == F.lit(bstar))
+        .groupBy("_slope")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .join(F.broadcast(carries), "_b")
         .select(
             "_slope",
-            (
-                F.col("_carry") + F.sum("_c").over(inner_w)
-            ).alias("_cum"),
+            (F.lit(carry) + F.sum("_c").over(inner_w)).alias("_cum"),
         )
-        .crossJoin(F.broadcast(n_days))
-        .filter(
-            F.col("_cum") * 2
-            >= F.col("_nd").cast("long") * (F.col("_nd") - 1).cast("long") / 2
-        )
-        .agg(F.min("_slope").alias("_med"), F.max("_nd").alias("_nd"))
+        .filter(F.col("_cum") * 2 >= F.lit(n_pairs))
+        .agg(F.min("_slope").alias("_med"))
     )
     return med.select(
-        (
-            F.col("_nd").cast("long")
-            * (F.col("_nd") - 1).cast("long")
-            / F.lit(2)
-        ).cast("long").alias("n_pairs"),
+        F.lit(int(n_pairs)).cast("long").alias("n_pairs"),
         round_half_up(
             F.col("_med") / F.lit(100.0), 6
         ).alias("slope_per_day"),

@@ -66,7 +66,12 @@ def _shingle_table(
         tokens_sql,
     )
 
-    sh = df.selectExpr(
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    # the ~tokens-per-doc shingle explode + per-shingle hashing below
+    # must not inherit a single-task layout from a small docs scan
+    # (guide §2 scale-adaptive partitioning; no-op on at-scale scans)
+    sh = fanout_repartition(df).selectExpr(
         id_col, f"{tokens_sql(text_col)} AS _toks"
     ).selectExpr(
         id_col, f"explode({shingles_sql('_toks', n)}) AS shingle"
@@ -330,8 +335,11 @@ def _tf_packed_votes(
     # the cache the tokenize+groupBy pass runs twice
     from vectorsearchutil_spark.functions.text import tokens_sql
 
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
     cnt = (
-        df.selectExpr(id_col, f"explode({tokens_sql(text_col)}) AS tok")
+        fanout_repartition(df)
+        .selectExpr(id_col, f"explode({tokens_sql(text_col)}) AS tok")
         .groupBy(id_col, "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
         .cache()
@@ -1141,10 +1149,14 @@ def duplicate_spans(
     """
     from pyspark.sql import Window
 
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
     from vectorsearchutil_spark.functions.text import tokens_sql
 
+    # parallelism floor before the per-position gram explode + md5
+    # (guide §2): a small docs scan serializes the anchor stage
     grams = (
-        docs.selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+        fanout_repartition(docs)
+        .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
         .filter(F.expr(f"size(_toks) >= {int(width)}"))
         .selectExpr(
             id_col,

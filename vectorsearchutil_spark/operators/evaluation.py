@@ -53,19 +53,35 @@ def retrieval_label_metrics(
     from pyspark.sql import Window
 
     from vectorsearchutil_spark.functions.vector import (
-        cosine_similarity,
+        dot,
+        l2_norm,
         round_half_up,
     )
 
+    # norms are precomputed ONCE PER SIDE before the pair fan-out:
+    # cosine_similarity would re-evaluate both interpreted-HOF norm
+    # folds per (query, corpus) pair — 3× the lambda work of the dot
+    # alone (guide §4.1: HOFs run off codegen). l2_norm yields the
+    # identical double wherever it is computed and IEEE multiply is
+    # commutative, so try_divide(dot, cn*qn) is BIT-IDENTICAL to
+    # cosine_similarity(_cv, _qv) — ranks and ties cannot move.
     q = emb.filter(query_pred).select(
         F.col(id_col).alias("query_id"),
         F.col(vector_col).alias("_qv"),
         F.col(label_col).alias("_qlabel"),
+        l2_norm(F.col(vector_col)).alias("_qn"),
     )
-    c = emb.filter(~query_pred).select(
-        id_col, F.col(vector_col).alias("_cv"), label_col
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    # the |corpus| × |queries| fan-out below must not inherit a
+    # single-task layout from a small corpus scan (guide §2)
+    c = fanout_repartition(emb.filter(~query_pred)).select(
+        id_col,
+        F.col(vector_col).alias("_cv"),
+        label_col,
+        l2_norm(F.col(vector_col)).alias("_cn"),
     )
-    cos = cosine_similarity("_cv", "_qv")
+    cos = F.try_divide(dot("_cv", "_qv"), F.col("_cn") * F.col("_qn"))
     w = Window.partitionBy("query_id").orderBy(
         cos.desc(), F.col(id_col).asc()
     )

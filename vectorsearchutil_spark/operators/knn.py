@@ -115,13 +115,18 @@ def knn_batch(
     the window shuffle, whose input is only the candidate rows.
     Output: query_id, corpus id, distance — ranked 1..k per query.
     """
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
     dist, asc = _distance(metric, F.col(vector_col), F.col(query_vector_col))
     order = [
         F.col("distance").asc() if asc else F.col("distance").desc(),
         F.col(id_col).asc(),
     ]
+    # the |corpus| × |queries| distance fan-out must not inherit a
+    # single-task layout from a small corpus scan (measured 7× at
+    # bench scale); no-op on at-scale scans
     scored = (
-        corpus.crossJoin(F.broadcast(queries))
+        fanout_repartition(corpus).crossJoin(F.broadcast(queries))
         .withColumn("distance", dist)
         .select(query_id_col, id_col, "distance")
     )
@@ -217,6 +222,8 @@ def _self_knn_topk_expr(
     """Expression-path exact self-kNN top-k: (_qid, id, _d, _rk) for
     every valid point's k nearest (self excluded). Shared by
     ``knn_hubness`` and ``knn_mutual_pairs``."""
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
     queries = valid.select(
         F.col(id_col).alias("_qid"), F.col(vector_col).alias("_qv")
     )
@@ -226,8 +233,10 @@ def _self_knn_topk_expr(
         F.col(id_col).asc(),
     ]
     win = Window.partitionBy("_qid").orderBy(*order)
+    # the n² self-pair fan-out must not inherit a single-task layout
+    # from a small scan (guide §2 scale-adaptive partitioning)
     return (
-        valid.crossJoin(F.broadcast(queries))
+        fanout_repartition(valid).crossJoin(F.broadcast(queries))
         .filter(F.col(id_col) != F.col("_qid"))
         .withColumn("_d", dist)
         .select("_qid", id_col, "_d")
@@ -342,7 +351,15 @@ def _self_knn_topk_arrow(
                     }
                 )
 
-    cand = valid.select(id_col, vector_col).mapInPandas(score, out_schema)
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    # one python worker per input partition: a small corpus scan must
+    # not serialize the scoring kernel on a single worker; the batch-
+    # local cut is tie-widened (superset) and the window below is the
+    # exact reducer, so the result is partitioning-invariant
+    cand = fanout_repartition(
+        valid.select(id_col, vector_col)
+    ).mapInPandas(score, out_schema)
     win = Window.partitionBy("_qid").orderBy(
         F.col("_d").desc(), F.col(id_col).asc()
     )

@@ -119,9 +119,13 @@ def neardup_pairs_matrix(
                     }
                 )
 
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
     return (
-        df.select(id_col, vector_col)
-        .filter(F.col(vector_col).isNotNull())
+        fanout_repartition(
+            df.select(id_col, vector_col)
+            .filter(F.col(vector_col).isNotNull())
+        )
         .mapInPandas(compute, out_schema)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
     )
@@ -360,7 +364,15 @@ def knn_batch_matrix(
     from pyspark.sql import Window
 
     asc = metric == "l2"
-    candidates = corpus.select(id_col, vector_col).mapInPandas(compute, out_schema)
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    # one python worker per input partition: a small corpus scan must
+    # not serialize the matrix scoring on a single worker (guide §2);
+    # the batch-local top-k is a superset cut and the global window
+    # below is exact, so the result is partitioning-invariant
+    candidates = fanout_repartition(
+        corpus.select(id_col, vector_col)
+    ).mapInPandas(compute, out_schema)
     order = [
         F.col("distance").asc() if asc else F.col("distance").desc(),
         F.col(id_col).asc(),
@@ -944,9 +956,11 @@ def _hard_negatives_matrix(
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    cand = df.select(id_col, label_col, vector_col).mapInPandas(
-        score, out_schema
-    )
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    cand = fanout_repartition(
+        df.select(id_col, label_col, vector_col)
+    ).mapInPandas(score, out_schema)
     win = Window.partitionBy("anchor_id").orderBy(
         F.col("_cos").desc(), F.col(id_col).asc()
     )
@@ -1078,13 +1092,19 @@ def triplet_mining(
         round_half_up,
     )
 
-    vv = emb.filter(
-        finite_vector(F.col(vector_col))
-        & (l2_norm(F.col(vector_col)) > 0)
-    ).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(label_col).alias("label"),
-        F.col(vector_col).cast("array<double>").alias("_e"),
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    # per-row anchor scoring with order-free reducers (max / int sums)
+    # — partitioning-invariant; parallelize small scans (guide §2)
+    vv = fanout_repartition(
+        emb.filter(
+            finite_vector(F.col(vector_col))
+            & (l2_norm(F.col(vector_col)) > 0)
+        ).select(
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("label"),
+            F.col(vector_col).cast("array<double>").alias("_e"),
+        )
     )
     anchors = vv.filter(F.col("vec_id") < anchor_below).select(
         F.col("vec_id").alias("aid"),

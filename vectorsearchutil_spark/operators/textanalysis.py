@@ -409,7 +409,11 @@ def bigram_logprob(
     joined broadcast (no driver action). Per-doc mean is one
     partial-aggregated groupBy. AVG is order-sensitive in float ulps,
     so the score rounds to 4dp on both engines."""
-    toks = df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    toks = fanout_repartition(df).selectExpr(
+        id_col, f"{tokens_sql(text_col)} AS _toks"
+    )
     big = toks.selectExpr(
         id_col,
         "explode(CASE WHEN size(_toks) >= 2 THEN "
@@ -467,7 +471,9 @@ def vocab_oov_stats(
     (id, token) rows shuffle — text never moves."""
     from pyspark.sql import Window
 
-    tok = df.selectExpr(
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    tok = fanout_repartition(df).selectExpr(
         id_col, f"explode({tokens_sql(text_col)}) AS token"
     )
     vocab = (
@@ -1014,9 +1020,10 @@ def gopher_repetition_signals(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
     from vectorsearchutil_spark.functions.text import tokens_sql
 
-    toks = df.selectExpr(
+    toks = fanout_repartition(df).selectExpr(
         id_col, f"{tokens_sql(text_col)} AS _toks"
     ).withColumn("n_tokens", F.size("_toks"))
     base = toks.select(id_col, "n_tokens")
@@ -1947,8 +1954,14 @@ def trigram_stupid_backoff(
     """
     from vectorsearchutil_spark.operators.sampling import hash_uniform
 
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
     is_ref = hash_uniform(F.col(id_col).cast("string"), "sbo") < F.lit(0.5)
-    toks = df.selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+    # parallelism floor before the per-position explodes (guide §2):
+    # a small docs scan serializes the tokenize + trigram fan-out
+    toks = fanout_repartition(df).selectExpr(
+        id_col, f"{tokens_sql(text_col)} AS _toks"
+    )
     ref = toks.filter(is_ref)
     tri = toks.selectExpr(
         id_col,
@@ -2124,8 +2137,13 @@ def loo_source_influence(
     per_src = qi.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("_q4").alias("_s4")
     )
-    corpus = qi.agg(
-        F.count(F.lit(1)).alias("_n"), F.sum("_q4").alias("_s")
+    # corpus totals fold the per-source aggregate (exact long sums —
+    # identical values), NOT qi: a second consumer of qi re-executes
+    # the whole tokenize+stopword quality pass (quality_score is a
+    # pure projection, nothing for ReuseExchange to dedup), while
+    # this shape shares per_src's exchange — ONE quality pass total.
+    corpus = per_src.agg(
+        F.sum("n_docs").alias("_n"), F.sum("_s4").alias("_s")
     )
     j = per_src.crossJoin(F.broadcast(corpus))
     mean_all = F.col("_s").cast("double") / (
@@ -2216,7 +2234,11 @@ def quality_ece(
         F.sum("_q4").alias("_sq"),
         F.sum("_y").alias("_sy"),
     )
-    total = binned.agg(F.count(F.lit(1)).alias("_N"))
+    # N folds the ≤ n_bins-row bin aggregate (exact long sum), NOT
+    # binned: a second consumer of binned re-executes the quality
+    # pass + ranked join from the scan (pure projections — nothing
+    # for ReuseExchange to dedup), while this shares agg's exchange.
+    total = agg.agg(F.sum("n_docs").alias("_N"))
     conf = F.col("_sq").cast("double") / (
         F.lit(10000.0) * F.col("n_docs").cast("double")
     )

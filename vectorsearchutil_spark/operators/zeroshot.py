@@ -258,4 +258,8 @@ def _zeroshot_arrow(
                 out["prob"] = 1.0 / accp
             yield out
 
-    return data.mapInPandas(score_batches, out_schema)
+    from vectorsearchutil_spark.functions.parallel import fanout_repartition
+
+    # per-row scoring: partitioning-invariant; a small scan must not
+    # serialize the BLAS scoring on one python worker (guide §2)
+    return fanout_repartition(data).mapInPandas(score_batches, out_schema)
