@@ -351,15 +351,14 @@ def _self_knn_topk_arrow(
                     }
                 )
 
-    from vectorsearchutil_spark.functions.parallel import fanout_repartition
-
-    # one python worker per input partition: a small corpus scan must
-    # not serialize the scoring kernel on a single worker; the batch-
-    # local cut is tie-widened (superset) and the window below is the
-    # exact reducer, so the result is partitioning-invariant
-    cand = fanout_repartition(
-        valid.select(id_col, vector_col)
-    ).mapInPandas(score, out_schema)
+    # NOTE(r10 opt round): deliberately NOT fan-out-repartitioned —
+    # the batch-local top-k cut emits ~(partitions × m × k) candidate
+    # rows into the window shuffle, so raising partitions on a small
+    # corpus trades serial compute for a linearly larger shuffle;
+    # measured 3.1 s (1 partition) vs 9.9 s (32) for mutual-kNN at
+    # sf0.1. Past _SELF_KNN_COLLECT_MAX the blocked path parallelizes
+    # by hash blocks instead.
+    cand = valid.select(id_col, vector_col).mapInPandas(score, out_schema)
     win = Window.partitionBy("_qid").orderBy(
         F.col("_d").desc(), F.col(id_col).asc()
     )

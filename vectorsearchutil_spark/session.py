@@ -52,6 +52,15 @@ ENGINE_CONF: dict[str, str] = {
     # It only enriches error messages with user line numbers — off in
     # an engine whose hot path is programmatic plan construction.
     "spark.python.sql.dataFrameDebugging.enabled": "false",
+    # Long multi-query sessions accumulate broadcast/localCheckpoint
+    # blocks until a DRIVER GC lets ContextCleaner release them; with
+    # an 8g+ heap a full GC may simply never happen, and PERF.md
+    # (round 8) traced long-session drift to exactly this (default
+    # periodic GC: 30 min). 5 min bounds the garbage a query-churning
+    # session (bench, registry sweeps, any real long-lived engine
+    # session) can pile up, at the cost of one System.gc() per
+    # interval — scale-independent hygiene, not a local tune.
+    "spark.cleaner.periodicGC.interval": "5min",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
