@@ -736,17 +736,26 @@ def connected_components(
         F.col(src).cast("long").alias("a"),
         F.col(dst).cast("long").alias("b"),
     ).localCheckpoint()
+    if strategy == "auto":
+        # gate on the HALF pair count (same 2M-symmetric-edge
+        # boundary): the driver path needs neither the symmetric
+        # union nor distinct — union-find's min-label fixpoint is
+        # invariant under duplicate and one-directional edges — so
+        # below the gate we skip building the symmetric edge set
+        # entirely (one union+distinct shuffle, one localCheckpoint
+        # materialization and a 2× larger driver pull, all removed;
+        # r10 optimization round)
+        strategy = (
+            "driver" if half.count() * 2 <= driver_max_edges
+            else "distributed"
+        )
+    if strategy == "driver":
+        return _cc_driver(half)
     edges = (
         half.union(half.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
         .localCheckpoint()  # materialized once, reused every round
     )
-    if strategy == "auto":
-        strategy = (
-            "driver" if edges.count() <= driver_max_edges else "distributed"
-        )
-    if strategy == "driver":
-        return _cc_driver(edges)
     if strategy == "alternating":
         return _cc_alternating(edges, max_iter=max_iter)
     labels = edges.groupBy("a").agg(F.min("b").alias("nbr")).select(
