@@ -12,7 +12,7 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-OUT = os.path.join(ROOT, "plans", "r10")
+OUT = os.path.join(ROOT, "plans", os.environ.get("PLAN_DIR", "r11"))
 
 
 def main() -> None:

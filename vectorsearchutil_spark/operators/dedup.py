@@ -86,6 +86,47 @@ def _shingle_table(
     return sh
 
 
+def _doc_shingle_lists(
+    df: DataFrame, text_col: str, id_col: str, n: int, max_df: int | None
+) -> DataFrame:
+    """Per-doc rare-first shingle list: ``(id_col, n_sh, lst)`` where
+    ``lst`` holds the doc's DISTINCT shingles as (_df, shingle) structs
+    sorted by global document frequency (rare first; shingle text
+    breaks ties, so the order is total and identical for every doc)
+    and ``n_sh`` is the cardinality after the optional ``max_df``
+    stop-shingle cut. One aggregate + one join + one per-doc sort,
+    shared by every prefix-filter pair operator (r11 optimization
+    round): prefixes slice ``lst`` from the front, and the exact
+    verify runs per candidate pair as ``array_intersect`` over the
+    same lists — no expand-probe join of candidates × shingles/doc,
+    no per-pair groupBy (guide §2.3/§2.4: fewer shuffles, fewer
+    bytes through the ones that remain)."""
+    sh = _shingle_table(df, text_col, id_col, n, None)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if max_df is not None:
+        # dropping whole shingle groups leaves surviving _df values
+        # unchanged, so filtering the frequency table here is exactly
+        # the old filter-the-rows-then-recount plan, one pass cheaper
+        freq = freq.filter(F.col("_df") <= max_df)
+    return (
+        sh.join(freq, "shingle")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
+            ).alias("lst")
+        )
+        .select(F.col(id_col), F.size("lst").alias("n_sh"), "lst")
+    )
+
+
+def _prefix_len(threshold: float):
+    """Prefix-filter slice length ``|x| − ⌈t·|x|⌉ + 1`` over ``lst``."""
+    return (
+        F.size("lst") - F.ceil(F.size("lst") * F.lit(float(threshold))) + 1
+    ).cast("int")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -97,52 +138,56 @@ def ngram_jaccard_pairs(
     """Exact n-gram-shingle Jaccard near-dup pairs (id_a < id_b,
     jaccard ≥ threshold).
 
-    PPJoin-style prefix filtering (exact — no false negatives): under
-    any one global shingle order, two sets with J ≥ t must share a
+    PPJoin-grade candidate generation (exact — no false negatives):
+    under one global shingle order, two sets with J ≥ t must share a
     shingle within their first ``|x| − ⌈t·|x|⌉ + 1`` elements, so only
     those prefixes enter the inverted-index self-join. Ordering
-    rare-first (by document frequency) makes prefix collisions scarce:
-    the candidate set shrinks from every-pair-sharing-any-shingle
-    (quadratic in df — measured 1.1M pairs at sf0.1) to near the true
-    result size, and the exact intersection count runs on candidates
-    only. A length filter (``min/max ≥ t``) prunes size-incompatible
-    pairs before the verify. This is the footprint that matters at
-    100 TB: the full inverted index never self-joins.
-    """
-    sh = _shingle_table(df, text_col, id_col, n, max_df).cache()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        sh.join(freq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
-            ).alias("lst")
-        )
-        .select(
-            F.col(id_col),
-            F.size("lst").alias("n_sh"),
-            F.slice(
-                F.col("lst"),
-                1,
-                (
-                    F.size("lst")
-                    - F.ceil(F.size("lst") * F.lit(float(threshold)))
-                    + 1
-                ).cast("int"),
-            ).alias("prefix"),
-        )
-    )
+    rare-first (by document frequency) makes prefix collisions scarce.
+    On top of the prefix + length filters, the POSITIONAL filter
+    (r11): a matched prefix shingle at (1-based) ranks (i, j) bounds
+    the overlap of the pair by ``1 + min(|x|−i, |y|−j)`` when it is
+    the pair's first common shingle, and J ≥ t needs overlap
+    ``α = ⌈t/(1+t)·(|x|+|y|)⌉`` — every true pair's first common
+    shingle lies in both prefixes and maximizes the bound among its
+    matches, so keeping a pair iff ANY match passes is exact while
+    pruning same-rare-shingle coincidences before the distinct.
+    The verify is a per-candidate ``array_intersect`` over the
+    per-doc lists — the old expand-to-shingles probe join and its
+    per-pair groupBy are gone (2 shuffles + candidates×shingles rows).
+    This is the footprint that matters at 100 TB: the full inverted
+    index never self-joins, and candidates approach the true pair
+    count even at permissive thresholds (t=0.5 diagnostics)."""
+    t = float(threshold)
+    per_doc = _doc_shingle_lists(df, text_col, id_col, n, max_df).cache()
     pref = per_doc.select(
         F.col(id_col),
         "n_sh",
-        F.explode(F.col("prefix")["shingle"]).alias("shingle"),
+        F.posexplode(
+            F.slice(F.col("lst"), 1, _prefix_len(t))["shingle"]
+        ).alias("_pos", "shingle"),
     )
     a = pref.select(
-        F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+        F.col(id_col).alias("id_a"),
+        F.col("n_sh").alias("n_a"),
+        F.col("_pos").alias("_pa"),
+        "shingle",
     )
     b = pref.select(
-        F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+        F.col(id_col).alias("id_b"),
+        F.col("n_sh").alias("n_b"),
+        F.col("_pos").alias("_pb"),
+        "shingle",
+    )
+    # required overlap α = ⌈t/(1+t)·(n_a+n_b)⌉; the 1e-9 slack keeps
+    # the double ceil from overshooting the exact integer α (which
+    # would drop true pairs) — it can only loosen the cut, never
+    # tighten it, and the verify decides membership anyway.
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("n_a") + F.col("n_b")) - F.lit(1e-9)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("n_a") - (F.col("_pa") + F.lit(1)),
+        F.col("n_b") - (F.col("_pb") + F.lit(1)),
     )
     cand = (
         a.join(b, "shingle")
@@ -150,22 +195,26 @@ def ngram_jaccard_pairs(
             (F.col("id_a") < F.col("id_b"))
             & (
                 F.least("n_a", "n_b")
-                >= F.greatest("n_a", "n_b") * F.lit(float(threshold))
+                >= F.greatest("n_a", "n_b") * F.lit(t)
             )
+            & (ubound >= alpha)
         )
         .select("id_a", "id_b", "n_a", "n_b")
         .distinct()
     )
-    # exact verify on candidates only (same probe shape as the
-    # MinHash path): expand each pair to its left doc's shingles,
-    # probe the right doc's set
-    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    # exact verify on candidates only: per-pair distinct-set
+    # intersection over the per-doc lists (arrays are distinct by
+    # construction, so size(array_intersect) IS the overlap count)
+    va = per_doc.select(
+        F.col(id_col).alias("id_a"), F.col("lst")["shingle"].alias("_sa")
+    )
+    vb = per_doc.select(
+        F.col(id_col).alias("id_b"), F.col("lst")["shingle"].alias("_sb")
+    )
     return (
-        cand.join(sa, "id_a")
-        .join(sb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -238,7 +287,29 @@ def minhash_lsh_pairs(
     """
     assert num_hashes % band_size == 0
     n_bands = num_hashes // band_size
-    sh = _shingle_table(df, text_col, id_col, n, None).cache()
+    # per-doc distinct shingle ARRAY first (a per-row projection — no
+    # shuffle), exploded once for the signature aggregate; the exact
+    # verify then runs per candidate pair as array_intersect over the
+    # same arrays instead of the old expand-to-shingles probe join +
+    # per-pair groupBy + separate sizes aggregate (r11 optimization
+    # round: 4 shuffles and candidates×shingles/doc rows removed;
+    # guide §2.3/§2.4).
+    from vectorsearchutil_spark.functions.parallel import (
+        fanout_repartition,
+    )
+    from vectorsearchutil_spark.functions.text import (
+        shingles_sql,
+        tokens_sql,
+    )
+
+    base = (
+        fanout_repartition(df)
+        .selectExpr(id_col, f"{tokens_sql(text_col)} AS _toks")
+        .selectExpr(id_col, f"{shingles_sql('_toks', n)} AS _arr")
+        .select(id_col, "_arr", F.size("_arr").alias("n_sh"))
+        .cache()
+    )
+    sh = base.select(id_col, F.explode("_arr").alias("shingle"))
     # signature: one md5 per shingle, num_hashes derived members via
     # double hashing, one min-aggregate per member — a single groupBy.
     h1, h2 = minhash_base_hashes(F.col("shingle"))
@@ -270,24 +341,26 @@ def minhash_lsh_pairs(
         ).alias("bucket"),
     )
     cand = bucket_pairs(stacked, id_col)
-    # exact verify on candidates ONLY: expand each candidate pair to
-    # its left doc's shingles, then probe the right doc — cost is
-    # O(|candidates| × shingles/doc), never the full inverted-index
-    # pair fan-out (that's what LSH bought us).
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
-    inter = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # exact verify on candidates ONLY: per-pair distinct-set
+    # intersection over the per-doc arrays (distinct by construction,
+    # so size(array_intersect) IS the overlap count) — cost is
+    # O(|candidates| × shingles/doc) compute with |candidates| rows
+    # through the joins, never the full inverted-index pair fan-out
+    # (that's what LSH bought us).
+    va = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("_arr").alias("_sa"),
+        F.col("n_sh").alias("n_a"),
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    vb = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("_arr").alias("_sb"),
+        F.col("n_sh").alias("n_b"),
+    )
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("inter", F.size(F.array_intersect("_sa", "_sb")))
         .withColumn(
             "jaccard",
             F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")),
@@ -613,8 +686,14 @@ def _cc_driver(edges: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in edges.select("a", "b").toLocalIterator():
-        a, b = row[0], row[1]
+    # ONE Arrow-batched job for the bounded pull (≤ the 2M-edge gate ≈
+    # 32 MB of longs): toLocalIterator fetches partition batches in
+    # sequential round-trips — up to one scheduler round per partition
+    # — and pickles Rows; r11 optimization round.
+    tbl = edges.select("a", "b").toArrow()
+    for a, b in zip(
+        tbl.column("a").to_pylist(), tbl.column("b").to_pylist()
+    ):
         for n in (a, b):
             if n not in parent:
                 parent[n] = n
@@ -744,7 +823,14 @@ def connected_components(
         # below the gate we skip building the symmetric edge set
         # entirely (one union+distinct shuffle, one localCheckpoint
         # materialization and a 2× larger driver pull, all removed;
-        # r10 optimization round)
+        # r10 optimization round).
+        # ASSUMPTION (ADVICE r10): ``pairs`` is canonical — one row
+        # per unordered pair (every in-repo producer emits a
+        # distinct id_a < id_b list). A producer that emitted
+        # duplicates/both orientations would only inflate this count
+        # and push the graph onto the distributed path early —
+        # correctness is unaffected either way (union-find and
+        # min-label are duplicate-invariant).
         strategy = (
             "driver" if half.count() * 2 <= driver_max_edges
             else "distributed"
@@ -1497,59 +1583,61 @@ def containment_pairs(
     blow-up from stop-shingles (they carry no containment signal).
     The exact intersection count then runs on candidates only.
     """
-    sh = _shingle_table(df, text_col, id_col, n, max_df).cache()
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    per_doc = (
-        sh.join(freq, "shingle")
-        .groupBy(id_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("_df"), F.col("shingle")))
-            ).alias("lst")
-        )
-        .select(
-            F.col(id_col),
-            F.size("lst").alias("n_sh"),
-            F.slice(
-                F.col("lst"),
-                1,
-                (
-                    F.size("lst")
-                    - F.ceil(F.size("lst") * F.lit(float(threshold)))
-                    + 1
-                ).cast("int"),
-            ).alias("prefix"),
-        )
-    )
+    t = float(threshold)
+    per_doc = _doc_shingle_lists(df, text_col, id_col, n, max_df).cache()
     probe = per_doc.select(
         F.col(id_col).alias("_pid"),
         F.col("n_sh").alias("n_p"),
-        F.explode(F.col("prefix")["shingle"]).alias("shingle"),
+        F.posexplode(
+            F.slice(F.col("lst"), 1, _prefix_len(t))["shingle"]
+        ).alias("_pp", "shingle"),
     )
-    index = sh.join(
-        per_doc.select(id_col, F.col("n_sh").alias("n_i")), id_col
-    ).select(F.col(id_col).alias("_iid"), "n_i", "shingle")
+    # the larger side indexes IN FULL — positions come straight off
+    # the per-doc list, so the old sh⋈per_doc size join is gone
+    index = per_doc.select(
+        F.col(id_col).alias("_iid"),
+        F.col("n_sh").alias("n_i"),
+        F.posexplode(F.col("lst")["shingle"]).alias("_pi", "shingle"),
+    )
     # probe must be the smaller set (ties: lower id probes) so each
-    # unordered pair is generated exactly once
+    # unordered pair is generated exactly once. Positional filter
+    # (r11, exact): a true pair's FIRST common shingle sits in the
+    # probe prefix at 1-based ranks (i, j) with overlap
+    # ≤ 1 + min(n_p−i, n_i−j), and containment ≥ t needs overlap
+    # ≥ ⌈t·n_p⌉ — the first-common match maximizes the bound, so
+    # keeping pairs where ANY match passes is exact.
+    alpha = F.ceil(F.lit(t) * F.col("n_p") - F.lit(1e-9))
+    ubound = F.lit(1) + F.least(
+        F.col("n_p") - (F.col("_pp") + F.lit(1)),
+        F.col("n_i") - (F.col("_pi") + F.lit(1)),
+    )
     cand = (
         probe.join(index, "shingle")
         .filter(
-            (F.col("n_p") < F.col("n_i"))
-            | (
-                (F.col("n_p") == F.col("n_i"))
-                & (F.col("_pid") < F.col("_iid"))
+            (
+                (F.col("n_p") < F.col("n_i"))
+                | (
+                    (F.col("n_p") == F.col("n_i"))
+                    & (F.col("_pid") < F.col("_iid"))
+                )
             )
+            & (ubound >= alpha)
         )
         .select("_pid", "_iid", "n_p")
         .distinct()
     )
-    sp = sh.select(F.col(id_col).alias("_pid"), "shingle")
-    si = sh.select(F.col(id_col).alias("_iid"), "shingle")
+    # exact verify per candidate pair over the per-doc lists
+    vp = per_doc.select(
+        F.col(id_col).alias("_pid"), F.col("lst")["shingle"].alias("_sp")
+    )
+    vi = per_doc.select(
+        F.col(id_col).alias("_iid"), F.col("lst")["shingle"].alias("_si")
+    )
     inter = (
-        cand.join(sp, "_pid")
-        .join(si, ["_iid", "shingle"])
-        .groupBy("_pid", "_iid", "n_p")
-        .agg(F.count(F.lit(1)).alias("inter"))
+        cand.join(vp, "_pid")
+        .join(vi, "_iid")
+        .withColumn("inter", F.size(F.array_intersect("_sp", "_si")))
+        .select("_pid", "_iid", "n_p", "inter")
     )
     from vectorsearchutil_spark.functions.vector import round_half_up
 
