@@ -276,10 +276,41 @@ PINNED = [
 ]
 
 
+def _host_preamble() -> dict:
+    """Idle-host check (VERDICT r10 #7): this host's documented failure
+    mode is co-tenant bursts and orphaned spinning JVMs polluting timed
+    sessions (PERF.md round-10 retraction note). Record the 1-min load
+    average and any pre-existing JVMs BEFORE the timed session starts so
+    a polluted run is visible in the artifact instead of silently eating
+    the signal. Detection only — killing by pattern could hit a
+    legitimate co-tenant process; the numbers let the reader discount."""
+    info: dict = {}
+    try:
+        with open("/proc/loadavg") as f:
+            info["loadavg_1m"] = float(f.read().split()[0])
+    except Exception:
+        pass
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            ["ps", "-eo", "pid,etime,comm"], capture_output=True, text=True
+        ).stdout
+        jvms = [ln for ln in out.splitlines() if ln.split()[-1] == "java"]
+        info["preexisting_jvms"] = len(jvms)
+        for ln in jvms:
+            print(f"bench preamble: pre-existing JVM: {ln}", file=sys.stderr)
+    except Exception:
+        pass
+    print(f"bench preamble: {info}", file=sys.stderr)
+    return info
+
+
 def main() -> None:
     from vectorsearchutil_spark import queries as Q
     from vectorsearchutil_spark.session import get_spark
 
+    host = _host_preamble()
     spark = get_spark("vectorsearchutil-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -345,6 +376,7 @@ def main() -> None:
         "pinned_n": len(pinned),
         "sf": sf_val,
         "queries": timings,
+        "host": host,
     }
     # The driver records only the TAIL of stdout; round 4's single
     # giant JSON line was head-truncated and BENCH_r04.json carried
@@ -359,8 +391,13 @@ def main() -> None:
     print(json.dumps(summary), file=sys.stderr)
     line = json.dumps(summary)
     if len(line) > 3000:
+        # VERDICT r10 #2: dropping the whole `queries` dict left the
+        # driver with per_query={} (no geomean, no scaling ratios).
+        # The frozen 30-entry PINNED per-query dict fits the tail
+        # budget — inline it so cross-round per-query comparison
+        # survives, and keep the full-dict file pointer + top5.
         compact = dict(summary)
-        compact.pop("queries")
+        compact["queries"] = pinned
         compact["queries_file"] = "bench_detail.json"
         compact["top5"] = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[:5]
