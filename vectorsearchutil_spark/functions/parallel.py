@@ -13,6 +13,7 @@ number from the session, never a hard-coded constant.
 
 from __future__ import annotations
 
+from pyspark.errors import PySparkException
 from pyspark.sql import DataFrame
 
 
@@ -40,9 +41,18 @@ def fanout_repartition(df: DataFrame, gated: bool = True) -> DataFrame:
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if gated:
+        # INVARIANT (every gated call site): the input is SCAN-ROOTED
+        # (no exchange between the source scan and this probe), so the
+        # static partition count the probe sees IS the runtime count —
+        # AQE only re-plans downstream of exchanges. On an input with
+        # an upstream exchange the static count could exceed
+        # defaultParallelism while AQE coalesces to 1 at runtime,
+        # silently defeating the floor; such inputs must use
+        # gated=False (ADVICE r10). Streaming frames have no .rdd —
+        # the probe fails closed (no repartition on a streaming plan).
         try:
             if df.rdd.getNumPartitions() >= target:
                 return df
-        except Exception:
+        except PySparkException:
             return df
     return df.repartition(target)

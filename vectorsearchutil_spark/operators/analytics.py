@@ -1218,6 +1218,14 @@ def theil_sen_daily_trend(
     outlier-immune alternative to OLS (one crazy day moves OLS, not
     the pairwise-slope median). One summary row.
 
+    EAGER AT BUILD TIME (ADVICE r10): selecting the median bucket
+    runs the level-1 pair-count aggregate — a Spark job over the full
+    O(days²) pair join — when this function is CALLED, not when the
+    returned DataFrame is first executed (the same
+    collect-at-construction contract as the k-means/centroid
+    operators). Callers that only want the plan (dump/compose/schema)
+    still pay that job.
+
     Plan: raw rows collapse to the bounded day grid first; the pair
     table is a grid self-join (O(days²) — bounded by the CALENDAR,
     not row count; ~2.7M pairs for a decade). The median — smallest
