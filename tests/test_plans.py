@@ -302,8 +302,16 @@ def test_fuzzy_pairs_query_no_cartesian(spark, sf_dir):
 
 def test_pagerank_long_sum_aggregate(spark, sf_dir):
     """The per-iteration reduction must be a hash aggregate over the
-    fixed-point longs (map-side combine), not a collect_list fold."""
-    df = Q.QUERIES["graph_pagerank_neardup"](spark, sf_dir)
+    fixed-point longs (map-side combine), not a collect_list fold.
+    Forced distributed: below the r11 driver gate the registry query
+    returns a local result frame with no aggregate to assert on."""
+    from vectorsearchutil_spark.operators.graph import pagerank_over_pairs
+    from vectorsearchutil_spark.operators.similarity import neardup_pairs
+    from vectorsearchutil_spark.queries import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = neardup_pairs(emb, threshold=0.35, strategy="auto")
+    df = pagerank_over_pairs(pairs, strategy="distributed")
     plan = formatted_plan(df)
     assert "collect_list" not in plan
     assert "sum(" in plan

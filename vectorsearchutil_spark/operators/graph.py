@@ -28,6 +28,71 @@ from pyspark.sql import functions as F
 #: below 2^53, so the long sum round-trips exactly through double.
 _FP = float(2**40)
 
+#: edge-count gate below which ``pagerank`` runs its fixed-point
+#: iterations on the driver (same boundary and rationale as
+#: ``dedup.connected_components``: ≤ 2M edges ≈ 32 MB of longs — the
+#: iterative-join plan's ~4 jobs/iteration of fixed scheduling latency
+#: dwarf the arithmetic at this size, while above it the distributed
+#: path is the only shape that survives 100 TB graphs).
+_PAGERANK_DRIVER_MAX_EDGES = 2_000_000
+
+
+def _pagerank_driver(
+    e: DataFrame, damping: float, iters: int, round_dp: int
+) -> DataFrame:
+    """Driver-side fixed-point PageRank for edge sets below the gate —
+    BIT-IDENTICAL to the iterative-join path by construction: every
+    float op (r/deg, ×2^40, floor, base + d·(Σq/2^40)) is the same
+    IEEE double expression in the same order, and the per-node
+    reduction sums int64 exactly on both paths. Inner-join semantics
+    of the distributed form are replicated exactly: ranks start on
+    DISTINCT DST nodes, an edge contributes only while its src holds
+    a rank row, and the output joins ranks to out-degrees (so a node
+    must appear as both dst and src to emit a row)."""
+    import numpy as np
+    import pandas as pd
+
+    tbl = e.toArrow()
+    srcs = np.asarray(tbl.column("_src").to_pylist(), dtype=np.int64)
+    dsts = np.asarray(tbl.column("_dst").to_pylist(), dtype=np.int64)
+    ids = np.unique(np.concatenate([srcs, dsts]))
+    sidx = np.searchsorted(ids, srcs)
+    didx = np.searchsorted(ids, dsts)
+    deg = np.bincount(sidx, minlength=len(ids)).astype(np.int64)
+    has_rank = np.zeros(len(ids), dtype=bool)
+    has_rank[didx] = True  # nodes = distinct _dst
+    n_nodes = int(has_rank.sum())
+    base = (1.0 - damping) / float(n_nodes)
+    r = np.zeros(len(ids), dtype=np.float64)
+    r[has_rank] = 1.0 / float(n_nodes)
+    degf = deg.astype(np.float64)
+    for _ in range(iters):
+        m = has_rank[sidx]  # e ⋈ ranks on _src (inner)
+        # same IEEE sequence as floor(_r / deg * 2^40) cast long
+        q = np.floor(r[sidx[m]] / degf[sidx[m]] * _FP).astype(np.int64)
+        sq = np.zeros(len(ids), dtype=np.int64)
+        np.add.at(sq, didx[m], q)  # exact long sum, any order
+        new_has = np.zeros(len(ids), dtype=bool)
+        new_has[didx[m]] = True
+        r = base + damping * (sq.astype(np.float64) / _FP)
+        has_rank = new_has
+    out = has_rank & (deg > 0)  # final ranks ⋈ deg on _src (inner)
+    pdf = pd.DataFrame(
+        {
+            "node": ids[out],
+            "degree": deg[out],
+            "_r": r[out],
+        }
+    )
+    return (
+        e.sparkSession.createDataFrame(
+            pdf, "node long, degree long, _r double"
+        )
+        .select(
+            "node", "degree", F.round(F.col("_r"), round_dp).alias("pagerank")
+        )
+    )
+
 
 def pagerank(
     edges: DataFrame,
@@ -36,6 +101,8 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 3,
     round_dp: int = 6,
+    strategy: str = "auto",
+    driver_max_edges: int = _PAGERANK_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """PageRank over a DIRECTED edge list (symmetrize upstream for an
     undirected similarity graph). Nodes are the vertices appearing in
@@ -46,22 +113,41 @@ def pagerank(
     from the uniform start. Output: (node, degree, rank) with rank
     rounded to ``round_dp``. Each step is one broadcast-or-shuffle
     hash join (ranks are |V|-sized, edges |E|-sized) plus one long-sum
-    aggregate — the standard iterative-join PageRank plan."""
-    # edges and degrees are re-read every iteration — cache both so
-    # iteration N doesn't recompute the upstream pair-mining plan N
-    # times (same discipline as connected components / k-means)
+    aggregate — the standard iterative-join PageRank plan.
+
+    ``strategy`` is size-gated physical strategy selection (the
+    ``connected_components`` pattern, r11 optimization round): an edge
+    set of at most ``driver_max_edges`` runs the same fixed-point
+    iterations on the driver — bit-identical output, none of the
+    ~4 jobs/iteration of join/checkpoint scheduling latency. Larger
+    graphs take the iterative-join plan. EAGER AT BUILD TIME under
+    'auto'/'driver' (like connected_components): gating counts the
+    edge list when this function is called. ``strategy=`` forces a
+    path ('driver'/'distributed')."""
+    # edges and degrees are re-read every iteration (and the gate
+    # counts them) — checkpoint so iteration N doesn't recompute the
+    # upstream pair-mining plan N times (same discipline as connected
+    # components / k-means)
     e = edges.select(
         F.col(src).alias("_src"), F.col(dst).alias("_dst")
-    ).cache()
-    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).cache()
-    nodes = e.select(F.col("_dst").alias("_id")).distinct()
-    n_nodes = nodes.count()  # scalar: sizes the teleport term
-    if n_nodes == 0:
-        # empty-in, empty-out: no edges, no ranks (the teleport term
-        # would divide by zero) — registry-wide empty-input sweep
+    ).localCheckpoint()
+    n_edges = e.count()  # cheap on the checkpoint; gates + empty check
+    if n_edges == 0:
+        # empty-in, empty-out: no edges, no nodes, no ranks (the
+        # teleport term would divide by zero) — registry-wide
+        # empty-input sweep
         return edges.sparkSession.createDataFrame(
             [], "node long, degree long, pagerank double"
         )
+    if strategy == "auto":
+        strategy = (
+            "driver" if n_edges <= driver_max_edges else "distributed"
+        )
+    if strategy == "driver":
+        return _pagerank_driver(e, damping, iters, round_dp)
+    nodes = e.select(F.col("_dst").alias("_id")).distinct()
+    n_nodes = nodes.count()  # scalar: sizes the teleport term
+    deg = e.groupBy("_src").agg(F.count(F.lit(1)).alias("_deg")).cache()
     base = (1.0 - damping) / float(n_nodes)
 
     ranks = nodes.withColumn("_r", F.lit(1.0 / float(n_nodes)))
@@ -110,12 +196,15 @@ def pagerank_over_pairs(
     id_b: str = "id_b",
     damping: float = 0.85,
     iters: int = 3,
+    strategy: str = "auto",
 ) -> DataFrame:
     """PageRank over an UNDIRECTED pair list (e.g. near-dup pairs):
     symmetrizes into a directed edge list, then runs ``pagerank``."""
     fwd = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     rev = pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-    return pagerank(fwd.unionByName(rev), damping=damping, iters=iters)
+    return pagerank(
+        fwd.unionByName(rev), damping=damping, iters=iters, strategy=strategy
+    )
 
 
 def triangle_count(
