@@ -151,6 +151,14 @@ _HUBNESS_BLAS_CELLS = 50_000_000
 #: (VERDICT r9 "What's wrong" #3 / "Next round" #6).
 _SELF_KNN_COLLECT_MAX = 2_000_000
 
+#: candidate-row budget for the arrow self-kNN fan-out: each partition
+#: of the corpus side emits up to m×k(+ties) batch-local top-k rows
+#: into the exact global window, so the repartition target is
+#: budget // (m·k) — enough to parallelize small-corpus scoring, and
+#: self-limiting to 1 as m·k grows (VERDICT r10 #4; the blanket
+#: defaultParallelism floor measured WORSE and was reverted in r10).
+_SELF_KNN_CANDIDATE_BUDGET = 250_000
+
 
 def knn_hubness(
     df: DataFrame,
@@ -351,14 +359,33 @@ def _self_knn_topk_arrow(
                     }
                 )
 
-    # NOTE(r10 opt round): deliberately NOT fan-out-repartitioned —
-    # the batch-local top-k cut emits ~(partitions × m × k) candidate
-    # rows into the window shuffle, so raising partitions on a small
-    # corpus trades serial compute for a linearly larger shuffle;
-    # measured 3.1 s (1 partition) vs 9.9 s (32) for mutual-kNN at
-    # sf0.1. Past _SELF_KNN_COLLECT_MAX the blocked path parallelizes
-    # by hash blocks instead.
-    cand = valid.select(id_col, vector_col).mapInPandas(score, out_schema)
+    # Candidate-budget-aware fan-out (r11, VERDICT r10 #4): the
+    # batch-local top-k cut emits ~(partitions × m × k) candidate
+    # rows into the window shuffle, so a blanket defaultParallelism
+    # floor trades serial compute for a linearly larger shuffle
+    # (measured 3.1 s @1 partition vs 9.9 s @32 for mutual-kNN at
+    # sf0.1 in r10 — reverted then). Instead the partition target is
+    # the largest count whose candidate traffic stays under a fixed
+    # budget: p = min(defaultParallelism, budget // (m·k)) — on a
+    # small corpus that parallelizes the O(n·m·d) scoring without the
+    # blow-up, and m·k grows with the corpus so p falls back to 1
+    # well before _SELF_KNN_COLLECT_MAX hands off to the blocked
+    # path. Output-invariant: the widened batch-local cut is a
+    # superset of each query's global top-k under ANY partitioning
+    # and the exact global window reduces it (r10 proved equality at
+    # p=32; strategy-equality tests pin scores bit-identical).
+    src = valid.select(id_col, vector_col)
+    p = min(
+        int(spark.sparkContext.defaultParallelism),
+        max(1, _SELF_KNN_CANDIDATE_BUDGET // max(1, len(rows) * int(k))),
+    )
+    if p > 1:
+        try:
+            if src.rdd.getNumPartitions() < p:
+                src = src.repartition(p)
+        except PySparkException:
+            pass
+    cand = src.mapInPandas(score, out_schema)
     win = Window.partitionBy("_qid").orderBy(
         F.col("_d").desc(), F.col(id_col).asc()
     )
