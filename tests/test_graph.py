@@ -73,6 +73,30 @@ def test_pagerank_directed_star(spark):
     assert got[1] > got[2] >= got[3] * 0.999
 
 
+def test_triangle_strategy_equality(spark):
+    """Driver census ≡ oriented-join census, exact tuple equality
+    (r11 size-gated dispatch)."""
+    import random
+
+    from vectorsearchutil_spark.operators.graph import triangle_count
+
+    rng = random.Random(11)
+    pairs = sorted(
+        {
+            tuple(sorted(rng.sample(range(60), 2)))
+            for _ in range(300)
+        }
+    )
+    df = spark.createDataFrame(pairs, ["id_a", "id_b"])
+    a = [tuple(r) for r in triangle_count(df, strategy="driver").collect()]
+    b = [
+        tuple(r)
+        for r in triangle_count(df, strategy="distributed").collect()
+    ]
+    assert a == b
+    assert a[0][2] > 0  # the random graph actually has triangles
+
+
 def test_pagerank_strategy_equality_bitexact(spark):
     """Driver fixed-point path ≡ iterative-join path, EXACT tuple
     equality (the r11 size-gated strategy dispatch — same promise as

@@ -207,10 +207,72 @@ def pagerank_over_pairs(
     )
 
 
+def _triangle_driver(e: DataFrame) -> DataFrame:
+    """Driver-side exact triangle census for edge sets below the gate
+    (same boundary/rationale as ``_cc_driver`` / ``_pagerank_driver``):
+    all four counts are exact integers on either path, and the one
+    double division runs through the SAME Spark expression as the
+    distributed form, so outputs are identical. Assumes the documented
+    input contract (one row per undirected edge, id_a < id_b)."""
+    import numpy as np
+
+    tbl = e.toArrow()
+    a = np.asarray(tbl.column("a").to_pylist(), dtype=np.int64)
+    b = np.asarray(tbl.column("b").to_pylist(), dtype=np.int64)
+    ids, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai, bi = inv[: len(a)], inv[len(a):]
+    n_nodes, n_edges = len(ids), len(a)
+    deg = np.bincount(ai, minlength=n_nodes) + np.bincount(
+        bi, minlength=n_nodes
+    )
+    n_wedges = int((deg.astype(np.int64) * (deg - 1) // 2).sum())
+    # orient low-degree → high-degree (rows already satisfy a < b, so
+    # the id tie-break reduces to keeping the row order)
+    da, db = deg[ai], deg[bi]
+    lt = (da < db) | (da == db)
+    u = np.where(lt, ai, bi)
+    v = np.where(lt, bi, ai)
+    out: list[set] = [set() for _ in range(n_nodes)]
+    for x, y in zip(u.tolist(), v.tolist()):
+        out[x].add(y)
+    # each triangle counted exactly once from its lowest-degree corner:
+    # for oriented edge (u,v), common out-neighbours close the wedge
+    n_tri = 0
+    for x, y in zip(u.tolist(), v.tolist()):
+        sx, sy = out[x], out[y]
+        if len(sy) < len(sx):
+            sx, sy = sy, sx
+        n_tri += sum(1 for z in sx if z in sy)
+    from vectorsearchutil_spark.functions.vector import round_half_up
+
+    row = e.sparkSession.createDataFrame(
+        [(n_nodes, n_edges, n_tri, n_wedges)],
+        "n_nodes long, n_edges long, n_triangles long, n_wedges long",
+    )
+    # IDENTICAL final expression to the distributed path below
+    return row.select(
+        "n_nodes",
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.coalesce(
+            round_half_up(
+                F.lit(3.0)
+                * F.col("n_triangles").cast("double")
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                6,
+            ),
+            F.lit(0.0),
+        ).alias("clustering_coeff"),
+    )
+
+
 def triangle_count(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    strategy: str = "auto",
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
     undirected pair list (one row per edge, ``id_a < id_b``). Returns
@@ -229,6 +291,13 @@ def triangle_count(
     counts are exact longs; the coefficient is ONE double division.
     Wedge total Σ deg·(deg−1)/2 uses integer ``div`` — no double
     fold anywhere.
+
+    ``strategy`` is the size-gated physical dispatch shared with
+    ``pagerank`` / ``connected_components`` (r11): at or below
+    ``driver_max_edges`` the census runs on the driver (identical
+    counts, one Arrow pull instead of the ~7-stage join cascade);
+    above it — or forced 'distributed' — the oriented-join plan runs.
+    EAGER AT BUILD TIME under 'auto'/'driver' (the gate counts edges).
     """
     from vectorsearchutil_spark.functions.vector import round_half_up
 
@@ -242,6 +311,12 @@ def triangle_count(
     e = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).localCheckpoint(eager=False)
+    if strategy == "auto":
+        strategy = (
+            "driver" if e.count() <= driver_max_edges else "distributed"
+        )
+    if strategy == "driver":
+        return _triangle_driver(e)
     deg = (
         e.select(F.col("a").alias("node"))
         .unionAll(e.select(F.col("b").alias("node")))
