@@ -8305,6 +8305,10 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events")
+    # NOT cached: an r11 A/B of .cache() on this projection measured
+    # parity (3.01 vs 2.95 s) — the cost is the refinement's job
+    # count, not the narrow parquet re-scan, so the cache would only
+    # add memory pressure at scale (guide §1: measure first)
     base = ev.select(
         "event_id",
         F.col("event_type").alias("grp"),
