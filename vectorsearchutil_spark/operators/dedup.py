@@ -309,16 +309,29 @@ def minhash_lsh_pairs(
         .select(id_col, "_arr", F.size("_arr").alias("n_sh"))
         .cache()
     )
-    sh = base.select(id_col, F.explode("_arr").alias("shingle"))
     # signature: one md5 per shingle, num_hashes derived members via
-    # double hashing, one min-aggregate per member — a single groupBy.
-    h1, h2 = minhash_base_hashes(F.col("shingle"))
-    hashed = sh.withColumn("_h1", h1).withColumn("_h2", h2)
-    sig = hashed.groupBy(id_col).agg(
+    # double hashing, one array_min per member — ALL per-row HOF
+    # expressions over the per-doc array (r11): the old
+    # explode + groupBy(id) shuffled shingles/doc rows back together
+    # just to re-form per-doc state the array already held; at any
+    # scale the signature is now a narrow projection (guide §2.4 —
+    # remove the shuffle outright). Values identical: min over the
+    # same distinct-shingle multiset, same bigint arithmetic. Docs
+    # with no shingles had no rows to group — the n_sh filter keeps
+    # them out of the (otherwise all-null) banding identically.
+    hs = base.filter(F.col("n_sh") > 0).selectExpr(
+        id_col,
+        "transform(_arr, s -> struct("
+        "CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT) AS h1, "
+        "CAST(conv(substring(md5(s), 17, 12), 16, 10) AS BIGINT) AS h2"
+        ")) AS _hs",
+    )
+    sig = hs.selectExpr(
+        id_col,
         *[
-            F.expr(f"min(_h1 + {i} * _h2)").alias(f"h{i}")
+            f"array_min(transform(_hs, h -> h.h1 + {i} * h.h2)) AS h{i}"
             for i in range(num_hashes)
-        ]
+        ],
     )
     # bands: hash band_size consecutive signature values together.
     band_sql = [
