@@ -42,7 +42,12 @@ def sessions_from_events(
     start_ts, end_ts). Same gap semantics as the sessionize query
     (new session when the inactivity gap strictly exceeds ``gap_s``).
     One shuffle on the user key, reused by the lag window, the
-    running sum, and the interval aggregate."""
+    running sum, and the interval aggregate (HashPartitioning(user)
+    satisfies the (user, sid) clustering, so the session aggregate
+    adds no exchange). Only the three columns the sessionization
+    reads enter that shuffle — the events table's payload columns
+    (type/value/props) never leave the scan (guide §2.3)."""
+    events = events.select(user_col, ts_col, order_col)
     w = Window.partitionBy(user_col).orderBy(
         F.col(ts_col).asc(), F.col(order_col).asc()
     )
@@ -68,13 +73,37 @@ def concurrency_by_day(
     """Per-day peak concurrency over an interval set via the
     two-level distributed sweep-line (module docstring). Output:
     (day, peak_concurrency, n_starts)."""
-    starts = intervals.select(
-        F.col(start_col).alias("_ts"), F.lit(1).alias("_delta")
+    # Both boundaries from ONE pass over the intervals: the old
+    # starts/ends two-branch union re-ran the entire upstream plan
+    # (for session intervals: scan + user-key shuffle + two windows +
+    # the session aggregate) once per branch, and levels 1 and 2 below
+    # each re-ran the union — FOUR upstream passes per query (guide
+    # §2.4). explode emits (+1 at start, −1 at end) in a single pass,
+    # and the narrow boundary rows (ts, delta, day — ~16 bytes) are
+    # cached within this query's lifetime so the two sweep levels
+    # share one materialization. Row order changes (start/end
+    # interleaved instead of concatenated) but every consumer is a
+    # groupBy or a RANGE-frame window keyed on (ts, delta) — order
+    # insensitive by the module's determinism contract.
+    b = (
+        intervals.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(start_col).alias("_ts"),
+                        F.lit(1).alias("_delta"),
+                    ),
+                    F.struct(
+                        F.col(end_col).alias("_ts"),
+                        F.lit(-1).alias("_delta"),
+                    ),
+                )
+            ).alias("_b")
+        )
+        .select("_b._ts", "_b._delta")
+        .withColumn("_day", F.to_date("_ts"))
+        .cache()
     )
-    ends = intervals.select(
-        F.col(end_col).alias("_ts"), F.lit(-1).alias("_delta")
-    )
-    b = starts.unionByName(ends).withColumn("_day", F.to_date("_ts"))
 
     # level 1: per-day totals (tiny) -> carry-in per day
     day_totals = b.groupBy("_day").agg(F.sum("_delta").alias("_day_sum"))
