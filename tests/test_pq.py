@@ -235,3 +235,47 @@ def test_ivfpq_search_prunes_and_ranks(spark, emb, books, tmp_path):
     assert "embedding" not in plan
     assert "TakeOrderedAndProject" in plan
     cents.unpersist()
+
+
+def test_distortion_strategy_equality(spark, emb, books):
+    """matrix (mapInArrow kernel) ≡ expr (JVM HOF fold) — including
+    the degenerate classes the kernel replicates cell by cell: NULL
+    vector, NaN/Inf components, short/over-length vectors, NULL
+    elements (r11 optimization round)."""
+    import math
+
+    from vectorsearchutil_spark.operators.pq import pq_subspace_distortion
+
+    def canon(rows):
+        return [
+            tuple(
+                "nan" if isinstance(v, float) and math.isnan(v) else v
+                for v in r
+            )
+            for r in sorted(rows, key=lambda r: r.subspace)
+        ]
+
+    a = pq_subspace_distortion(emb, books, strategy="expr").collect()
+    b = pq_subspace_distortion(emb, books, strategy="matrix").collect()
+    assert canon(a) == canon(b)
+
+    nan, inf = float("nan"), float("inf")
+    degen = spark.createDataFrame(
+        [
+            (1, [float(i % 5) for i in range(64)]),
+            (2, None),
+            (3, [nan] + [1.0] * 63),
+            (4, [inf] + [2.0] * 63),
+            (5, [1.0] * 32),  # prefix subspaces participate
+            (6, [0.5] * 64),
+            (7, [nan] * 8 + [inf] * 8 + [3.0] * 48),
+            (8, [1.0] * 70),  # trailing dims ignored
+            (9, [None] + [1.0] * 63),  # NULL element nulls subspace 0
+            (10, [2.0] * 12),  # partial subspace -> null
+            (11, []),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    a = pq_subspace_distortion(degen, books, strategy="expr").collect()
+    b = pq_subspace_distortion(degen, books, strategy="matrix").collect()
+    assert canon(a) == canon(b)

@@ -460,11 +460,101 @@ def pq_search_rerank(
     )
 
 
+def _pq_distortion_pairs_matrix(
+    df: DataFrame, books: Codebooks, vector_col: str
+) -> DataFrame:
+    """(j, d2) pairs — min squared quantization error per (vector,
+    subspace) — via a numpy ``mapInArrow`` kernel (the
+    ``_pq_encode_matrix`` lesson: bulk vector math belongs in BLAS,
+    and the unrolled 8-subspace HOF tree costs more to BUILD and
+    codegen than the 2k-row scan it runs on). Bit-identical to the
+    expr form for every input class:
+
+    * finite vectors: the per-dim accumulation runs in dimension
+      order from 0.0 (``D += (S[:,i]-C[:,i])**2``) — the same IEEE
+      float64 op sequence as the ``zip_with``/``aggregate`` fold;
+      the min over codes moves no arithmetic.
+    * a NaN/Inf component poisons exactly its own subspace, and all
+      k codes of that subspace share one non-finite class (centroids
+      are always finite), so numpy's NaN-propagating min equals
+      Spark's ordering-based array_min on these rows.
+    * degenerate rows replicate the sliced zip_with fold cell by
+      cell: a NULL vector nulls all m subspaces; a short vector
+      participates in exactly its fully-covered prefix subspaces
+      (``slice`` returns what exists, ``zip_with`` null-pads the
+      rest); a NULL *element* nulls exactly its own subspace; extra
+      trailing dims beyond m·d are ignored. ARROW NULL stays
+      distinct from NaN (the downstream max() skips NULL but is
+      poisoned by NaN, so the distinction is load-bearing).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    m = len(books)
+    d = len(books[0][0])
+    dim = m * d
+    C = [[list(map(float, cv)) for cv in book] for book in books]
+
+    def kernel(batches):
+        cents = [np.asarray(Cj, dtype=np.float64) for Cj in C]
+        for batch in batches:
+            n = len(batch)
+            if not n:
+                continue
+            col = batch.column(0)
+            lens = pa.compute.list_value_length(col)
+            flat = col.flatten()
+            if (
+                col.null_count == 0
+                and flat.null_count == 0
+                and pa.compute.min(lens).as_py() == dim
+                and pa.compute.max(lens).as_py() == dim
+            ):
+                # fast path (every real corpus batch): one zero-copy
+                # reshape, all cells valid
+                X = flat.to_numpy().astype(np.float64).reshape(n, dim)
+                valid = np.ones((n, m), dtype=bool)
+            else:
+                # exact slow path for degenerate rows
+                vl = col.to_pylist()
+                X = np.zeros((n, dim), dtype=np.float64)
+                valid = np.zeros((n, m), dtype=bool)
+                for i, v in enumerate(vl):
+                    if v is None:
+                        continue
+                    cov = min(m, len(v) // d)
+                    for j in range(cov):
+                        seg = v[j * d : (j + 1) * d]
+                        if any(x is None for x in seg):
+                            continue
+                        X[i, j * d : (j + 1) * d] = seg
+                        valid[i, j] = True
+            d2 = np.zeros((n, m), dtype=np.float64)
+            for j in range(m):
+                S = X[:, j * d : (j + 1) * d]
+                D = np.zeros((n, len(cents[j])))
+                for i in range(d):  # dim-order fold, same as expr
+                    D += (S[:, i, None] - cents[j][None, :, i]) ** 2
+                d2[:, j] = D.min(axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(np.arange(m, dtype=np.int32), n)),
+                    pa.array(
+                        d2.reshape(-1), mask=~valid.reshape(-1)
+                    ),
+                ],
+                names=["j", "d2"],
+            )
+
+    return df.select(vector_col).mapInArrow(kernel, "j int, d2 double")
+
+
 def pq_subspace_distortion(
     df: DataFrame,
     books: Codebooks,
     vector_col: str = "embedding",
     id_col: str = "vec_id",
+    strategy: str = "matrix",
 ) -> DataFrame:
     """Per-subspace quantization distortion report for a trained PQ
     codebook: (subspace, n_vectors, mean_sq_err, max_sq_err,
@@ -473,8 +563,13 @@ def pq_subspace_distortion(
     for recall loss at serving time.
 
     Same one-pass broadcast-codebook shape as :func:`pq_encode`
-    (corpus never shuffles; the explode emits m narrow rows per
-    vector). Cross-row aggregation is order-proof: per-(vector,
+    (corpus never shuffles; m narrow rows per vector enter the
+    aggregate). ``strategy='matrix'`` (default) computes the
+    per-(vector, subspace) min d2 in a numpy ``mapInArrow`` kernel
+    (see :func:`_pq_distortion_pairs_matrix` for the bit-identity
+    argument); ``strategy='expr'`` keeps the pure-JVM
+    higher-order-function form (streaming / Python-less clusters).
+    Cross-row aggregation is order-proof either way: per-(vector,
     subspace) d2 is the encoder's fixed-order float64 sum, then the
     mean quantizes d2 to 1e-6 units and sums exact integers — the
     value-quantization pattern from the covariance rewrite — so the
@@ -485,39 +580,42 @@ def pq_subspace_distortion(
 
     m = len(books)
     d = len(books[0][0])
-    vec = F.col(vector_col).cast("array<double>")
-    subs = df.crossJoin(F.broadcast(_codebook_row(df, books))).select(
-        F.col(id_col),
-        "cbs",
-        *[F.slice(vec, j * d + 1, d).alias(f"_s{j}") for j in range(m)],
-    )
+    if strategy == "matrix":
+        pairs = _pq_distortion_pairs_matrix(df, books, vector_col)
+    else:
+        vec = F.col(vector_col).cast("array<double>")
+        subs = df.crossJoin(F.broadcast(_codebook_row(df, books))).select(
+            F.col(id_col),
+            "cbs",
+            *[F.slice(vec, j * d + 1, d).alias(f"_s{j}") for j in range(m)],
+        )
 
-    def _best(j: int):
-        s = F.col(f"_s{j}")
-        return F.array_min(
-            F.transform(
-                F.col("cbs")[j],
-                lambda c: F.struct(
-                    l2_squared(s, c["cv"]).alias("d"),
-                    c["cid"].alias("cid"),
-                ),
-            )
-        ).alias(f"_b{j}")
+        def _best(j: int):
+            s = F.col(f"_s{j}")
+            return F.array_min(
+                F.transform(
+                    F.col("cbs")[j],
+                    lambda c: F.struct(
+                        l2_squared(s, c["cv"]).alias("d"),
+                        c["cid"].alias("cid"),
+                    ),
+                )
+            ).alias(f"_b{j}")
 
-    best = subs.select(F.col(id_col), *[_best(j) for j in range(m)])
-    pairs = best.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("j"),
-                        F.col(f"_b{j}")["d"].alias("d2"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        ).alias("_p")
-    ).select(F.col("_p.j").alias("j"), F.col("_p.d2").alias("d2"))
+        best = subs.select(F.col(id_col), *[_best(j) for j in range(m)])
+        pairs = best.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(j).alias("j"),
+                            F.col(f"_b{j}")["d"].alias("d2"),
+                        )
+                        for j in range(m)
+                    ]
+                )
+            ).alias("_p")
+        ).select(F.col("_p.j").alias("j"), F.col("_p.d2").alias("d2"))
     # guard the decimal cast: a NaN/Inf vector yields non-finite d2,
     # and ANSI CAST(NaN AS DECIMAL) throws — degrade those rows to
     # NULL (sum skips), same convention as _finite_or_null
