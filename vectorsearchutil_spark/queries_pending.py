@@ -5210,24 +5210,54 @@ def recall_curve(
         .select("query_id", "vec_id", "_dist", "_prn")
         .localCheckpoint(eager=False)
     )
-    parts = []
-    for p in range(1, max_probe + 1):
-        rwin = Window.partitionBy("query_id").orderBy(
-            F.col("_dist").asc(), F.col("vec_id").asc()
-        )
-        ap = (
-            cand.filter(F.col("_prn") <= p)
-            .withColumn("_rk", F.row_number().over(rwin))
-            .filter(F.col("_rk") <= k)
-        )
-        parts.append(
-            ap.join(exact, ["query_id", "vec_id"]).agg(
-                F.count(F.lit(1)).alias("matches")
-            ).select(F.lit(p).alias("nprobe"), "matches")
-        )
-    matches = parts[0]
-    for part in parts[1:]:
-        matches = matches.unionByName(part)
+    # All operating points from ONE window pass (r11, guide §2.4):
+    # the nprobe-p rank of a candidate — row_number within the
+    # _prn<=p subset ordered by (_dist, vec_id) — equals the running
+    # count of _prn<=p rows under the same total order, which is
+    # unique per query ((query_id, vec_id) is unique in cand: each
+    # vector lives in exactly one inverted list). One sort + one
+    # exact-join + one aggregate replaces max_probe window sorts,
+    # joins and aggregates plus the union.
+    rwin = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("_dist").asc(), F.col("vec_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = cand.select(
+        "query_id",
+        "vec_id",
+        "_prn",
+        *[
+            F.sum((F.col("_prn") <= p).cast("int"))
+            .over(rwin)
+            .alias(f"_c{p}")
+            for p in range(1, max_probe + 1)
+        ],
+    )
+    one = ranked.join(exact, ["query_id", "vec_id"]).agg(
+        *[
+            F.sum(
+                (
+                    (F.col("_prn") <= p) & (F.col(f"_c{p}") <= k)
+                ).cast("long")
+            ).alias(f"_m{p}")
+            for p in range(1, max_probe + 1)
+        ]
+    )
+    matches = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(p).alias("nprobe"),
+                        F.coalesce(F.col(f"_m{p}"), F.lit(0).cast("long"))
+                        .alias("matches"),
+                    )
+                    for p in range(1, max_probe + 1)
+                ]
+            )
+        ).alias("_s")
+    ).select("_s.nprobe", "_s.matches")
 
     sizes = indexed.groupBy("centroid_id").agg(
         F.count(F.lit(1)).alias("_sz")
