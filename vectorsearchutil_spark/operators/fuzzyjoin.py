@@ -60,12 +60,18 @@ def fuzzy_pairs_ed1(
     from vectorsearchutil_spark.functions.parallel import fanout_repartition
 
     # parallelism floor before the signature explode + self-join
-    # (guide §2): a small scan serializes the candidate stage
+    # (guide §2): a small scan serializes the candidate stage.
+    # Cached within the query (r11): the (key, string) projection is
+    # referenced FOUR times — both sides of the signature self-join
+    # and both re-attach joins — and a plain column rename defeats
+    # ReuseExchange (the before-plan shows 4 parquet scans, 0
+    # ReusedExchange), so without the cache the scan + signature
+    # explode chain ran once per reference (guide §2.4).
     base = fanout_repartition(
         df.filter(F.col(str_col).isNotNull()).select(
             F.col(key_col).alias("_k"), F.col(str_col).alias("_s")
         )
-    )
+    ).cache()
     # the signature join and the pair-dedup move ONLY (key, key) rows
     # — strings re-attach afterwards (measured 4.8 → 2.5 s at sf0.1:
     # the distinct over string-carrying candidates was the floor)
